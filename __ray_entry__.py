@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship transcript pipeline at sf0.001 scale.
+``queries()`` — one entry per implemented operator/pipeline
+(SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset /
+DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query (same column names; aggregates rounded identically on both
+sides). Non-SQL-expressible ops (LSH dedup, simhash, IVF-ANN,
+heuristic scoring, the flagship transcript pipeline over synthesized
+input) have no oracle entry → driver records rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +19,513 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(df, cols, nd=4):
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# relational core (groupby / filter / sort / broadcast join)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate: two-phase-friendly Sum/Count
+    via Ray groupby (hash shuffle over 6 distinct keys)."""
+    from ray.data.aggregate import Sum, Count, Mean
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    return _round(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"], 2)
+
+
+def q6_revenue(sf_dir: str):
+    """Filter-pushdown + global aggregate (prune at the read:
+    row-group filter expression passed to read_parquet)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pc.field("l_discount") >= 0.05) & (pc.field("l_quantity") < 25.0),
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"rev": pc.multiply(b["l_extendedprice"], b["l_discount"])})
+
+    out = ds.map_batches(rev, batch_format="pyarrow").aggregate(Sum("rev", alias_name="revenue"))
+    import pandas as pd
+    return pd.DataFrame({"revenue": [round(out["revenue"], 2)]})
+
+
+def top_orders(sf_dir: str):
+    """Distributed sort + limit (top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    return _round(out, ["o_totalprice"], 2)
+
+
+def customer_per_nation(sf_dir: str):
+    """Broadcast hash join (small side shipped once via ray.put, no
+    shuffle) + grouped aggregate."""
+    import ray
+    from ray.data.aggregate import Sum, Count
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(lookup)
+
+    class JoinNation:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b["c_nationkey"].combine_chunks() if isinstance(b["c_nationkey"], pa.ChunkedArray) else b["c_nationkey"]
+            enc = d.dictionary_encode()
+            names = [self.lookup.get(u) for u in enc.dictionary.to_pylist()]
+            col = pc.take(pa.array(names, pa.string()), enc.indices)
+            return b.append_column("n_name", col)
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 4)) \
+            .groupby("n_name").aggregate(
+                Count(alias_name="n_customers"),
+                Sum("c_acctbal", alias_name="sum_acctbal"),
+            ).to_pandas()
+    return _round(out, ["sum_acctbal"], 2)
+
+
+# ---------------------------------------------------------------------------
+# events: parse / route / window / sessionize (VRL-style transforms)
+
+
+def events_parse_json(sf_dir: str):
+    """parse_json over the props column (vectorized subset parse) +
+    grouped sum — the VRL parse stage shape on the events table."""
+    from ray.data.aggregate import Sum, Count
+    from vrl_ray.functions.vectorized import json_extract_subset
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pa.Table) -> pa.Table:
+        texts = b["props"].combine_chunks() if isinstance(b["props"], pa.ChunkedArray) else b["props"]
+        cols, ok = json_extract_subset(texts, np.ones(len(b), bool), ["k"])
+        k = pa.array([int(v) if v is not None else None for v in cols["k"]], pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    out = ds.map_batches(parse, batch_format="pyarrow") \
+            .groupby("event_type").aggregate(
+                Sum("k", alias_name="sum_k"), Count(alias_name="n")).to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def events_route(sf_dir: str):
+    """Predicate router (first-match priority, VRL route semantics) +
+    two-phase per-sink counts."""
+    from vrl_ray.stages.aggregate import count_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def route(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        val = b["value"]
+        is_err = pc.equal(et, "error").to_numpy(zero_copy_only=False)
+        is_high = pc.greater_equal(val, 100.0).to_numpy(zero_copy_only=False)
+        sink = np.select([is_err, is_high], ["error", "high"], default="normal")
+        return pa.table({"sink": pa.array(sink.tolist(), pa.string())})
+
+    return count_by(ds.map_batches(route, batch_format="pyarrow"), ["sink"])
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling event-time window (1h) as a grouped aggregate on the
+    truncated timestamp."""
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"hour": hour, "value": b["value"]})
+
+    out = ds.map_batches(trunc, batch_format="pyarrow").groupby("hour").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    return _round(out, ["sum_value"], 2)
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user —
+    groupby(key).map_groups over ts-sorted groups (the Ray Data
+    streaming-window idiom; ordering assumption: within-group sort)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds().fillna(1e18)
+        n = int((gaps > 1800).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_logfmt_roundtrip(sf_dir: str):
+    """encode_logfmt → parse_key_value round-trip per event (row-level
+    stdlib parity exercised through the pipeline); oracle is the
+    identity projection."""
+    from vrl_ray.functions.codec import encode_logfmt
+    from vrl_ray.functions.parse import parse_key_value
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        ets = b["event_type"].to_pylist()
+        vals = b["value"].to_pylist()
+        out_et, out_val = [], []
+        for et, v in zip(ets, vals):
+            line = encode_logfmt({"event_type": et, "value": v})
+            parsed = parse_key_value(line)
+            out_et.append(parsed["event_type"])
+            out_val.append(float(parsed["value"]))
+        return pa.table({"event_id": pa.array(ids, pa.int64()),
+                         "event_type": pa.array(out_et, pa.string()),
+                         "value": pa.array(out_val, pa.float64())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+
+
+def docs_token_stats(sf_dir: str):
+    """Vectorized token/char counting per lang (Arrow split/length
+    kernels, two-phase aggregate)."""
+    from ray.data.aggregate import Sum, Count
+    from vrl_ray.stages.text import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = (
+        ds.map_batches(token_stats_batch, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="sum_tokens"),
+                   Sum("n_words", alias_name="sum_words"),
+                   Sum("n_chars_calc", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    for c in ("n_docs", "sum_tokens", "sum_words", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def docs_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash + two-phase min-id per distinct text."""
+    from vrl_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, column="text", id_column="doc_id")
+
+
+def docs_string_ops(sf_dir: str):
+    """String stdlib kernels (upcase / slice / strlen / replace /
+    contains) vectorized over the documents table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ops(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "upper_prefix": pc.utf8_upper(pc.utf8_slice_codeunits(t, 0, 20)),
+            "strlen": pc.cast(pc.utf8_length(t), pa.int64()),
+            "replaced": pc.replace_substring(t, "data", "DATA"),
+            "has_spark": pc.match_substring(t, "spark"),
+        })
+
+    return ds.map_batches(ops, batch_format="pyarrow")
+
+
+def docs_langid(sf_dir: str):
+    """Heuristic n-gram language ID (actor pool) — rows-only check."""
+    from vrl_ray.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)) \
+             .select_columns(["doc_id", "lang_pred"])
+
+
+def docs_quality(sf_dir: str):
+    """Quality scoring components — rows-only check."""
+    from vrl_ray.stages.text import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality"])
+
+
+def docs_fingerprint(sf_dir: str):
+    """Rolling-hash winnowing fingerprint — rows-only check
+    (deterministic across workers: blake2b token hashes)."""
+    from vrl_ray.stages.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint"])
+
+
+def docs_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified
+    (threshold 0.5) — rows-only check (sketch-based, not in SQL)."""
+    from vrl_ray.stages.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, num_perm=64, bands=16)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.5)
+    return verified.select_columns(["id_a", "id_b"])
+
+
+def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3 over 16-bit bands) —
+    rows-only check."""
+    from vrl_ray.stages.dedup import simhash_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+
+
+def _query_vecs(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    return np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def embeddings_knn(sf_dir: str):
+    """Brute-force cosine top-10 per query (first 5 vectors as
+    queries): blocked matmul against a broadcast query matrix."""
+    from vrl_ray.stages.similarity import knn_brute_force
+
+    q = _query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute_force(ds, q, k=10).to_pandas()
+    return out[["query_idx", "vec_id"]]
+
+
+def embeddings_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (scale path) — rows-only."""
+    from vrl_ray.stages.similarity import knn_ivf
+
+    q = _query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, q, k=10, nlist=16, nprobe=4).to_pandas()
+    return out[["query_idx", "vec_id"]]
+
+
+def embeddings_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs — rows-only. Threshold 0.3
+    (the synthetic embeddings are random gaussians, max pairwise
+    cosine ≈ 0.33; a production near-dup run would use ≥0.95)."""
+    from vrl_ray.stages.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# flagship transcript pipeline (synthesized deterministic input)
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def transcript_flagship(sf_dir: str):
+    """parse → enrich → route → two-phase aggregate over the
+    deterministic synthetic transcript table (input_hint schema;
+    scaled by sf). Rows-only check — the correctness gate for this
+    pipeline is tests/test_pipeline.py's oracle equality."""
+    from vrl_ray.sources.transcripts import transcript_dataset
+    from vrl_ray.pipelines.transcript import transform, AGG_KEYS
+    from vrl_ray.stages.aggregate import count_by
+
+    n_convs = max(50, int(20000 * _sf_of(sf_dir)))
+    ds = transcript_dataset(n_convs, seed=42)
+    routed = transform(ds)
+    return count_by(routed, AGG_KEYS)
+
+
+def multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media → actor-pool decode
+    stub → per-kind feature rows. Rows-only check."""
+    import ray.data as rd
+    from vrl_ray.stages.multimodal import synthetic_media_table, media_pipeline
+
+    t = synthetic_media_table(200, seed=5)
+    images = rd.from_arrow(t).filter(lambda r: r["kind"] == "image")
+    out = media_pipeline(images, batch_size=32)
+    return out.select_columns(["media_id", "rgb_mean"])
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (smoke check)."""
+    return transcript_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing": q1_pricing,
+        "q6_revenue": q6_revenue,
+        "top_orders": top_orders,
+        "customer_per_nation": customer_per_nation,
+        "events_parse_json": events_parse_json,
+        "events_route": events_route,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "events_logfmt_roundtrip": events_logfmt_roundtrip,
+        "docs_token_stats": docs_token_stats,
+        "docs_dedup_exact": docs_dedup_exact,
+        "docs_string_ops": docs_string_ops,
+        "docs_langid": docs_langid,
+        "docs_quality": docs_quality,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_simhash_pairs": docs_simhash_pairs,
+        "embeddings_knn": embeddings_knn,
+        "embeddings_knn_ivf": embeddings_knn_ivf,
+        "embeddings_near_dups": embeddings_near_dups,
+        "transcript_flagship": transcript_flagship,
+        "multimodal_decode": multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25
+        """,
+        "top_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "customer_per_nation": """
+            SELECT n.n_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_parse_json": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_route": """
+            SELECT CASE WHEN event_type = 'error' THEN 'error'
+                        WHEN value >= 100 THEN 'high'
+                        ELSE 'normal' END AS sink,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events)
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "events_logfmt_roundtrip": """
+            SELECT event_id, event_type, value FROM events
+        """,
+        "docs_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS sum_words,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_string_ops": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 20)) AS upper_prefix,
+                   length(text) AS strlen,
+                   replace(text, 'data', 'DATA') AS replaced,
+                   contains(text, 'spark') AS has_spark
+            FROM documents
+        """,
+        "embeddings_knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.qe AS DOUBLE[])) AS sim
+                       FROM embeddings e CROSS JOIN q)
+            SELECT CAST(qid AS INTEGER) AS query_idx, vec_id
+            FROM (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, vec_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,173 @@
+"""Benchmark runner (driver contract).
+
+Default mode: run the headline flagship transcript pipeline
+(parse → enrich → route → write sinks → two-phase aggregate) over a
+cached deterministic synthetic transcript table scaled by
+``$GRAFT_SF_DIR``'s sf, plus representative operator queries over the
+sf tables, and print ONE JSON line.
+
+``--scaling``: run the headline pipeline in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the SAME input and report throughput at
+both plus scaling efficiency (sandbox stand-in for the N vs 4N-node
+criterion; BASELINE.md records the protocol).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/vrl_ray_bench")
+
+
+def _sf() -> float:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1)) if m else 0.1
+
+
+def _bench_queries():
+    """Representative operator queries (subset of __ray_entry__)."""
+    import __ray_entry__ as E
+
+    return {
+        "q1_pricing": E.q1_pricing,
+        "events_parse_json": E.events_parse_json,
+        "events_sessionize": E.events_sessionize,
+        "docs_token_stats": E.docs_token_stats,
+        "docs_dedup_exact": E.docs_dedup_exact,
+        "docs_minhash_pairs": E.docs_minhash_pairs,
+        "embeddings_knn": E.embeddings_knn,
+    }
+
+
+def _consume(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            n += len(b)
+        return n
+    return len(res)
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from vrl_ray.sources.transcripts import ensure_transcripts_parquet
+    from vrl_ray.pipelines.transcript import run_flagship
+
+    sf = _sf()
+    n_convs = max(200, int(200_000 * sf))
+    tdir = os.path.join(BENCH_TMP, f"transcripts_n{n_convs}_s{SEED}")
+    ensure_transcripts_parquet(tdir, n_convs, SEED)
+
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    import pyarrow.parquet as pq
+    total_rows = 0
+    for f in os.listdir(tdir):
+        if f.endswith(".parquet"):
+            total_rows += pq.read_metadata(os.path.join(tdir, f)).num_rows
+
+    out_dir = os.path.join(BENCH_TMP, f"out_n{n_convs}_c{NUM_CPUS}")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    res = run_flagship(tdir, out_dir, write_sinks=True)
+    headline = time.time() - t0
+
+    queries = {}
+    for name, fn in _bench_queries().items():
+        tq = time.time()
+        _consume(fn(SF_DIR))
+        queries[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship_transcript_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": total_rows,
+        "rows_per_sec": round(total_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows": lo["rows"],
+        "rows_per_sec_8": lo["rows_per_sec"],
+        "rows_per_sec_32": hi["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def run_headline_only() -> dict:
+    """Headline pipeline only (used by --scaling subprocesses)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from vrl_ray.sources.transcripts import ensure_transcripts_parquet
+    from vrl_ray.pipelines.transcript import run_flagship
+
+    sf = _sf()
+    n_convs = max(200, int(200_000 * sf))
+    tdir = os.path.join(BENCH_TMP, f"transcripts_n{n_convs}_s{SEED}")
+    ensure_transcripts_parquet(tdir, n_convs, SEED)
+    import pyarrow.parquet as pq
+    total_rows = sum(
+        pq.read_metadata(os.path.join(tdir, f)).num_rows
+        for f in os.listdir(tdir) if f.endswith(".parquet"))
+    out_dir = os.path.join(BENCH_TMP, f"out_n{n_convs}_c{NUM_CPUS}")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_flagship(tdir, out_dir, write_sinks=True)
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"value": round(dt, 3), "rows": total_rows,
+            "rows_per_sec": round(total_rows / dt, 1), "num_cpus": NUM_CPUS}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_once()))

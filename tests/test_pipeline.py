@@ -1,0 +1,144 @@
+"""Pipeline golden tests: the streaming Ray pipeline must equal the
+single-process row oracle (FIXTURES.md F5 equality gates from
+BASELINE.json):
+
+1. per-sink routed-row equality (order-insensitive row hashes),
+2. per-sink aggregate counts keyed (sink, tool) and (sink, conv_id),
+3. per-turn text equality under stable (conv_id, turn_idx) order.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from vrl_ray.sources.transcripts import transcript_table
+from vrl_ray.stages.parse import parse_batch
+from vrl_ray.stages.enrich import Enrich
+from vrl_ray.stages.route import route_batch, SINK_NAMES
+from vrl_ray.pipelines.oracle import oracle_transform, oracle_aggregate
+
+N_CONVS = 60
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def small_table():
+    return transcript_table(N_CONVS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(small_table):
+    return [oracle_transform(r) for r in small_table.to_pylist()]
+
+
+def _row_key(r):
+    return (r["conv_id"], r["turn_idx"])
+
+
+class TestBatchKernelsVsOracle:
+    """Kernel-level parity (no Ray session needed)."""
+
+    def test_full_transform_parity(self, small_table, oracle_rows):
+        out = route_batch(Enrich()(parse_batch(small_table))).to_pylist()
+        assert len(out) == len(oracle_rows)
+        cols = [
+            "level", "message", "event_ts", "status", "duration", "path",
+            "method", "parse_fmt", "parse_err", "tool_category", "tool_risk",
+            "role_class", "is_human", "enrich_err", "sink_id", "sink",
+        ]
+        for got, want in zip(out, oracle_rows):
+            for c in cols:
+                g, w = got[c], want[c]
+                if isinstance(g, float) and isinstance(w, float):
+                    assert abs(g - w) < 1e-12, (c, got, want)
+                else:
+                    assert g == w, (c, got["text"], g, w)
+
+
+class TestRayPipelineVsOracle:
+    """End-to-end through Ray Data (streaming execution)."""
+
+    @pytest.fixture(scope="class")
+    def result(self, ray_session, small_table, tmp_path_factory):
+        import ray.data as rd
+        from vrl_ray.pipelines.transcript import run_flagship
+
+        out_dir = str(tmp_path_factory.mktemp("flagship"))
+        ds = rd.from_arrow(small_table).repartition(8)
+        res = run_flagship(ds, out_dir)
+        return res, out_dir
+
+    def test_aggregate_counts_equal(self, result, oracle_rows):
+        res, _ = result
+        by_tool, by_conv = oracle_aggregate(oracle_rows)
+        got_tool = {
+            (r["sink"], r["tool"]): r["n"]
+            for r in res["agg_tool"].to_dict("records")
+        }
+        assert got_tool == dict(by_tool)
+        got_conv = {
+            (r["sink"], r["conv_id"]): r["n"]
+            for r in res["agg_conv"].to_dict("records")
+        }
+        assert got_conv == dict(by_conv)
+
+    def test_routed_row_equality(self, result, oracle_rows):
+        """Per-sink routed row SETS equal the oracle's."""
+        import ray.data as rd
+        _, out_dir = result
+        got = rd.read_parquet(os.path.join(out_dir, "sinks")).to_pandas()
+        # partition column comes back as the directory key
+        assert "sink" in got.columns
+        want_sets = {}
+        for r in oracle_rows:
+            want_sets.setdefault(r["sink"], set()).add(_row_key(r))
+        got_sets = {}
+        for sink, cid, tidx in zip(got["sink"], got["conv_id"], got["turn_idx"]):
+            got_sets.setdefault(str(sink), set()).add((cid, tidx))
+        assert got_sets == want_sets
+
+    def test_per_turn_text_equality_stable_order(self, result, small_table):
+        """Per-turn text equality under stable (conv_id, turn_idx)
+        ordering — verification-boundary sort only."""
+        import ray.data as rd
+        _, out_dir = result
+        got = (
+            rd.read_parquet(os.path.join(out_dir, "sinks"),
+                            columns=["conv_id", "turn_idx", "text"])
+            .sort(["conv_id", "turn_idx"])
+            .to_pandas()
+        )
+        want = (
+            small_table.select(["conv_id", "turn_idx", "text"])
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert list(got["text"]) == list(want["text"])
+
+    def test_all_rows_routed_exactly_once(self, result, small_table):
+        res, _ = result
+        assert int(res["agg_tool"]["n"].sum()) == small_table.num_rows
+
+
+class TestResume:
+    def test_checkpoint_skips_done_shards(self, ray_session, tmp_path):
+        import ray.data as rd
+        from vrl_ray.pipelines.transcript import run_resumable
+
+        in_dir = tmp_path / "input"
+        ds = rd.from_arrow(transcript_table(20, seed=3)).repartition(4)
+        ds.write_parquet(str(in_dir))
+
+        out_dir = str(tmp_path / "out")
+        r1 = run_resumable(str(in_dir), out_dir, num_shards=4)
+        assert len(r1["shards_done"]) >= 1 and not r1["shards_skipped"]
+
+        r2 = run_resumable(str(in_dir), out_dir, num_shards=4)
+        assert r2["shards_done"] == []
+        assert sorted(r2["shards_skipped"]) == sorted(r1["shards_done"])
+        # aggregates identical across resume
+        a1 = r1["agg_tool"].sort_values(["sink", "tool"]).reset_index(drop=True)
+        a2 = r2["agg_tool"].sort_values(["sink", "tool"]).reset_index(drop=True)
+        assert a1.equals(a2)

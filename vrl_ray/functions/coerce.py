@@ -1,0 +1,230 @@
+"""Coerce/Type-category stdlib functions (row-level semantics).
+
+Mirrors /root/reference/src/stdlib/to_*.rs, is_*.rs, and the type
+assertion functions (bool.rs, int.rs, float.rs, string.rs, object.rs,
+array.rs, timestamp.rs).
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+from datetime import datetime, timezone
+from typing import Any
+
+import regex as _regex
+
+from ..value import VrlError, vrl_type
+
+__all__ = [
+    "to_bool", "to_int", "to_float", "to_string", "to_regex",
+    "assert_bool", "assert_int", "assert_float", "assert_string",
+    "assert_object", "assert_array", "assert_timestamp",
+    "is_array", "is_boolean", "is_empty", "is_float", "is_integer",
+    "is_json", "is_null", "is_nullish", "is_object", "is_regex",
+    "is_string", "is_timestamp", "type_def",
+]
+
+_TRUE_STRINGS = {"true", "t", "yes", "y"}
+_FALSE_STRINGS = {"false", "f", "no", "n"}
+
+
+def to_bool(value: Any) -> bool:
+    """to_bool.rs coercion table: bool id; "true"/"t"/"yes"/"y"/non-zero
+    numeric string rules; int/float 0 -> false else true; null ->
+    false; other kinds error."""
+    if isinstance(value, bool):
+        return value
+    if value is None:
+        return False
+    if isinstance(value, int):
+        return value != 0
+    if isinstance(value, float):
+        return value != 0.0
+    if isinstance(value, str):
+        s = value.strip().lower()
+        if s in _TRUE_STRINGS:
+            return True
+        if s in _FALSE_STRINGS:
+            return False
+        raise VrlError(f"unable to coerce {value!r} into boolean")
+    raise VrlError(f"unable to coerce {vrl_type(value)} into boolean")
+
+
+def to_int(value: Any) -> int:
+    """to_int.rs: int id; float truncates; bool -> 0/1; string parsed
+    decimal; timestamp -> unix seconds; null -> 0."""
+    if isinstance(value, bool):
+        return 1 if value else 0
+    if isinstance(value, int):
+        return value
+    if isinstance(value, float):
+        return int(value)
+    if value is None:
+        return 0
+    if isinstance(value, datetime):
+        return int(value.timestamp())
+    if isinstance(value, str):
+        try:
+            return int(value.strip())
+        except ValueError as e:
+            raise VrlError(f"unable to coerce {value!r} into integer: Invalid integer") from e
+    raise VrlError(f"unable to coerce {vrl_type(value)} into integer")
+
+
+def to_float(value: Any) -> float:
+    if isinstance(value, bool):
+        return 1.0 if value else 0.0
+    if isinstance(value, (int, float)):
+        return float(value)
+    if value is None:
+        return 0.0
+    if isinstance(value, datetime):
+        return value.timestamp()
+    if isinstance(value, str):
+        try:
+            f = float(value.strip())
+        except ValueError as e:
+            raise VrlError(f"unable to coerce {value!r} into float") from e
+        if math.isnan(f):
+            raise VrlError("unable to coerce NaN into float")
+        return f
+    raise VrlError(f"unable to coerce {vrl_type(value)} into float")
+
+
+def _fmt_float(f: float) -> str:
+    if f == int(f) and abs(f) < 1e16:
+        return str(int(f))
+    return repr(f)
+
+
+def to_string(value: Any) -> str:
+    """to_string.rs: scalars only; objects/arrays error."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return _fmt_float(value)
+    if value is None:
+        return ""
+    if isinstance(value, datetime):
+        return value.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    if isinstance(value, (_regex.Pattern, _re.Pattern)):
+        return value.pattern
+    raise VrlError(f"unable to coerce {vrl_type(value)} into string")
+
+
+def to_regex(value: str):
+    try:
+        return _regex.compile(value)
+    except _regex.error as e:
+        raise VrlError(f"could not create regex: {e}") from e
+
+
+# --- type asserts (bool.rs etc.): error unless exactly that type -----------
+
+def _assert(value, typ, pyname):
+    if vrl_type(value) != typ:
+        raise VrlError(f"expected {typ}, got {vrl_type(value)}")
+    return value
+
+
+def assert_bool(value):
+    return _assert(value, "boolean", "bool")
+
+
+def assert_int(value):
+    return _assert(value, "integer", "int")
+
+
+def assert_float(value):
+    return _assert(value, "float", "float")
+
+
+def assert_string(value):
+    return _assert(value, "string", "str")
+
+
+def assert_object(value):
+    return _assert(value, "object", "dict")
+
+
+def assert_array(value):
+    return _assert(value, "array", "list")
+
+
+def assert_timestamp(value):
+    return _assert(value, "timestamp", "datetime")
+
+
+# --- predicates ------------------------------------------------------------
+
+def is_array(value) -> bool:
+    return isinstance(value, list)
+
+
+def is_boolean(value) -> bool:
+    return isinstance(value, bool)
+
+
+def is_empty(value) -> bool:
+    """is_empty.rs: strings/arrays/objects only."""
+    if isinstance(value, (str, list, dict)):
+        return len(value) == 0
+    raise VrlError(f"expected string, array or object, got {vrl_type(value)}")
+
+
+def is_float(value) -> bool:
+    return isinstance(value, float)
+
+
+def is_integer(value) -> bool:
+    return isinstance(value, int) and not isinstance(value, bool)
+
+
+def is_json(value) -> bool:
+    import json
+    if not isinstance(value, str):
+        return False
+    try:
+        json.loads(value)
+        return True
+    except ValueError:
+        return False
+
+
+def is_null(value) -> bool:
+    return value is None
+
+
+def is_nullish(value) -> bool:
+    """is_nullish.rs: null, "", "-", or whitespace-only string."""
+    if value is None:
+        return True
+    if isinstance(value, str):
+        return value == "" or value == "-" or value.strip() == ""
+    return False
+
+
+def is_object(value) -> bool:
+    return isinstance(value, dict)
+
+
+def is_regex(value) -> bool:
+    return isinstance(value, (_regex.Pattern, _re.Pattern))
+
+
+def is_string(value) -> bool:
+    return isinstance(value, str)
+
+
+def is_timestamp(value) -> bool:
+    return isinstance(value, datetime)
+
+
+def type_def(value) -> str:
+    """type_def.rs analogue: kind name of the runtime value."""
+    return vrl_type(value)

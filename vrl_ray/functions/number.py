@@ -1,0 +1,119 @@
+"""Number-category stdlib functions (row-level semantics).
+
+Mirrors /root/reference/src/stdlib/{abs,ceil,floor,round,mod,
+format_int,format_number}.rs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Union
+
+from ..value import VrlError, wrap_i64, rem as _rem
+
+__all__ = ["abs_", "ceil", "floor", "round_", "mod_", "format_int", "format_number"]
+
+Num = Union[int, float]
+
+
+def _num(v: Any) -> Num:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise VrlError("expected integer or float")
+    return v
+
+
+def abs_(value: Num) -> Num:
+    v = _num(value)
+    return wrap_i64(abs(v)) if isinstance(v, int) else abs(v)
+
+
+def _with_precision(v: float, precision: int, fn) -> float:
+    factor = 10 ** precision
+    return fn(v * factor) / factor
+
+
+def ceil(value: Num, precision: int = 0) -> Num:
+    v = _num(value)
+    if isinstance(v, int) and precision >= 0:
+        return v
+    r = _with_precision(float(v), precision, math.ceil)
+    return r
+
+
+def floor(value: Num, precision: int = 0) -> Num:
+    v = _num(value)
+    if isinstance(v, int) and precision >= 0:
+        return v
+    return _with_precision(float(v), precision, math.floor)
+
+
+def round_(value: Num, precision: int = 0) -> Num:
+    """round.rs: half-away-from-zero (Rust f64::round), int when
+    precision == 0."""
+    v = _num(value)
+    if isinstance(v, int) and precision >= 0:
+        return v
+    factor = 10 ** precision
+    scaled = float(v) * factor
+    r = math.floor(scaled + 0.5) if scaled >= 0 else math.ceil(scaled - 0.5)
+    out = r / factor
+    return int(out) if precision <= 0 else out
+
+
+def mod_(value: Num, modulus: Num) -> Num:
+    """mod.rs: same semantics as the `%` operator (truncated,
+    /0 errors)."""
+    return _rem(value, modulus)
+
+
+def format_int(value: int, base: int = 10) -> str:
+    """format_int.rs: render in base 2..=36."""
+    if not (2 <= base <= 36):
+        raise VrlError(f"invalid base {base}: must be be between 2 and 36 (inclusive)")
+    v = value
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise VrlError("expected integer")
+    neg = v < 0
+    v = abs(v)
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if v == 0:
+        s = "0"
+    else:
+        out = []
+        while v:
+            out.append(digits[v % base])
+            v //= base
+        s = "".join(reversed(out))
+    return "-" + s if neg else s
+
+
+def format_number(
+    value: Num,
+    scale: Optional[int] = None,
+    decimal_separator: str = ".",
+    grouping_separator: str = ",",
+) -> str:
+    """format_number.rs: fixed scale + custom separators."""
+    v = _num(value)
+    if scale is not None:
+        s = f"{float(v):.{scale}f}"
+    else:
+        s = str(v) if isinstance(v, int) else repr(float(v))
+    if "." in s:
+        int_part, frac = s.split(".", 1)
+    else:
+        int_part, frac = s, None
+    neg = int_part.startswith("-")
+    if neg:
+        int_part = int_part[1:]
+    groups = []
+    while len(int_part) > 3:
+        groups.append(int_part[-3:])
+        int_part = int_part[:-3]
+    groups.append(int_part)
+    out = grouping_separator.join(reversed(groups))
+    if neg:
+        out = "-" + out
+    if frac is not None:
+        out += decimal_separator + frac
+    return out

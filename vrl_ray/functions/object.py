@@ -1,0 +1,399 @@
+"""Object/Array/Enumerate-category stdlib functions (row-level).
+
+Mirrors /root/reference/src/stdlib/{merge,keys,values,length,compact,
+flatten,unflatten,from_entries,to_entries,object_from_array,zip,
+map_keys,map_values,for_each,filter,includes,match_array,unique,
+append,push,pop,chunks,tally,tally_value,unnest,del,exists,get,set,
+remove}.rs. ``unnest`` row-level semantics here; the one-to-many
+pipeline form is ``stages.route.unnest_stage`` (ds.flat_map /
+map_batches emitting more rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from ..value import (
+    VrlError, vrl_type, path_get, path_insert, path_remove, parse_path,
+)
+
+__all__ = [
+    "merge", "keys", "values", "length", "compact", "flatten",
+    "unflatten", "from_entries", "to_entries", "object_from_array",
+    "zip_", "map_keys", "map_values", "for_each", "filter_",
+    "includes", "match_array", "unique", "append", "push", "pop",
+    "chunks", "tally", "tally_value", "unnest_row", "del_", "exists",
+    "get", "set_", "remove",
+]
+
+
+def merge(to: dict, from_: dict, deep: bool = False) -> dict:
+    """merge.rs: right wins; deep=True recurses into objects."""
+    if not isinstance(to, dict) or not isinstance(from_, dict):
+        raise VrlError("parameters must be objects")
+    out = dict(to)
+    for k, v in from_.items():
+        if deep and isinstance(out.get(k), dict) and isinstance(v, dict):
+            out[k] = merge(out[k], v, deep=True)
+        else:
+            out[k] = v
+    return out
+
+
+def keys(value: dict) -> list:
+    if not isinstance(value, dict):
+        raise VrlError("expected object")
+    return list(value.keys())
+
+
+def values(value: dict) -> list:
+    if not isinstance(value, dict):
+        raise VrlError("expected object")
+    return list(value.values())
+
+
+def length(value) -> int:
+    """length.rs: object = #keys, array = #items, string = #bytes."""
+    if isinstance(value, dict) or isinstance(value, list):
+        return len(value)
+    if isinstance(value, str):
+        return len(value.encode("utf-8"))
+    raise VrlError(f"expected object, array or string, got {vrl_type(value)}")
+
+
+def compact(
+    value,
+    recursive: bool = True,
+    null: bool = True,
+    string: bool = True,
+    object: bool = True,
+    array: bool = True,
+    nullish: bool = False,
+) -> Any:
+    """compact.rs: drop empty/null values from collections."""
+    from .coerce import is_nullish
+
+    def empty(v) -> bool:
+        if nullish and is_nullish(v):
+            return True
+        if null and v is None:
+            return True
+        if string and v == "" and isinstance(v, str):
+            return True
+        if object and isinstance(v, dict) and not v:
+            return True
+        if array and isinstance(v, list) and not v:
+            return True
+        return False
+
+    def walk(v):
+        if isinstance(v, dict):
+            out = {}
+            for k, x in v.items():
+                if recursive and isinstance(x, (dict, list)):
+                    x = walk(x)
+                if not empty(x):
+                    out[k] = x
+            return out
+        if isinstance(v, list):
+            out_l = []
+            for x in v:
+                if recursive and isinstance(x, (dict, list)):
+                    x = walk(x)
+                if not empty(x):
+                    out_l.append(x)
+            return out_l
+        return v
+
+    if not isinstance(value, (dict, list)):
+        raise VrlError("expected object or array")
+    return walk(value)
+
+
+def flatten(value, separator: str = ".") -> Any:
+    """flatten.rs: nested objects/arrays -> single-level object with
+    dotted keys (arrays indexed [i] VRL-style: parent.0)."""
+    if not isinstance(value, (dict, list)):
+        raise VrlError("expected object or array")
+
+    out: dict = {}
+
+    def walk(v, prefix: str):
+        if isinstance(v, dict) and v:
+            for k, x in v.items():
+                walk(x, f"{prefix}{separator}{k}" if prefix else str(k))
+        elif isinstance(v, list) and v:
+            for i, x in enumerate(v):
+                walk(x, f"{prefix}{separator}{i}" if prefix else str(i))
+        else:
+            out[prefix] = v
+
+    walk(value, "")
+    return out
+
+
+def unflatten(value: dict, separator: str = ".", recursive: bool = True) -> dict:
+    """unflatten.rs: dotted keys -> nested objects (objects only; no
+    array reconstruction, matching the reference)."""
+    if not isinstance(value, dict):
+        raise VrlError("expected object")
+    out: dict = {}
+    for k, v in value.items():
+        if recursive and isinstance(v, dict):
+            v = unflatten(v, separator, True)
+        parts = str(k).split(separator)
+        cur = out
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        cur[parts[-1]] = v
+    return out
+
+
+def from_entries(value: list) -> dict:
+    """Entries [[k,v],...] or [{"key":k,"value":v},...] -> object."""
+    out = {}
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    for e in value:
+        if isinstance(e, list) and len(e) == 2:
+            out[str(e[0])] = e[1]
+        elif isinstance(e, dict) and "key" in e:
+            out[str(e["key"])] = e.get("value")
+        else:
+            raise VrlError("invalid entry")
+    return out
+
+
+def to_entries(value: dict) -> list:
+    if not isinstance(value, dict):
+        raise VrlError("expected object")
+    return [{"key": k, "value": v} for k, v in value.items()]
+
+
+def object_from_array(values: list, keys_: Optional[list] = None) -> dict:
+    """object_from_array.rs: [[k,v],..] or zip(keys, values)."""
+    if keys_ is not None:
+        return dict(zip([str(k) for k in keys_], values))
+    out = {}
+    for e in values:
+        if not isinstance(e, list) or not e:
+            raise VrlError("expected inner arrays [key, value]")
+        out[str(e[0])] = e[1] if len(e) > 1 else None
+    return out
+
+
+def zip_(array_0: list, array_1: Optional[list] = None) -> list:
+    """zip.rs: pairwise zip; single-arg form zips an array of arrays."""
+    if array_1 is not None:
+        return [list(t) for t in zip(array_0, array_1)]
+    if not isinstance(array_0, list):
+        raise VrlError("expected array")
+    return [list(t) for t in zip(*array_0)]
+
+
+def map_keys(value: dict, fn: Callable[[str], str], recursive: bool = False) -> dict:
+    if not isinstance(value, dict):
+        raise VrlError("expected object")
+    out = {}
+    for k, v in value.items():
+        if recursive and isinstance(v, dict):
+            v = map_keys(v, fn, True)
+        out[fn(k)] = v
+    return out
+
+
+def map_values(value, fn: Callable[[Any], Any], recursive: bool = False):
+    if isinstance(value, dict):
+        return {
+            k: (map_values(v, fn, True) if recursive and isinstance(v, (dict, list)) else fn(v))
+            for k, v in value.items()
+        }
+    if isinstance(value, list):
+        return [
+            map_values(v, fn, True) if recursive and isinstance(v, (dict, list)) else fn(v)
+            for v in value
+        ]
+    raise VrlError("expected object or array")
+
+
+def for_each(value, fn: Callable[[Any, Any], None]) -> None:
+    """for_each.rs: |k,v| over objects, |i,v| over arrays."""
+    if isinstance(value, dict):
+        for k, v in value.items():
+            fn(k, v)
+    elif isinstance(value, list):
+        for i, v in enumerate(value):
+            fn(i, v)
+    else:
+        raise VrlError("expected object or array")
+
+
+def filter_(value, fn: Callable[[Any, Any], bool]):
+    """filter.rs: keep entries where |k,v| / |i,v| closure is true."""
+    if isinstance(value, dict):
+        return {k: v for k, v in value.items() if fn(k, v)}
+    if isinstance(value, list):
+        return [v for i, v in enumerate(value) if fn(i, v)]
+    raise VrlError("expected object or array")
+
+
+def includes(value: list, item: Any) -> bool:
+    from ..value import eq
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    return any(eq(v, item) for v in value)
+
+
+def match_array(value: list, pattern, all: bool = False) -> bool:
+    """match_array.rs: any (default) / all items match the regex;
+    non-string items never match."""
+    from .string import match_ as _match
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    items = [_match(v, pattern) if isinstance(v, str) else False for v in value]
+    if all:
+        return len(items) > 0 and False not in items
+    return True in items
+
+
+def unique(value: list) -> list:
+    """unique.rs: first occurrence wins, order preserved."""
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    seen = []
+    out = []
+    for v in value:
+        key = repr(v)
+        if key not in seen:
+            seen.append(key)
+            out.append(v)
+    return out
+
+
+def append(value: list, items: list) -> list:
+    if not isinstance(value, list) or not isinstance(items, list):
+        raise VrlError("expected arrays")
+    return value + items
+
+
+def push(value: list, item: Any) -> list:
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    return value + [item]
+
+
+def pop(value: list) -> list:
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    return value[:-1]
+
+
+def chunks(value, chunk_size: int) -> list:
+    """chunks.rs: byte-chunks of a string / item-chunks of an array."""
+    if chunk_size < 1:
+        raise VrlError("chunk_size must be at least 1 byte")
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        return [b[i:i + chunk_size].decode("utf-8", "replace")
+                for i in range(0, len(b), chunk_size)]
+    if isinstance(value, list):
+        return [value[i:i + chunk_size] for i in range(0, len(value), chunk_size)]
+    raise VrlError("expected string or array")
+
+
+def tally(value: list) -> dict:
+    """tally.rs: count occurrences of string items in ONE array."""
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    out: dict = {}
+    for v in value:
+        if not isinstance(v, str):
+            raise VrlError("all values must be strings")
+        out[v] = out.get(v, 0) + 1
+    return out
+
+
+def tally_value(array: list, value: Any) -> int:
+    from ..value import eq
+    if not isinstance(array, list):
+        raise VrlError("expected array")
+    return sum(1 for v in array if eq(v, value))
+
+
+def unnest_row(event: dict, path: str) -> list[dict]:
+    """unnest.rs:64-72 row semantics: explode array at `path` into N
+    copies of the event (the only one-to-many operator)."""
+    arr = path_get(event, path)
+    if not isinstance(arr, list):
+        raise VrlError(f"expected array at {path}")
+    out = []
+    for item in arr:
+        clone = _deepcopy_json(event)
+        path_insert(clone, path, item)
+        out.append(clone)
+    return out
+
+
+def _deepcopy_json(v):
+    if isinstance(v, dict):
+        return {k: _deepcopy_json(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_deepcopy_json(x) for x in v]
+    return v
+
+
+# --- path functions (del.rs, exists.rs, get.rs, set.rs, remove.rs) ---------
+
+def del_(event: dict, path: str, compact_: bool = False):
+    """del.rs: remove and return old value (mutates event)."""
+    new_root, removed = path_remove(event, path, compact=compact_)
+    if isinstance(event, dict) and isinstance(new_root, dict) and new_root is not event:
+        event.clear()
+        event.update(new_root)
+    return removed
+
+
+def exists(event: dict, path: str) -> bool:
+    segs = parse_path(path) if isinstance(path, str) else list(path)
+    cur = event
+    for seg in segs:
+        if isinstance(seg, int):
+            if not isinstance(cur, list):
+                return False
+            idx = seg if seg >= 0 else len(cur) + seg
+            if idx < 0 or idx >= len(cur):
+                return False
+            cur = cur[idx]
+        else:
+            if not isinstance(cur, dict) or seg not in cur:
+                return False
+            cur = cur[seg]
+    return True
+
+
+def get(value, path: list):
+    """get.rs: path as runtime array of segments."""
+    if not isinstance(path, list):
+        raise VrlError("path must be an array")
+    return path_get(value, path)
+
+
+def set_(value, path: list, data):
+    """set.rs: returns new value with `data` inserted at path."""
+    if not isinstance(path, list):
+        raise VrlError("path must be an array")
+    import copy
+    return path_insert(copy.deepcopy(value), path, data)
+
+
+def remove(value, path: list, compact: bool = False):
+    """remove.rs: returns new value with path removed."""
+    if not isinstance(path, list):
+        raise VrlError("path must be an array")
+    import copy
+    root, _ = path_remove(copy.deepcopy(value), path, compact=compact)
+    return root

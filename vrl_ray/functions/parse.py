@@ -1,0 +1,614 @@
+"""Parse-category stdlib functions (row-level semantics).
+
+Each function mirrors the reference implementation's observable
+behavior (citations per function into /root/reference/src/stdlib/).
+All fallible functions raise :class:`vrl_ray.value.VrlError` on bad
+input — the engine's error lane catches these per row.
+
+Vectorized counterparts for the pipeline hot path live in
+``vrl_ray.functions.vectorized``.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import json as _json
+import math
+import re as _re
+from datetime import datetime, timezone, timedelta
+from typing import Any, Optional
+from urllib.parse import urlsplit, parse_qsl, unquote
+
+import regex as _regex
+
+from ..value import VrlError
+from ..grok import GrokPattern
+
+__all__ = [
+    "parse_json", "parse_key_value", "parse_logfmt", "parse_regex",
+    "parse_regex_all", "parse_grok", "parse_timestamp", "parse_csv",
+    "parse_tokens", "parse_url", "parse_query_string", "parse_duration",
+    "parse_bytes", "parse_int", "parse_float", "parse_common_log",
+    "parse_glog", "parse_syslog", "parse_user_agent",
+]
+
+
+# ---------------------------------------------------------------------------
+# parse_json (parse_json.rs:1-120): optional max_depth 1..=128
+
+def parse_json(value: str, max_depth: Optional[int] = None) -> Any:
+    if max_depth is not None and not (1 <= max_depth <= 128):
+        raise VrlError(f"max_depth value should be greater than 0 and less than 128, got {max_depth}")
+    try:
+        parsed = _json.loads(value)
+    except (ValueError, TypeError) as e:
+        raise VrlError(f"unable to parse json: {e}") from e
+    if max_depth is None:
+        return parsed
+    return _truncate_depth(parsed, max_depth)
+
+
+def _truncate_depth(v: Any, depth: int) -> Any:
+    """Objects/arrays below max_depth are re-serialized as JSON strings
+    (parse_json.rs depth-limited mode)."""
+    if depth <= 0:
+        if isinstance(v, (dict, list)):
+            return _json.dumps(v, separators=(",", ":"))
+        return v
+    if isinstance(v, dict):
+        return {k: _truncate_depth(x, depth - 1) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_truncate_depth(x, depth - 1) for x in v]
+    return v
+
+
+# ---------------------------------------------------------------------------
+# parse_key_value / parse_logfmt (parse_key_value.rs, parse_logfmt.rs)
+
+def parse_key_value(
+    value: str,
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+    whitespace: str = "lenient",
+    accept_standalone_key: bool = True,
+) -> dict:
+    """Key-value / logfmt parser (parse_key_value.rs:38-60 defaults).
+
+    - quoted keys/values with ``"``, escapes with ``\\``
+    - lenient whitespace around the kv delimiter by default
+    - standalone keys -> true (accept_standalone_key)
+    - duplicate keys group into an array (parse_key_value.rs:72-95);
+      a later bare-key `true` never overwrites a real value
+    """
+    if whitespace not in ("lenient", "strict"):
+        raise VrlError(f"invalid whitespace value: {whitespace}")
+    pairs = _kv_pairs(value, key_value_delimiter, field_delimiter,
+                      whitespace == "lenient", accept_standalone_key)
+    out: dict = {}
+    for k, v in pairs:
+        if k not in out:
+            out[k] = v
+        else:
+            if v is True:
+                continue  # standalone dup of existing key: no-op
+            existing = out[k]
+            if existing is True:
+                out[k] = v
+            elif isinstance(existing, list):
+                existing.append(v)
+            else:
+                out[k] = [existing, v]
+    return out
+
+
+def _kv_pairs(s, kv_delim, field_delim, lenient, standalone):
+    pairs = []
+    i, n = 0, len(s)
+
+    def read_quoted(j):
+        # j at opening quote
+        buf = []
+        j += 1
+        while j < n:
+            c = s[j]
+            if c == "\\" and j + 1 < n:
+                buf.append(s[j + 1]); j += 2; continue
+            if c == '"':
+                return "".join(buf), j + 1
+            buf.append(c); j += 1
+        return "".join(buf), j  # unterminated: take rest
+
+    def skip_field_delim(j):
+        while j < n and s.startswith(field_delim, j):
+            j += len(field_delim)
+        # lenient: also skip stray whitespace between fields
+        while lenient and j < n and s[j].isspace():
+            j += 1
+        return j
+
+    i = skip_field_delim(0)
+    while i < n:
+        # --- key ---
+        if s[i] == '"':
+            key, i = read_quoted(i)
+        else:
+            j = i
+            while j < n and not s.startswith(kv_delim, j) and not s.startswith(field_delim, j):
+                j += 1
+            key = s[i:j]
+            i = j
+            if lenient:
+                key = key.strip()
+        # lenient whitespace before delimiter
+        if lenient:
+            while i < n and s[i].isspace() and not s.startswith(field_delim, i):
+                i += 1
+        if i >= n or not s.startswith(kv_delim, i):
+            # standalone key
+            if key:
+                if not standalone:
+                    raise VrlError(f"standalone key not accepted: {key!r}")
+                pairs.append((key, True))
+            i = skip_field_delim(i)
+            continue
+        i += len(kv_delim)
+        if lenient:
+            while i < n and s[i].isspace():
+                i += 1
+        # --- value ---
+        if i < n and s[i] == '"':
+            val, i = read_quoted(i)
+        else:
+            j = i
+            while j < n and not s.startswith(field_delim, j):
+                j += 1
+            val = s[i:j]
+            i = j
+            if lenient:
+                val = val.strip()
+        pairs.append((key, val if val != "" else ""))
+        i = skip_field_delim(i)
+    return pairs
+
+
+def parse_logfmt(value: str) -> dict:
+    """parse_logfmt.rs: parse_key_value with logfmt defaults."""
+    return parse_key_value(value)
+
+
+# ---------------------------------------------------------------------------
+# parse_regex / parse_regex_all (parse_regex.rs:8-36, parse_regex_all.rs)
+
+def _regex_captures(m, pattern, numeric_groups):
+    out = {}
+    if numeric_groups:
+        out["0"] = m.group(0)
+        for idx in range(1, (pattern.groups if hasattr(pattern, "groups") else m.re.groups) + 1):
+            g = m.group(idx)
+            if g is not None:
+                out[str(idx)] = g
+    for name, g in m.groupdict().items():
+        if g is not None:
+            out[name] = g
+    return out
+
+
+def parse_regex(value: str, pattern, numeric_groups: bool = False) -> dict:
+    """Named (+ optionally numbered) capture groups of the FIRST match;
+    no match is an error (parse_regex.rs:8-36)."""
+    if isinstance(pattern, str):
+        pattern = _regex.compile(pattern)
+    m = pattern.search(value)
+    if m is None:
+        raise VrlError("could not find any pattern matches")
+    return _regex_captures(m, pattern, numeric_groups)
+
+
+def parse_regex_all(value: str, pattern, numeric_groups: bool = False) -> list:
+    if isinstance(pattern, str):
+        pattern = _regex.compile(pattern)
+    return [_regex_captures(m, pattern, numeric_groups)
+            for m in pattern.finditer(value)]
+
+
+# ---------------------------------------------------------------------------
+# parse_grok (parse_grok.rs:12-25)
+
+_GROK_CACHE: dict[str, GrokPattern] = {}
+
+
+def parse_grok(value: str, pattern: str) -> dict:
+    gp = _GROK_CACHE.get(pattern)
+    if gp is None:
+        gp = _GROK_CACHE[pattern] = GrokPattern(pattern)
+    out = gp.match(value)
+    if out is None:
+        raise VrlError("unable to parse input with grok pattern")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parse_timestamp (parse_timestamp.rs:94-99)
+
+def parse_timestamp(value, format: str, timezone_name: Optional[str] = None) -> datetime:
+    if isinstance(value, datetime):
+        return value
+    try:
+        dt = datetime.strptime(value, format)
+    except (ValueError, TypeError) as e:
+        raise VrlError(f"unable to parse timestamp: {e}") from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+# ---------------------------------------------------------------------------
+# parse_csv (parse_csv.rs): single record -> array of strings
+
+def parse_csv(value: str, delimiter: str = ",") -> list:
+    if len(delimiter) != 1:
+        raise VrlError("delimiter must be a single character")
+    try:
+        rows = list(_csv.reader(io.StringIO(value), delimiter=delimiter))
+    except _csv.Error as e:
+        raise VrlError(f"unable to parse csv: {e}") from e
+    if not rows:
+        return []
+    return rows[0]
+
+
+# ---------------------------------------------------------------------------
+# parse_tokens (parse_tokens.rs + src/core/tokenize.rs):
+# whitespace-separated; [] "" groups kept whole; "-" -> null
+
+def parse_tokens(value: str) -> list:
+    tokens: list = []
+    i, n = 0, len(value)
+    while i < n:
+        c = value[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == '"':
+            j = value.find('"', i + 1)
+            while j != -1 and value[j - 1] == "\\":
+                j = value.find('"', j + 1)
+            if j == -1:
+                tokens.append(value[i + 1:]); break
+            tokens.append(value[i + 1:j]); i = j + 1
+        elif c == "[":
+            j = value.find("]", i + 1)
+            if j == -1:
+                tokens.append(value[i + 1:]); break
+            tokens.append(value[i + 1:j]); i = j + 1
+        else:
+            j = i
+            while j < n and not value[j].isspace():
+                j += 1
+            tok = value[i:j]
+            tokens.append(None if tok == "-" else tok)
+            i = j
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# parse_url (parse_url.rs)
+
+def parse_url(value: str, default_known_ports: bool = False) -> dict:
+    KNOWN = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+    try:
+        parts = urlsplit(value)
+    except ValueError as e:
+        raise VrlError(f"unable to parse url: {e}") from e
+    if not parts.scheme:
+        raise VrlError("unable to parse url: relative URL without a base")
+    port = parts.port
+    if port is None and default_known_ports:
+        port = KNOWN.get(parts.scheme)
+    return {
+        "scheme": parts.scheme,
+        "username": parts.username or "",
+        "password": parts.password or "",
+        "host": parts.hostname or "",
+        "port": port,
+        "path": parts.path or "/",
+        "query": dict(parse_qsl(parts.query, keep_blank_values=True)),
+        "fragment": parts.fragment or None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# parse_query_string (parse_query_string.rs, src/parsing/query_string.rs):
+# duplicate keys -> array
+
+def parse_query_string(value: str) -> dict:
+    if value.startswith("?"):
+        value = value[1:]
+    out: dict = {}
+    if not value:
+        return out
+    for part in value.split("&"):
+        if not part:
+            k, v = "", ""
+        elif "=" in part:
+            k, v = part.split("=", 1)
+        else:
+            k, v = part, ""
+        k, v = unquote(k.replace("+", " ")), unquote(v.replace("+", " "))
+        if k in out:
+            if isinstance(out[k], list):
+                out[k].append(v)
+            else:
+                out[k] = [out[k], v]
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parse_duration (parse_duration.rs): "1s" "5m30s" etc -> float in `unit`
+
+from fractions import Fraction as _Fr
+
+_DUR_UNITS = {
+    "ns": _Fr(1, 10**9), "us": _Fr(1, 10**6), "µs": _Fr(1, 10**6),
+    "ms": _Fr(1, 10**3), "cs": _Fr(1, 100), "ds": _Fr(1, 10),
+    "s": _Fr(1), "m": _Fr(60), "h": _Fr(3600), "d": _Fr(86400),
+    "w": _Fr(604800), "y": _Fr(31557600),
+}
+_DUR_RE = _re.compile(r"\s*(\d+(?:\.\d+)?)\s*(ns|us|µs|ms|cs|ds|s|m|h|d|w|y)")
+
+
+def parse_duration(value: str, unit: str) -> float:
+    """Exact rational accumulation (the reference sums in a rational
+    base before converting, so "1005ms" -> 1.005 exactly)."""
+    if unit not in _DUR_UNITS:
+        raise VrlError(f"unknown duration unit: {unit}")
+    pos, n = 0, len(value)
+    total = _Fr(0)
+    found = False
+    while pos < n:
+        m = _DUR_RE.match(value, pos)
+        if not m:
+            break
+        qty = _Fr(m.group(1))
+        total += qty * _DUR_UNITS[m.group(2)]
+        pos = m.end(); found = True
+    if not found or value[pos:].strip():
+        raise VrlError(f"unable to parse duration: {value!r}")
+    return float(total / _DUR_UNITS[unit])
+
+
+# ---------------------------------------------------------------------------
+# parse_bytes (parse_bytes.rs): "1.2KiB" -> int bytes ("binary"/"decimal"/both)
+
+_BYTES_UNITS = {
+    "B": 1,
+    "kB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12, "PB": 10**15,
+    "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40, "PiB": 2**50,
+}
+_BYTES_RE = _re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([A-Za-z]+)?\s*$")
+
+
+def parse_bytes(value: str, unit: str = "B", base: Optional[str] = None) -> float:
+    m = _BYTES_RE.match(value)
+    if not m:
+        raise VrlError(f"unable to parse bytes: {value!r}")
+    qty = float(m.group(1))
+    u = m.group(2) or "B"
+    lookup = dict(_BYTES_UNITS)
+    if base == "2":  # decimal suffixes reinterpreted as binary
+        lookup.update({"kB": 2**10, "MB": 2**20, "GB": 2**30, "TB": 2**40, "PB": 2**50})
+    key = u if u in lookup else u[0].upper() + u[1:]
+    if key not in lookup:
+        raise VrlError(f"unknown bytes unit: {u}")
+    if unit not in lookup:
+        raise VrlError(f"unknown bytes unit: {unit}")
+    return qty * lookup[key] / lookup[unit]
+
+
+# ---------------------------------------------------------------------------
+# parse_int / parse_float (parse_int.rs, parse_float.rs)
+
+def parse_int(value: str, base: Optional[int] = None) -> int:
+    s = value.strip()
+    try:
+        if base is not None:
+            if not (2 <= base <= 36):
+                raise VrlError(f"invalid base {base}, must be be between 2 and 36 (inclusive)")
+            return int(s, base)
+        # auto-radix by prefix (parse_int.rs): 0x hex, 0o octal, 0b binary
+        neg = s.startswith("-")
+        body = s[1:] if neg or s.startswith("+") else s
+        if body[:2].lower() == "0x":
+            n = int(body[2:], 16)
+        elif body[:2].lower() == "0o" or (len(body) > 1 and body[0] == "0" and body[1:].isdigit()):
+            n = int(body[2:] if body[:2].lower() == "0o" else body[1:], 8)
+        elif body[:2].lower() == "0b":
+            n = int(body[2:], 2)
+        else:
+            n = int(body, 10)
+        return -n if neg else n
+    except ValueError as e:
+        raise VrlError(f"could not parse integer: {e}") from e
+
+
+def parse_float(value: str) -> float:
+    try:
+        f = float(value.strip())
+    except ValueError as e:
+        raise VrlError(f"could not parse float: {e}") from e
+    if math.isnan(f):
+        raise VrlError("could not parse float: NaN")
+    return f
+
+
+# ---------------------------------------------------------------------------
+# parse_common_log (parse_common_log.rs): Apache common log format
+
+_COMMON_LOG = _regex.compile(
+    r'^(?P<host>\S+)\s+(?P<identity>\S+)\s+(?P<user>\S+)\s+'
+    r'\[(?P<timestamp>[^\]]+)\]\s+'
+    r'"(?P<method>\w+)\s+(?P<path>\S+)\s+(?P<protocol>[^"]+)"\s+'
+    r'(?P<status>\d+)\s+(?P<size>\d+|-)\s*$'
+)
+
+
+def parse_common_log(value: str, timestamp_format: str = "%d/%b/%Y:%T %z") -> dict:
+    m = _COMMON_LOG.match(value)
+    if m is None:
+        raise VrlError("failed parsing common log line")
+    d = m.groupdict()
+    out: dict = {}
+    for k in ("host", "identity", "user"):
+        if d[k] != "-":
+            out[k] = d[k]
+    fmt = timestamp_format.replace("%T", "%H:%M:%S")
+    try:
+        out["timestamp"] = datetime.strptime(d["timestamp"], fmt).astimezone(timezone.utc)
+    except ValueError as e:
+        raise VrlError(f"failed parsing timestamp {d['timestamp']}: {e}") from e
+    out["message"] = f'{d["method"]} {d["path"]} {d["protocol"]}'
+    out["method"] = d["method"]
+    out["path"] = d["path"]
+    out["protocol"] = d["protocol"]
+    out["status"] = int(d["status"])
+    if d["size"] != "-":
+        out["size"] = int(d["size"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parse_glog (parse_glog.rs): google log format
+# e.g. I0813 16:10:35.231055 42324 main.cc:123] hello world
+
+_GLOG = _re.compile(
+    r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2})\s+"
+    r"(?P<time>\d{2}:\d{2}:\d{2})\.(?P<usec>\d{6})\s+"
+    r"(?P<thread>\d+)\s+(?P<file>[^:]+):(?P<line>\d+)\]\s*(?P<message>.*)$"
+)
+_GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def parse_glog(value: str) -> dict:
+    m = _GLOG.match(value)
+    if m is None:
+        raise VrlError("failed parsing glog message")
+    d = m.groupdict()
+    now_year = 2024  # glog omits the year; reference uses current year — frozen for determinism
+    ts = datetime(
+        now_year, int(d["month"]), int(d["day"]),
+        *map(int, d["time"].split(":")), int(d["usec"]), tzinfo=timezone.utc,
+    )
+    return {
+        "level": _GLOG_LEVELS[d["level"]],
+        "timestamp": ts,
+        "id": int(d["thread"]),
+        "file": d["file"],
+        "line": int(d["line"]),
+        "message": d["message"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# parse_syslog (parse_syslog.rs): RFC 5424 (subset) + RFC 3164 fallback
+
+_RFC5424 = _re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<version>\d)\s+(?P<ts>\S+)\s+(?P<host>\S+)\s+"
+    r"(?P<app>\S+)\s+(?P<procid>\S+)\s+(?P<msgid>\S+)\s+(?:-|\[(?P<sd>[^\]]*)\])\s*(?P<msg>.*)$"
+)
+_RFC3164 = _re.compile(
+    r"^(?:<(?P<pri>\d{1,3})>)?(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+"
+    r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)(?:\[(?P<procid>\d+)\])?:\s*(?P<msg>.*)$"
+)
+_SYSLOG_SEVERITIES = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news", "uucp",
+    "cron", "authpriv", "ftp", "ntp", "security", "console", "solaris-cron",
+] + [f"local{i}" for i in range(8)]
+
+
+def parse_syslog(value: str) -> dict:
+    m = _RFC5424.match(value)
+    if m:
+        d = m.groupdict()
+        out: dict = {"message": d["msg"]}
+        pri = int(d["pri"])
+        out["severity"] = _SYSLOG_SEVERITIES[pri % 8]
+        fac = pri // 8
+        out["facility"] = _SYSLOG_FACILITIES[fac] if fac < len(_SYSLOG_FACILITIES) else str(fac)
+        out["version"] = int(d["version"])
+        if d["ts"] != "-":
+            try:
+                out["timestamp"] = datetime.fromisoformat(d["ts"].replace("Z", "+00:00")).astimezone(timezone.utc)
+            except ValueError:
+                pass
+        for src, dst in (("host", "hostname"), ("app", "appname"),
+                         ("procid", "procid"), ("msgid", "msgid")):
+            if d[src] and d[src] != "-":
+                out[dst] = d[src]
+        if out.get("procid", "").isdigit() if "procid" in out else False:
+            out["procid"] = int(out["procid"])
+        return out
+    m = _RFC3164.match(value)
+    if m:
+        d = m.groupdict()
+        out = {"message": d["msg"], "hostname": d["host"], "appname": d["tag"]}
+        if d["pri"] is not None:
+            pri = int(d["pri"])
+            out["severity"] = _SYSLOG_SEVERITIES[pri % 8]
+            fac = pri // 8
+            out["facility"] = _SYSLOG_FACILITIES[fac] if fac < len(_SYSLOG_FACILITIES) else str(fac)
+        if d["procid"]:
+            out["procid"] = int(d["procid"])
+        try:
+            ts = datetime.strptime(f"2024 {d['ts']}", "%Y %b %d %H:%M:%S")
+            out["timestamp"] = ts.replace(tzinfo=timezone.utc)
+        except ValueError:
+            pass
+        return out
+    raise VrlError("unable to parse syslog message")
+
+
+# ---------------------------------------------------------------------------
+# parse_user_agent (parse_user_agent.rs) — "fast" mode heuristic subset
+
+_UA_BROWSERS = [
+    ("Firefox", _re.compile(r"Firefox/(?P<v>[\d.]+)")),
+    ("Edge", _re.compile(r"Edge?/(?P<v>[\d.]+)")),
+    ("Chrome", _re.compile(r"Chrome/(?P<v>[\d.]+)")),
+    ("Safari", _re.compile(r"Version/(?P<v>[\d.]+).*Safari")),
+    ("Opera", _re.compile(r"Opera[/ ](?P<v>[\d.]+)")),
+    ("MSIE", _re.compile(r"MSIE (?P<v>[\d.]+)")),
+    ("curl", _re.compile(r"curl/(?P<v>[\d.]+)")),
+]
+_UA_OS = [
+    ("Windows", _re.compile(r"Windows NT (?P<v>[\d.]+)")),
+    ("Android", _re.compile(r"Android (?P<v>[\d.]+)")),
+    ("iOS", _re.compile(r"iPhone OS (?P<v>[\d_]+)")),
+    ("Mac OS X", _re.compile(r"Mac OS X (?P<v>[\d_.]+)")),
+    ("Linux", _re.compile(r"Linux")),
+]
+
+
+def parse_user_agent(value: str, mode: str = "fast") -> dict:
+    browser: dict = {"family": None, "version": None}
+    os: dict = {"family": None, "version": None}
+    device: dict = {"category": "other"}
+    for fam, rx in _UA_BROWSERS:
+        m = rx.search(value)
+        if m:
+            browser = {"family": fam, "version": m.groupdict().get("v")}
+            break
+    for fam, rx in _UA_OS:
+        m = rx.search(value)
+        if m:
+            v = m.groupdict().get("v")
+            os = {"family": fam, "version": v.replace("_", ".") if v else None}
+            break
+    if "Mobile" in value or "iPhone" in value or "Android" in value:
+        device = {"category": "smartphone"}
+    elif browser["family"]:
+        device = {"category": "desktop"}
+    return {"browser": browser, "os": os, "device": device}

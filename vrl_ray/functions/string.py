@@ -1,0 +1,323 @@
+"""String-category stdlib functions (row-level semantics).
+
+Citations into /root/reference/src/stdlib/ per function. Vectorized
+Arrow counterparts for hot ones live in ``functions.vectorized``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os.path
+import re as _re
+from collections import Counter
+from typing import Any, Optional, Union
+
+import regex as _regex
+
+from ..value import VrlError
+
+__all__ = [
+    "downcase", "upcase", "camelcase", "kebabcase", "pascalcase",
+    "snakecase", "screamingsnakecase", "contains", "contains_all",
+    "starts_with", "ends_with", "match_", "match_any", "replace",
+    "replace_with", "split", "join", "slice_", "truncate",
+    "strip_whitespace", "strip_ansi_escape_codes", "strlen", "find",
+    "basename", "dirname", "shannon_entropy", "redact", "sieve",
+]
+
+
+def _s(v: Any) -> str:
+    if not isinstance(v, str):
+        raise VrlError(f"expected string, got {type(v).__name__}")
+    return v
+
+
+def downcase(value: str) -> str:
+    return _s(value).lower()
+
+
+def upcase(value: str) -> str:
+    return _s(value).upper()
+
+
+# casing/ (src/stdlib/casing/*.rs) — word-splitting on non-alnum + case
+# boundaries, as the `convert_case` crate does.
+_WORD_SPLIT = _re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+|\d+"
+)
+
+
+def _words(value: str) -> list[str]:
+    return _WORD_SPLIT.findall(_s(value))
+
+
+def camelcase(value: str) -> str:
+    ws = _words(value)
+    return "".join([ws[0].lower()] + [w.capitalize() for w in ws[1:]]) if ws else ""
+
+
+def pascalcase(value: str) -> str:
+    return "".join(w.capitalize() for w in _words(value))
+
+
+def snakecase(value: str) -> str:
+    return "_".join(w.lower() for w in _words(value))
+
+
+def screamingsnakecase(value: str) -> str:
+    return "_".join(w.upper() for w in _words(value))
+
+
+def kebabcase(value: str) -> str:
+    return "-".join(w.lower() for w in _words(value))
+
+
+def contains(value: str, substring: str, case_sensitive: bool = True) -> bool:
+    v, s = _s(value), _s(substring)
+    if not case_sensitive:
+        v, s = v.lower(), s.lower()
+    return s in v
+
+
+def contains_all(value: str, substrings: list, case_sensitive: bool = True) -> bool:
+    return all(contains(value, s, case_sensitive) for s in substrings)
+
+
+def starts_with(value: str, substring: str, case_sensitive: bool = True) -> bool:
+    v, s = _s(value), _s(substring)
+    if not case_sensitive:
+        v, s = v.lower(), s.lower()
+    return v.startswith(s)
+
+
+def ends_with(value: str, substring: str, case_sensitive: bool = True) -> bool:
+    v, s = _s(value), _s(substring)
+    if not case_sensitive:
+        v, s = v.lower(), s.lower()
+    return v.endswith(s)
+
+
+def match_(value: str, pattern) -> bool:
+    """`match` (match.rs): regex test."""
+    if isinstance(pattern, str):
+        pattern = _regex.compile(pattern)
+    return pattern.search(_s(value)) is not None
+
+
+def match_any(value: str, patterns: list) -> bool:
+    return any(match_(value, p) for p in patterns)
+
+
+def replace(value: str, pattern, with_: str, count: int = -1) -> str:
+    """replace.rs: pattern may be literal string or regex; count -1 =
+    all. Regex replacement supports $name/$1 capture refs."""
+    v = _s(value)
+    n = 0 if count == 0 else (count if count > 0 else 0)
+    if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
+        repl = _re.sub(r"\$(\w+|\{\w+\})", lambda m: "\\g<" + m.group(1).strip("{}") + ">", with_)
+        return pattern.sub(repl, v, count=n)
+    if count == 0:
+        return v
+    return v.replace(_s(pattern), with_, count if count > 0 else -1)
+
+
+def replace_with(value: str, pattern, closure, count: int = -1) -> str:
+    """replace_with.rs: closure receives the capture object
+    ({"string":..., "captures":[...], <named>:...})."""
+    if isinstance(pattern, str):
+        pattern = _regex.compile(pattern)
+    n = count if count > 0 else 0
+
+    def _cb(m):
+        obj = {"string": m.group(0),
+               "captures": [m.group(i) for i in range(1, (m.re.groups or 0) + 1)]}
+        obj.update({k: v for k, v in m.groupdict().items()})
+        r = closure(obj)
+        if not isinstance(r, str):
+            raise VrlError("replace_with closure must return a string")
+        return r
+
+    return pattern.sub(_cb, _s(value), count=n)
+
+
+def split(value: str, pattern, limit: Optional[int] = None) -> list:
+    """split.rs: literal or regex separator; `limit` caps pieces."""
+    v = _s(value)
+    maxsplit = (limit - 1) if limit and limit > 0 else 0 if limit == 0 else -1
+    if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
+        return pattern.split(v, maxsplit=maxsplit if maxsplit >= 0 else 0)
+    if maxsplit >= 0:
+        return v.split(_s(pattern), maxsplit)
+    return v.split(_s(pattern))
+
+
+def join(value: list, separator: str = "") -> str:
+    """join.rs: array items must be strings (or numbers per docs? —
+    strings only; numbers error in reference)."""
+    if not isinstance(value, list):
+        raise VrlError("expected array")
+    parts = []
+    for item in value:
+        if not isinstance(item, str):
+            raise VrlError("unable to join non-string array items")
+        parts.append(item)
+    return separator.join(parts)
+
+
+def slice_(value: Union[str, list], start: int, end: Optional[int] = None):
+    """slice.rs: negative indices from end; works on strings (chars)
+    and arrays."""
+    v = value
+    n = len(v)
+    s = start if start >= 0 else max(0, n + start)
+    e = n if end is None else (end if end >= 0 else n + end)
+    if s > n:
+        raise VrlError(f'"start" must be between "{-n}" and "{n}"')
+    return v[s:max(s, e)]
+
+
+def truncate(value: str, limit: int, suffix: str = "") -> str:
+    """truncate.rs: cut to `limit` chars; `suffix` appended only when
+    truncation happened (modern arg; legacy ellipsis flag maps to
+    suffix='...')."""
+    v = _s(value)
+    if limit < 0:
+        raise VrlError("limit must be >= 0")
+    if len(v) <= limit:
+        return v
+    return v[:limit] + suffix
+
+
+def strip_whitespace(value: str) -> str:
+    return _s(value).strip()
+
+
+_ANSI = _re.compile(r"\x1b\[[0-9;?]*[A-Za-z]|\x1b\].*?(?:\x07|\x1b\\)|\x1b[@-Z\\-_]")
+
+
+def strip_ansi_escape_codes(value: str) -> str:
+    return _ANSI.sub("", _s(value))
+
+
+def strlen(value: str) -> int:
+    """strlen.rs: number of UTF-8 characters (not bytes)."""
+    return len(_s(value))
+
+
+def find(value: str, pattern, from_: int = 0) -> int:
+    """find.rs: char index of first occurrence at/after `from_`,
+    -1 if absent; pattern may be regex or literal."""
+    v = _s(value)
+    if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
+        m = pattern.search(v, from_)
+        return m.start() if m else -1
+    idx = v.find(_s(pattern), from_)
+    return idx
+
+
+def basename(value: str, suffix: Optional[str] = None) -> str:
+    b = os.path.basename(_s(value))
+    if suffix and b.endswith(suffix):
+        b = b[: -len(suffix)]
+    return b
+
+
+def dirname(value: str) -> str:
+    return os.path.dirname(_s(value)) or "/"
+
+
+def shannon_entropy(value: str, segmentation: str = "byte") -> float:
+    """shannon_entropy.rs: bits per symbol over byte (default) or
+    grapheme segmentation."""
+    v = _s(value)
+    if not v:
+        return 0.0
+    if segmentation == "byte":
+        symbols: list = list(v.encode("utf-8"))
+    elif segmentation in ("grapheme", "codepoint"):
+        symbols = list(v)
+    else:
+        raise VrlError(f"invalid segmentation: {segmentation}")
+    counts = Counter(symbols)
+    n = len(symbols)
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+# redact (redact.rs:24-110): PII masking. Filters: regex patterns or
+# named filter "us_social_security_number"; redactor full|text|sha2|sha3.
+_SSN = _re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
+
+
+def _redactor(redactor) -> "callable":
+    if redactor is None or redactor == "full":
+        return lambda m: "[REDACTED]"
+    if isinstance(redactor, dict):
+        typ = redactor.get("type", "full")
+        if typ == "text":
+            return lambda m: redactor.get("replacement", "[REDACTED]")
+        if typ == "sha2":
+            return lambda m: hashlib.sha512(m.encode()).hexdigest()
+        if typ == "sha3":
+            return lambda m: hashlib.sha3_512(m.encode()).hexdigest()
+        return lambda m: "[REDACTED]"
+    if redactor == "sha2":
+        return lambda m: hashlib.sha512(m.encode()).hexdigest()
+    if redactor == "sha3":
+        return lambda m: hashlib.sha3_512(m.encode()).hexdigest()
+    raise VrlError(f"invalid redactor: {redactor!r}")
+
+
+def redact(value, filters: list, redactor=None):
+    """redact.rs: recurses into arrays/objects; strings get every
+    filter applied in order."""
+    red = _redactor(redactor)
+    rxs = []
+    for f in filters:
+        if f == "us_social_security_number":
+            rxs.append(_SSN)
+        elif isinstance(f, str):
+            rxs.append(_regex.compile(f))
+        elif isinstance(f, (_regex.Pattern, _re.Pattern)):
+            rxs.append(f)
+        else:
+            raise VrlError(f"invalid redact filter: {f!r}")
+
+    def _apply(v):
+        if isinstance(v, str):
+            for rx in rxs:
+                v = rx.sub(lambda m: red(m.group(0)), v)
+            return v
+        if isinstance(v, list):
+            return [_apply(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _apply(x) for k, x in v.items()}
+        return v
+
+    return _apply(value)
+
+
+def sieve(value: str, permitted_characters, replace_single: str = "",
+          replace_repeated: str = "") -> str:
+    """sieve.rs: keep only characters matching `permitted_characters`
+    (a regex); runs of removed chars collapse to replace_* strings."""
+    if isinstance(permitted_characters, str):
+        permitted_characters = _regex.compile(permitted_characters)
+    v = _s(value)
+    out = []
+    i = 0
+    while i < len(v):
+        m = permitted_characters.match(v, i)
+        if m and m.end() > i:
+            out.append(v[i:m.end()])
+            i = m.end()
+        else:
+            j = i
+            while j < len(v):
+                m2 = permitted_characters.match(v, j)
+                if m2 and m2.end() > j:
+                    break
+                j += 1
+            out.append(replace_repeated if j - i > 1 else replace_single)
+            i = j
+    return "".join(out)

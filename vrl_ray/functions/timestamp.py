@@ -1,0 +1,121 @@
+"""Timestamp-category stdlib functions (row-level semantics).
+
+Mirrors /root/reference/src/stdlib/{format_timestamp,
+from_unix_timestamp, to_unix_timestamp, now}.rs. ``now`` is
+nondeterministic in the reference (function.rs:121-123 deterministic
+flag) — here it must be frozen per job via ``set_frozen_now`` so
+pipelines stay replayable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Optional
+
+from ..value import VrlError
+
+__all__ = [
+    "set_frozen_now", "now", "format_timestamp", "from_unix_timestamp",
+    "to_unix_timestamp", "to_syslog_severity", "to_syslog_level",
+    "to_syslog_facility",
+]
+
+_FROZEN_NOW: Optional[datetime] = None
+
+
+def set_frozen_now(ts: Optional[datetime]) -> None:
+    global _FROZEN_NOW
+    _FROZEN_NOW = ts
+
+
+def now() -> datetime:
+    """Frozen job clock; errors if unset in a deterministic context."""
+    if _FROZEN_NOW is None:
+        return datetime.now(timezone.utc)
+    return _FROZEN_NOW
+
+
+def _ts(value) -> datetime:
+    if not isinstance(value, datetime):
+        raise VrlError("expected timestamp")
+    if value.tzinfo is None:
+        return value.replace(tzinfo=timezone.utc)
+    return value
+
+
+def format_timestamp(value: datetime, format: str, timezone_name: str = "UTC") -> str:
+    """format_timestamp.rs: strftime (chrono dialect ≈ C strftime)."""
+    dt = _ts(value)
+    if timezone_name not in ("UTC", "utc", None):
+        try:
+            from zoneinfo import ZoneInfo
+            dt = dt.astimezone(ZoneInfo(timezone_name))
+        except Exception as e:
+            raise VrlError(f"unable to parse timezone: {timezone_name}") from e
+    else:
+        dt = dt.astimezone(timezone.utc)
+    # chrono's %T / %F shortcuts
+    fmt = format.replace("%T", "%H:%M:%S").replace("%F", "%Y-%m-%d")
+    return dt.strftime(fmt)
+
+
+_UNITS = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6, "nanoseconds": 10**9}
+
+
+def from_unix_timestamp(value: int, unit: str = "seconds") -> datetime:
+    """from_unix_timestamp.rs: integer in `unit` -> timestamp."""
+    if unit not in _UNITS:
+        raise VrlError(f"invalid unit: {unit}")
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise VrlError("expected integer")
+    return datetime.fromtimestamp(value / _UNITS[unit], tz=timezone.utc)
+
+
+def to_unix_timestamp(value: datetime, unit: str = "seconds") -> int:
+    """to_unix_timestamp.rs: timestamp -> integer in `unit`."""
+    if unit not in _UNITS:
+        raise VrlError(f"invalid unit: {unit}")
+    dt = _ts(value)
+    epoch = dt.timestamp()
+    if unit == "seconds":
+        return int(epoch)
+    if unit == "milliseconds":
+        return int(epoch * 1e3)
+    if unit == "microseconds":
+        return int(epoch * 1e6)
+    return int(epoch * 1e9)
+
+
+# to_syslog_* (to_syslog_severity.rs etc.)
+
+_SEVERITIES = {
+    "emerg": 0, "panic": 0, "alert": 1, "crit": 2, "err": 3, "error": 3,
+    "warning": 4, "warn": 4, "notice": 5, "info": 6, "debug": 7,
+}
+_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
+_FACILITIES = {
+    0: "kern", 1: "user", 2: "mail", 3: "daemon", 4: "auth", 5: "syslog",
+    6: "lpr", 7: "news", 8: "uucp", 9: "cron", 10: "authpriv", 11: "ftp",
+    12: "ntp", 13: "security", 14: "console", 15: "solaris-cron",
+    16: "local0", 17: "local1", 18: "local2", 19: "local3",
+    20: "local4", 21: "local5", 22: "local6", 23: "local7",
+}
+
+
+def to_syslog_severity(value: str) -> int:
+    s = value.lower() if isinstance(value, str) else None
+    if s not in _SEVERITIES:
+        raise VrlError(f"invalid severity level: {value!r}")
+    return _SEVERITIES[s]
+
+
+def to_syslog_level(value: int) -> str:
+    if isinstance(value, bool) or not isinstance(value, int) or not (0 <= value <= 7):
+        raise VrlError(f"severity level {value!r} not valid")
+    return _LEVELS[value]
+
+
+def to_syslog_facility(value: int) -> str:
+    if isinstance(value, bool) or not isinstance(value, int) or value not in _FACILITIES:
+        raise VrlError(f"facility code {value!r} not valid")
+    return _FACILITIES[value]

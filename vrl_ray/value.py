@@ -1,0 +1,423 @@
+"""VRL Value data model — row-level reference semantics.
+
+This module is the single-process *oracle* for the vectorized engine:
+plain-Python values with VRL's exact runtime behavior. Pipeline-level
+golden tests run the same transform here and through the Ray Data
+stages and assert equality.
+
+Semantics mirrored from the reference (file:line into /root/reference):
+
+- Value variants: Bytes(str)/Integer/Float/Boolean/Timestamp/Object/
+  Array/Null/Regex (``src/value/value.rs:38-67``). Python mapping:
+  str, int, float, bool, datetime (UTC), dict, list, None,
+  re.Pattern.
+- Floats can never be NaN — arithmetic producing NaN is an error
+  (``src/value/value.rs:50-51``,
+  ``src/compiler/value/arithmetic.rs:60-64,305-338``).
+- i64 arithmetic wraps (``wrapping_add``/``mul``/``sub``,
+  ``src/compiler/value/arithmetic.rs:115,143`` and
+  ``src/compiler/expression/op.rs:151-156``).
+- int / int division always yields float; division by zero is an
+  error (``arithmetic.rs:98-110``).
+- ``+`` concatenates strings; string + null passes the string
+  through (``arithmetic.rs:125-133``); ``*`` repeats a string by an
+  int (``arithmetic.rs:68-95``).
+- ``==`` is lossy across int/float (``eq_lossy``,
+  ``arithmetic.rs:283-293``).
+- Truthiness: ONLY null and false are falsy; ``&&`` treats null as
+  false but errors on other non-bools; ``||`` returns rhs iff lhs is
+  null/false (``arithmetic.rs:159-187``, ``op.rs:131-146``).
+- ``|`` merge: shallow object merge, objects only, right wins
+  (``arithmetic.rs:272-279``).
+- Paths: Field / Index segments, negative indices count from the
+  end, insert auto-creates intermediate containers and pads arrays
+  with nulls, out-of-range negative insert prepends nulls
+  (``src/path/owned.rs:327-330``,
+  ``src/value/value/crud/mod.rs:81-95``, ``crud/insert.rs:7,82-87``);
+  remove optionally compacts emptied containers upward
+  (``crud/remove.rs:5``, ``src/compiler/target.rs:58-72``).
+- Object keys serialize in sorted (BTreeMap) order
+  (``src/value/value.rs:33-34``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from datetime import datetime, timezone
+from typing import Any, Iterable, Union
+
+I64_MIN = -(2**63)
+I64_MAX = 2**63 - 1
+_I64_MOD = 2**64
+
+
+class VrlError(Exception):
+    """A VRL runtime error *value* — caught by ``??`` / infallible
+    assignment, never allowed to crash a pipeline stage."""
+
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
+def wrap_i64(n: int) -> int:
+    """Wrap an unbounded Python int into i64 two's-complement,
+    mirroring Rust's wrapping_* ops (arithmetic.rs:115,143)."""
+    n &= _I64_MOD - 1
+    return n - _I64_MOD if n > I64_MAX else n
+
+
+# ---------------------------------------------------------------------------
+# Type helpers
+
+
+def vrl_type(v: Any) -> str:
+    """VRL kind name of a Python-represented value
+    (src/compiler/value/kind.rs:8-22)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, (str, bytes)):
+        return "string"
+    if isinstance(v, datetime):
+        return "timestamp"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, re.Pattern):
+        return "regex"
+    raise TypeError(f"not a VRL value: {type(v)!r}")
+
+
+def is_truthy(v: Any) -> bool:
+    """ONLY null and false are falsy (op.rs:131-146)."""
+    return not (v is None or v is False)
+
+
+def check_float(f: float) -> float:
+    """NaN is unrepresentable (value.rs:50-51); error out like
+    arithmetic.rs:60-64."""
+    if math.isnan(f):
+        raise VrlError("float operation produced NaN")
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic / comparison (arithmetic.rs:66-294)
+
+
+def _num(v: Any) -> Union[int, float]:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise VrlError(f"cannot use {vrl_type(v)} in numeric operation")
+    return v
+
+
+def add(lhs: Any, rhs: Any) -> Any:
+    if isinstance(lhs, str) and isinstance(rhs, str):
+        return lhs + rhs
+    if isinstance(lhs, str) and rhs is None:
+        return lhs
+    if lhs is None and isinstance(rhs, str):
+        return rhs
+    a, b = _num(lhs), _num(rhs)
+    if isinstance(a, int) and isinstance(b, int):
+        return wrap_i64(a + b)
+    return check_float(float(a) + float(b))
+
+
+def sub(lhs: Any, rhs: Any) -> Any:
+    a, b = _num(lhs), _num(rhs)
+    if isinstance(a, int) and isinstance(b, int):
+        return wrap_i64(a - b)
+    return check_float(float(a) - float(b))
+
+
+def mul(lhs: Any, rhs: Any) -> Any:
+    # string * int repetition, both orders (arithmetic.rs:68-95)
+    if isinstance(lhs, str) and isinstance(rhs, int) and not isinstance(rhs, bool):
+        return lhs * rhs
+    if isinstance(rhs, str) and isinstance(lhs, int) and not isinstance(lhs, bool):
+        return rhs * lhs
+    a, b = _num(lhs), _num(rhs)
+    if isinstance(a, int) and isinstance(b, int):
+        return wrap_i64(a * b)
+    return check_float(float(a) * float(b))
+
+
+def div(lhs: Any, rhs: Any) -> float:
+    """Division is always float; /0 errors (arithmetic.rs:98-110)."""
+    a, b = _num(lhs), _num(rhs)
+    if float(b) == 0.0:
+        raise VrlError("can't divide by zero")
+    return check_float(float(a) / float(b))
+
+
+def rem(lhs: Any, rhs: Any) -> Any:
+    a, b = _num(lhs), _num(rhs)
+    if float(b) == 0.0:
+        raise VrlError("can't divide by zero")
+    if isinstance(a, int) and isinstance(b, int):
+        # Rust % truncates toward zero, Python floors — adjust.
+        return wrap_i64(a - int(a / b) * b)
+    return check_float(math.fmod(float(a), float(b)))
+
+
+def eq(lhs: Any, rhs: Any) -> bool:
+    """Lossy across int/float (eq_lossy, arithmetic.rs:283-293);
+    bool vs int are distinct kinds."""
+    if isinstance(lhs, bool) != isinstance(rhs, bool):
+        return False
+    if (
+        isinstance(lhs, (int, float))
+        and isinstance(rhs, (int, float))
+        and not isinstance(lhs, bool)
+    ):
+        return float(lhs) == float(rhs)
+    if vrl_type(lhs) != vrl_type(rhs):
+        return False
+    return lhs == rhs
+
+
+def _cmp_ok(lhs: Any, rhs: Any) -> tuple:
+    if isinstance(lhs, str) and isinstance(rhs, str):
+        return lhs, rhs
+    a, b = _num(lhs), _num(rhs)
+    return float(a), float(b)
+
+
+def gt(l: Any, r: Any) -> bool:
+    a, b = _cmp_ok(l, r)
+    return a > b
+
+
+def ge(l: Any, r: Any) -> bool:
+    a, b = _cmp_ok(l, r)
+    return a >= b
+
+
+def lt(l: Any, r: Any) -> bool:
+    a, b = _cmp_ok(l, r)
+    return a < b
+
+
+def le(l: Any, r: Any) -> bool:
+    a, b = _cmp_ok(l, r)
+    return a <= b
+
+
+def logical_and(lhs: Any, rhs_thunk) -> bool:
+    """null → false; non-bool lhs errors; rhs evaluated lazily and must
+    be bool/null (arithmetic.rs:159-175)."""
+    if lhs is None or lhs is False:
+        return False
+    if lhs is not True:
+        raise VrlError(f"expected boolean, got {vrl_type(lhs)}")
+    rhs = rhs_thunk() if callable(rhs_thunk) else rhs_thunk
+    if rhs is None:
+        return False
+    if not isinstance(rhs, bool):
+        raise VrlError(f"expected boolean, got {vrl_type(rhs)}")
+    return rhs
+
+
+def logical_or(lhs: Any, rhs_thunk) -> Any:
+    """lhs null/false → rhs, else lhs (arithmetic.rs:177-187)."""
+    if lhs is None or lhs is False:
+        return rhs_thunk() if callable(rhs_thunk) else rhs_thunk
+    return lhs
+
+
+def merge_shallow(lhs: Any, rhs: Any) -> dict:
+    """``|`` operator: objects only, right wins
+    (arithmetic.rs:272-279)."""
+    if not isinstance(lhs, dict) or not isinstance(rhs, dict):
+        raise VrlError(
+            f"can only merge objects, got {vrl_type(lhs)} | {vrl_type(rhs)}"
+        )
+    out = dict(lhs)
+    out.update(rhs)
+    return out
+
+
+def coalesce(lhs_thunk, rhs_thunk) -> Any:
+    """``??``: rhs iff lhs errored (op.rs:131-146)."""
+    try:
+        return lhs_thunk() if callable(lhs_thunk) else lhs_thunk
+    except VrlError:
+        return rhs_thunk() if callable(rhs_thunk) else rhs_thunk
+
+
+# ---------------------------------------------------------------------------
+# Paths (src/path/owned.rs, src/value/value/crud/)
+
+Segment = Union[str, int]  # Field(str) | Index(int)
+
+_PATH_TOKEN = re.compile(
+    r"""
+    \.?\(?"(?P<quoted>(?:\\.|[^"\\])*)"\)?   # ."quoted field"
+    | \[(?P<index>-?\d+)\]                    # [idx]
+    | \.?(?P<field>[A-Za-z0-9_@]+)            # .field
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_path(path: str) -> list[Segment]:
+    """Parse a dotted path string (``.a.b[2]."c d"``) into segments.
+
+    Covers the OwnedValuePath surface our engine needs
+    (src/path/owned.rs:16-18,327-330); `%` metadata prefix handled by
+    the caller.
+    """
+    if path in (".", ""):
+        return []
+    segs: list[Segment] = []
+    pos = 0
+    if path.startswith("."):
+        pos = 0  # tokens consume leading dots themselves
+    while pos < len(path):
+        m = _PATH_TOKEN.match(path, pos)
+        if not m:
+            raise VrlError(f"invalid path: {path!r} at {pos}")
+        if m.group("quoted") is not None:
+            segs.append(m.group("quoted").replace('\\"', '"'))
+        elif m.group("index") is not None:
+            segs.append(int(m.group("index")))
+        else:
+            f = m.group("field")
+            segs.append(int(f) if f.lstrip("-").isdigit() and f[0] == "-" else f)
+        pos = m.end()
+    return segs
+
+
+def path_get(value: Any, path: Union[str, Iterable[Segment]]) -> Any:
+    """CRUD get (crud/get.rs:5): missing → None (undefined)."""
+    segs = parse_path(path) if isinstance(path, str) else list(path)
+    cur = value
+    for seg in segs:
+        if isinstance(seg, int):
+            if not isinstance(cur, list):
+                return None
+            idx = seg if seg >= 0 else len(cur) + seg
+            if idx < 0 or idx >= len(cur):
+                return None
+            cur = cur[idx]
+        else:
+            if not isinstance(cur, dict) or seg not in cur:
+                return None
+            cur = cur[seg]
+    return cur
+
+
+def path_insert(value: Any, path: Union[str, Iterable[Segment]], new: Any) -> Any:
+    """CRUD insert (crud/insert.rs:7): auto-creates intermediate
+    objects/arrays; positive index past end pads with nulls; negative
+    index out of range *prepends* nulls (crud/insert.rs:82-87,
+    crud/mod.rs:81-95). Returns the (possibly replaced) root."""
+    segs = parse_path(path) if isinstance(path, str) else list(path)
+    if not segs:
+        return new
+
+    def _ins(cur: Any, i: int) -> Any:
+        seg = segs[i]
+        last = i == len(segs) - 1
+        if isinstance(seg, int):
+            if not isinstance(cur, list):
+                cur = []
+            if seg >= 0:
+                while len(cur) <= seg:
+                    cur.append(None)
+                idx = seg
+            else:
+                while len(cur) < -seg:
+                    cur.insert(0, None)
+                idx = len(cur) + seg
+            if last:
+                cur[idx] = new
+            else:
+                cur[idx] = _ins(cur[idx], i + 1)
+            return cur
+        else:
+            if not isinstance(cur, dict):
+                cur = {}
+            if last:
+                cur[seg] = new
+            else:
+                cur[seg] = _ins(cur.get(seg), i + 1)
+            return cur
+
+    return _ins(value, 0)
+
+
+def path_remove(
+    value: Any, path: Union[str, Iterable[Segment]], compact: bool = False
+) -> tuple[Any, Any]:
+    """CRUD remove (crud/remove.rs:5): returns (new_root, removed).
+    ``compact`` prunes containers emptied by the removal upward
+    (target.rs:58-72)."""
+    segs = parse_path(path) if isinstance(path, str) else list(path)
+    if not segs:
+        return None, value
+    removed = [None]
+
+    def _rm(cur: Any, i: int) -> Any:
+        seg = segs[i]
+        last = i == len(segs) - 1
+        if isinstance(seg, int):
+            if not isinstance(cur, list):
+                return cur
+            idx = seg if seg >= 0 else len(cur) + seg
+            if idx < 0 or idx >= len(cur):
+                return cur
+            if last:
+                removed[0] = cur.pop(idx)
+            else:
+                cur[idx] = _rm(cur[idx], i + 1)
+                if compact and cur[idx] in ({}, []):
+                    cur.pop(idx)
+            return cur
+        else:
+            if not isinstance(cur, dict) or seg not in cur:
+                return cur
+            if last:
+                removed[0] = cur.pop(seg)
+            else:
+                cur[seg] = _rm(cur[seg], i + 1)
+                if compact and cur[seg] in ({}, []):
+                    cur.pop(seg)
+            return cur
+
+    root = _rm(value, 0)
+    return root, removed[0]
+
+
+# ---------------------------------------------------------------------------
+# JSON encoding with VRL's sorted-key (BTreeMap) semantics
+
+
+def _json_default(v: Any):
+    if isinstance(v, datetime):
+        # VRL timestamps serialize RFC3339 UTC (value.rs:56-57)
+        return v.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    if isinstance(v, re.Pattern):
+        return v.pattern
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    raise TypeError(type(v))
+
+
+def encode_json(v: Any) -> str:
+    """encode_json with lexicographically sorted object keys
+    (src/stdlib/encode_json.rs + value.rs:33-34)."""
+    return json.dumps(
+        v, sort_keys=True, separators=(",", ":"), default=_json_default,
+        ensure_ascii=False,
+    )
