@@ -198,6 +198,23 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_vrl_remap(sf_dir: str):
+    """An actual VRL program executed per event through the language
+    front end (lang.RemapStage: compile once per actor, tree-walk per
+    row — the reference's embedding pattern, examples/simple.rs:8-41).
+    Oracle: the equivalent SQL projection."""
+    from vrl_ray.lang import remap
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    program = """
+    .kind = downcase(.event_type)
+    .value_int, .parse_err = to_int(round(.value))
+    if .value >= 100.0 { .is_big = true } else { .is_big = false }
+    """
+    out = remap(ds, program, concurrency=(1, 4))
+    return out.select_columns(["event_id", "kind", "value_int", "is_big"])
+
+
 def events_logfmt_roundtrip(sf_dir: str):
     """encode_logfmt → parse_key_value round-trip per event (row-level
     stdlib parity exercised through the pipeline); oracle is the
@@ -421,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_route": events_route,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "docs_token_stats": docs_token_stats,
         "docs_dedup_exact": docs_dedup_exact,
@@ -492,6 +510,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_vrl_remap": """
+            SELECT event_id, lower(event_type) AS kind,
+                   CAST(round(value, 0) AS BIGINT) AS value_int,
+                   value >= 100.0 AS is_big
+            FROM events
         """,
         "events_logfmt_roundtrip": """
             SELECT event_id, event_type, value FROM events

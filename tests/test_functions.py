@@ -173,7 +173,7 @@ class TestString:
 
     def test_find(self):
         assert R["find"]("foobar", "bar") == 3
-        assert R["find"]("foobar", "baz") == -1
+        assert R["find"]("foobar", "baz") is None
 
     def test_redact(self):
         out = R["redact"]("my id is 123-45-6789", ["us_social_security_number"])
@@ -225,7 +225,8 @@ class TestCoerce:
         assert R["is_integer"](1) and not R["is_integer"](True)
         assert R["is_boolean"](False)
         assert R["is_string"]("")
-        assert R["type_def"]([1]) == "array"
+        assert R["type_def"]([1]) == {"array": {"0": {"integer": True}}}
+        assert R["type_def"](42) == {"integer": True}
 
 
 class TestNumberTimestamp:
@@ -245,7 +246,7 @@ class TestNumberTimestamp:
         assert R["format_int"](-42, 2) == "-101010"
 
     def test_format_number(self):
-        assert R["format_number"](1234567.89, 3) == "1,234,567.890"
+        assert R["format_number"](1234567.89, 3, grouping_separator=",") == "1,234,567.890"
         assert R["format_number"](1234567, grouping_separator="_") == "1_234_567"
 
     def test_timestamps(self):
@@ -358,10 +359,16 @@ class TestCodecChecksum:
             "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae"
         assert R["crc"]("foo") == "2356372769"
         import hmac as _pyhmac
+        # hmac.rs returns RAW digest bytes (encode with base16/base64)
         assert R["hmac"]("foo", "key") == \
-            _pyhmac.new(b"key", b"foo", "sha256").hexdigest()
-        # XXH64 known-answer: xxh64("") == 0xef46db3751d8e999
-        assert R["xxhash"]("") == str(0xEF46DB3751D8E999)
+            _pyhmac.new(b"key", b"foo", "sha256").digest()
+        # xxhash.rs: integer digests, default variant XXH32; XXH64
+        # wraps into i64 (docs/generated/xxhash.json vectors)
+        assert R["xxhash"]("foo") == 3792637401
+        assert R["xxhash"]("foo", "XXH64") == 3728699739546630719
+        # seahash.rs reference vectors
+        assert R["seahash"]("foobar") == 5348458858952426560
+        assert R["seahash"]("bar") == -2796170501982571315
 
 
 class TestIp:

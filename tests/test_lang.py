@@ -1,0 +1,117 @@
+"""VRL language front end: parser/interpreter semantics + the
+RemapStage bridge into Ray Data."""
+
+import pyarrow as pa
+import pytest
+
+from vrl_ray.lang import compile_program, remap, RemapStage
+from vrl_ray.lang.interpreter import VrlRuntimeError
+from vrl_ray.value import VrlError
+
+
+def run(src, event=None):
+    res, ev, aborted = compile_program(src).resolve(event if event is not None else {})
+    return res, ev, aborted
+
+
+class TestInterpreter:
+    def test_event_mutation(self):
+        _, ev, _ = run('.a = 1\n.b.c = "x"')
+        assert ev == {"a": 1, "b": {"c": "x"}}
+
+    def test_root_replacement(self):
+        _, ev, _ = run('. = { "only": true }', {"old": 1})
+        assert ev == {"only": True}
+
+    def test_infallible_assignment(self):
+        # assignment.rs:522-549
+        _, ev, _ = run('.ok, .err = to_int("nope")')
+        assert ev["ok"] is None and "nope" in ev["err"]
+        _, ev, _ = run('.ok, .err = to_int("42")')
+        assert ev == {"ok": 42, "err": None}
+
+    def test_coalesce_operator(self):
+        res, _, _ = run('to_int("bad") ?? 7')
+        assert res == 7
+
+    def test_bang_aborts(self):
+        with pytest.raises(VrlRuntimeError):
+            run('to_int!("bad")')
+
+    def test_if_else(self):
+        res, _, _ = run('if 1 > 2 { "a" } else if 2 > 1 { "b" } else { "c" }')
+        assert res == "b"
+
+    def test_if_requires_boolean(self):
+        with pytest.raises((VrlRuntimeError, VrlError)):
+            run('if 1 { "a" }')
+
+    def test_abort(self):
+        res, ev, aborted = run('.x = 1\nabort\n.y = 2', {})
+        assert aborted is not None
+        assert ev == {"x": 1}  # modifications kept up to abort
+
+    def test_closures(self):
+        res, _, _ = run('map_keys({"a": 1}) -> |key| { upcase(key) }')
+        assert res == {"A": 1}
+        res, _, _ = run('filter([1, 2, 3]) -> |_i, v| { v > 1 }')
+        assert res == [2, 3]
+
+    def test_del_exists(self):
+        _, ev, _ = run('del(.drop)', {"drop": 1, "keep": 2})
+        assert ev == {"keep": 2}
+        res, _, _ = run('exists(.a.b)', {"a": {"b": None}})
+        assert res is True
+
+    def test_merge_assign(self):
+        _, ev, _ = run('. |= {"b": 2}', {"a": 1})
+        assert ev == {"a": 1, "b": 2}
+
+    def test_string_template(self):
+        res, _, _ = run('lvl = "warn"\n"[{{ lvl }}] hi"')
+        assert res == "[warn] hi"
+
+    def test_variables_and_paths(self):
+        res, _, _ = run('v = {"x": [1, 2]}\nv.x[1]')
+        assert res == 2
+
+    def test_typed_literals(self):
+        res, _, _ = run("t'2021-01-01T00:00:00Z'")
+        assert res.year == 2021
+        res, _, _ = run("match(\"foo\", r'^f')")
+        assert res is True
+
+
+class TestRemapStage:
+    PROGRAM = """
+    .kind = downcase(.event_type)
+    .value_int, .parse_err = to_int(round(.value))
+    if .value >= 100.0 { .is_big = true } else { .is_big = false }
+    """
+
+    def batch(self):
+        return pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "event_type": ["CLICK", "ERROR"],
+            "value": pa.array([12.4, 150.9], pa.float64()),
+        })
+
+    def test_stage_direct(self):
+        out = RemapStage(self.PROGRAM)(self.batch()).to_pylist()
+        assert out[0]["kind"] == "click" and out[0]["value_int"] == 12
+        assert out[1]["is_big"] is True and out[1]["value_int"] == 151
+        assert all(r["vrl_err"] is None for r in out)
+
+    def test_remap_through_ray(self, ray_session):
+        import ray.data as rd
+        ds = remap(rd.from_arrow(self.batch()), self.PROGRAM, concurrency=1)
+        out = {r["event_id"]: r for r in ds.take_all()}
+        assert out[1]["kind"] == "click"
+        assert out[2]["is_big"] is True
+
+    def test_error_lane_never_raises(self, ray_session):
+        import ray.data as rd
+        bad = pa.table({"event_id": pa.array([1], pa.int64())})
+        ds = remap(rd.from_arrow(bad), 'to_int!("not a number")', concurrency=1)
+        rows = ds.take_all()
+        assert rows[0]["vrl_err"] is not None

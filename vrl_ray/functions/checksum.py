@@ -63,13 +63,68 @@ def sha3(value: str, variant: str = "SHA3-512") -> str:
     return fn(_b(value)).hexdigest()
 
 
-def crc(value: str, algorithm: str = "CRC-32/ISO-HDLC") -> str:
-    """crc.rs: returns the checksum as a decimal string. Supports the
-    two algorithms expressible with zlib: CRC-32/ISO-HDLC (zlib.crc32)
-    and CRC-32/ADLER (zlib.adler32 stand-in)."""
-    if algorithm in ("CRC-32", "CRC-32/ISO-HDLC"):
+# Generic parametric CRC (RevEng catalogue params: width, poly, init,
+# refin, refout, xorout) — the same catalogue the `crc` crate ships.
+_CRC_PARAMS = {
+    "CRC_32_ISO_HDLC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_CKSUM": (32, 0x04C11DB7, 0x00000000, False, False, 0xFFFFFFFF),
+    "CRC_32_BZIP2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0xFFFFFFFF),
+    "CRC_32_MPEG_2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0x00000000),
+    "CRC_32_ISCSI": (32, 0x1EDC6F41, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_JAMCRC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0x00000000),
+    "CRC_32_XFER": (32, 0x000000AF, 0x00000000, False, False, 0x00000000),
+    "CRC_32_AIXM": (32, 0x814141AB, 0x00000000, False, False, 0x00000000),
+    "CRC_32_AUTOSAR": (32, 0xF4ACFB13, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_BASE91_D": (32, 0xA833982B, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
+    "CRC_32_CD_ROM_EDC": (32, 0x8001801B, 0x00000000, True, True, 0x00000000),
+    "CRC_16_IBM_3740": (16, 0x1021, 0xFFFF, False, False, 0x0000),
+    "CRC_16_ARC": (16, 0x8005, 0x0000, True, True, 0x0000),
+    "CRC_16_XMODEM": (16, 0x1021, 0x0000, False, False, 0x0000),
+    "CRC_16_MODBUS": (16, 0x8005, 0xFFFF, True, True, 0x0000),
+    "CRC_16_KERMIT": (16, 0x1021, 0x0000, True, True, 0x0000),
+    "CRC_16_USB": (16, 0x8005, 0xFFFF, True, True, 0xFFFF),
+    "CRC_8_SMBUS": (8, 0x07, 0x00, False, False, 0x00),
+    "CRC_8_MAXIM_DOW": (8, 0x31, 0x00, True, True, 0x00),
+    "CRC_64_ECMA_182": (64, 0x42F0E1EBA9EA3693, 0x0, False, False, 0x0),
+    "CRC_64_XZ": (64, 0x42F0E1EBA9EA3693,
+                  0xFFFFFFFFFFFFFFFF, True, True, 0xFFFFFFFFFFFFFFFF),
+}
+
+
+def _reflect(x: int, width: int) -> int:
+    r = 0
+    for _ in range(width):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _crc_generic(data: bytes, width, poly, init, refin, refout, xorout) -> int:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    crc_v = init
+    for byte in data:
+        if refin:
+            byte = _reflect(byte, 8)
+        crc_v ^= byte << (width - 8)
+        for _ in range(8):
+            crc_v = ((crc_v << 1) ^ poly) if crc_v & top else (crc_v << 1)
+            crc_v &= mask
+    if refout:
+        crc_v = _reflect(crc_v, width)
+    return (crc_v ^ xorout) & mask
+
+
+def crc(value: str, algorithm: str = "CRC_32_ISO_HDLC") -> str:
+    """crc.rs: parametric CRC over the RevEng catalogue (the subset of
+    the `crc` crate's algorithm list above); decimal-string digest."""
+    algorithm = algorithm.replace("-", "_").replace("/", "_")
+    if algorithm in ("CRC_32", "CRC_32_ISO_HDLC"):
         return str(_zlib.crc32(_b(value)) & 0xFFFFFFFF)
-    raise VrlError(f"unsupported crc algorithm: {algorithm}")
+    params = _CRC_PARAMS.get(algorithm)
+    if params is None:
+        raise VrlError(f"unsupported crc algorithm: {algorithm}")
+    return str(_crc_generic(_b(value), *params))
 
 
 _HMAC_ALGOS = {
@@ -78,11 +133,13 @@ _HMAC_ALGOS = {
 }
 
 
-def hmac(value: str, key: str, algorithm: str = "SHA-256") -> str:
+def hmac(value: str, key: str, algorithm: str = "SHA-256") -> bytes:
+    """hmac.rs: returns the RAW digest bytes (callers encode with
+    encode_base16/encode_base64)."""
     algo = _HMAC_ALGOS.get(algorithm)
     if algo is None:
         raise VrlError(f"invalid hmac algorithm: {algorithm}")
-    return _hmac.new(_b(key), _b(value), algo).hexdigest()
+    return _hmac.new(_b(key), _b(value), algo).digest()
 
 
 # --- xxhash (xxhash.rs): pure-python XXH64/XXH32 (no xxhash wheel in
@@ -152,17 +209,90 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def xxhash(value: str, variant: str = "XXH64", seed: int = 0) -> str:
-    """xxhash.rs: digest rendered as decimal string."""
-    if variant not in ("XXH64", "64"):
-        raise VrlError(f"unsupported xxhash variant: {variant}")
-    return str(xxh64(_b(value), seed))
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_P32_4 = 0x27D4EB2F
+_P32_5 = 0x165667B1
+_M32 = 0xFFFFFFFF
 
 
-def seahash(value: str) -> str:
-    """seahash.rs parity stub: a stable 64-bit hash rendered as decimal.
-    NOT bit-compatible with the seahash crate (no public Python port in
-    this container) — stable within this engine, suitable for
-    partitioning but not for cross-engine comparison."""
-    d = hashlib.blake2b(_b(value), digest_size=8).digest()
-    return str(int.from_bytes(d, "little"))
+def _rotl32(x, r):
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P32_1 + _P32_2) & _M32
+        v2 = (seed + _P32_2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P32_1) & _M32
+        while i <= n - 16:
+            for _ in range(1):
+                pass
+            v1 = (_rotl32((v1 + int.from_bytes(data[i:i+4], "little") * _P32_2) & _M32, 13) * _P32_1) & _M32; i += 4
+            v2 = (_rotl32((v2 + int.from_bytes(data[i:i+4], "little") * _P32_2) & _M32, 13) * _P32_1) & _M32; i += 4
+            v3 = (_rotl32((v3 + int.from_bytes(data[i:i+4], "little") * _P32_2) & _M32, 13) * _P32_1) & _M32; i += 4
+            v4 = (_rotl32((v4 + int.from_bytes(data[i:i+4], "little") * _P32_2) & _M32, 13) * _P32_1) & _M32; i += 4
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _P32_5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        h = (h + int.from_bytes(data[i:i+4], "little") * _P32_3) & _M32
+        h = (_rotl32(h, 17) * _P32_4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _P32_5) & _M32
+        h = (_rotl32(h, 11) * _P32_1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & _M32
+    h ^= h >> 13
+    h = (h * _P32_3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def xxhash(value: str, variant: str = "XXH32", seed: int = 0) -> int:
+    """xxhash.rs: integer digest; default variant XXH32. 64-bit
+    results wrap into i64 like all VRL integers."""
+    from ..value import wrap_i64
+    if variant in ("XXH32", "32"):
+        return xxh32(_b(value), seed)
+    if variant in ("XXH64", "64"):
+        return wrap_i64(xxh64(_b(value), seed))
+    raise VrlError(f"unsupported xxhash variant: {variant}")
+
+
+def _sea_diffuse(x: int) -> int:
+    x = (x * 0x6EED0E9DA4D94A4F) & _M64
+    a = x >> 32
+    b = x >> 60
+    x ^= a >> b
+    return (x * 0x6EED0E9DA4D94A4F) & _M64
+
+
+def seahash(value: str) -> int:
+    """seahash.rs: bit-compatible pure-Python port of the public
+    SeaHash algorithm (reference vectors in docs/generated/
+    seahash.json); i64-wrapped like all VRL integers."""
+    from ..value import wrap_i64
+    data = _b(value)
+    n = len(data)
+    state = [0x16F11FE89B0D677C, 0xB480A793D8E6C86C,
+             0x6FE2E5AAF078EBC9, 0x14F994A4C5259381]
+    i = 0
+    idx = 0
+    while i + 8 <= n:
+        chunk = int.from_bytes(data[i:i + 8], "little")
+        state[idx & 3] = _sea_diffuse(state[idx & 3] ^ chunk)
+        idx += 1
+        i += 8
+    if i < n:
+        chunk = int.from_bytes(data[i:], "little")
+        state[idx & 3] = _sea_diffuse(state[idx & 3] ^ chunk)
+    h = _sea_diffuse(state[0] ^ state[1] ^ state[2] ^ state[3] ^ n)
+    return wrap_i64(h)

@@ -29,30 +29,43 @@ __all__ = [
 ]
 
 
-def decode_base16(value: str) -> str:
+def decode_base16(value: str):
     try:
-        return bytes.fromhex(value).decode("utf-8", "replace")
+        out = bytes.fromhex(value)
     except ValueError as e:
         raise VrlError(f"unable to decode value to base16: {e}") from e
-
-
-def encode_base16(value: str) -> str:
-    return value.encode("utf-8").hex()
-
-
-def decode_base64(value: str, charset: str = "standard") -> str:
     try:
-        raw = value.encode("ascii")
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out
+
+
+def encode_base16(value) -> str:
+    raw = value if isinstance(value, bytes) else value.encode("utf-8")
+    return raw.hex()
+
+
+def decode_base64(value: str, charset: str = "standard"):
+    """Returns str when the payload is valid UTF-8, else raw bytes
+    (VRL Bytes can hold arbitrary binary; our Python mapping uses
+    bytes for the non-text case)."""
+    try:
+        raw = value.encode("ascii") if isinstance(value, str) else value
         pad = raw + b"=" * (-len(raw) % 4)
         if charset == "url_safe":
-            return _b64.urlsafe_b64decode(pad).decode("utf-8", "replace")
-        return _b64.b64decode(pad).decode("utf-8", "replace")
+            out = _b64.urlsafe_b64decode(pad)
+        else:
+            out = _b64.b64decode(pad)
     except Exception as e:
         raise VrlError(f"unable to decode value to base64: {e}") from e
+    try:
+        return out.decode("utf-8")
+    except UnicodeDecodeError:
+        return out
 
 
-def encode_base64(value: str, padding: bool = True, charset: str = "standard") -> str:
-    raw = value.encode("utf-8")
+def encode_base64(value, padding: bool = True, charset: str = "standard") -> str:
+    raw = value if isinstance(value, bytes) else value.encode("utf-8")
     out = (_b64.urlsafe_b64encode(raw) if charset == "url_safe" else _b64.b64encode(raw)).decode("ascii")
     if not padding:
         out = out.rstrip("=")
@@ -79,10 +92,12 @@ def encode_percent(value: str, ascii_set: str = "NON_ALPHANUMERIC") -> str:
     return quote(value, safe=safe)
 
 
-def decode_punycode(value: str) -> str:
+def decode_punycode(value: str, validate: bool = True) -> str:
     try:
         return value.encode("ascii").decode("idna")
     except Exception as e:
+        if not validate:
+            return value
         raise VrlError(f"unable to decode punycode: {e}") from e
 
 
@@ -112,7 +127,17 @@ def decode_gzip(value: bytes) -> str:
 
 
 def encode_gzip(value: str, compression_level: int = 6) -> bytes:
-    return _gzip.compress(_to_bytes(value), compresslevel=compression_level)
+    """Byte-compatible with the reference's flate2 output: mtime=0,
+    XFL=0, OS=0xFF (python's gzip writes OS=Unix, so build the member
+    manually around a raw-deflate body)."""
+    import struct
+    raw = _to_bytes(value)
+    co = _zlib.compressobj(compression_level, _zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    header = b"\x1f\x8b\x08\x00" + b"\x00\x00\x00\x00" + b"\x00\xff"
+    trailer = struct.pack("<II", _zlib.crc32(raw) & 0xFFFFFFFF,
+                          len(raw) & 0xFFFFFFFF)
+    return header + body + trailer
 
 
 def decode_zlib(value: bytes) -> str:
@@ -132,6 +157,15 @@ def _raw(value) -> bytes:
     return value.encode("latin-1", "replace")
 
 
+def _decompress_sized(codec, raw: bytes, size):
+    """pyarrow codecs require decompressed_size; probing with an
+    oversized buffer can return trailing garbage, so only the exact
+    header-derived size (or the codec's own inference) is trusted."""
+    if size is not None:
+        return codec.decompress(raw, decompressed_size=size, asbytes=True)
+    return codec.decompress(raw, asbytes=True)
+
+
 def _pa_codec(name: str):
     import pyarrow as pa
     try:
@@ -146,10 +180,38 @@ def encode_zstd(value: str, compression_level: int = 3) -> bytes:
     return codec.compress(_to_bytes(value), asbytes=True)
 
 
+def _zstd_content_size(raw: bytes):
+    """Parse the zstd frame header for Frame_Content_Size
+    (RFC 8878 §3.1.1); None when the frame does not carry it."""
+    if len(raw) < 6 or raw[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = raw[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    if fhd & 0b11:  # dictionary id
+        pos += {1: 1, 2: 2, 3: 4}[fhd & 0b11]
+    try:
+        if fcs_flag == 0:
+            return raw[pos] if single_segment else None
+        if fcs_flag == 1:
+            return int.from_bytes(raw[pos:pos + 2], "little") + 256
+        if fcs_flag == 2:
+            return int.from_bytes(raw[pos:pos + 4], "little")
+        return int.from_bytes(raw[pos:pos + 8], "little")
+    except IndexError:
+        return None
+
+
 def decode_zstd(value: bytes) -> str:
     codec = _pa_codec("zstd")
+    raw = _raw(value)
+    size = _zstd_content_size(raw)
     try:
-        return codec.decompress(_raw(value), asbytes=True).decode("utf-8", "replace")
+        out = _decompress_sized(codec, raw, size)
+        return out.decode("utf-8", "replace")
     except Exception as e:
         raise VrlError(f"unable to decode value with Zstd decoder: {e}") from e
 
@@ -160,22 +222,89 @@ def encode_snappy(value: str) -> bytes:
 
 
 def decode_snappy(value: bytes) -> str:
+    """Raw snappy stores the uncompressed length as a leading uvarint
+    — parse it so pyarrow gets the exact decompressed_size."""
     codec = _pa_codec("snappy")
+    raw = _raw(value)
+    size = 0
+    shift = 0
+    for i, b in enumerate(raw[:5]):
+        size |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
     try:
-        return codec.decompress(_raw(value), asbytes=True).decode("utf-8", "replace")
+        out = codec.decompress(raw, decompressed_size=size, asbytes=True)
+        return out.decode("utf-8", "replace")
     except Exception as e:
         raise VrlError(f"unable to decode value with Snappy decoder: {e}") from e
 
 
 def encode_lz4(value: str, prepend_size: bool = True) -> bytes:
-    codec = _pa_codec("lz4")
-    return codec.compress(_to_bytes(value), asbytes=True)
+    """encode_lz4.rs: lz4 BLOCK format with the uncompressed size
+    prepended little-endian (prepend_size=True, the VRL default)."""
+    import struct
+    raw = _to_bytes(value)
+    codec = _pa_codec("lz4_raw")
+    body = codec.compress(raw, asbytes=True)
+    if prepend_size:
+        return struct.pack("<I", len(raw)) + body
+    return body
 
 
-def decode_lz4(value: bytes, prepend_size: bool = True) -> str:
-    codec = _pa_codec("lz4")
+def decode_lz4(value: bytes, prepended_size: bool = True,
+               buf_size: int = 1024 * 1024) -> str:
+    """decode_lz4.rs: block format w/ prepended size, or LZ4 frame."""
+    import struct
+    raw = _raw(value)
+    if raw[:4] == b"\x04\x22\x4d\x18":  # LZ4 frame magic
+        # FLG bit 3 = content-size present (8 bytes LE after FLG/BD)
+        size = None
+        flg = raw[4]
+        hdr = 6
+        if (flg >> 3) & 1:
+            size = int.from_bytes(raw[6:14], "little")
+            hdr = 14
+        hdr += 1  # header checksum byte
+        if size is None:
+            # walk the frame: uncompressed blocks (high bit set in the
+            # block size) can be extracted without the codec
+            out_parts = []
+            pos = hdr
+            ok = True
+            while pos + 4 <= len(raw):
+                bsz = int.from_bytes(raw[pos:pos + 4], "little")
+                pos += 4
+                if bsz == 0:
+                    break  # EndMark
+                uncompressed = bool(bsz & 0x80000000)
+                bsz &= 0x7FFFFFFF
+                if not uncompressed:
+                    ok = False
+                    break
+                out_parts.append(raw[pos:pos + bsz])
+                pos += bsz
+                if (flg >> 4) & 1:
+                    pos += 4  # block checksum
+            if ok and out_parts:
+                return b"".join(out_parts).decode("utf-8", "replace")
+            raise VrlError(
+                "unable to decode value with Lz4 decoder: frame carries "
+                "no content size")
+        codec = _pa_codec("lz4")
+        try:
+            out = _decompress_sized(codec, raw, size)
+            return out.decode("utf-8", "replace")
+        except Exception as e:
+            raise VrlError(f"unable to decode value with Lz4 decoder: {e}") from e
+    codec = _pa_codec("lz4_raw")
     try:
-        return codec.decompress(_raw(value), asbytes=True).decode("utf-8", "replace")
+        if prepended_size and len(raw) >= 4:
+            size = struct.unpack("<I", raw[:4])[0]
+            out = codec.decompress(raw[4:], decompressed_size=size, asbytes=True)
+        else:
+            out = codec.decompress(raw, decompressed_size=buf_size, asbytes=True)
+        return out.decode("utf-8", "replace")
     except Exception as e:
         raise VrlError(f"unable to decode value with Lz4 decoder: {e}") from e
 
@@ -190,26 +319,33 @@ def encode_json(value: Any, pretty: bool = False) -> str:
     return _encode_json_sorted(value)
 
 
-def encode_csv(value: list, fields: Optional[list] = None) -> str:
-    """encode_csv.rs: one CSV record from an array (or object +
-    field list)."""
-    buf = io.StringIO()
-    w = _csv.writer(buf, lineterminator="")
+def encode_csv(value: list, delimiter: str = ",",
+               fields: Optional[list] = None) -> str:
+    """encode_csv.rs: one CSV record from an array; fields containing
+    the delimiter, quotes or newlines are double-quoted."""
     if isinstance(value, dict):
         if not fields:
             raise VrlError("fields required to encode an object")
-        w.writerow([_plain(value.get(f, "")) for f in fields])
+        items = [_plain(value.get(f, "")) for f in fields]
     elif isinstance(value, list):
-        w.writerow([_plain(v) for v in value])
+        items = [_plain(v) for v in value]
     else:
         raise VrlError("expected array or object")
-    return buf.getvalue()
+
+    def q(s: str) -> str:
+        if any(ch in s for ch in (delimiter, '"', "\n", "\r")):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    return delimiter.join(q(s) for s in items)
 
 
 def _plain(v) -> str:
     from .coerce import to_string
     if v is None:
         return ""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
     return to_string(v)
 
 
@@ -235,16 +371,18 @@ def encode_key_value(
             return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
         return s
 
-    def pair(k, v) -> str:
+    def pair(k, v):
         if flatten_boolean and v is True:
             return fmt(k)
+        if flatten_boolean and v is False:
+            return None  # false booleans are dropped entirely
         return f"{fmt(k)}{key_value_delimiter}{fmt(v)}"
 
     ordered = list(fields_ordering or [])
     rest = sorted(k for k in flat if k not in ordered)
     parts = [pair(k, flat[k]) for k in ordered if k in flat]
     parts += [pair(k, flat[k]) for k in rest]
-    return field_delimiter.join(parts)
+    return field_delimiter.join(p for p in parts if p is not None)
 
 
 def encode_logfmt(value: dict, fields_ordering: Optional[list] = None) -> str:

@@ -25,8 +25,8 @@ __all__ = [
     "is_string", "is_timestamp", "type_def",
 ]
 
-_TRUE_STRINGS = {"true", "t", "yes", "y"}
-_FALSE_STRINGS = {"false", "f", "no", "n"}
+_TRUE_STRINGS = {"true", "t", "yes", "y", "1"}
+_FALSE_STRINGS = {"false", "f", "no", "n", "0"}
 
 
 def to_bool(value: Any) -> bool:
@@ -111,9 +111,11 @@ def to_string(value: Any) -> str:
     if value is None:
         return ""
     if isinstance(value, datetime):
-        return value.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
-    if isinstance(value, (_regex.Pattern, _re.Pattern)):
-        return value.pattern
+        s = value.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        s = s.rstrip("0").rstrip(".")
+        return s + "Z"
+    if isinstance(value, bytes):
+        return value.decode("utf-8", "replace")
     raise VrlError(f"unable to coerce {vrl_type(value)} into string")
 
 
@@ -185,15 +187,28 @@ def is_integer(value) -> bool:
     return isinstance(value, int) and not isinstance(value, bool)
 
 
-def is_json(value) -> bool:
+def is_json(value, variant=None) -> bool:
+    """is_json.rs: optional variant asserts the parsed JSON type."""
     import json
     if not isinstance(value, str):
         return False
     try:
-        json.loads(value)
-        return True
+        parsed = json.loads(value)
     except ValueError:
         return False
+    if variant is None:
+        return True
+    checks = {
+        "object": lambda v: isinstance(v, dict),
+        "array": lambda v: isinstance(v, list),
+        "string": lambda v: isinstance(v, str),
+        "number": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+        "bool": lambda v: isinstance(v, bool),
+        "null": lambda v: v is None,
+    }
+    if variant not in checks:
+        raise VrlError(f"invalid json variant: {variant}")
+    return checks[variant](parsed)
 
 
 def is_null(value) -> bool:
@@ -225,6 +240,12 @@ def is_timestamp(value) -> bool:
     return isinstance(value, datetime)
 
 
-def type_def(value) -> str:
-    """type_def.rs analogue: kind name of the runtime value."""
-    return vrl_type(value)
+def type_def(value):
+    """type_def.rs: Kind object of the runtime value ({kind: true};
+    collections nest per-field/per-index)."""
+    t = vrl_type(value)
+    if t == "object":
+        return {"object": {k: type_def(v) for k, v in value.items()}}
+    if t == "array":
+        return {"array": {str(i): type_def(v) for i, v in enumerate(value)}}
+    return {t: True}

@@ -91,9 +91,10 @@ def format_number(
     value: Num,
     scale: Optional[int] = None,
     decimal_separator: str = ".",
-    grouping_separator: str = ",",
+    grouping_separator: str = "",
 ) -> str:
-    """format_number.rs: fixed scale + custom separators."""
+    """format_number.rs: fixed scale + custom separators (grouping
+    only when a grouping_separator is given)."""
     v = _num(value)
     if scale is not None:
         s = f"{float(v):.{scale}f}"

@@ -110,25 +110,42 @@ def compact(
     return walk(value)
 
 
-def flatten(value, separator: str = ".") -> Any:
-    """flatten.rs: nested objects/arrays -> single-level object with
-    dotted keys (arrays indexed [i] VRL-style: parent.0)."""
-    if not isinstance(value, (dict, list)):
-        raise VrlError("expected object or array")
+def flatten(value, separator: str = ".", except_: Optional[list] = None) -> Any:
+    """flatten.rs: a nested ARRAY flattens to a flat array; a nested
+    OBJECT flattens to dotted keys (arrays kept as leaf values, like
+    the reference); `except_` lists top-level keys left nested."""
+    skip = set(except_ or [])
+    if isinstance(value, list):
+        out_l: list = []
 
+        def walk_l(v):
+            for x in v:
+                if isinstance(x, list):
+                    walk_l(x)
+                else:
+                    out_l.append(x)
+
+        walk_l(value)
+        return out_l
+    if not isinstance(value, dict):
+        raise VrlError("expected object or array")
     out: dict = {}
 
-    def walk(v, prefix: str):
-        if isinstance(v, dict) and v:
+    def walk(v, prefix: str, top: bool):
+        if isinstance(v, dict) and v and not (top is False and False):
             for k, x in v.items():
-                walk(x, f"{prefix}{separator}{k}" if prefix else str(k))
-        elif isinstance(v, list) and v:
-            for i, x in enumerate(v):
-                walk(x, f"{prefix}{separator}{i}" if prefix else str(i))
+                if top and k in skip:
+                    out[str(k)] = x
+                    continue
+                key = f"{prefix}{separator}{k}" if prefix else str(k)
+                if isinstance(x, dict) and x:
+                    walk(x, key, False)
+                else:
+                    out[key] = x
         else:
             out[prefix] = v
 
-    walk(value, "")
+    walk(value, "", True)
     return out
 
 
@@ -168,21 +185,36 @@ def from_entries(value: list) -> dict:
     return out
 
 
-def to_entries(value: dict) -> list:
-    if not isinstance(value, dict):
-        raise VrlError("expected object")
-    return [{"key": k, "value": v} for k, v in value.items()]
+def to_entries(value) -> list:
+    """to_entries.rs: objects -> key/value entries; arrays -> entries
+    keyed by index."""
+    if isinstance(value, dict):
+        return [{"key": k, "value": v} for k, v in value.items()]
+    if isinstance(value, list):
+        return [{"key": i, "value": v} for i, v in enumerate(value)]
+    raise VrlError("expected object or array")
 
 
-def object_from_array(values: list, keys_: Optional[list] = None) -> dict:
-    """object_from_array.rs: [[k,v],..] or zip(keys, values)."""
-    if keys_ is not None:
-        return dict(zip([str(k) for k in keys_], values))
+def object_from_array(values: list, keys: Optional[list] = None) -> dict:
+    """object_from_array.rs: [[k,v],..] or zip(keys, values); null
+    keys skip the entry."""
+    if keys is not None:
+        out = {}
+        for k, v in zip(keys, values):
+            if k is None:
+                continue
+            if not isinstance(k, str):
+                raise VrlError("keys must be strings")
+            out[k] = v
+        return out
     out = {}
     for e in values:
         if not isinstance(e, list) or not e:
             raise VrlError("expected inner arrays [key, value]")
-        out[str(e[0])] = e[1] if len(e) > 1 else None
+        k = e[0]
+        if k is None:
+            continue
+        out[str(k)] = e[1] if len(e) > 1 else None
     return out
 
 
@@ -198,12 +230,17 @@ def zip_(array_0: list, array_1: Optional[list] = None) -> list:
 def map_keys(value: dict, fn: Callable[[str], str], recursive: bool = False) -> dict:
     if not isinstance(value, dict):
         raise VrlError("expected object")
-    out = {}
-    for k, v in value.items():
-        if recursive and isinstance(v, dict):
-            v = map_keys(v, fn, True)
-        out[fn(k)] = v
-    return out
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {fn(k): walk(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        return v
+
+    if recursive:
+        return walk(value)
+    return {fn(k): v for k, v in value.items()}
 
 
 def map_values(value, fn: Callable[[Any], Any], recursive: bool = False):
@@ -375,11 +412,19 @@ def exists(event: dict, path: str) -> bool:
     return True
 
 
+def _check_segments(path: list) -> list:
+    for seg in path:
+        if isinstance(seg, bool) or not isinstance(seg, (str, int)):
+            raise VrlError(
+                "path segment must be a string or an integer")
+    return path
+
+
 def get(value, path: list):
     """get.rs: path as runtime array of segments."""
     if not isinstance(path, list):
         raise VrlError("path must be an array")
-    return path_get(value, path)
+    return path_get(value, _check_segments(path))
 
 
 def set_(value, path: list, data):
@@ -387,7 +432,7 @@ def set_(value, path: list, data):
     if not isinstance(path, list):
         raise VrlError("path must be an array")
     import copy
-    return path_insert(copy.deepcopy(value), path, data)
+    return path_insert(copy.deepcopy(value), _check_segments(path), data)
 
 
 def remove(value, path: list, compact: bool = False):
@@ -395,5 +440,6 @@ def remove(value, path: list, compact: bool = False):
     if not isinstance(path, list):
         raise VrlError("path must be an array")
     import copy
-    root, _ = path_remove(copy.deepcopy(value), path, compact=compact)
+    root, _ = path_remove(copy.deepcopy(value), _check_segments(path),
+                          compact=compact)
     return root

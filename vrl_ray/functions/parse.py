@@ -231,15 +231,44 @@ def parse_grok(value: str, pattern: str) -> dict:
 # ---------------------------------------------------------------------------
 # parse_timestamp (parse_timestamp.rs:94-99)
 
+def _chrono_to_strptime(fmt: str) -> str:
+    """Translate chrono strftime tokens Python lacks."""
+    out = fmt.replace("%T", "%H:%M:%S").replace("%F", "%Y-%m-%d")
+    out = out.replace("%R", "%H:%M").replace("%v", "%d-%b-%Y")
+    out = out.replace("%e", "%d")
+    out = out.replace("%:z", "%z").replace("%#z", "%z")
+    return out
+
+
 def parse_timestamp(value, format: str, timezone_name: Optional[str] = None) -> datetime:
+    """parse_timestamp.rs:94-99 (+ explicit timezone parameter, the
+    context timezone of SURVEY §1.4)."""
     if isinstance(value, datetime):
         return value
-    try:
-        dt = datetime.strptime(value, format)
-    except (ValueError, TypeError) as e:
-        raise VrlError(f"unable to parse timestamp: {e}") from e
+    if "%+" in format:
+        try:
+            dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+        except ValueError as e:
+            raise VrlError(f"unable to parse timestamp: {e}") from e
+    else:
+        fmt = _chrono_to_strptime(format)
+        try:
+            dt = datetime.strptime(value, fmt)
+        except (ValueError, TypeError) as e:
+            # chrono is lenient about whitespace before the offset
+            try:
+                dt = datetime.strptime(value, fmt.replace(" %z", "%z"))
+            except (ValueError, TypeError):
+                raise VrlError(f"unable to parse timestamp: {e}") from e
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+        if timezone_name and timezone_name not in ("UTC", "utc"):
+            try:
+                from zoneinfo import ZoneInfo
+                dt = dt.replace(tzinfo=ZoneInfo(timezone_name))
+            except Exception as e:
+                raise VrlError(f"unable to parse timezone: {timezone_name}") from e
+        else:
+            dt = dt.replace(tzinfo=timezone.utc)
     return dt.astimezone(timezone.utc)
 
 
@@ -464,10 +493,9 @@ def parse_common_log(value: str, timestamp_format: str = "%d/%b/%Y:%T %z") -> di
     for k in ("host", "identity", "user"):
         if d[k] != "-":
             out[k] = d[k]
-    fmt = timestamp_format.replace("%T", "%H:%M:%S")
     try:
-        out["timestamp"] = datetime.strptime(d["timestamp"], fmt).astimezone(timezone.utc)
-    except ValueError as e:
+        out["timestamp"] = parse_timestamp(d["timestamp"], timestamp_format)
+    except VrlError as e:
         raise VrlError(f"failed parsing timestamp {d['timestamp']}: {e}") from e
     out["message"] = f'{d["method"]} {d["path"]} {d["protocol"]}'
     out["method"] = d["method"]
@@ -484,7 +512,7 @@ def parse_common_log(value: str, timestamp_format: str = "%d/%b/%Y:%T %z") -> di
 # e.g. I0813 16:10:35.231055 42324 main.cc:123] hello world
 
 _GLOG = _re.compile(
-    r"^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2})\s+"
+    r"^(?P<level>[IWEF])(?P<year>\d{4})?(?P<month>\d{2})(?P<day>\d{2})\s+"
     r"(?P<time>\d{2}:\d{2}:\d{2})\.(?P<usec>\d{6})\s+"
     r"(?P<thread>\d+)\s+(?P<file>[^:]+):(?P<line>\d+)\]\s*(?P<message>.*)$"
 )
@@ -496,9 +524,11 @@ def parse_glog(value: str) -> dict:
     if m is None:
         raise VrlError("failed parsing glog message")
     d = m.groupdict()
-    now_year = 2024  # glog omits the year; reference uses current year — frozen for determinism
+    # glog may omit the year; the reference falls back to the current
+    # year — frozen here for determinism
+    year = int(d["year"]) if d.get("year") else 2024
     ts = datetime(
-        now_year, int(d["month"]), int(d["day"]),
+        year, int(d["month"]), int(d["day"]),
         *map(int, d["time"].split(":")), int(d["usec"]), tzinfo=timezone.utc,
     )
     return {
@@ -516,8 +546,11 @@ def parse_glog(value: str) -> dict:
 
 _RFC5424 = _re.compile(
     r"^<(?P<pri>\d{1,3})>(?P<version>\d)\s+(?P<ts>\S+)\s+(?P<host>\S+)\s+"
-    r"(?P<app>\S+)\s+(?P<procid>\S+)\s+(?P<msgid>\S+)\s+(?:-|\[(?P<sd>[^\]]*)\])\s*(?P<msg>.*)$"
+    r"(?P<app>\S+)\s+(?P<procid>\S+)\s+(?P<msgid>\S+)\s+"
+    r"(?P<sd>-|(?:\[[^\]]*\])+)\s*(?P<msg>.*)$"
 )
+_SD_ELEMENT = _re.compile(r"\[(?P<id>\S+?)(?P<params>(?:\s+[^=\s\]]+\s*=\s*\"[^\"]*\")*)\]")
+_SD_PARAM = _re.compile(r"([^=\s\]]+)\s*=\s*\"([^\"]*)\"")
 _RFC3164 = _re.compile(
     r"^(?:<(?P<pri>\d{1,3})>)?(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+"
     r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)(?:\[(?P<procid>\d+)\])?:\s*(?P<msg>.*)$"
@@ -534,6 +567,9 @@ def parse_syslog(value: str) -> dict:
     if m:
         d = m.groupdict()
         out: dict = {"message": d["msg"]}
+        if d["sd"] and d["sd"] != "-":
+            for sde in _SD_ELEMENT.finditer(d["sd"]):
+                out[sde.group("id")] = dict(_SD_PARAM.findall(sde.group("params")))
         pri = int(d["pri"])
         out["severity"] = _SYSLOG_SEVERITIES[pri % 8]
         fac = pri // 8
@@ -548,7 +584,7 @@ def parse_syslog(value: str) -> dict:
                          ("procid", "procid"), ("msgid", "msgid")):
             if d[src] and d[src] != "-":
                 out[dst] = d[src]
-        if out.get("procid", "").isdigit() if "procid" in out else False:
+        if isinstance(out.get("procid"), str) and out["procid"].isdigit():
             out["procid"] = int(out["procid"])
         return out
     m = _RFC3164.match(value)
@@ -580,7 +616,7 @@ _UA_BROWSERS = [
     ("Chrome", _re.compile(r"Chrome/(?P<v>[\d.]+)")),
     ("Safari", _re.compile(r"Version/(?P<v>[\d.]+).*Safari")),
     ("Opera", _re.compile(r"Opera[/ ](?P<v>[\d.]+)")),
-    ("MSIE", _re.compile(r"MSIE (?P<v>[\d.]+)")),
+    ("Internet Explorer", _re.compile(r"MSIE (?P<v>[\d.]+)")),
     ("curl", _re.compile(r"curl/(?P<v>[\d.]+)")),
 ]
 _UA_OS = [
@@ -610,5 +646,11 @@ def parse_user_agent(value: str, mode: str = "fast") -> dict:
     if "Mobile" in value or "iPhone" in value or "Android" in value:
         device = {"category": "smartphone"}
     elif browser["family"]:
-        device = {"category": "desktop"}
+        device = {"category": "pc"}
+    if os["family"] == "Windows":
+        nt = {"5.1": "Windows XP", "6.1": "Windows 7", "6.2": "Windows 8",
+              "6.3": "Windows 8.1", "10.0": "Windows 10"}
+        fam = nt.get(os["version"] or "")
+        if fam:
+            os = {"family": fam, "version": f"NT {os['version']}"}
     return {"browser": browser, "os": os, "device": device}

@@ -48,29 +48,43 @@ _WORD_SPLIT = _re.compile(
 )
 
 
-def _words(value: str) -> list[str]:
-    return _WORD_SPLIT.findall(_s(value))
+def _words(value: str, original_case=None) -> list[str]:
+    """Split into words; with an `original_case` hint only that
+    case's boundaries split (casing/mod.rs original_case param)."""
+    v = _s(value)
+    if original_case in ("snake_case", "SCREAMING_SNAKE"):
+        return [w for w in v.split("_") if w]
+    if original_case == "kebab-case":
+        return [w for w in v.split("-") if w]
+    if original_case in ("camelCase", "PascalCase"):
+        return [w for w in _re.split(r"(?=[A-Z])", v) if w]
+    return _WORD_SPLIT.findall(v)
 
 
-def camelcase(value: str) -> str:
-    ws = _words(value)
+def camelcase(value: str, original_case: Optional[str] = None,
+        excluded_boundaries: Optional[list] = None) -> str:
+    ws = _words(value, original_case)
     return "".join([ws[0].lower()] + [w.capitalize() for w in ws[1:]]) if ws else ""
 
 
-def pascalcase(value: str) -> str:
-    return "".join(w.capitalize() for w in _words(value))
+def pascalcase(value: str, original_case: Optional[str] = None,
+        excluded_boundaries: Optional[list] = None) -> str:
+    return "".join(w.capitalize() for w in _words(value, original_case))
 
 
-def snakecase(value: str) -> str:
-    return "_".join(w.lower() for w in _words(value))
+def snakecase(value: str, original_case: Optional[str] = None,
+        excluded_boundaries: Optional[list] = None) -> str:
+    return "_".join(w.lower() for w in _words(value, original_case))
 
 
-def screamingsnakecase(value: str) -> str:
-    return "_".join(w.upper() for w in _words(value))
+def screamingsnakecase(value: str, original_case: Optional[str] = None,
+        excluded_boundaries: Optional[list] = None) -> str:
+    return "_".join(w.upper() for w in _words(value, original_case))
 
 
-def kebabcase(value: str) -> str:
-    return "-".join(w.lower() for w in _words(value))
+def kebabcase(value: str, original_case: Optional[str] = None,
+        excluded_boundaries: Optional[list] = None) -> str:
+    return "-".join(w.lower() for w in _words(value, original_case))
 
 
 def contains(value: str, substring: str, case_sensitive: bool = True) -> bool:
@@ -205,26 +219,39 @@ def strlen(value: str) -> int:
     return len(_s(value))
 
 
-def find(value: str, pattern, from_: int = 0) -> int:
+def find(value: str, pattern, from_: int = 0):
     """find.rs: char index of first occurrence at/after `from_`,
-    -1 if absent; pattern may be regex or literal."""
+    null if absent; pattern may be regex or literal."""
     v = _s(value)
     if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
         m = pattern.search(v, from_)
-        return m.start() if m else -1
+        return m.start() if m else None
     idx = v.find(_s(pattern), from_)
-    return idx
+    return idx if idx >= 0 else None
 
 
-def basename(value: str, suffix: Optional[str] = None) -> str:
-    b = os.path.basename(_s(value))
+def basename(value: str, suffix: Optional[str] = None):
+    """basename.rs (Rust Path::file_name): trailing slashes ignored;
+    "/" has no basename -> null."""
+    v = _s(value).rstrip("/")
+    if not v:
+        return None
+    b = v.rsplit("/", 1)[-1]
     if suffix and b.endswith(suffix):
         b = b[: -len(suffix)]
     return b
 
 
 def dirname(value: str) -> str:
-    return os.path.dirname(_s(value)) or "/"
+    """dirname.rs (Rust Path::parent): trailing slashes ignored;
+    bare filename -> "."."""
+    v = _s(value).rstrip("/")
+    if v == "":
+        return "/"
+    if "/" not in v:
+        return "."
+    d = v.rsplit("/", 1)[0]
+    return d or "/"
 
 
 def shannon_entropy(value: str, segmentation: str = "byte") -> float:
@@ -235,7 +262,9 @@ def shannon_entropy(value: str, segmentation: str = "byte") -> float:
         return 0.0
     if segmentation == "byte":
         symbols: list = list(v.encode("utf-8"))
-    elif segmentation in ("grapheme", "codepoint"):
+    elif segmentation == "grapheme":
+        symbols = _regex.findall(r"\X", v)  # true grapheme clusters
+    elif segmentation == "codepoint":
         symbols = list(v)
     else:
         raise VrlError(f"invalid segmentation: {segmentation}")
@@ -249,7 +278,33 @@ def shannon_entropy(value: str, segmentation: str = "byte") -> float:
 _SSN = _re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
 
 
+_REDACT_SHA2 = {
+    "SHA-224": hashlib.sha224, "SHA-256": hashlib.sha256,
+    "SHA-384": hashlib.sha384, "SHA-512": hashlib.sha512,
+    "SHA-512/224": lambda b: hashlib.new("sha512_224", b),
+    "SHA-512/256": lambda b: hashlib.new("sha512_256", b),
+}
+_REDACT_SHA3 = {
+    "SHA3-224": hashlib.sha3_224, "SHA3-256": hashlib.sha3_256,
+    "SHA3-384": hashlib.sha3_384, "SHA3-512": hashlib.sha3_512,
+}
+
+
 def _redactor(redactor) -> "callable":
+    """redact.rs redactor spec: "full" | "text" | "sha2" | "sha3" or
+    {"type":..., "variant":..., "encoding": "base16"|"base64"}.
+    Shorthand "sha2"/"sha3" = default variant (SHA-512/256, SHA3-512)
+    base64-encoded."""
+    import base64
+
+    def _hash(fn, encoding):
+        def apply(m):
+            d = fn(m.encode()).digest()
+            if encoding == "base16":
+                return d.hex()
+            return base64.b64encode(d).decode("ascii")
+        return apply
+
     if redactor is None or redactor == "full":
         return lambda m: "[REDACTED]"
     if isinstance(redactor, dict):
@@ -257,14 +312,20 @@ def _redactor(redactor) -> "callable":
         if typ == "text":
             return lambda m: redactor.get("replacement", "[REDACTED]")
         if typ == "sha2":
-            return lambda m: hashlib.sha512(m.encode()).hexdigest()
+            fn = _REDACT_SHA2.get(redactor.get("variant", "SHA-512/256"))
+            if fn is None:
+                raise VrlError(f"invalid sha2 variant: {redactor.get('variant')}")
+            return _hash(fn, redactor.get("encoding", "base64"))
         if typ == "sha3":
-            return lambda m: hashlib.sha3_512(m.encode()).hexdigest()
+            fn = _REDACT_SHA3.get(redactor.get("variant", "SHA3-512"))
+            if fn is None:
+                raise VrlError(f"invalid sha3 variant: {redactor.get('variant')}")
+            return _hash(fn, redactor.get("encoding", "base64"))
         return lambda m: "[REDACTED]"
     if redactor == "sha2":
-        return lambda m: hashlib.sha512(m.encode()).hexdigest()
+        return _hash(_REDACT_SHA2["SHA-512/256"], "base64")
     if redactor == "sha3":
-        return lambda m: hashlib.sha3_512(m.encode()).hexdigest()
+        return _hash(_REDACT_SHA3["SHA3-512"], "base64")
     raise VrlError(f"invalid redactor: {redactor!r}")
 
 

@@ -54,9 +54,24 @@ def format_timestamp(value: datetime, format: str, timezone_name: str = "UTC") -
             raise VrlError(f"unable to parse timezone: {timezone_name}") from e
     else:
         dt = dt.astimezone(timezone.utc)
-    # chrono's %T / %F shortcuts
-    fmt = format.replace("%T", "%H:%M:%S").replace("%F", "%Y-%m-%d")
-    return dt.strftime(fmt)
+    return dt.strftime(_translate_chrono(format, dt))
+
+
+def _translate_chrono(fmt: str, dt: datetime) -> str:
+    """chrono strftime specifiers Python lacks -> expansions."""
+    out = fmt.replace("%T", "%H:%M:%S").replace("%F", "%Y-%m-%d")
+    out = out.replace("%R", "%H:%M")
+    out = out.replace("%v", "%e-%b-%Y")
+    if "%e" in out:
+        out = out.replace("%e", str(dt.day).rjust(2))
+    if "%+" in out:
+        iso = dt.strftime("%Y-%m-%dT%H:%M:%S")
+        if dt.microsecond:
+            iso += f".{dt.microsecond:06d}".rstrip("0")
+        off = dt.strftime("%z") or "+0000"
+        iso += off[:3] + ":" + off[3:]
+        out = out.replace("%+", iso)
+    return out
 
 
 _UNITS = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6, "nanoseconds": 10**9}

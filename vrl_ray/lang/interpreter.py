@@ -1,0 +1,375 @@
+"""Tree-walking evaluator for the VRL subset — the analogue of the
+reference's AST runtime (src/compiler/runtime.rs:96-128): one event
+per resolve, in-place mutation, result = last expression.
+
+Fallibility-as-value: stdlib kernels raise VrlError; ``f!()`` converts
+an error into a program failure (VrlRuntimeError), ``??`` and
+``ok, err = expr`` capture it (assignment.rs:522-549). ``abort`` stops
+execution and marks the event dropped (runtime.rs:120-126).
+"""
+
+from __future__ import annotations
+
+import copy
+import re as _stdre
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+import regex as _regex
+
+from .. import value as V
+from ..value import VrlError
+from ..functions import REGISTRY
+from .parser import parse, ParseError
+
+
+class VrlRuntimeError(Exception):
+    """Unrecoverable program error (the Terminate::Error lane)."""
+
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
+class Abort(Exception):
+    """The `abort` expression (Terminate::Abort — event dropped)."""
+
+    def __init__(self, message: Optional[str] = None):
+        super().__init__(message or "aborted")
+        self.message = message
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+# named args whose VRL name collides with Python keywords / our impls
+_ARG_RENAME = {
+    "from": "from_", "else": "else_", "timezone": "timezone_name",
+    "except": "except_", "null": "null", "object": "object",
+    "array": "array", "string": "string", "with": "with_",
+}
+
+# registry entries implemented with trailing-underscore python names
+_POSITIONAL_HINTS: dict[str, list[str]] = {}
+
+
+class Program:
+    """A compiled VRL program. ``resolve(event)`` returns
+    ``(result, event, aborted)``; event is mutated in place like the
+    reference target."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self.stmts = parse(source)
+
+    def resolve(self, event: Any, metadata: Optional[dict] = None):
+        ctx = _Ctx(event, metadata or {})
+        result = None
+        try:
+            for s in self.stmts:
+                result = ctx.eval(s)
+        except Abort as a:
+            return None, ctx.root[0], a
+        except _Return as r:
+            return r.value, ctx.root[0], None
+        return result, ctx.root[0], None
+
+
+def compile_program(source: str) -> Program:
+    return Program(source)
+
+
+class _Ctx:
+    def __init__(self, event: Any, metadata: dict):
+        self.root = [event]          # boxed: `. = expr` replaces the root
+        self.meta = [metadata]
+        self.vars: dict[str, Any] = {}
+
+    # --- paths ---
+    def _read_path(self, prefix: str, segs: list):
+        base = self.root[0] if prefix == "event" else self.meta[0]
+        return V.path_get(base, segs)
+
+    def _write_path(self, prefix: str, segs: list, val):
+        box = self.root if prefix == "event" else self.meta
+        box[0] = V.path_insert(box[0], segs, val)
+
+    # --- evaluation ---
+    def eval(self, node) -> Any:
+        kind = node[0]
+        m = getattr(self, "_eval_" + kind, None)
+        if m is None:
+            raise VrlRuntimeError(f"unsupported node: {kind}")
+        return m(node)
+
+    _TEMPLATE = _regex.compile(r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}")
+
+    def _eval_lit(self, n):
+        v = n[1]
+        # VRL string templates: "{{ var_or_field }}" interpolation
+        # (src/parser/template_string.rs:8-24)
+        if isinstance(v, str) and "{{" in v:
+            from ..functions.coerce import to_string
+
+            def sub(m):
+                name = m.group(1)
+                if name in self.vars:
+                    return to_string(self.vars[name])
+                return to_string(self._read_path("event", name.lstrip(".").split(".")))
+
+            return self._TEMPLATE.sub(sub, v)
+        return v
+
+    def _eval_regex(self, n):
+        try:
+            return _regex.compile(n[1])
+        except _regex.error as e:
+            raise VrlRuntimeError(f"invalid regex: {e}") from e
+
+    def _eval_ts(self, n):
+        s = n[1].strip()
+        try:
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        except ValueError as e:
+            raise VrlRuntimeError(f"invalid timestamp literal: {s}") from e
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc)
+
+    def _eval_path(self, n):
+        return self._read_path(n[1], n[2])
+
+    def _eval_var(self, n):
+        name = n[1]
+        if name not in self.vars:
+            raise VrlError(f"undefined variable {name}")
+        return self.vars[name]
+
+    def _eval_array(self, n):
+        return [self.eval(e) for e in n[1]]
+
+    def _eval_object(self, n):
+        return {k: self.eval(v) for k, v in n[1]}
+
+    def _eval_index(self, n):
+        base = self.eval(n[1])
+        return V.path_get(base, n[2])
+
+    def _eval_not(self, n):
+        v = self.eval(n[1])
+        if not isinstance(v, bool):
+            raise VrlError(f"expected boolean, got {V.vrl_type(v)}")
+        return not v
+
+    def _eval_block(self, n):
+        out = None
+        for s in n[1]:
+            out = self.eval(s)
+        return out
+
+    def _eval_if(self, n):
+        for cond, body in n[1]:
+            c = self.eval(cond)
+            if not isinstance(c, bool):
+                raise VrlRuntimeError(
+                    f"if predicate must be boolean, got {V.vrl_type(c)}")
+            if c:
+                return self.eval(body)
+        if n[2] is not None:
+            return self.eval(n[2])
+        return None
+
+    def _eval_abort(self, n):
+        msg = self.eval(n[1]) if n[1] is not None else None
+        raise Abort(msg)
+
+    def _eval_return(self, n):
+        raise _Return(self.eval(n[1]))
+
+    def _eval_binop(self, n):
+        op, ln, rn = n[1], n[2], n[3]
+        if op == "??":
+            return V.coalesce(lambda: self.eval(ln), lambda: self.eval(rn))
+        if op == "||":
+            return V.logical_or(self.eval(ln), lambda: self.eval(rn))
+        if op == "&&":
+            return V.logical_and(self.eval(ln), lambda: self.eval(rn))
+        l = self.eval(ln)
+        r = self.eval(rn)
+        if op == "==":
+            return V.eq(l, r)
+        if op == "!=":
+            return not V.eq(l, r)
+        if op == ">":
+            return V.gt(l, r)
+        if op == ">=":
+            return V.ge(l, r)
+        if op == "<":
+            return V.lt(l, r)
+        if op == "<=":
+            return V.le(l, r)
+        if op == "+":
+            return V.add(l, r)
+        if op == "-":
+            return V.sub(l, r)
+        if op == "*":
+            return V.mul(l, r)
+        if op == "/":
+            return V.div(l, r)
+        if op == "%":
+            return V.rem(l, r)
+        if op == "|":
+            return V.merge_shallow(l, r)
+        raise VrlRuntimeError(f"unknown operator {op}")
+
+    def _eval_assign(self, n):
+        targets, op, expr = n[1], n[2], n[3]
+        infallible = len(targets) == 2
+        err_val = None
+        try:
+            val = self.eval(expr)
+        except (VrlError,) as e:
+            if infallible:
+                val = None
+                err_val = e.message if hasattr(e, "message") else str(e)
+            else:
+                raise
+        self._assign_target(targets[0], val, op)
+        if infallible:
+            self._assign_target(targets[1], err_val, "=")
+        return val if err_val is None else err_val
+
+    def _assign_target(self, tgt, val, op):
+        kind = tgt[0]
+        if kind == "discard":
+            return
+        if kind == "path":
+            if op == "|=":
+                cur = self._read_path(tgt[1], tgt[2])
+                val = V.merge_shallow(cur if isinstance(cur, dict) else {}, val)
+            self._write_path(tgt[1], tgt[2], copy.deepcopy(val))
+            return
+        if kind == "var":
+            if op == "|=":
+                cur = self.vars.get(tgt[1])
+                val = V.merge_shallow(cur if isinstance(cur, dict) else {}, val)
+            self.vars[tgt[1]] = val
+            return
+        if kind == "varpath":
+            base = self.vars.get(tgt[1])
+            self.vars[tgt[1]] = V.path_insert(base, tgt[2], val)
+            return
+        raise VrlRuntimeError(f"invalid assignment target {kind}")
+
+    # --- function calls ---
+    def _eval_call(self, n):
+        _, name, bang, args, closure = n
+        try:
+            return self._call(name, args, closure)
+        except VrlError as e:
+            if bang:
+                raise VrlRuntimeError(
+                    f"function call error for \"{name}\": {e.message}") from e
+            raise
+
+    def _call(self, name, args, closure):
+        # path-argument builtins operate on the event / variables /
+        # inline containers (del.rs, exists.rs take query arguments)
+        if name in ("del", "exists") and args and args[0][1][0] in (
+                "path", "index", "var"):
+            anode = args[0][1]
+            compact_flag = False
+            for an, av in args[1:]:
+                if an in (None, "compact"):
+                    compact_flag = bool(self.eval(av))
+            if anode[0] == "path":
+                if name == "exists":
+                    return self._path_exists(anode)
+                box = self.root if anode[1] == "event" else self.meta
+                box[0], removed = V.path_remove(box[0], anode[2],
+                                                compact=compact_flag)
+                return removed
+            if anode[0] == "index" and anode[1][0] == "var":
+                vname, segs = anode[1][1], anode[2]
+                base = self.vars.get(vname)
+                if name == "exists":
+                    from ..functions.object import exists as _ex
+                    return _ex(base, segs)
+                new_base, removed = V.path_remove(base, segs,
+                                                  compact=compact_flag)
+                self.vars[vname] = new_base
+                return removed
+            # inline container expression: no persistence
+            base = self.eval(anode[1]) if anode[0] == "index" else self.eval(anode)
+            segs = anode[2] if anode[0] == "index" else []
+            if name == "exists":
+                from ..functions.object import exists as _ex
+                return _ex(base, segs)
+            _, removed = V.path_remove(base, segs, compact=compact_flag)
+            return removed
+        if name == "assert":
+            cond = self.eval(args[0][1])
+            msg = self.eval(args[1][1]) if len(args) > 1 else "assertion failed"
+            if cond is not True:
+                raise VrlError(str(msg))
+            return True
+        if name == "assert_eq":
+            l = self.eval(args[0][1])
+            r = self.eval(args[1][1])
+            if not V.eq(l, r):
+                raise VrlError(f"assertion failed: {l!r} == {r!r}")
+            return True
+
+        fn = REGISTRY.get(name)
+        if fn is None:
+            raise VrlRuntimeError(f"undefined function {name}")
+        pos, kw = [], {}
+        for aname, aexpr in args:
+            v = self.eval(aexpr)
+            if aname is None:
+                pos.append(v)
+            else:
+                kw[_ARG_RENAME.get(aname, aname)] = v
+        if closure is not None:
+            params, body = closure
+
+            def closure_fn(*cargs):
+                saved = {p: self.vars.get(p) for p in params}
+                try:
+                    for p, a in zip(params, cargs):
+                        self.vars[p] = a
+                    # single-param closures over 2-arg callbacks: pad
+                    if len(params) > len(cargs):
+                        for p in params[len(cargs):]:
+                            self.vars[p] = None
+                    return self.eval(body)
+                finally:
+                    for p, old in saved.items():
+                        self.vars[p] = old
+
+            pos.append(_adapt_closure(name, closure_fn, len(params)))
+        try:
+            return fn(*pos, **kw)
+        except VrlError:
+            raise
+        except TypeError as e:
+            raise VrlRuntimeError(f"bad arguments for {name}: {e}") from e
+
+    def _path_exists(self, pnode) -> bool:
+        from ..functions.object import exists as _exists
+        base = self.root[0] if pnode[1] == "event" else self.meta[0]
+        return _exists(base, pnode[2])
+
+
+def _adapt_closure(fname: str, fn, nparams: int):
+    """Bridge VRL closure arity to the python stdlib callbacks:
+    map_keys/|k|, map_values/|v|, filter+for_each/|k,v| or |i,v|,
+    replace_with/|m|."""
+    if fname in ("map_keys", "map_values", "replace_with"):
+        return lambda a: fn(a)
+    if fname in ("filter", "for_each"):
+        return lambda k, v: fn(k, v)
+    # generic: pass through as-is
+    return fn

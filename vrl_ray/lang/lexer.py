@@ -1,0 +1,153 @@
+"""VRL lexer (token subset of /root/reference/src/parser/lex.rs)."""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+
+class Token(NamedTuple):
+    kind: str
+    value: object
+    pos: int
+
+
+class LexError(ValueError):
+    pass
+
+
+KEYWORDS = {"if", "else", "true", "false", "null", "abort", "return"}
+
+_TWO_CHAR = ["??", "==", "!=", ">=", "<=", "&&", "||", "->", "|="]
+_ONE_CHAR = list("{}[]()<>=+-*/%!|,;:.")
+
+_NUM = re.compile(r"-?(?:\d[\d_]*\.\d[\d_]*|\d[\d_]*)")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_WS = re.compile(r"[ \t]+")
+_NL = re.compile(r"[\r\n]+")
+_COMMENT = re.compile(r"#[^\n]*")
+
+
+def _string(src: str, i: int, quote: str) -> tuple[str, int]:
+    out = []
+    i += 1
+    while i < len(src):
+        c = src[i]
+        if c == "\\":
+            nxt = src[i + 1] if i + 1 < len(src) else ""
+            esc = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
+                   "\\": "\\", "0": "\0", "{": "{", "}": "}"}.get(nxt)
+            if esc is None:
+                out.append(c); i += 1
+            else:
+                out.append(esc); i += 2
+            continue
+        if c == quote:
+            return "".join(out), i + 1
+        out.append(c)
+        i += 1
+    raise LexError(f"unterminated string at {i}")
+
+
+def _raw(src: str, i: int) -> tuple[str, int]:
+    # s'..' / r'..' / t'..' raw literal: only \' is an escape
+    quote = src[i]
+    out = []
+    i += 1
+    while i < len(src):
+        c = src[i]
+        if c == "\\" and i + 1 < len(src) and src[i + 1] == quote:
+            out.append(quote); i += 2
+            continue
+        if c == quote:
+            return "".join(out), i + 1
+        out.append(c); i += 1
+    raise LexError(f"unterminated raw string at {i}")
+
+
+def tokenize(src: str) -> list[Token]:
+    toks: list[Token] = []
+    i, n = 0, len(src)
+    while i < n:
+        m = _WS.match(src, i)
+        if m:
+            i = m.end(); continue
+        m = _NL.match(src, i)
+        if m:
+            # newline = statement separator (parser skips where
+            # insignificant); collapse runs
+            if not toks or toks[-1].kind != "NL":
+                toks.append(Token("NL", "\n", i))
+            i = m.end(); continue
+        m = _COMMENT.match(src, i)
+        if m:
+            i = m.end(); continue
+        c = src[i]
+        # typed raw strings s'..' r'..' t'..'
+        if c in "srt" and i + 1 < n and src[i + 1] == "'":
+            body, j = _raw(src, i + 1)
+            kind = {"s": "STRING", "r": "REGEX", "t": "TIMESTAMP"}[c]
+            toks.append(Token(kind, body, i))
+            i = j
+            continue
+        if c == '"' or c == "'":
+            body, j = _string(src, i, c)
+            toks.append(Token("STRING", body, i))
+            i = j
+            continue
+        if c.isdigit() or (c == "-" and i + 1 < n and src[i + 1].isdigit()
+                           and toks and toks[-1].kind in
+                           ("OP", "LPAREN", "LBRACKET", "LBRACE", "COMMA",
+                            "COLON", "ASSIGN", "SEMI") ):
+            m = _NUM.match(src, i)
+            text = m.group(0).replace("_", "")
+            if "." in text:
+                toks.append(Token("FLOAT", float(text), i))
+            else:
+                toks.append(Token("INT", int(text), i))
+            i = m.end()
+            continue
+        if c.isdigit():
+            m = _NUM.match(src, i)
+            text = m.group(0).replace("_", "")
+            toks.append(Token("FLOAT" if "." in text else "INT",
+                              float(text) if "." in text else int(text), i))
+            i = m.end()
+            continue
+        matched2 = next((t for t in _TWO_CHAR if src.startswith(t, i)), None)
+        if matched2:
+            toks.append(Token("OP", matched2, i))
+            i += 2
+            continue
+        m = _IDENT.match(src, i)
+        if m:
+            w = m.group(0)
+            if w in KEYWORDS:
+                toks.append(Token(w.upper(), w, i))
+            else:
+                toks.append(Token("IDENT", w, i))
+            i = m.end()
+            continue
+        if c == "%" and i + 1 < n and (src[i + 1].isalpha() or src[i + 1] == "_"):
+            toks.append(Token("PERCENT_PATH", "%", i))
+            i += 1
+            continue
+        if c in "{}[]()":
+            kind = {"{": "LBRACE", "}": "RBRACE", "[": "LBRACKET",
+                    "]": "RBRACKET", "(": "LPAREN", ")": "RPAREN"}[c]
+            toks.append(Token(kind, c, i))
+            i += 1
+            continue
+        if c == ",":
+            toks.append(Token("COMMA", c, i)); i += 1; continue
+        if c == ";":
+            toks.append(Token("SEMI", c, i)); i += 1; continue
+        if c == ":":
+            toks.append(Token("COLON", c, i)); i += 1; continue
+        if c == "=":
+            toks.append(Token("ASSIGN", c, i)); i += 1; continue
+        if c in "+-*/%<>!|.":
+            toks.append(Token("OP", c, i)); i += 1; continue
+        raise LexError(f"unexpected character {c!r} at {i}")
+    toks.append(Token("EOF", None, n))
+    return toks

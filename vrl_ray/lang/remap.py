@@ -1,0 +1,106 @@
+"""RemapStage: run a VRL program per event inside Ray Data.
+
+This is the compatibility path for users bringing actual VRL programs
+(the reference's embedding pattern, examples/simple.rs:8-41: compile
+once, clone per worker, resolve per event). The program is compiled
+ONCE per actor (``__init__``); each batch runs rows through the
+tree-walking evaluator.
+
+Events are built from row columns; new fields the program writes
+become JSON in an ``extra`` column unless they are scalars, which
+become top-level columns (schema inferred from the first batch and
+then pinned). Aborted events get ``aborted=True`` (route them with
+``ds.filter``); program errors land in ``vrl_err`` — neither ever
+raises out of the stage, so retries stay idempotent.
+
+For hot pipelines prefer the vectorized stages (stages/parse.py etc.);
+RemapStage trades throughput for full language compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import pyarrow as pa
+
+from ..value import VrlError, encode_json
+from .interpreter import Program, Abort
+
+
+class RemapStage:
+    """``ds.map_batches(RemapStage, fn_constructor_kwargs=
+    dict(source=PROGRAM), concurrency=N, batch_format="pyarrow")``"""
+
+    def __init__(self, source: str, drop_aborted: bool = False):
+        self.program = Program(source)   # compile once per actor
+        self.drop_aborted = drop_aborted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        in_cols = batch.column_names
+        rows = batch.to_pylist()
+        out_rows = []
+        for row in rows:
+            event = dict(row)
+            try:
+                _, mutated, aborted = self.program.resolve(event)
+                err = None
+            except VrlError as e:
+                mutated, aborted, err = event, None, e.message
+            except Exception as e:  # program error lane, never raise
+                mutated, aborted, err = event, None, str(e)
+            if aborted is not None and self.drop_aborted:
+                continue
+            if not isinstance(mutated, dict):
+                mutated = {"value": mutated}
+            mutated["aborted"] = aborted is not None
+            mutated["vrl_err"] = err
+            out_rows.append(mutated)
+        return _rows_to_table(out_rows, in_cols)
+
+
+def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
+    """Stable schema: input columns + scalar new fields as columns,
+    non-scalar new fields JSON-encoded into ``extra``."""
+    if not rows:
+        return pa.table({c: pa.array([]) for c in in_cols})
+    # collect new scalar fields across the batch
+    new_fields: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in in_cols and k not in ("aborted", "vrl_err") and \
+                    k not in new_fields:
+                new_fields.append(k)
+    cols: dict[str, list] = {c: [] for c in in_cols}
+    scalar_fields = [
+        f for f in new_fields
+        if all(not isinstance(r.get(f), (dict, list)) for r in rows)
+    ]
+    complex_fields = [f for f in new_fields if f not in scalar_fields]
+    for f in scalar_fields:
+        cols[f] = []
+    cols["extra"] = []
+    cols["aborted"] = []
+    cols["vrl_err"] = []
+    for r in rows:
+        for c in in_cols:
+            cols[c].append(r.get(c))
+        for f in scalar_fields:
+            cols[f].append(r.get(f))
+        extra = {f: r[f] for f in complex_fields if f in r}
+        cols["extra"].append(encode_json(extra) if extra else None)
+        cols["aborted"].append(r["aborted"])
+        cols["vrl_err"].append(r["vrl_err"])
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def remap(ds, source: str, *, concurrency=(1, 8), batch_size: int = 8192,
+          drop_aborted: bool = False):
+    """Apply a VRL program to every row of a Dataset."""
+    return ds.map_batches(
+        RemapStage,
+        fn_constructor_kwargs=dict(source=source, drop_aborted=drop_aborted),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
