@@ -30,7 +30,9 @@ DOCS = "/root/reference/docs/generated"
 # nondeterministic (reference marks these via Example.deterministic,
 # function.rs:121-123) — value comparison meaningless
 NONDET = {"now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
-          "random_float", "random_int", "get_hostname", "get_timezone_name"}
+          "random_float", "random_int", "get_hostname", "get_timezone_name",
+          # network I/O — stubbed ([X] category), results machine-dependent
+          "dns_lookup", "reverse_dns", "http_request", "get_env_var"}
 
 # known divergences (documented): full ua-parser database, XXH3
 # variants, zstd frame parameter bytes
@@ -59,8 +61,14 @@ def _unwrap(w):
 
 def _jsonable(v):
     if isinstance(v, datetime):
-        s = v.astimezone(timezone.utc).strftime(
-            "%Y-%m-%dT%H:%M:%S.%f").rstrip("0").rstrip(".")
+        # chrono prints fractional seconds in 3/6/9-digit groups
+        u = v.astimezone(timezone.utc)
+        s = u.strftime("%Y-%m-%dT%H:%M:%S")
+        if u.microsecond:
+            if u.microsecond % 1000 == 0:
+                s += f".{u.microsecond // 1000:03d}"
+            else:
+                s += f".{u.microsecond:06d}"
         return s + "Z"
     if isinstance(v, (_rx.Pattern, re.Pattern)):
         return v.pattern
@@ -99,7 +107,8 @@ def _collect():
             if called & NONDET:
                 continue
             if called - set(REGISTRY) - {"del", "exists", "assert",
-                                         "assert_eq", "if", "abort"}:
+                                         "assert_eq", "if", "abort",
+                                         "unnest"}:
                 continue  # functions outside our surface ([X] category)
             marks = []
             if (name, idx) in KNOWN_DIVERGENT:
@@ -129,4 +138,4 @@ def test_docs_example(src, inp, want, raises):
 
 def test_coverage_floor():
     """The evaluable-example count must not silently shrink."""
-    assert len(CASES) >= 495, len(CASES)
+    assert len(CASES) >= 590, len(CASES)

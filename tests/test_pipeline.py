@@ -142,3 +142,30 @@ class TestResume:
         a1 = r1["agg_tool"].sort_values(["sink", "tool"]).reset_index(drop=True)
         a2 = r2["agg_tool"].sort_values(["sink", "tool"]).reset_index(drop=True)
         assert a1.equals(a2)
+
+
+class TestErrorLane:
+    """Malformed input must never raise from a stage — it routes to
+    the error sink (VRL error-as-value semantics, runtime.rs:120-126)."""
+
+    def test_nulls_and_garbage_route_to_errors(self):
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+
+        from vrl_ray.stages.parse import parse_batch
+        from vrl_ray.stages.enrich import Enrich
+        from vrl_ray.stages.route import route_batch
+
+        b = pa.table({
+            "conv_id": pa.array(["c1", "c2", "c3"]),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": pa.array(["user", None, "tool"]),
+            "text": pa.array([None, "", "\x00garbage \xff"]),
+            "tool": pa.array([None, "zzz_unknown", "bash"]),
+            "ts": pa.array([datetime.now(timezone.utc)] * 3,
+                           pa.timestamp("us", tz="UTC")),
+        })
+        out = route_batch(Enrich()(parse_batch(b)))
+        assert out["sink"].to_pylist() == ["errors"] * 3
+        assert out["enrich_err"].to_pylist()[1] is not None

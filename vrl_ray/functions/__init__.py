@@ -18,6 +18,10 @@ from __future__ import annotations
 from typing import Callable
 
 from . import parse as _parse
+from . import parse_logs as _parse_logs
+from . import parse_data as _parse_data
+from . import crypto as _crypto
+from . import misc as _misc
 from . import string as _string
 from . import coerce as _coerce
 from . import number as _number
@@ -50,6 +54,51 @@ _bulk(_parse, {
     "parse_int": "parse_int", "parse_float": "parse_float",
     "parse_common_log": "parse_common_log", "parse_glog": "parse_glog",
     "parse_syslog": "parse_syslog", "parse_user_agent": "parse_user_agent",
+})
+_bulk(_parse_logs, {
+    "parse_apache_log": "parse_apache_log",
+    "parse_nginx_log": "parse_nginx_log",
+    "parse_klog": "parse_klog",
+    "parse_linux_authorization": "parse_linux_authorization",
+    "parse_cef": "parse_cef",
+    "parse_aws_alb_log": "parse_aws_alb_log",
+    "parse_aws_vpc_flow_log": "parse_aws_vpc_flow_log",
+    "parse_aws_cloudwatch_log_subscription_message":
+        "parse_aws_cloudwatch_log_subscription_message",
+    "parse_influxdb": "parse_influxdb",
+})
+_bulk(_parse_data, {
+    "parse_ruby_hash": "parse_ruby_hash", "parse_xml": "parse_xml",
+    "parse_yaml": "parse_yaml", "parse_cbor": "parse_cbor",
+    "parse_proto": "parse_proto", "encode_proto": "encode_proto",
+    "parse_etld": "parse_etld",
+    "validate_json_schema": "validate_json_schema",
+})
+from . import groks as _groks
+from . import datadog_query as _ddq
+
+register("parse_groks", _groks.parse_groks)
+register("match_datadog_query", _ddq.match_datadog_query)
+_bulk(_crypto, {
+    "encrypt": "encrypt", "decrypt": "decrypt",
+    "encrypt_ip": "encrypt_ip", "decrypt_ip": "decrypt_ip",
+})
+_bulk(_misc, {
+    "split_path": "split_path", "community_id": "community_id",
+    "haversine": "haversine",
+    "tag_types_externally": "tag_types_externally",
+    "uuid_v4": "uuid_v4", "uuid_v7": "uuid_v7",
+    "uuid_from_friendly_id": "uuid_from_friendly_id",
+    "random_bool": "random_bool", "random_bytes": "random_bytes",
+    "random_float": "random_float", "random_int": "random_int",
+    "get_env_var": "get_env_var", "get_hostname": "get_hostname",
+    "get_timezone_name": "get_timezone_name", "log": "log",
+    "to_syslog_facility_code": "to_syslog_facility_code",
+    "decode_mime_q": "decode_mime_q",
+    "encode_charset": "encode_charset",
+    "decode_charset": "decode_charset",
+    "dns_lookup": "dns_lookup", "reverse_dns": "reverse_dns",
+    "http_request": "http_request",
 })
 _bulk(_string, {
     "downcase": "downcase", "upcase": "upcase", "camelcase": "camelcase",

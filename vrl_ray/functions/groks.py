@@ -1,0 +1,322 @@
+"""parse_groks — the Datadog grok dialect.
+
+Reference: parse_groks.rs (530 LoC) + src/datadog/grok/ (parse rules
+parse_grok_rules.rs:24-120: alias resolution with cycle detection,
+first-matching-pattern-wins; matchers under datadog/grok/matchers/,
+post-filters under datadog/grok/filters/).
+
+Supported surface (documented subset):
+- patterns: list tried in order, first full match wins
+- aliases + alias_sources (JSON files of name→pattern; `aliases`
+  entries take precedence), recursive expansion w/ cycle detection
+- classic grok patterns (uppercase, from the shared base set)
+- Datadog matchers: data, notSpace, word, integer, number, boolean,
+  ipv4, ipv6, ip, ipOrHost, hostname, port, doubleQuotedString,
+  singleQuotedString, quotedString, uuid, date("fmt"), regex("...")
+- filters: number, integer, boolean, scale(x), lowercase, uppercase,
+  nullIf("v"), json, querystring, decodeuricomponent, array([sep]),
+  keyvalue([kvSep[, valueCharset]])
+
+Compile once per distinct (patterns, aliases) — the stage layer caches
+compiled rule sets per actor, mirroring the reference's compile-time
+`Arc` state (parse_grok.rs:148-169).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re as _stdre
+from typing import Any, Optional
+from urllib.parse import parse_qsl, unquote
+
+import regex as _regex
+
+from ..value import VrlError
+from ..grok import BASE_PATTERNS
+from .parse_data import resolve_data_path
+
+__all__ = ["parse_groks", "compile_groks"]
+
+_MAX_DEPTH = 64
+
+# Datadog matchers → (regex, implicit filter)
+_DD_MATCHERS: dict[str, tuple[str, Optional[str]]] = {
+    "data": (r".*?", None),
+    "notSpace": (r"\S+", None),
+    "word": (r"\w+", None),
+    "integer": (r"[+-]?\d+", "integer"),
+    "integerStr": (r"[+-]?\d+", None),
+    "integerExt": (r"[+-]?\d+(?:[eE][+-]?\d+)?", "number"),
+    "number": (r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", "number"),
+    "numberStr": (r"[+-]?(?:\d+\.?\d*|\.\d+)", None),
+    "numberExt": (r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", "number"),
+    "boolean": (r"(?:[Tt]rue|[Ff]alse)", "boolean"),
+    "ipv4": (BASE_PATTERNS["IPV4"], None),
+    "ipv6": (BASE_PATTERNS["IPV6"], None),
+    "ip": (BASE_PATTERNS["IP"], None),
+    "hostname": (BASE_PATTERNS["HOSTNAME"], None),
+    "ipOrHost": (BASE_PATTERNS["IPORHOST"], None),
+    "port": (r"\d{1,5}", None),
+    "doubleQuotedString": (r'"[^"]*"', None),
+    "singleQuotedString": (r"'[^']*'", None),
+    "quotedString": (r'(?:"[^"]*"|\'[^\']*\')', None),
+    "uuid": (BASE_PATTERNS["UUID"], None),
+}
+
+# java date-format token → regex fragment (matchers/date.rs)
+_DATE_TOKENS = [
+    ("yyyy", r"\d{4}"), ("yy", r"\d{2}"),
+    ("MMMM", r"[A-Za-z]+"), ("MMM", r"[A-Za-z]{3}"), ("MM", r"\d{2}"),
+    ("M", r"\d{1,2}"),
+    ("dd", r"\d{2}"), ("d", r"\d{1,2}"),
+    ("HH", r"\d{2}"), ("H", r"\d{1,2}"),
+    ("hh", r"\d{2}"), ("h", r"\d{1,2}"),
+    ("mm", r"\d{2}"), ("m", r"\d{1,2}"),
+    ("ss", r"\d{2}"), ("s", r"\d{1,2}"),
+    ("SSSSSS", r"\d{6}"), ("SSS", r"\d{3}"), ("S", r"\d{1,3}"),
+    ("EEEE", r"[A-Za-z]+"), ("EEE", r"[A-Za-z]{3}"),
+    ("ZZZZ", r"[+-]\d{2}:?\d{2}"), ("ZZ", r"[+-]\d{2}:?\d{2}"),
+    ("Z", r"[+-]\d{4}"), ("z", r"[A-Za-z/+_0-9:-]+"),
+    ("a", r"[APap][Mm]"), ("'T'", "T"), ("T", "T"),
+]
+
+
+def _date_regex(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        for tok, rx in _DATE_TOKENS:
+            if fmt.startswith(tok, i):
+                out.append(rx)
+                i += len(tok)
+                break
+        else:
+            out.append(_stdre.escape(fmt[i]))
+            i += 1
+    return "".join(out)
+
+
+def _split_spec(spec: str) -> list[str]:
+    """Split `matcher:dest:filter` on ':' outside parens/quotes."""
+    parts, cur, depth, q = [], [], 0, None
+    for c in spec:
+        if q:
+            cur.append(c)
+            if c == q:
+                q = None
+            continue
+        if c in "\"'":
+            q = c
+            cur.append(c)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == ":" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_call(s: str) -> tuple[str, list]:
+    """`name("a", 2)` → (name, [args]); bare name → (name, [])."""
+    m = _stdre.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\((.*)\))?\s*$", s,
+                     _stdre.S)
+    if not m:
+        return s.strip(), []
+    name = m.group(1)
+    if m.group(2) is None:
+        return name, []
+    raw = m.group(3).strip()
+    args: list = []
+    if raw:
+        for piece in _stdre.findall(
+                r'"((?:[^"\\]|\\.)*)"|\'((?:[^\'\\]|\\.)*)\'|([^,]+)', raw):
+            if piece[0] or piece[1]:
+                args.append((piece[0] or piece[1]).replace('\\"', '"'))
+            else:
+                tok = piece[2].strip()
+                try:
+                    args.append(int(tok))
+                except ValueError:
+                    try:
+                        args.append(float(tok))
+                    except ValueError:
+                        args.append(tok)
+    return name, args
+
+
+def _apply_filter(value, name: str, args: list):
+    if value is None:
+        return None
+    if name == "integer":
+        try:
+            return int(float(value))
+        except (TypeError, ValueError):
+            return None
+    if name == "number":
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    if name == "boolean":
+        return str(value).lower() == "true"
+    if name == "scale":
+        try:
+            return float(value) * float(args[0])
+        except (TypeError, ValueError, IndexError):
+            return None
+    if name == "lowercase":
+        return str(value).lower()
+    if name == "uppercase":
+        return str(value).upper()
+    if name == "nullIf":
+        return None if args and str(value) == str(args[0]) else value
+    if name == "json":
+        try:
+            return _json.loads(value)
+        except ValueError:
+            return None
+    if name == "querystring":
+        return dict(parse_qsl(str(value).lstrip("?"), keep_blank_values=True))
+    if name == "decodeuricomponent":
+        return unquote(str(value))
+    if name == "array":
+        s = str(value).strip()
+        if s and s[0] in "[(" and s[-1] in "])":
+            s = s[1:-1]
+        sep = str(args[-1]) if args else ","
+        return [p.strip() for p in s.split(sep)] if s else []
+    if name == "keyvalue":
+        from .parse import parse_key_value
+
+        kv_sep = str(args[0]) if args else "="
+        try:
+            return parse_key_value(str(value), key_value_delimiter=kv_sep)
+        except VrlError:
+            return None
+    if name == "date":
+        # parsed at match time by the matcher; pass through
+        return value
+    raise VrlError(f"unsupported grok filter: {name}")
+
+
+class _CompiledGroks:
+    """One rule set: patterns expanded to anchored regexes."""
+
+    def __init__(self, patterns: list[str], aliases: dict[str, str]):
+        self.rules = []
+        for p in patterns:
+            comp = _DdPattern(p, aliases)
+            self.rules.append(comp)
+
+    def parse(self, value: str) -> dict:
+        for rule in self.rules:
+            out = rule.match(value)
+            if out is not None:
+                return out
+        raise VrlError("unable to parse input with grok patterns")
+
+
+class _DdPattern:
+    def __init__(self, pattern: str, aliases: dict[str, str]):
+        self.aliases = aliases
+        self._fields: dict[str, tuple[str, list]] = {}  # group → (dest, filters)
+        self._n = 0
+        expanded = self._expand(pattern, ())
+        try:
+            self.regex = _regex.compile(r"^\s*" + expanded + r"\s*$")
+        except _regex.error as e:
+            raise VrlError(f"invalid grok pattern {pattern!r}: {e}") from e
+
+    _REF = _regex.compile(r"%\{((?:[^{}\"']|\"[^\"]*\"|'[^']*')+)\}")
+
+    def _expand(self, pat: str, stack: tuple) -> str:
+        if len(stack) > _MAX_DEPTH:
+            raise VrlError("Cyclic dependency found in the alias")
+
+        def repl(m):
+            spec = m.group(1)
+            parts = _split_spec(spec)
+            head = parts[0].strip()
+            dest = parts[1].strip() if len(parts) > 1 and parts[1].strip() else None
+            filters = [_parse_call(p) for p in parts[2:]]
+
+            name, args = _parse_call(head)
+            if name in stack:
+                raise VrlError(
+                    f"Cyclic dependency found in the alias {name!r}")
+
+            if name in self.aliases and not args:
+                inner = self._expand(self.aliases[name], stack + (name,))
+            elif name == "regex" and args:
+                inner = str(args[0])
+            elif name == "date" and args:
+                inner = _date_regex(str(args[0]))
+                filters = [("date", args)] + filters
+            elif name in _DD_MATCHERS:
+                rx, implicit = _DD_MATCHERS[name]
+                inner = self._expand(rx, stack + (name,)) if "%{" in rx else rx
+                if implicit:
+                    filters = [(implicit, [])] + filters
+            elif name in BASE_PATTERNS:
+                inner = self._expand(BASE_PATTERNS[name], stack + (name,))
+            else:
+                raise VrlError(f"unknown grok pattern %{{{name}}}")
+
+            if dest:
+                self._n += 1
+                group = f"g{self._n}"
+                self._fields[group] = (dest, filters)
+                return f"(?P<{group}>{inner})"
+            return f"(?:{inner})"
+
+        return self._REF.sub(repl, pat)
+
+    def match(self, value: str) -> Optional[dict]:
+        m = self.regex.match(value)
+        if m is None:
+            return None
+        out: dict[str, Any] = {}
+        for group, (dest, filters) in self._fields.items():
+            v: Any = m.group(group)
+            if v is None:
+                continue
+            for fname, fargs in filters:
+                v = _apply_filter(v, fname, fargs)
+            # dotted destinations create nested objects
+            segs = dest.split(".")
+            cur = out
+            for s in segs[:-1]:
+                cur = cur.setdefault(s, {})
+            cur[segs[-1]] = v
+        return out
+
+
+_RULE_CACHE: dict = {}
+
+
+def compile_groks(patterns: list[str], aliases: Optional[dict] = None,
+                  alias_sources: Optional[list] = None) -> _CompiledGroks:
+    merged: dict[str, str] = {}
+    for src in alias_sources or []:
+        with open(resolve_data_path(src), encoding="utf-8") as f:
+            merged.update(_json.load(f))
+    merged.update(aliases or {})
+    key = (tuple(patterns), tuple(sorted(merged.items())))
+    rules = _RULE_CACHE.get(key)
+    if rules is None:
+        rules = _CompiledGroks(patterns, merged)
+        _RULE_CACHE[key] = rules
+    return rules
+
+
+def parse_groks(value: str, patterns: list, aliases: Optional[dict] = None,
+                alias_sources: Optional[list] = None) -> dict:
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    rules = compile_groks(list(patterns), aliases, alias_sources)
+    return rules.parse(value)

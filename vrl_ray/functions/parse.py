@@ -599,7 +599,10 @@ def parse_syslog(value: str) -> dict:
         if d["procid"]:
             out["procid"] = int(d["procid"])
         try:
-            ts = datetime.strptime(f"2024 {d['ts']}", "%Y %b %d %H:%M:%S")
+            # RFC 3164 omits the year: the reference resolves it to the
+            # current year (parse_syslog.rs via the syslog_loose crate)
+            year = datetime.now(timezone.utc).year
+            ts = datetime.strptime(f"{year} {d['ts']}", "%Y %b %d %H:%M:%S")
             out["timestamp"] = ts.replace(tzinfo=timezone.utc)
         except ValueError:
             pass

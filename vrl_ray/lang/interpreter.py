@@ -309,6 +309,15 @@ class _Ctx:
                 return _ex(base, segs)
             _, removed = V.path_remove(base, segs, compact=compact_flag)
             return removed
+        if name == "unnest" and args and args[0][1][0] == "path":
+            # unnest(.path) — N copies of the event, one per array
+            # element at the path (unnest.rs:64-72); `. = unnest(...)`
+            # then makes the root an array → the host emits N events.
+            from ..functions.misc import unnest as _unnest
+            anode = args[0][1]
+            if anode[1] != "event":
+                raise VrlError("unnest requires an event path")
+            return _unnest(self.root[0], anode[2])
         if name == "assert":
             cond = self.eval(args[0][1])
             msg = self.eval(args[1][1]) if len(args) > 1 else "assertion failed"

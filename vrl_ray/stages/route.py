@@ -36,7 +36,11 @@ def route_batch(batch: pa.Table) -> pa.Table:
     risk = pc.fill_null(col("tool_risk"), 0).to_numpy(zero_copy_only=False)
     status = pc.fill_null(col("status"), 0).to_numpy(zero_copy_only=False)
     duration = pc.fill_null(col("duration"), 0.0).to_numpy(zero_copy_only=False)
-    is_tool = pc.equal(role, "tool").to_numpy(zero_copy_only=False)
+    # null role is falsy (VRL predicate semantics: only null/false are
+    # falsy — arithmetic.rs:159-187); fill before the numpy cast or a
+    # single null row poisons the mask with object dtype
+    is_tool = pc.fill_null(pc.equal(role, "tool"), False) \
+        .to_numpy(zero_copy_only=False)
 
     # first-match-wins priority (np.select evaluates in order)
     sink_id = np.select(
