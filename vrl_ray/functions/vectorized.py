@@ -101,7 +101,11 @@ class VectorGrok:
         # verify RE2 accepts it (raises at compile time, not per batch)
         pc.extract_regex(pa.array([""], pa.string()), self._re2)
 
-    def extract(self, texts: pa.Array):
+    def extract(self, texts: pa.Array, consider: Optional[np.ndarray] = None):
+        """``consider`` restricts the exact-fallback pass to rows the
+        caller classified as this format — without it every JSON/KV row
+        would take the per-row Python fallback (the single hottest
+        mistake in the pipeline: a Python loop over 2/3 of the data)."""
         struct = pc.extract_regex(texts, self._re2)
         matched = pc.is_valid(struct)
         matched_np = matched.to_numpy(zero_copy_only=False)
@@ -111,7 +115,8 @@ class VectorGrok:
             cols[(group, field, typ)] = pc.struct_field(struct, group)
         # exact fallback for rows RE2 missed (lookaround-sensitive or
         # genuinely unparseable) — per-row regex on that subset only
-        miss_idx = np.flatnonzero(~matched_np)
+        miss = ~matched_np if consider is None else (consider & ~matched_np)
+        miss_idx = np.flatnonzero(miss)
         fallback: dict[int, Optional[dict]] = {}
         if len(miss_idx):
             tl = texts.take(pa.array(miss_idx)).to_pylist()

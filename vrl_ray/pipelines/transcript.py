@@ -51,10 +51,79 @@ def transform(ds, *, enrich_concurrency: Optional[int] = None, batch_size: int =
         Enrich,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=enrich_concurrency or (1, 16),
+        # autoscale up to the node's cores: parse fuses into this pool,
+        # so capping it below num_cpus starves the whole pipeline
+        concurrency=enrich_concurrency or (1, 32),
     )
     ds = ds.map_batches(route_batch, batch_format="pyarrow", batch_size=batch_size)
     return ds
+
+
+def make_sink_writer(sink_dir: str, keep_columns: list[str]):
+    """Pass-through sink stage: writes each batch's rows into
+    ``sink=<name>/part-*.parquet`` (Hive layout, one file per distinct
+    sink per batch) and forwards ONLY the aggregation columns.
+
+    This lets write + aggregate share a single streaming pass — no
+    separate write job and no re-read of the sink output. File names
+    embed a uuid (content-independent): resumability is handled one
+    level up at shard granularity (run_resumable's manifest)."""
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        sinks = batch["sink"]
+        enc = (sinks.combine_chunks() if isinstance(sinks, pa.ChunkedArray)
+               else sinks).dictionary_encode()
+        import pyarrow.compute as pc
+        part = uuid.uuid4().hex[:12]
+        for i, name in enumerate(enc.dictionary.to_pylist()):
+            sub = batch.filter(pc.equal(enc.indices, i))
+            d = os.path.join(sink_dir, f"sink={name}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub.drop_columns(["sink"]),
+                           os.path.join(d, f"part-{part}.parquet"))
+        return batch.select(keep_columns)
+
+    return write_batch
+
+
+class FlagshipStage:
+    """The whole per-row program as ONE actor-pool stage:
+    parse → enrich → route → (optional) write-through sinks.
+
+    Fusing into a single operator keeps full-width batches inside the
+    actor — the staged form ships the wide intermediate (text + parsed
+    columns, ~10× the aggregate columns) through the object store at
+    every operator boundary, which costs more than the compute itself.
+    State (grok regexes, enrichment dicts) is built once per actor in
+    ``__init__`` (the reference's compile-time `Arc` state,
+    parse_grok.rs:148-169)."""
+
+    def __init__(self, sink_dir: Optional[str] = None,
+                 keep_columns: Optional[list[str]] = None):
+        from ..stages.enrich import Enrich as _Enrich
+
+        # one Arrow thread per actor: the pool is sized 1:1 with CPUs,
+        # so per-actor kernel thread pools (default = all cores) would
+        # oversubscribe the node ~30×
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        self.enrich = _Enrich()
+        self.writer = (make_sink_writer(sink_dir, keep_columns or
+                                        ["sink", "conv_id", "tool"])
+                       if sink_dir else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.parse import parse_batch as _parse
+        from ..stages.route import route_batch as _route
+
+        routed = _route(self.enrich(_parse(batch)))
+        if self.writer is not None:
+            return self.writer(routed)
+        return routed
 
 
 def run_flagship(
@@ -65,9 +134,12 @@ def run_flagship(
     enrich_concurrency: Optional[int] = None,
     batch_size: int = 65536,
 ):
-    """Run the full pipeline. Returns a dict with the two aggregate
-    Datasets (small) and metrics. ``input_path`` may be a path (str)
-    or an existing Dataset."""
+    """Run the full pipeline in ONE streaming pass and ONE fused
+    operator: read → [parse → enrich → route → write sinks] →
+    two-phase aggregate (both key sets). Returns the two aggregate
+    frames + metrics. ``input_path`` may be a path (str) or a
+    Dataset."""
+    import ray
     import ray.data as rd
 
     t0 = time.time()
@@ -75,23 +147,34 @@ def run_flagship(
         ds = rd.read_parquet(input_path, columns=INPUT_COLUMNS)
     else:
         ds = input_path
-    routed = transform(ds, enrich_concurrency=enrich_concurrency, batch_size=batch_size)
+
+    # fixed-size actor pool scaled to the session: a lazily-autoscaling
+    # pool spends most of a short job below capacity, which is what
+    # breaks N→4N scaling efficiency
+    if enrich_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        enrich_concurrency = max(2, ncpu - 2)
+
+    from ..stages.aggregate import count_by_multi
 
     metrics: dict = {}
+    sink_dir = None
     if write_sinks:
         assert out_dir is not None
         sink_dir = os.path.join(out_dir, "sinks")
-        routed.write_parquet(sink_dir, partition_cols=["sink"])
-        agg_src = rd.read_parquet(sink_dir, columns=["sink", "conv_id", "tool"])
         metrics["sink_dir"] = sink_dir
-    else:
-        agg_src = routed
+    agg_src = ds.map_batches(
+        FlagshipStage,
+        fn_constructor_kwargs={"sink_dir": sink_dir},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=enrich_concurrency)
+    if not write_sinks:
+        # keep only the aggregate columns across the operator boundary
+        agg_src = agg_src.select_columns(["sink", "conv_id", "tool"])
 
-    agg_tool = count_by(agg_src, AGG_KEYS)
-    agg_conv = count_by(agg_src, CONV_AGG_KEYS)
-    # both aggregates are small (distinct keys) — safe to materialize
-    tool_tbl = agg_tool.to_pandas()
-    conv_tbl = agg_conv.to_pandas()
+    aggs = count_by_multi(agg_src, {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS})
+    tool_tbl = aggs["tool"]
+    conv_tbl = aggs["conv"]
     metrics["wall_sec"] = time.time() - t0
     metrics["rows"] = int(tool_tbl["n"].sum()) if len(tool_tbl) else 0
     return {"agg_tool": tool_tbl, "agg_conv": conv_tbl, "metrics": metrics}
@@ -139,15 +222,18 @@ def run_resumable(
             continue
         t0 = time.time()
         ds = rd.read_parquet(shard_files, columns=INPUT_COLUMNS)
-        routed = transform(ds, batch_size=batch_size)
         shard_out = os.path.join(out_dir, "sinks", f"shard={i:05d}")
-        routed.write_parquet(shard_out, partition_cols=["sink"])
-        # per-shard, per-sink row counts for lineage + later audit
+        # single pass: fused parse→enrich→route→write, then per-sink
+        # counts from the SAME stream (no re-read of the output)
+        import ray as _ray
+        pool = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+        sunk = ds.map_batches(
+            FlagshipStage, fn_constructor_kwargs={"sink_dir": shard_out},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=pool)
         counts = (
-            count_by(rd.read_parquet(shard_out, columns=["sink"]), ["sink"])
-            .to_pandas()
-            .set_index("sink")["n"]
-            .to_dict()
+            count_by(sunk, ["sink"]).to_pandas()
+            .set_index("sink")["n"].to_dict()
         )
         lineage = {
             "shard": i,

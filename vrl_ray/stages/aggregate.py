@@ -38,3 +38,70 @@ def count_by(ds, keys: list[str]):
     partials = ds.map_batches(_partial_counts(keys), batch_format="pyarrow")
     out = partials.groupby(keys).aggregate(Sum("n", alias_name="n"))
     return out
+
+
+def count_by_multi(ds, key_sets: dict[str, list[str]]):
+    """Several grouped counts in ONE pass over the input (one read, one
+    shuffle instead of one per aggregation): each batch emits partials
+    for every key set, tagged and reshaped to a common schema
+    ``(which, k0, k1, n)``; a single groupby-sum finishes all of them.
+
+    Returns ``{name: pandas.DataFrame(keys + ['n'])}``. All key
+    columns must be string-typed.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    names = list(key_sets)
+    width = max(len(v) for v in key_sets.values())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for which, keys in key_sets.items():
+            if len(batch) == 0:
+                continue
+            g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+            g = g.rename_columns(keys + ["n"])
+            cols = {"which": pa.array([which] * len(g), pa.string())}
+            for i in range(width):
+                if i < len(keys):
+                    cols[f"k{i}"] = pc.cast(g[keys[i]], pa.string())
+                else:
+                    cols[f"k{i}"] = pa.nulls(len(g), pa.string())
+            cols["n"] = g["n"]
+            pieces.append(pa.table(cols))
+        if not pieces:
+            return pa.table(
+                {"which": pa.array([], pa.string()),
+                 **{f"k{i}": pa.array([], pa.string()) for i in range(width)},
+                 "n": pa.array([], pa.int64())})
+        return pa.concat_tables(pieces)
+
+    group_cols = ["which"] + [f"k{i}" for i in range(width)]
+    # Final combine on the driver: the map-side combiner already
+    # shrank the data to O(distinct keys × blocks) partial rows, so a
+    # distributed sort/shuffle aggregate costs more than shipping the
+    # partials once and reducing them with one vectorized groupby.
+    # (Holds while distinct keys ≪ rows — the sink/tool/conv_id case.
+    # For unbounded-cardinality keys use count_by(), which keeps the
+    # combine distributed.)
+    import ray
+
+    # materialize FIRST: to_arrow_refs() on a lazy Dataset re-executes
+    # the plan (double-running any side-effecting stage upstream, e.g.
+    # the sink writer); on a materialized one it just hands over refs
+    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    partials_df = pa.concat_tables(tables).to_pandas() if tables else \
+        pd.DataFrame(columns=group_cols + ["n"])
+    merged = (partials_df.groupby(group_cols, dropna=False, sort=False)["n"]
+              .sum().reset_index())
+    out: dict[str, pd.DataFrame] = {}
+    for which in names:
+        keys = key_sets[which]
+        sub = merged[merged["which"] == which]
+        frame = pd.DataFrame(
+            {k: sub[f"k{i}"].values for i, k in enumerate(keys)})
+        frame["n"] = sub["n"].values
+        out[which] = frame.reset_index(drop=True)
+    return out

@@ -1,0 +1,61 @@
+"""Join stages.
+
+Two shapes, chosen by side size (SURVEY §2.3 enrich row):
+
+- :func:`broadcast_join` — small side shipped ONCE via ``ray.put``,
+  resolved per actor in ``__init__``, probed vectorized per batch
+  (dictionary-encode + take). No shuffle; the Ray-native analogue of a
+  broadcast hash join. Use whenever one side fits in worker memory
+  (enrichment tables, dimensions).
+- native ``Dataset.join`` (hash shuffle both sides) for big⋈big —
+  used directly by callers; partitioning assumption: both sides are
+  hash-partitioned on the key by ``num_partitions``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(ds, small: "pa.Table", on: str, right_on: Optional[str] = None,
+                   columns: Optional[list[str]] = None, concurrency=(1, 8),
+                   how: str = "inner"):
+    """Broadcast-hash-join `ds` (big, streaming) with `small` (a
+    pyarrow Table): ship the small side once, probe per batch.
+
+    how="inner" drops non-matching rows; "left" keeps them with nulls.
+    """
+    import ray
+
+    right_on = right_on or on
+    if columns is None:
+        columns = [c for c in small.column_names if c != right_on]
+    small_ref = ray.put(small.select([right_on] + columns))
+
+    class Probe:
+        def __init__(self):
+            t = ray.get(small_ref)
+            self.keys = {v: i for i, v in enumerate(t[right_on].to_pylist())}
+            self.cols = {c: t[c] for c in columns}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch[on]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            enc = k.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            # map unique keys -> row index in small (or null)
+            idx = pa.array([self.keys.get(u) for u in uniq], pa.int64())
+            row_idx = pc.take(idx, enc.indices)
+            out = batch
+            for c in columns:
+                out = out.append_column(c, pc.take(self.cols[c], row_idx))
+            if how == "inner":
+                out = out.filter(pc.is_valid(row_idx))
+            return out
+
+    return ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=concurrency)

@@ -88,9 +88,9 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     j_mask, g_mask, k_mask = classify(texts)
 
-    # --- grok subset (extract over all rows, mask the result; RE2 is
-    # cheap and branchless — cheaper than take/scatter at this width)
-    g_fields, g_matched = grok.extract(texts)
+    # --- grok subset: RE2 pass over all rows (cheap, branchless),
+    # exact Python fallback ONLY on grok-classified rows RE2 missed
+    g_fields, g_matched = grok.extract(texts, consider=g_mask)
 
     # --- kv subset
     kv_fields = kv.extract(texts)
