@@ -25,8 +25,10 @@ class TestInterpreter:
 
     def test_infallible_assignment(self):
         # assignment.rs:522-549
+        # on error the ok target gets the expression's TYPE DEFAULT
+        # (assignment.rs:522-549; corpus infallible_variable.vrl)
         _, ev, _ = run('.ok, .err = to_int("nope")')
-        assert ev["ok"] is None and "nope" in ev["err"]
+        assert ev["ok"] == 0 and "nope" in ev["err"]
         _, ev, _ = run('.ok, .err = to_int("42")')
         assert ev == {"ok": 42, "err": None}
 

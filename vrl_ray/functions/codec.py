@@ -93,8 +93,14 @@ def encode_percent(value: str, ascii_set: str = "NON_ALPHANUMERIC") -> str:
 
 
 def decode_punycode(value: str, validate: bool = True) -> str:
+    if not value.isascii():
+        # already-Unicode input passes through (idna crate behavior,
+        # functions/punycode/url_encode_decode.vrl)
+        return value.lower()
     try:
-        return value.encode("ascii").decode("idna")
+        # IDNA decoding lowercases labels (decode_punycode.rs via the
+        # idna crate; functions/punycode/decode.vrl)
+        return value.lower().encode("ascii").decode("idna")
     except Exception as e:
         if not validate:
             return value

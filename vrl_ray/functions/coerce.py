@@ -242,10 +242,13 @@ def is_timestamp(value) -> bool:
 
 def type_def(value):
     """type_def.rs: Kind object of the runtime value ({kind: true};
-    collections nest per-field/per-index)."""
+    collections nest per-field/per-index). Kind names follow
+    kind.rs:8-22 — strings are the BYTES kind."""
     t = vrl_type(value)
     if t == "object":
         return {"object": {k: type_def(v) for k, v in value.items()}}
     if t == "array":
         return {"array": {str(i): type_def(v) for i, v in enumerate(value)}}
+    if t == "string":
+        t = "bytes"
     return {t: True}

@@ -183,6 +183,8 @@ def uuid_v4() -> str:
 def uuid_v7(timestamp: Optional[datetime] = None) -> str:
     """RFC 9562 UUIDv7: 48-bit unix-ms timestamp + random."""
     if timestamp is not None:
+        if not isinstance(timestamp, datetime):
+            raise VrlError("uuid_v7 timestamp must be a timestamp")
         ms = int(timestamp.timestamp() * 1000)
     else:
         ms = time.time_ns() // 1_000_000

@@ -335,11 +335,21 @@ def parse_url(value: str, default_known_ports: bool = False) -> dict:
     port = parts.port
     if port is None and default_known_ports:
         port = KNOWN.get(parts.scheme)
+    host = parts.hostname or ""
+    if host and not host.isascii():
+        # the url crate IDNA-encodes unicode hosts
+        # (functions/punycode/url_encode_decode.vrl)
+        try:
+            import idna
+
+            host = idna.encode(host, uts46=True).decode("ascii")
+        except Exception:
+            pass
     return {
         "scheme": parts.scheme,
         "username": parts.username or "",
         "password": parts.password or "",
-        "host": parts.hostname or "",
+        "host": host,
         "port": port,
         "path": parts.path or "/",
         "query": dict(parse_qsl(parts.query, keep_blank_values=True)),
@@ -412,12 +422,21 @@ def parse_duration(value: str, unit: str) -> float:
 # ---------------------------------------------------------------------------
 # parse_bytes (parse_bytes.rs): "1.2KiB" -> int bytes ("binary"/"decimal"/both)
 
-_BYTES_UNITS = {
-    "B": 1,
-    "kB": 10**3, "MB": 10**6, "GB": 10**9, "TB": 10**12, "PB": 10**15,
-    "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40, "PiB": 2**50,
-}
 _BYTES_RE = _re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([A-Za-z]+)?\s*$")
+_BYTES_POW = {"B": 0, "KB": 1, "MB": 2, "GB": 3, "TB": 4, "PB": 5, "EB": 6}
+
+
+def _bytes_factor(u: str, base: str) -> float:
+    """Unit → bytes. Default base is "2" (parse_bytes.rs:19-39,80 —
+    KB means 1024 unless base "10"); `KiB`-style units are always
+    binary."""
+    U = u.upper()
+    if U.endswith("IB") and U[:-2] + "B" in _BYTES_POW:
+        return float(2 ** (10 * _BYTES_POW[U[:-2] + "B"]))
+    if U in _BYTES_POW:
+        mult = 2 ** 10 if base != "10" else 10 ** 3
+        return float(mult ** _BYTES_POW[U])
+    raise VrlError(f"unknown bytes unit: {u}")
 
 
 def parse_bytes(value: str, unit: str = "B", base: Optional[str] = None) -> float:
@@ -425,16 +444,10 @@ def parse_bytes(value: str, unit: str = "B", base: Optional[str] = None) -> floa
     if not m:
         raise VrlError(f"unable to parse bytes: {value!r}")
     qty = float(m.group(1))
-    u = m.group(2) or "B"
-    lookup = dict(_BYTES_UNITS)
-    if base == "2":  # decimal suffixes reinterpreted as binary
-        lookup.update({"kB": 2**10, "MB": 2**20, "GB": 2**30, "TB": 2**40, "PB": 2**50})
-    key = u if u in lookup else u[0].upper() + u[1:]
-    if key not in lookup:
-        raise VrlError(f"unknown bytes unit: {u}")
-    if unit not in lookup:
-        raise VrlError(f"unknown bytes unit: {unit}")
-    return qty * lookup[key] / lookup[unit]
+    b = base or "2"
+    if b not in ("2", "10"):
+        raise VrlError(f"invalid base: {b}")
+    return qty * _bytes_factor(m.group(2) or "B", b) / _bytes_factor(unit, b)
 
 
 # ---------------------------------------------------------------------------

@@ -141,6 +141,13 @@ def replace_with(value: str, pattern, closure, count: int = -1) -> str:
     ({"string":..., "captures":[...], <named>:...})."""
     if isinstance(pattern, str):
         pattern = _regex.compile(pattern)
+    if any(g in ("string", "captures") for g in (pattern.groupindex or {})):
+        # replace_with.rs: reserved closure-object keys
+        raise VrlError('Capture group cannot be named "string" or "captures"')
+    if count == 0:
+        # count 0 = replace nothing (replace_with/zero_count.vrl);
+        # -1 = all (python sub count=0)
+        return _s(value)
     n = count if count > 0 else 0
 
     def _cb(m):

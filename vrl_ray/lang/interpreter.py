@@ -54,6 +54,37 @@ _ARG_RENAME = {
 # registry entries implemented with trailing-underscore python names
 _POSITIONAL_HINTS: dict[str, list[str]] = {}
 
+# type-defaults for the error lane of `ok, err = expr`
+# (assignment.rs:522-549: ok gets TypeDef::default_value()). Without a
+# static type checker we derive the default from the failed node's
+# shape: division → float, other arithmetic → int, known fallible
+# functions → their return kind's default.
+_FN_DEFAULTS = {
+    "to_int": 0, "parse_int": 0, "to_unix_timestamp": 0, "strlen": 0,
+    "length": 0, "to_float": 0.0, "parse_float": 0.0, "to_bool": False,
+    "to_string": "", "downcase": "", "upcase": "", "encode_json": "",
+    "format_timestamp": "", "join": "", "parse_json": None,
+    # collection builders default to their container kind
+    # (issues/11287: `ok, err = push(.undefined, x)` → ok == [])
+    "push": [], "append": [], "merge": {},
+}
+
+
+def _type_default(node):
+    kind = node[0]
+    if kind == "binop":
+        op = node[1]
+        if op == "/":
+            return 0.0
+        if op in ("+", "-", "*", "%"):
+            return 0
+        if op in ("==", "!=", ">", ">=", "<", "<=", "&&"):
+            return False
+        return None
+    if kind == "call":
+        return _FN_DEFAULTS.get(node[1])
+    return None
+
 
 class Program:
     """A compiled VRL program. ``resolve(event)`` returns
@@ -230,13 +261,18 @@ class _Ctx:
         err_val = None
         try:
             val = self.eval(expr)
+            # the op application itself can fail too (`|=` on a
+            # non-object) — inside the try so `ok, err =` captures it
+            self._assign_target(targets[0], val, op)
         except (VrlError,) as e:
             if infallible:
-                val = None
+                # ok target gets the expression's TYPE DEFAULT, not
+                # null (assignment.rs:522-549 — e.g. 1/0 → ok == 0.0)
+                val = _type_default(expr)
                 err_val = e.message if hasattr(e, "message") else str(e)
+                self._assign_target(targets[0], val, "=")
             else:
                 raise
-        self._assign_target(targets[0], val, op)
         if infallible:
             self._assign_target(targets[1], err_val, "=")
         return val if err_val is None else err_val
@@ -353,7 +389,12 @@ class _Ctx:
                     if len(params) > len(cargs):
                         for p in params[len(cargs):]:
                             self.vars[p] = None
-                    return self.eval(body)
+                    try:
+                        return self.eval(body)
+                    except _Return as r:
+                        # `return` exits the CLOSURE invocation only
+                        # (return/return_in_closure.vrl)
+                        return r.value
                 finally:
                     for p, old in saved.items():
                         self.vars[p] = old

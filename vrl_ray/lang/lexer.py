@@ -22,7 +22,10 @@ _TWO_CHAR = ["??", "==", "!=", ">=", "<=", "&&", "||", "->", "|="]
 _ONE_CHAR = list("{}[]()<>=+-*/%!|,;:.")
 
 _NUM = re.compile(r"-?(?:\d[\d_]*\.\d[\d_]*|\d[\d_]*)")
-_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+#: `@` is legal in event-path fields (query/ampersat.vrl) — accepted
+#: here context-free; the parser/semantics never produce @-names
+#: outside paths
+_IDENT = re.compile(r"[A-Za-z_@][A-Za-z0-9_@]*")
 _WS = re.compile(r"[ \t]+")
 _NL = re.compile(r"[\r\n]+")
 _COMMENT = re.compile(r"#[^\n]*")
@@ -35,12 +38,20 @@ def _string(src: str, i: int, quote: str) -> tuple[str, int]:
         c = src[i]
         if c == "\\":
             nxt = src[i + 1] if i + 1 < len(src) else ""
+            if nxt == "\n":
+                # line continuation: backslash-newline swallows the
+                # newline AND the next line's leading whitespace
+                # (lex.rs string-literal handling; literal/string.vrl)
+                i += 2
+                while i < len(src) and src[i] in " \t":
+                    i += 1
+                continue
             esc = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
                    "\\": "\\", "0": "\0", "{": "{", "}": "}"}.get(nxt)
             if esc is None:
-                out.append(c); i += 1
-            else:
-                out.append(esc); i += 2
+                # lex.rs rejects unknown escapes (issues/6571)
+                raise LexError(f"invalid escape character: \\{nxt}")
+            out.append(esc); i += 2
             continue
         if c == quote:
             return "".join(out), i + 1
@@ -95,6 +106,15 @@ def tokenize(src: str) -> list[Token]:
             toks.append(Token("STRING", body, i))
             i = j
             continue
+        if c.isdigit() and toks and toks[-1].kind == "OP" \
+                and toks[-1].value == ".":
+            # digit-leading path field (`.0tar`, expressions/query/
+            # mixed.vrl): after `.` a digits+letters run is a field
+            m2 = re.match(r"[0-9][0-9A-Za-z_@]*", src[i:])
+            if m2 and not m2.group(0).isdigit():
+                toks.append(Token("IDENT", m2.group(0), i))
+                i += m2.end()
+                continue
         if c.isdigit() or (c == "-" and i + 1 < n and src[i + 1].isdigit()
                            and toks and toks[-1].kind in
                            ("OP", "LPAREN", "LBRACKET", "LBRACE", "COMMA",
@@ -128,10 +148,18 @@ def tokenize(src: str) -> list[Token]:
                 toks.append(Token("IDENT", w, i))
             i = m.end()
             continue
-        if c == "%" and i + 1 < n and (src[i + 1].isalpha() or src[i + 1] == "_"):
-            toks.append(Token("PERCENT_PATH", "%", i))
-            i += 1
-            continue
+        if c == "%":
+            # `%` = metadata path unless it sits between two operands
+            # (then it is the remainder operator) — lex.rs does the
+            # same operand-context disambiguation
+            prev = toks[-1].kind if toks else None
+            operand_end = prev in ("INT", "FLOAT", "STRING", "REGEX",
+                                   "TIMESTAMP", "IDENT", "RPAREN",
+                                   "RBRACKET", "TRUE", "FALSE", "NULL")
+            if not operand_end:
+                toks.append(Token("PERCENT_PATH", "%", i))
+                i += 1
+                continue
         if c in "{}[]()":
             kind = {"{": "LBRACE", "}": "RBRACE", "[": "LBRACKET",
                     "]": "RBRACKET", "(": "LPAREN", ")": "RPAREN"}[c]

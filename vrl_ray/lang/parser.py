@@ -246,13 +246,24 @@ class Parser:
             return self._parse_path()
         if t.kind == "PERCENT_PATH":
             return self._parse_path()
-        if t.kind == "LPAREN":
+        if t.kind == "ABORT":
+            # `abort` in expression position (block/abort_check.vrl)
             self.next()
+            return ("abort", None)
+        if t.kind == "LPAREN":
+            # group: one or more statements (`;`/newline separated) —
+            # multiline predicates are statement groups
+            # (if_statement/multiline_predicates.vrl)
+            self.next()
+            stmts = []
             self.skip_nl()
-            e = self.parse_expr()
-            self.skip_nl()
-            self.expect("RPAREN")
-            return e
+            while not self.accept("RPAREN"):
+                stmts.append(self.parse_statement())
+                while self.accept("SEMI") or self.accept("NL"):
+                    pass
+            if len(stmts) == 1 and stmts[0][0] == "binop":
+                return stmts[0]
+            return ("block", stmts)
         if t.kind == "LBRACKET":
             return self._parse_array()
         if t.kind == "LBRACE":
@@ -319,6 +330,7 @@ class Parser:
             if not self.accept("ELSE"):
                 self.i = save
                 break
+            self.skip_nl()
             if self.peek().kind == "IF":
                 self.next()
                 c = self.parse_expr()
@@ -330,6 +342,7 @@ class Parser:
         return ("if", arms, else_block)
 
     def _parse_braced_block(self):
+        self.skip_nl()
         self.expect("LBRACE")
         stmts = []
         self.skip_nl()
@@ -374,13 +387,16 @@ class Parser:
         prefix = "event"
         if self.accept("PERCENT_PATH"):
             prefix = "meta"
-            name = self.expect("IDENT").value
-            segs = [name] + self._parse_path_continuation()
-            return ("path", prefix, segs)
+            if self.peek().kind == "IDENT":
+                name = self.next().value
+                segs = [name] + self._parse_path_continuation()
+                return ("path", prefix, segs)
+            # bare `%` = whole metadata
+            return ("path", prefix, [])
         self.expect("OP", ".")
         t = self.peek()
         if t.kind == "IDENT" or t.kind == "STRING" or t.kind in (
-                "IF", "ELSE", "TRUE", "FALSE", "NULL"):
+                "IF", "ELSE", "TRUE", "FALSE", "NULL", "RETURN", "ABORT"):
             self.next()
             segs = [str(t.value)] + self._parse_path_continuation()
             return ("path", prefix, segs)
@@ -401,7 +417,8 @@ class Parser:
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value == "." and self.peek(1).kind in (
-                    "IDENT", "STRING", "IF", "ELSE", "TRUE", "FALSE", "NULL"):
+                    "IDENT", "STRING", "IF", "ELSE", "TRUE", "FALSE", "NULL",
+                    "RETURN", "ABORT"):
                 self.next()
                 segs.append(str(self.next().value))
                 continue

@@ -92,7 +92,8 @@ def vrl_type(v: Any) -> str:
         return "object"
     if isinstance(v, list):
         return "array"
-    if isinstance(v, re.Pattern):
+    if isinstance(v, re.Pattern) or type(v).__name__ == "Pattern":
+        # stdlib `re` or the `regex` module — both are VRL regexes
         return "regex"
     raise TypeError(f"not a VRL value: {type(v)!r}")
 
@@ -120,6 +121,10 @@ def _num(v: Any) -> Union[int, float]:
     return v
 
 
+def _is_num(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def add(lhs: Any, rhs: Any) -> Any:
     if isinstance(lhs, str) and isinstance(rhs, str):
         return lhs + rhs
@@ -127,17 +132,22 @@ def add(lhs: Any, rhs: Any) -> Any:
         return lhs
     if lhs is None and isinstance(rhs, str):
         return rhs
-    a, b = _num(lhs), _num(rhs)
-    if isinstance(a, int) and isinstance(b, int):
-        return wrap_i64(a + b)
-    return check_float(float(a) + float(b))
+    if not (_is_num(lhs) and _is_num(rhs)):
+        # error.rs:34: "can't add type {rhs} to {lhs}"
+        raise VrlError(f"can't add type {vrl_type(rhs)} to {vrl_type(lhs)}")
+    if isinstance(lhs, int) and isinstance(rhs, int):
+        return wrap_i64(lhs + rhs)
+    return check_float(float(lhs) + float(rhs))
 
 
 def sub(lhs: Any, rhs: Any) -> Any:
-    a, b = _num(lhs), _num(rhs)
-    if isinstance(a, int) and isinstance(b, int):
-        return wrap_i64(a - b)
-    return check_float(float(a) - float(b))
+    if not (_is_num(lhs) and _is_num(rhs)):
+        # error.rs:37: "can't subtract type {rhs} from {lhs}"
+        raise VrlError(
+            f"can't subtract type {vrl_type(rhs)} from {vrl_type(lhs)}")
+    if isinstance(lhs, int) and isinstance(rhs, int):
+        return wrap_i64(lhs - rhs)
+    return check_float(float(lhs) - float(rhs))
 
 
 def mul(lhs: Any, rhs: Any) -> Any:
@@ -146,7 +156,10 @@ def mul(lhs: Any, rhs: Any) -> Any:
         return lhs * rhs
     if isinstance(rhs, str) and isinstance(lhs, int) and not isinstance(lhs, bool):
         return rhs * lhs
-    a, b = _num(lhs), _num(rhs)
+    if not (_is_num(lhs) and _is_num(rhs)):
+        raise VrlError(
+            f"can't multiply type {vrl_type(lhs)} by {vrl_type(rhs)}")
+    a, b = lhs, rhs
     if isinstance(a, int) and isinstance(b, int):
         return wrap_i64(a * b)
     return check_float(float(a) * float(b))
@@ -154,20 +167,29 @@ def mul(lhs: Any, rhs: Any) -> Any:
 
 def div(lhs: Any, rhs: Any) -> float:
     """Division is always float; /0 errors (arithmetic.rs:98-110)."""
-    a, b = _num(lhs), _num(rhs)
+    if not (_is_num(lhs) and _is_num(rhs)):
+        raise VrlError(
+            f"can't divide type {vrl_type(lhs)} by {vrl_type(rhs)}")
+    a, b = lhs, rhs
     if float(b) == 0.0:
         raise VrlError("can't divide by zero")
     return check_float(float(a) / float(b))
 
 
 def rem(lhs: Any, rhs: Any) -> Any:
-    a, b = _num(lhs), _num(rhs)
+    if not (_is_num(lhs) and _is_num(rhs)):
+        raise VrlError("can't calculate remainder of type "
+                       f"{vrl_type(lhs)} and {vrl_type(rhs)}")
+    a, b = lhs, rhs
     if float(b) == 0.0:
         raise VrlError("can't divide by zero")
     if isinstance(a, int) and isinstance(b, int):
         # Rust % truncates toward zero, Python floors — adjust.
         return wrap_i64(a - int(a / b) * b)
-    return check_float(math.fmod(float(a), float(b)))
+    try:
+        return check_float(math.fmod(float(a), float(b)))
+    except ValueError as e:  # fmod(inf, x) — NaN-producing operation
+        raise VrlError("float operation produced NaN") from e
 
 
 def eq(lhs: Any, rhs: Any) -> bool:
@@ -186,30 +208,36 @@ def eq(lhs: Any, rhs: Any) -> bool:
     return lhs == rhs
 
 
-def _cmp_ok(lhs: Any, rhs: Any) -> tuple:
+def _cmp_ok(lhs: Any, rhs: Any, op: str = ">") -> tuple:
     if isinstance(lhs, str) and isinstance(rhs, str):
         return lhs, rhs
-    a, b = _num(lhs), _num(rhs)
-    return float(a), float(b)
+    if isinstance(lhs, datetime) and isinstance(rhs, datetime):
+        # timestamps order chronologically (comparison/gt.vrl etc.)
+        return lhs, rhs
+    if not (_is_num(lhs) and _is_num(rhs)):
+        # error.rs:46-55: "can't compare {lhs} {op} {rhs}"
+        raise VrlError(
+            f"can't compare {vrl_type(lhs)} {op} {vrl_type(rhs)}")
+    return float(lhs), float(rhs)
 
 
 def gt(l: Any, r: Any) -> bool:
-    a, b = _cmp_ok(l, r)
+    a, b = _cmp_ok(l, r, ">")
     return a > b
 
 
 def ge(l: Any, r: Any) -> bool:
-    a, b = _cmp_ok(l, r)
+    a, b = _cmp_ok(l, r, ">=")
     return a >= b
 
 
 def lt(l: Any, r: Any) -> bool:
-    a, b = _cmp_ok(l, r)
+    a, b = _cmp_ok(l, r, "<")
     return a < b
 
 
 def le(l: Any, r: Any) -> bool:
-    a, b = _cmp_ok(l, r)
+    a, b = _cmp_ok(l, r, "<=")
     return a <= b
 
 
@@ -239,9 +267,9 @@ def merge_shallow(lhs: Any, rhs: Any) -> dict:
     """``|`` operator: objects only, right wins
     (arithmetic.rs:272-279)."""
     if not isinstance(lhs, dict) or not isinstance(rhs, dict):
+        # error.rs:58: "can't merge type {rhs} into {lhs}"
         raise VrlError(
-            f"can only merge objects, got {vrl_type(lhs)} | {vrl_type(rhs)}"
-        )
+            f"can't merge type {vrl_type(rhs)} into {vrl_type(lhs)}")
     out = dict(lhs)
     out.update(rhs)
     return out
