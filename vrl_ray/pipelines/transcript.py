@@ -172,11 +172,20 @@ def run_flagship(
         # keep only the aggregate columns across the operator boundary
         agg_src = agg_src.select_columns(["sink", "conv_id", "tool"])
 
-    aggs = count_by_multi(agg_src, {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS})
+    stats: dict = {}
+    aggs = count_by_multi(agg_src, {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS},
+                          stats_out=stats)
     tool_tbl = aggs["tool"]
     conv_tbl = aggs["conv"]
     metrics["wall_sec"] = time.time() - t0
     metrics["rows"] = int(tool_tbl["n"].sum()) if len(tool_tbl) else 0
+    metrics["stage_stats"] = stats.get("stats", "")
+    if write_sinks:
+        # per-stage metrics next to the output (north_rule: metrics
+        # emitted per stage)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "_metrics.json"), "w") as f:
+            json.dump({k: v for k, v in metrics.items()}, f, indent=1)
     return {"agg_tool": tool_tbl, "agg_conv": conv_tbl, "metrics": metrics}
 
 

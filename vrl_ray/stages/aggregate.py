@@ -40,7 +40,7 @@ def count_by(ds, keys: list[str]):
     return out
 
 
-def count_by_multi(ds, key_sets: dict[str, list[str]]):
+def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
     """Several grouped counts in ONE pass over the input (one read, one
     shuffle instead of one per aggregation): each batch emits partials
     for every key set, tagged and reshaped to a common schema
@@ -91,6 +91,10 @@ def count_by_multi(ds, key_sets: dict[str, list[str]]):
     # the plan (double-running any side-effecting stage upstream, e.g.
     # the sink writer); on a materialized one it just hands over refs
     mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if stats_out is not None:
+        # whole-pipeline operator stats (upstream stages fuse into
+        # this plan) — callers persist these as per-stage metrics
+        stats_out["stats"] = mat.stats()
     tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
     partials_df = pa.concat_tables(tables).to_pandas() if tables else \
         pd.DataFrame(columns=group_cols + ["n"])
