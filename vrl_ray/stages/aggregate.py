@@ -40,6 +40,26 @@ def count_by(ds, keys: list[str]):
     return out
 
 
+def count_by_small(ds, keys: list[str]):
+    """Grouped count for BOUNDED-cardinality keys, returned as a
+    pandas frame: map-side partials + a single driver combine (no
+    distributed shuffle — the shuffle's fixed cost exceeds the work
+    whenever distinct keys ≪ rows). Use count_by() when the key space
+    is unbounded."""
+    import ray
+
+    mat = ds.map_batches(_partial_counts(keys),
+                         batch_format="pyarrow").materialize()
+    tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tables:
+        import pandas as pd
+
+        return pd.DataFrame(columns=keys + ["n"])
+    df = pa.concat_tables(tables).to_pandas()
+    return (df.groupby(keys, dropna=False, sort=False)["n"]
+            .sum().reset_index())
+
+
 def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
     """Several grouped counts in ONE pass over the input (one read, one
     shuffle instead of one per aggregation): each batch emits partials

@@ -70,42 +70,52 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 # shingling + MinHash
 
 _TOKEN = re.compile(r"\w+")
-_MERSENNE = (1 << 61) - 1
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+# odd multipliers for the rolling k-gram combiner (fixed, deterministic)
+_SHINGLE_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                          0x85EBCA77C2B2AE63], dtype=np.uint64)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles (uint64)."""
+    """Hashed k-word shingles (uint64), fully vectorized: crc32 per
+    token (C loop) then a numpy rolling multiply-xor combine over the
+    k-window — no per-shingle string building or digest calls."""
+    import zlib
+
     toks = _TOKEN.findall(text.lower())
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    k = min(k, len(th))
+    n = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        out = th[0:n] * _SHINGLE_MULT[0]
+        for i in range(1, k):
+            out = out ^ (th[i:n + i] * _SHINGLE_MULT[i % len(_SHINGLE_MULT)])
     return out
 
 
 class MinHasher:
-    """num_perm universal-hash permutations (ax+b mod p), seeded."""
+    """num_perm multiply-shift hash 'permutations' over uint64 with
+    wraparound (a*x+b mod 2^64, avalanche-mixed) — one vectorized
+    (num_perm × n) numpy op per document instead of a Python-bigint
+    loop. Seeded, deterministic across workers."""
 
     def __init__(self, num_perm: int = 128, seed: int = 1):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = (rng.integers(0, _U64_MAX, size=num_perm, dtype=np.uint64)
+                  | np.uint64(1))  # odd multipliers
+        self.b = rng.integers(0, _U64_MAX, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        # (num_perm, n) universal hashing in uint64 (mod 2^61-1)
-        x = shingles.astype(np.object_)  # python ints avoid overflow
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for j in range(self.num_perm):
-            v = (int(self.a[j]) * x + int(self.b[j])) % _MERSENNE
-            sig[j] = int(min(v))
-        return sig
+            return np.full(self.num_perm, _U64_MAX, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            v = self.a[:, None] * shingles[None, :] + self.b[:, None]
+            v ^= v >> np.uint64(33)  # mix high bits into the low word
+        return v.min(axis=1)
 
 
 class MinHashLSH:
@@ -158,42 +168,84 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
                             text_column: str = "text",
                             max_bucket: int = 64):
     """LSH candidate pairs: explode to band rows, groupby bucket, emit
-    pairs within each bucket. ``max_bucket`` caps degenerate buckets
-    (all-identical boilerplate) so a hot bucket cannot emit O(n^2)
-    pairs — capped buckets are truncated deterministically by id order
-    and the cap is recorded in the output (``truncated``)."""
-    import pandas as pd
+    pairs within each bucket via a bucket-key self-join. ``max_bucket``
+    drops degenerate buckets (all-identical boilerplate) before the
+    join so a hot bucket cannot emit O(n^2) pairs."""
 
     banded = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                    id_column=id_column, text_column=text_column),
         batch_format="pyarrow", concurrency=(1, 8),
-    )
+    ).materialize()  # consumed 3× below (counts + both join sides)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_column].tolist())
-        truncated = len(ids) > max_bucket
-        ids = ids[:max_bucket]
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                rows.append((ids[x], ids[y], truncated))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "truncated"])
+    # hot-bucket guard BEFORE the join: a degenerate bucket
+    # (boilerplate shared by n docs) would emit O(n²) join rows. The
+    # per-bucket counts are a tiny two-phase aggregate; the hot-key
+    # set is broadcast once and filtered out.
+    from .aggregate import count_by, count_by_small
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    # driver combine while the banded table is small; distributed
+    # two-phase groupby beyond that (bucket keys are ~one per doc, so
+    # the partials are NOT bounded-cardinality at 10^9-doc scale)
+    if banded.count() <= 5_000_000:
+        counts = count_by_small(banded, ["band", "band_hash"])
+    else:
+        counts = count_by(banded, ["band", "band_hash"]).to_pandas()
+    hot = counts[counts["n"] > max_bucket]
+    hot_keys = set(zip(hot["band"], hot["band_hash"]))
 
-    # distinct pairs across bands (a pair can collide in many bands)
-    def batch_distinct(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b
-        g = b.group_by(["id_a", "id_b"]).aggregate([("truncated", "max")])
-        return g.rename_columns(["id_a", "id_b", "truncated"])
+    if hot_keys:
+        import ray
 
-    from ray.data.aggregate import Max
-    pairs = pairs.map_batches(batch_distinct, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("truncated", alias_name="truncated"))
+        hot_ref = ray.put(hot_keys)
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keys = _r.get(hot_ref)
+            keep = [
+                (band, h) not in keys
+                for band, h in zip(b["band"].to_pylist(),
+                                   b["band_hash"].to_pylist())
+            ]
+            return b.filter(pa.array(keep))
+
+        banded = banded.map_batches(drop_hot,
+                                    batch_format="pyarrow").materialize()
+        if banded.count() == 0:
+            # everything was boilerplate: no candidates (the hash join
+            # cannot take a fully-empty side)
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}))
+
+    # candidate pairs = bucket self-join (hash shuffle on the bucket
+    # key — the Ray-native form; per-group Python map_groups costs
+    # ~1ms × O(buckets) and dominates at small bucket sizes)
+    left = banded.rename_columns({id_column: "id_a"})
+    right = banded.rename_columns({id_column: "id_b"})
+    joined = left.join(right, join_type="inner", num_partitions=16,
+                       on=("band", "band_hash"))
+
+    def upper_triangle(b: pa.Table) -> pa.Table:
+        m = pc.less(b["id_a"], b["id_b"])
+        t = b.filter(m).select(["id_a", "id_b"])
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], b["id_a"].type),
+                             "id_b": pa.array([], b["id_b"].type)})
+        return t.group_by(["id_a", "id_b"]).aggregate([]) \
+                .select(["id_a", "id_b"])
+
+    pairs = joined.map_batches(upper_triangle, batch_format="pyarrow")
+    # global distinct (a pair can collide in several bands/blocks) —
+    # aggregate-based, no per-group Python
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["id_a", "id_b"]) \
+        .aggregate(Count(alias_name="_dup")).drop_columns(["_dup"])
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
@@ -205,9 +257,9 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
     bucket-partitioned join on id ranges, same call shape)."""
     import ray
 
+    mat = docs_ds.select_columns([id_column, text_column]).materialize()
     lookup = {}
-    for b in docs_ds.select_columns([id_column, text_column]).iter_batches(
-            batch_format="pyarrow"):
+    for b in ray.get(mat.to_arrow_refs()):
         lookup.update(zip(b[id_column].to_pylist(), b[text_column].to_pylist()))
     ref = ray.put(lookup)
 
@@ -240,19 +292,22 @@ class SimHash:
 
     @staticmethod
     def fingerprint(text: str) -> int:
+        import zlib
+
         toks = _TOKEN.findall((text or "").lower())
         if not toks:
             return 0
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "little") for t in toks],
-            dtype=np.uint64,
-        )
+        # 64-bit token hashes from crc32 + two-multiplier mixing
+        # (vectorized — a digest call per token costs ~50× more)
+        t32 = np.array([zlib.crc32(t.encode()) for t in toks],
+                       dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            hs = (t32 * _SHINGLE_MULT[0]) ^ ((t32 + np.uint64(0x9E37)) *
+                                             _SHINGLE_MULT[1])
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        fp = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            fp |= np.uint64(1) << np.uint64(i)
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+        fp = np.sum((votes > 0).astype(np.uint64) <<
+                    np.arange(64, dtype=np.uint64))
         return int(fp)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -287,28 +342,36 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
 
     banded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        recs = sorted(g[[id_column, "fp"]].drop_duplicates().itertuples(index=False))
-        for x in range(len(recs)):
-            for y in range(x + 1, len(recs)):
-                d = int(bin(int(recs[x][1]) ^ int(recs[y][1])).count("1"))
-                if d <= max_hamming:
-                    rows.append((recs[x][0], recs[y][0], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    # bucket self-join on the band key (same idiom as MinHash-LSH),
+    # then vectorized hamming verify: XOR + popcount over numpy
+    left = banded.rename_columns({id_column: "id_a", "fp": "fp_a"})
+    right = banded.rename_columns({id_column: "id_b", "fp": "fp_b"})
+    joined = left.join(right, join_type="inner", num_partitions=16,
+                       on=("band", "band_key"))
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1)
 
-    def distinct(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b
-        g = b.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
-        return g.rename_columns(["id_a", "id_b", "hamming"])
+    def verify(b: pa.Table) -> pa.Table:
+        m = pc.less(b["id_a"], b["id_b"])
+        t = b.filter(m)
+        if len(t) == 0:
+            return pa.table({"id_a": pa.array([], b["id_a"].type),
+                             "id_b": pa.array([], b["id_b"].type),
+                             "hamming": pa.array([], pa.int64())})
+        fa = t["fp_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fb = t["fp_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (fa ^ fb).view(np.uint8).reshape(-1, 8)
+        ham = _POP[x].sum(axis=1).astype(np.int64)
+        t = t.append_column("hamming", pa.array(ham))
+        t = t.filter(pc.less_equal(t["hamming"], max_hamming))
+        return t.select(["id_a", "id_b", "hamming"])
 
+    pairs = joined.map_batches(verify, batch_format="pyarrow")
     from ray.data.aggregate import Min
-    pairs = pairs.map_batches(distinct, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
