@@ -117,3 +117,82 @@ class TestRemapStage:
         ds = remap(rd.from_arrow(bad), 'to_int!("not a number")', concurrency=1)
         rows = ds.take_all()
         assert rows[0]["vrl_err"] is not None
+
+
+class TestVectorize:
+    """lang/vectorize.py: the column-plan fast path must match the
+    per-row interpreter bit-for-bit on the vectorizable subset."""
+
+    PROGRAM = """
+    .kind = downcase(.event_type)
+    .value_int, .parse_err = to_int(round(.value))
+    if .value >= 100.0 { .is_big = true } else { .is_big = false }
+    .half = .value / 2.0
+    .label = .kind + "!"
+    """
+
+    def _batch(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["Click", "ERROR", "view", "Login"]),
+            "value": pa.array([5.2, 150.7, 99.9, 100.0], pa.float64()),
+        })
+
+    def test_parity_with_interpreter(self):
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = self._batch()
+        out = VectorProgram(self.PROGRAM).run(batch)
+        p = Program(self.PROGRAM)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for f in ("kind", "value_int", "is_big", "half", "label",
+                      "parse_err"):
+                assert out[f][i].as_py() == ev[f], (f, i)
+
+    def test_error_lane_and_default(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(["12", "nope", None])})
+        out = VectorProgram(".n, .err = to_int(.s)").run(batch)
+        assert out["n"].to_pylist() == [12, 0, None]
+        assert out["err"].to_pylist()[1] is not None
+        assert out["err"].to_pylist()[0] is None
+
+    def test_division_by_zero_lane(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"a": pa.array([4.0, 1.0]),
+                          "b": pa.array([2.0, 0.0])})
+        out = VectorProgram(".q, .e = .a / .b").run(batch)
+        assert out["q"].to_pylist() == [2.0, None]
+        assert "zero" in out["e"].to_pylist()[1]
+
+    def test_unvectorizable_falls_back(self):
+        import pytest as _pytest
+
+        from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
+
+        for src in (".x = parse_json(.t)",
+                    ".a.b = 1",
+                    "del(.x)",
+                    ".x = {\"k\": 1}"):
+            with _pytest.raises(NotVectorizable):
+                VectorProgram(src)
+
+    def test_remap_auto_selects_vector_stage(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.lang.remap import remap
+
+        ds = rd.from_arrow(self._batch())
+        out = remap(ds, self.PROGRAM).to_pandas()
+        assert list(out["kind"]) == ["click", "error", "view", "login"]
+        assert list(out["is_big"]) == [False, True, False, True]

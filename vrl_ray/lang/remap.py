@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from ..value import VrlError, encode_json
 from .interpreter import Program, Abort
+from .parser import ParseError
 
 
 class RemapStage:
@@ -94,9 +95,57 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
     return pa.table({k: pa.array(v) for k, v in cols.items()})
 
 
+class VectorRemapStage:
+    """Fast path: the program compiled to a column plan
+    (lang/vectorize.py), executed once per batch — no per-row Python.
+    Output schema: input columns (possibly overwritten) + assigned
+    fields; `aborted`/`vrl_err`/`extra` companions are added for
+    drop-in parity with RemapStage."""
+
+    def __init__(self, source: str):
+        from .vectorize import VectorProgram
+
+        self.program = VectorProgram(source)   # compile once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.program.run(batch)
+        n = len(out)
+        if "extra" not in out.column_names:
+            out = out.append_column("extra", pa.nulls(n, pa.string()))
+        if "aborted" not in out.column_names:
+            out = out.append_column(
+                "aborted", pa.array([False] * n, pa.bool_()))
+        if "vrl_err" not in out.column_names:
+            out = out.append_column("vrl_err", pa.nulls(n, pa.string()))
+        return out
+
+
 def remap(ds, source: str, *, concurrency=(1, 8), batch_size: int = 8192,
-          drop_aborted: bool = False):
-    """Apply a VRL program to every row of a Dataset."""
+          drop_aborted: bool = False, vectorize: Optional[bool] = None):
+    """Apply a VRL program to every row of a Dataset.
+
+    ``vectorize=None`` (default) compiles to the Arrow column plan
+    when the program is inside the vectorizable subset, else falls
+    back to the per-row interpreter; True forces the column plan
+    (raises NotVectorizable); False forces the interpreter."""
+    from .vectorize import NotVectorizable, VectorProgram
+
+    use_vector = vectorize
+    if use_vector is None:
+        try:
+            VectorProgram(source)   # compile-check on the driver
+            use_vector = True
+        except (NotVectorizable, ParseError):
+            use_vector = False
+
+    if use_vector and not drop_aborted:
+        return ds.map_batches(
+            VectorRemapStage,
+            fn_constructor_kwargs=dict(source=source),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         RemapStage,
         fn_constructor_kwargs=dict(source=source, drop_aborted=drop_aborted),

@@ -1,0 +1,437 @@
+"""Vectorizing compiler: VRL program → Arrow column plan.
+
+The reference compiles a program once and interprets it per event
+(runtime.rs:96-128). Our fast path goes further: when every statement
+of a program falls inside the vectorizable subset, the whole program
+compiles to a sequence of pyarrow.compute column operations executed
+once per BATCH — no per-row Python at all. Anything outside the
+subset raises :class:`NotVectorizable` and the remap stage falls back
+to the per-row interpreter (same observable semantics, slower).
+
+Vectorizable subset (v1):
+- statements: `.field = expr`, `.ok, .err = expr` (infallible
+  assignment incl. per-row error lane + type default), statement-level
+  `if`/`else` whose branches assign the SAME single-segment fields
+- expressions: literals, single-segment event paths, arithmetic /
+  comparison / equality / boolean ops with VRL semantics (wrapping
+  i64, division errors by zero, null-falsy predicates), `!`,
+  `if cond { a } else { b }` as `pc.if_else`, and calls to the
+  kernel registry below
+- kernels: downcase upcase to_int to_float to_string round floor ceil
+  abs strlen contains starts_with ends_with replace (literal)
+
+Error-as-value: every compiled expression yields ``(values,
+errs|None)`` where ``errs`` is a per-row string array — the same
+shape the flagship parse stage uses (SURVEY §7 "error/abort
+semantics vectorized").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .parser import parse, ParseError
+
+
+class NotVectorizable(Exception):
+    """Program uses constructs outside the vectorized subset."""
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _nulls(n: int, typ=pa.string()):
+    return pa.nulls(n, typ)
+
+
+def _merge_errs(n: int, *errs):
+    out = None
+    for e in errs:
+        if e is None:
+            continue
+        out = e if out is None else pc.if_else(pc.is_valid(out), out, e)
+    return out
+
+
+def _is_num_type(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+def _typ(v) -> pa.DataType:
+    return v.type
+
+
+def _err_where(mask, message: str, n: int):
+    """error-string array: message where mask, null elsewhere."""
+    return pc.if_else(mask, pa.scalar(message, pa.string()),
+                      _nulls(n))
+
+
+# ---------------------------------------------------------------------------
+# kernel registry: name -> (fn(ctx, args) -> (values, errs), default)
+
+def _k_downcase(ctx, a):
+    v, e = a[0]
+    return pc.utf8_lower(v), e
+
+
+def _k_upcase(ctx, a):
+    v, e = a[0]
+    return pc.utf8_upper(v), e
+
+
+def _k_to_int(ctx, a):
+    from ..functions.vectorized import to_int64_lane
+
+    v, e = a[0]
+    out = to_int64_lane(v)
+    bad = pc.and_(pc.is_valid(v), pc.is_null(out))
+    errs = _err_where(bad, "unable to coerce value to integer", ctx.n)
+    # type default on error (assignment.rs:522-549)
+    out = pc.if_else(bad, pa.scalar(0, pa.int64()), out)
+    return out, _merge_errs(ctx.n, e, errs)
+
+
+def _k_to_float(ctx, a):
+    from ..functions.vectorized import to_float64_lane
+
+    v, e = a[0]
+    out = to_float64_lane(v)
+    bad = pc.and_(pc.is_valid(v), pc.is_null(out))
+    errs = _err_where(bad, "unable to coerce value to float", ctx.n)
+    out = pc.if_else(bad, pa.scalar(0.0, pa.float64()), out)
+    return out, _merge_errs(ctx.n, e, errs)
+
+
+def _k_to_string(ctx, a):
+    v, e = a[0]
+    return pc.cast(v, pa.string()), e
+
+
+def _k_round(ctx, a):
+    v, e = a[0]
+    prec = 0
+    if len(a) > 1:
+        prec = a[1][0].as_py() if isinstance(a[1][0], pa.Scalar) else a[1][0]
+    # VRL round = half away from zero (round.rs via f64::round)
+    return pc.round(v, ndigits=int(prec),
+                    round_mode="half_towards_infinity"), e
+
+
+def _k_floor(ctx, a):
+    v, e = a[0]
+    return pc.floor(v), e
+
+
+def _k_ceil(ctx, a):
+    v, e = a[0]
+    return pc.ceil(v), e
+
+
+def _k_abs(ctx, a):
+    v, e = a[0]
+    return pc.abs(v), e
+
+
+def _k_strlen(ctx, a):
+    v, e = a[0]
+    return pc.cast(pc.utf8_length(v), pa.int64()), e
+
+
+def _k_contains(ctx, a):
+    v, e = a[0]
+    pat = a[1][0]
+    return pc.match_substring(v, pat.as_py() if isinstance(pat, pa.Scalar)
+                              else pat), e
+
+
+def _k_starts_with(ctx, a):
+    v, e = a[0]
+    pat = a[1][0]
+    return pc.starts_with(v, pat.as_py() if isinstance(pat, pa.Scalar)
+                          else pat), e
+
+
+def _k_ends_with(ctx, a):
+    v, e = a[0]
+    pat = a[1][0]
+    return pc.ends_with(v, pat.as_py() if isinstance(pat, pa.Scalar)
+                        else pat), e
+
+
+def _k_replace(ctx, a):
+    v, e = a[0]
+    pat, rep = a[1][0], a[2][0]
+    return pc.replace_substring(
+        v, pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        rep.as_py() if isinstance(rep, pa.Scalar) else rep), e
+
+
+_KERNELS: dict[str, Callable] = {
+    "downcase": _k_downcase, "upcase": _k_upcase, "to_int": _k_to_int,
+    "to_float": _k_to_float, "to_string": _k_to_string, "round": _k_round,
+    "floor": _k_floor, "ceil": _k_ceil, "abs": _k_abs,
+    "strlen": _k_strlen, "contains": _k_contains,
+    "starts_with": _k_starts_with, "ends_with": _k_ends_with,
+    "replace": _k_replace,
+}
+
+
+# ---------------------------------------------------------------------------
+# expression compiler — AST → fn(ctx) -> (values, errs)
+
+class _Ctx:
+    def __init__(self, batch: pa.Table):
+        self.batch = batch
+        self.n = len(batch)
+        self.written: dict[str, pa.Array] = {}
+
+    def col(self, name: str):
+        if name in self.written:
+            return self.written[name]
+        if name in self.batch.column_names:
+            c = self.batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return _nulls(self.n, pa.null())
+
+
+def _compile_expr(node) -> Callable:
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+
+        def lit(ctx):
+            return pa.scalar(v), None
+        return lit
+
+    if kind == "path":
+        if node[1] != "event" or len(node[2]) != 1 or \
+                not isinstance(node[2][0], str):
+            raise NotVectorizable(f"path {node!r}")
+        field = node[2][0]
+
+        def path(ctx):
+            return ctx.col(field), None
+        return path
+
+    if kind == "not":
+        inner = _compile_expr(node[1])
+
+        def notf(ctx):
+            v, e = inner(ctx)
+            return pc.invert(v), e
+        return notf
+
+    if kind == "binop":
+        return _compile_binop(node)
+
+    if kind == "if":
+        arms, els = node[1], node[2]
+        if els is None or len(arms) != 1:
+            raise NotVectorizable("if shape")
+        condf = _compile_expr(arms[0][0])
+        thenf = _compile_expr(_unwrap_block(arms[0][1]))
+        elsef = _compile_expr(_unwrap_block(els))
+
+        def iff(ctx):
+            c, ce = condf(ctx)
+            c = pc.fill_null(pc.cast(c, pa.bool_()), False)
+            tv, te = thenf(ctx)
+            ev, ee = elsef(ctx)
+            return pc.if_else(c, tv, ev), _merge_errs(ctx.n, ce, te, ee)
+        return iff
+
+    if kind == "call":
+        _, name, bang, args, closure = node
+        if closure is not None or name not in _KERNELS:
+            raise NotVectorizable(f"call {name}")
+        argfs = []
+        for aname, aexpr in args:
+            if aname is not None:
+                raise NotVectorizable("named args")
+            argfs.append(_compile_expr(aexpr))
+        fn = _KERNELS[name]
+
+        def call(ctx):
+            return fn(ctx, [f(ctx) for f in argfs])
+        return call
+
+    if kind == "block":
+        return _compile_expr(_unwrap_block(node))
+
+    raise NotVectorizable(kind)
+
+
+def _unwrap_block(node):
+    if node[0] == "block":
+        if len(node[1]) != 1:
+            raise NotVectorizable("multi-statement block expression")
+        return node[1][0]
+    return node
+
+
+_NUM_OPS = {"+": "add", "-": "subtract", "*": "multiply"}
+_CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
+            "<=": "less_equal", "==": "equal", "!=": "not_equal"}
+
+
+def _compile_binop(node) -> Callable:
+    _, op, ln, rn = node
+    lf, rf = _compile_expr(ln), _compile_expr(rn)
+
+    if op in _NUM_OPS:
+        # pc.add/subtract/multiply wrap on int64 overflow — matching
+        # VRL's wrapping_* semantics (arithmetic.rs:115,143); the
+        # _checked variants would raise instead
+        kernel = getattr(pc, _NUM_OPS[op])
+
+        def arith(ctx):
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            if op == "+" and (pa.types.is_string(_typ(lv)) or
+                              pa.types.is_string(_typ(rv))):
+                # string + string concatenates (arithmetic.rs:125-133)
+                out = pc.binary_join_element_wise(lv, rv, "")
+                return out, _merge_errs(ctx.n, le, re)
+            return kernel(lv, rv), _merge_errs(ctx.n, le, re)
+        return arith
+
+    if op == "/":
+        def divf(ctx):
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            zero = pc.equal(pc.cast(rv, pa.float64()), 0.0)
+            zmask = pc.fill_null(zero, False)
+            safe_r = pc.if_else(zmask, pa.scalar(1.0, pa.float64()),
+                                pc.cast(rv, pa.float64()))
+            out = pc.divide(pc.cast(lv, pa.float64()), safe_r)
+            out = pc.if_else(zmask, _nulls(ctx.n, pa.float64()), out)
+            errs = _err_where(zmask, "can't divide by zero", ctx.n)
+            return out, _merge_errs(ctx.n, le, re, errs)
+        return divf
+
+    if op in _CMP_OPS:
+        kernel = getattr(pc, _CMP_OPS[op])
+
+        def cmpf(ctx):
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return kernel(lv, rv), _merge_errs(ctx.n, le, re)
+        return cmpf
+
+    if op in ("&&", "||"):
+        def boolf(ctx):
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            # null is falsy in predicates (arithmetic.rs:159-187)
+            lb = pc.fill_null(pc.cast(lv, pa.bool_()), False)
+            rb = pc.fill_null(pc.cast(rv, pa.bool_()), False)
+            out = pc.and_(lb, rb) if op == "&&" else pc.or_(lb, rb)
+            return out, _merge_errs(ctx.n, le, re)
+        return boolf
+
+    if op == "??":
+        def coalf(ctx):
+            lv, le = lf(ctx)
+            rv, re = rf(ctx)
+            if le is None:
+                return lv, None
+            bad = pc.is_valid(le)
+            return pc.if_else(bad, rv, lv), re
+        return coalf
+
+    raise NotVectorizable(f"op {op}")
+
+
+# ---------------------------------------------------------------------------
+# program compiler
+
+class VectorProgram:
+    """Column-plan compilation of a full VRL program. Raises
+    :class:`NotVectorizable` at compile time when any statement falls
+    outside the subset."""
+
+    def __init__(self, source: str):
+        self.source = source
+        stmts = parse(source)
+        self.plan: list = [self._compile_stmt(s) for s in stmts]
+
+    # → list of (field, errfield|None, exprfn) produced per statement
+    def _compile_stmt(self, s):
+        if s[0] == "assign":
+            targets, op, expr = s[1], s[2], s[3]
+            if op != "=":
+                raise NotVectorizable("|= assignment")
+            fields = []
+            for t in targets:
+                if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
+                    raise NotVectorizable("assignment target")
+                fields.append(t[2][0])
+            f = _compile_expr(expr)
+            if len(fields) == 1:
+                return [(fields[0], None, f)]
+            if len(fields) == 2:
+                return [(fields[0], fields[1], f)]
+            raise NotVectorizable("assignment arity")
+        if s[0] == "if":
+            return [self._compile_if_stmt(s)]
+        raise NotVectorizable(s[0])
+
+    def _compile_if_stmt(self, s):
+        arms, els = s[1], s[2]
+        if len(arms) != 1 or els is None:
+            raise NotVectorizable("if/else-if statement")
+        condf = _compile_expr(arms[0][0])
+        then_a = self._branch_assigns(arms[0][1])
+        else_a = self._branch_assigns(els)
+        if set(then_a) != set(else_a):
+            raise NotVectorizable("branches assign different fields")
+
+        def run(ctx):
+            c, _ = condf(ctx)
+            c = pc.fill_null(pc.cast(c, pa.bool_()), False)
+            out = {}
+            for field in then_a:
+                tv, _ = then_a[field](ctx)
+                ev, _ = else_a[field](ctx)
+                out[field] = pc.if_else(c, tv, ev)
+            return out
+        return ("__if__", None, run)
+
+    def _branch_assigns(self, block) -> dict:
+        if block[0] != "block":
+            raise NotVectorizable("if branch")
+        out = {}
+        for st in block[1]:
+            if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
+                raise NotVectorizable("if branch statement")
+            t = st[1][0]
+            if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
+                raise NotVectorizable("if branch target")
+            out[t[2][0]] = _compile_expr(st[3])
+        return out
+
+    def run(self, batch: pa.Table) -> pa.Table:
+        ctx = _Ctx(batch)
+        for stmt in self.plan:
+            for field, errfield, f in stmt:
+                if field == "__if__":
+                    for k, arr in f(ctx).items():
+                        ctx.written[k] = arr
+                    continue
+                v, e = f(ctx)
+                if isinstance(v, pa.Scalar):
+                    v = pa.repeat(v, ctx.n)  # pragma: no cover - rare
+                ctx.written[field] = v
+                if errfield is not None:
+                    ctx.written[errfield] = (
+                        e if e is not None else _nulls(ctx.n))
+        out = batch
+        for name, arr in ctx.written.items():
+            if name in out.column_names:
+                out = out.set_column(
+                    out.column_names.index(name),
+                    name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
