@@ -547,6 +547,59 @@ def transcript_flagship(sf_dir: str):
     return count_by(routed, AGG_KEYS)
 
 
+def docs_grok_parse(sf_dir: str):
+    """parse_grok over documents.text through the vectorized grok
+    kernel (RE2 fast path + exact row fallback — the flagship parse
+    stage's machinery on a driver table, parse_grok.rs semantics)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class Grok:
+        def __init__(self):
+            from vrl_ray.functions.vectorized import VectorGrok
+            self.grok = VectorGrok("%{WORD:first_word} %{GREEDYDATA:rest}")
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b["text"]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            fields, matched = self.grok.extract(texts)
+            m = pa.array(matched)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "first_word": pc.if_else(m, fields["first_word"],
+                                         pa.nulls(len(b), pa.string())),
+                "rest": pc.if_else(m, fields["rest"],
+                                   pa.nulls(len(b), pa.string())),
+            })
+
+    return ds.map_batches(Grok, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def multimodal_frames(sf_dir: str):
+    """Video frame sampling (one-to-many explode over media rows) —
+    rows-only check."""
+    import ray.data as rd
+    from vrl_ray.stages.multimodal import synthetic_media_table, SampleFrames
+
+    t = synthetic_media_table(200, seed=5)
+    return rd.from_arrow(t).map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=32,
+        concurrency=(1, 4))
+
+
+def multimodal_audio(sf_dir: str):
+    """Audio feature-extraction plumbing (stubbed decode) —
+    rows-only check."""
+    import ray.data as rd
+    from vrl_ray.stages.multimodal import synthetic_media_table, DecodeAudio
+
+    t = synthetic_media_table(200, seed=5)
+    audio = rd.from_arrow(t).filter(expr="kind == 'audio'")
+    return audio.map_batches(DecodeAudio, batch_format="pyarrow",
+                             batch_size=32, concurrency=(1, 4)) \
+        .select_columns(["media_id", "rms", "zero_cross_rate"])
+
+
 def multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic binary media → actor-pool decode
     stub → per-kind feature rows. Rows-only check."""
@@ -597,8 +650,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": embeddings_knn,
         "embeddings_knn_ivf": embeddings_knn_ivf,
         "embeddings_near_dups": embeddings_near_dups,
+        "docs_grok_parse": docs_grok_parse,
         "transcript_flagship": transcript_flagship,
         "multimodal_decode": multimodal_decode,
+        "multimodal_frames": multimodal_frames,
+        "multimodal_audio": multimodal_audio,
     }
 
 
@@ -662,6 +718,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_unnest_tokens": """
             SELECT doc_id, unnest(string_split(text, ' ')) AS token
             FROM documents WHERE doc_id < 100
+        """,
+        "docs_grok_parse": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text, '^(\\w+) ', 1), '')
+                       AS first_word,
+                   NULLIF(regexp_extract(text, '^\\w+ (.*)$', 1), '')
+                       AS rest
+            FROM documents
         """,
         "docs_redact": """
             SELECT doc_id,

@@ -88,6 +88,32 @@ class DecodeImage:
         return batch.drop_columns(["payload"]).append_column("rgb_mean", arr)
 
 
+class DecodeAudio:
+    """Audio feature-extraction stage (STUB decode, real plumbing):
+    derives fixed-width pseudo-waveform stats per payload; the real
+    body would load soundfile/librosa in ``__init__``."""
+
+    def __init__(self, deterministic_fake: bool = True):
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile/librosa (not in "
+                "this container)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms, zcr = [], []
+        for payload in batch["payload"].to_pylist():
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            rng = np.random.default_rng(int.from_bytes(h, "little"))
+            wave = rng.normal(size=256).astype(np.float32)
+            rms.append(float(np.sqrt(np.mean(wave ** 2))))
+            zcr.append(float(np.mean(np.signbit(wave[:-1]) !=
+                                     np.signbit(wave[1:]))))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("rms", pa.array(rms, pa.float32()))
+        return out.append_column("zero_cross_rate",
+                                 pa.array(zcr, pa.float32()))
+
+
 class SampleFrames:
     """Video frame-sampling stage (STUB decode, real plumbing):
     emits one row per sampled frame (one-to-many, like unnest)."""
