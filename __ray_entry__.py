@@ -248,6 +248,43 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group, two-phase: per-batch distinct
+    (event_type, user_id) pairs → global distinct via groupby →
+    count per event_type. The shuffle moves only the deduplicated
+    pairs, not the rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(pair_distinct, batch_format="pyarrow")
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"])
+    out = distinct.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def events_cumulative(sf_dir: str):
+    """Running sum per user ordered by ts — the streaming-window
+    idiom: groupby(user).map_groups over ts-sorted groups (bounded
+    group size; partitioning assumption documented)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(2)
+        return g[["user_id", "event_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
 def events_vrl_remap(sf_dir: str):
     """An actual VRL program executed per event through the language
     front end (lang.RemapStage: compile once per actor, tree-walk per
@@ -636,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
+        "events_distinct_users": events_distinct_users,
+        "events_cumulative": events_cumulative,
         "docs_token_stats": docs_token_stats,
         "docs_dedup_exact": docs_dedup_exact,
         "docs_string_ops": docs_string_ops,
@@ -765,6 +804,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_cumulative": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
         """,
         "events_vrl_remap": """
             SELECT event_id, lower(event_type) AS kind,
