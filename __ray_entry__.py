@@ -331,7 +331,8 @@ def events_logfmt_roundtrip(sf_dir: str):
 def events_route_ddq(sf_dir: str):
     """Predicate router driven by match_datadog_query conditions
     (VRL's native routing-condition form, match_datadog_query.rs) —
-    queries compiled once per actor, evaluated per row, two-phase
+    queries compiled ONCE per actor to vectorized column masks
+    (compile_query_mask), first-match-wins fan-out, two-phase
     per-sink counts."""
     from vrl_ray.stages.aggregate import count_by
 
@@ -342,22 +343,18 @@ def events_route_ddq(sf_dir: str):
                   ("high", "@value:>=100")]
 
         def __init__(self):
-            from vrl_ray.functions.datadog_query import match_datadog_query
-            self.match = match_datadog_query  # AST cached per query
+            from vrl_ray.functions.datadog_query import compile_query_mask
+            self.masks = [(sink, compile_query_mask(q))
+                          for sink, q in self.ROUTES]
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            ets = b["event_type"].to_pylist()
-            vals = b["value"].to_pylist()
-            sinks = []
-            for et, v in zip(ets, vals):
-                ev = {"event_type": et, "value": v}
-                for sink, q in self.ROUTES:
-                    if self.match(ev, q):
-                        break
-                else:
-                    sink = "normal"
-                sinks.append(sink)
-            return pa.table({"sink": pa.array(sinks, pa.string())})
+            sink = np.full(len(b), "normal", dtype=object)
+            unassigned = np.ones(len(b), dtype=bool)
+            for name, maskf in self.masks:
+                m = maskf(b).to_numpy(zero_copy_only=False) & unassigned
+                sink[m] = name
+                unassigned &= ~m
+            return pa.table({"sink": pa.array(sink.tolist(), pa.string())})
 
     routed = ds.map_batches(RouteDD, batch_format="pyarrow",
                             concurrency=(1, 8))

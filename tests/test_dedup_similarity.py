@@ -148,3 +148,29 @@ class TestEmbeddingSimilarity:
                        .sort_values("rank")["vec_id"]) if "rank" in out else \
                 list(out[out["query_idx"] == qi]["vec_id"])
             assert set(got) == set(want)
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from vrl_ray.stages.similarity import knn_brute_force, knn_ivf
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(400, 24)).astype(np.float32)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })).materialize()
+        q = vecs[:3].astype(np.float64)
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        approx = knn_ivf(ds, q, k=10, nlist=8, nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(3):
+            want = set(exact[exact["query_idx"] == qi]["vec_id"])
+            got = set(approx[approx["query_idx"] == qi]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        # nprobe=half the lists → high recall expected
+        assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -209,3 +209,41 @@ class TestDatadogQuery:
     ])
     def test_queries(self, q, want):
         assert R["match_datadog_query"](self.E, q) is want
+
+
+class TestDatadogQueryVectorized:
+    """compile_query_mask must agree with the row evaluator."""
+
+    def test_mask_matches_row_eval(self):
+        import pyarrow as pa
+
+        from vrl_ray.functions.datadog_query import (compile_query_mask,
+                                                     match_datadog_query)
+
+        batch = pa.table({
+            "event_type": pa.array(["error", "view", None, "click"]),
+            "value": pa.array([5.0, 150.0, 99.0, None]),
+        })
+        queries = ["@event_type:error", "@value:>=100",
+                   "@value:[90 TO 160]", "@event_type:err*",
+                   "@event_type:error OR @value:>=100",
+                   "NOT @event_type:view AND @value:<100",
+                   "@event_type:*"]
+        rows = batch.to_pylist()
+        for q in queries:
+            mask = compile_query_mask(q)(batch).to_pylist()
+            want = [match_datadog_query(
+                {k: v for k, v in r.items() if v is not None}, q)
+                for r in rows]
+            assert mask == want, q
+
+    def test_full_text_not_vectorizable(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from vrl_ray.functions.datadog_query import (NotVectorizableQuery,
+                                                     compile_query_mask)
+
+        batch = pa.table({"message": pa.array(["a b"])})
+        with _pytest.raises(NotVectorizableQuery):
+            compile_query_mask("bare_term")(batch)

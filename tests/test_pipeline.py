@@ -193,3 +193,26 @@ class TestFusedStage:
         import ray.data as rd
         n_files = rd.read_parquet(os.path.join(str(tmp_path / "out"), "sinks")).count()
         assert n_files == int(res["agg_tool"]["n"].sum())
+
+
+class TestEnrichmentTableFile:
+    """VRL enrichment-table parity: tables loaded from a file once per
+    actor (enrich.py load_enrichment_table)."""
+
+    def test_csv_table_drives_lookup(self, tmp_path):
+        import pyarrow as pa
+
+        from vrl_ray.stages.enrich import Enrich
+
+        p = tmp_path / "tools.csv"
+        p.write_text("tool,category,risk\nhammer,manual,5\nbash,shell,4\n")
+        e = Enrich(tool_table_path=str(p))
+        b = pa.table({
+            "tool": pa.array(["hammer", "bash", "unknown_x"]),
+            "role": pa.array(["tool", "tool", "user"]),
+        })
+        out = e(b)
+        assert out["tool_category"].to_pylist() == ["manual", "shell",
+                                                    "unknown"]
+        assert out["tool_risk"].to_pylist() == [5, 4, 2]
+        assert out["enrich_err"].to_pylist()[2] is not None

@@ -272,6 +272,97 @@ def _eval(node, event: dict) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# vectorized evaluation: AST → boolean mask over an Arrow batch
+# (the route-stage fast path; the row evaluator above is the oracle)
+
+
+class NotVectorizableQuery(Exception):
+    pass
+
+
+def _vec_term(attr: Optional[str], value: str, batch) -> "Any":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    if attr is None or not attr.startswith("@"):
+        # full-text / tag terms need row semantics
+        raise NotVectorizableQuery("full-text or tag term")
+    field = attr[1:]
+    if "." in field or field not in batch.column_names:
+        raise NotVectorizableQuery(f"attribute {field}")
+    col = batch[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+
+    if value == "*":
+        return pc.is_valid(col)
+    m = _re.match(r"([<>]=?)\s*(.+)$", value)
+    if m:
+        op, rhs = m.group(1), _unquote(m.group(2))
+        r = _num(rhs)
+        if r is None:
+            raise NotVectorizableQuery("non-numeric comparison")
+        kernel = {"<": pc.less, "<=": pc.less_equal,
+                  ">": pc.greater, ">=": pc.greater_equal}[op]
+        return pc.fill_null(kernel(pc.cast(col, pa.float64()), r), False)
+    if value and value[0] in "[{" and value[-1] in "]}":
+        mm = _re.match(r'\s*("?[^"\s]*"?)\s+TO\s+("?[^"\s]*"?)\s*$',
+                       value[1:-1])
+        if not mm:
+            raise NotVectorizableQuery("range syntax")
+        lo, hi = _unquote(mm.group(1)), _unquote(mm.group(2))
+        lo_n, hi_n = _num(lo), _num(hi)
+        if lo_n is None or hi_n is None:
+            raise NotVectorizableQuery("non-numeric range")
+        c = pc.cast(col, pa.float64())
+        lo_ok = pc.greater_equal(c, lo_n) if value[0] == "[" else pc.greater(c, lo_n)
+        hi_ok = pc.less_equal(c, hi_n) if value[-1] == "]" else pc.less(c, hi_n)
+        return pc.fill_null(pc.and_(lo_ok, hi_ok), False)
+    pat = _unquote(value)
+    if _re.search(r"[*?]", pat):
+        rx = _wild_rx(pat).pattern
+        return pc.fill_null(
+            pc.match_substring_regex(pc.cast(col, pa.string()), rx), False)
+    p_num = _num(pat)
+    if p_num is not None and str(col.type) in ("int64", "int32", "double",
+                                               "float"):
+        return pc.fill_null(pc.equal(pc.cast(col, pa.float64()), p_num),
+                            False)
+    return pc.fill_null(pc.equal(pc.cast(col, pa.string()), pat), False)
+
+
+def _vec_eval(node, batch):
+    import pyarrow.compute as pc
+
+    kind = node[0]
+    if kind == "or":
+        return pc.or_(_vec_eval(node[1], batch), _vec_eval(node[2], batch))
+    if kind == "and":
+        return pc.and_(_vec_eval(node[1], batch), _vec_eval(node[2], batch))
+    if kind == "not":
+        return pc.invert(_vec_eval(node[1], batch))
+    _, attr, value = node
+    return _vec_term(attr, value, batch)
+
+
+def compile_query_mask(query: str):
+    """Compile a Datadog query to ``fn(batch: pa.Table) -> BooleanArray``
+    — vectorized route-condition evaluation (facet terms, numeric
+    comparisons/ranges, wildcards, boolean ops). Raises
+    :class:`NotVectorizableQuery` for full-text/tag terms; callers
+    fall back to :func:`match_datadog_query` per row."""
+    ast = _P(_tokenize(query)).parse()
+
+    def run(batch):
+        return _vec_eval(ast, batch)
+
+    # validate the shape early on an empty batch with no columns is
+    # impossible (needs the schema) — validation happens on first call
+    return run
+
+
 _QUERY_CACHE: dict[str, Any] = {}
 
 

@@ -59,14 +59,42 @@ ENRICH_FIELDS = [
 ]
 
 
+def load_enrichment_table(path: str) -> dict:
+    """Load a Vector-style enrichment table: first column is the key,
+    remaining columns the enrichment payload (CSV or Parquet).
+    Returns {key: tuple(payload...)}."""
+    import os
+
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+    else:
+        import pyarrow.csv as pacsv
+
+        t = pacsv.read_csv(path)
+    if t.num_columns < 2:
+        raise ValueError(f"enrichment table {path} needs >=2 columns")
+    keys = t.column(0).to_pylist()
+    rest = [t.column(i).to_pylist() for i in range(1, t.num_columns)]
+    return {k: tuple(col[i] for col in rest) for i, k in enumerate(keys)}
+
+
 class Enrich:
     """Actor-pool stage: ``ds.map_batches(Enrich, concurrency=N,
     batch_format="pyarrow")``."""
 
-    def __init__(self, tool_table: Optional[dict] = None, role_table: Optional[dict] = None):
+    def __init__(self, tool_table: Optional[dict] = None,
+                 role_table: Optional[dict] = None,
+                 tool_table_path: Optional[str] = None):
         # Once per actor. In a multi-node deployment the tables arrive
         # via ray.put-broadcast object refs resolved here; defaults are
-        # module constants (zero-cost).
+        # module constants (zero-cost). ``tool_table_path`` loads a
+        # Vector-style enrichment table file (CSV with key,category,
+        # risk columns, or parquet) — the file is read once per actor,
+        # exactly like VRL's enrichment-table setup phase.
+        if tool_table_path is not None:
+            tool_table = load_enrichment_table(tool_table_path)
         self.tools = dict(tool_table or TOOL_TABLE)
         self.roles = dict(role_table or ROLE_TABLE)
 
