@@ -196,3 +196,39 @@ class TestVectorize:
         out = remap(ds, self.PROGRAM).to_pandas()
         assert list(out["kind"]) == ["click", "error", "view", "login"]
         assert list(out["is_big"]) == [False, True, False, True]
+
+
+class TestCli:
+    """vrl_ray.cli — the reference's `vrl` one-shot contract
+    (src/cli/cmd.rs:30-170)."""
+
+    def test_result_per_event(self, tmp_path, capsys):
+        from vrl_ray.cli import main
+
+        f = tmp_path / "e.ndjson"
+        f.write_text('{"a": 1}\n{"a": 2}\n')
+        assert main([".a + 1", "-i", str(f)]) == 0
+        assert capsys.readouterr().out == "2\n3\n"
+
+    def test_print_object(self, tmp_path, capsys):
+        from vrl_ray.cli import main
+
+        f = tmp_path / "e.ndjson"
+        f.write_text('{"a": 1}\n')
+        assert main(["-o", ".b = .a * 10", "-i", str(f)]) == 0
+        assert capsys.readouterr().out == '{"a":1,"b":10}\n'
+
+    def test_empty_input_is_one_empty_object(self, tmp_path, capsys):
+        from vrl_ray.cli import main
+
+        f = tmp_path / "empty.ndjson"
+        f.write_text("")
+        assert main(["-o", '.x = "hi"', "-i", str(f)]) == 0
+        assert capsys.readouterr().out == '{"x":"hi"}\n'
+
+    def test_program_error_exit_code(self, tmp_path, capsys):
+        from vrl_ray.cli import main
+
+        f = tmp_path / "e.ndjson"
+        f.write_text('{"a": "not a number"}\n')
+        assert main(['to_int!(.a)', "-i", str(f)]) == 1
