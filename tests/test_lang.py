@@ -232,3 +232,14 @@ class TestCli:
         f = tmp_path / "e.ndjson"
         f.write_text('{"a": "not a number"}\n')
         assert main(['to_int!(.a)', "-i", str(f)]) == 1
+
+    def test_repl_persistent_event(self, capsys):
+        import io
+
+        from vrl_ray.cli import run_repl
+
+        lines = iter(['.a = 1', '.b = .a + 1', '.', 'exit'])
+        buf = io.StringIO()
+        assert run_repl(input_fn=lambda: next(lines), out=buf) == 0
+        out = buf.getvalue().splitlines()
+        assert out[-1] == '{"a":1,"b":2}'

@@ -88,6 +88,37 @@ def run_ray(source: str, input_path: str, output_path: str | None) -> int:
     return 0
 
 
+def run_repl(input_fn=None, out=None) -> int:
+    """Interactive REPL (the reference's src/cli/repl.rs: persistent
+    event object, each line compiled + resolved against it; ``.``
+    shows the event; ``exit`` quits)."""
+    from .lang import compile_program
+    from .lang.interpreter import VrlRuntimeError
+    from .value import VrlError
+
+    input_fn = input_fn or (lambda: input("$ "))
+    out = out or sys.stdout
+    event: dict = {}
+    print("VRL REPL — enter a program per line; `exit` quits", file=out)
+    while True:
+        try:
+            line = input_fn()
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        if line is None or line.strip() in ("exit", "quit"):
+            return 0
+        if not line.strip():
+            continue
+        try:
+            result, event, aborted = compile_program(line).resolve(event)
+            if not isinstance(event, dict):
+                event = {}
+            print(_print_value(result) if aborted is None else "aborted",
+                  file=out)
+        except (VrlError, VrlRuntimeError, Exception) as e:
+            print(f"error: {e}", file=out)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="vrl_ray", description="run a VRL program over events")
@@ -111,7 +142,8 @@ def main(argv=None) -> int:
         with open(args.program_file, encoding="utf-8") as f:
             source = f.read()
     else:
-        p.error("a program is required (inline or --program)")
+        # no program → REPL (cmd.rs:121-130 should_open_repl)
+        return run_repl()
 
     if args.ray:
         if not args.input_file:
