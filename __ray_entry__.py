@@ -40,27 +40,40 @@ def _round(df, cols, nd=4):
 
 
 def q1_pricing(sf_dir: str):
-    """TPC-H Q1-style grouped aggregate: two-phase-friendly Sum/Count
-    via Ray groupby (hash shuffle over 6 distinct keys)."""
-    from ray.data.aggregate import Sum, Count, Mean
+    """TPC-H Q1-style grouped aggregate, fully two-phase: per-batch
+    Arrow group_by partials (sums + counts) → driver combine (6
+    distinct keys — a distributed shuffle's fixed cost exceeds the
+    work; aggregate.py count_by_small rationale)."""
+    import ray
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
-    def revenue(b: pa.Table) -> pa.Table:
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
         disc = pc.multiply(b["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+        b = b.append_column("disc_price", disc)
+        g = b.group_by(keys).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ([], "count_all")])
+        return g.rename_columns(keys + ["sum_qty", "sum_base_price",
+                                        "sum_disc_price", "count_order"])
 
-    ds = ds.map_batches(revenue, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"),
-    ).to_pandas()
+    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    parts = pa.concat_tables(
+        [t for t in ray.get(mat.to_arrow_refs()) if len(t)]).to_pandas()
+    out = parts.groupby(keys, sort=False, as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        count_order=("count_order", "sum"))
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["count_order"] = out["count_order"].astype("int64")
+    out = out[keys + ["sum_qty", "sum_base_price", "sum_disc_price",
+                      "avg_qty", "count_order"]]
     return _round(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"], 2)
 
 
