@@ -399,6 +399,21 @@ def docs_token_stats(sf_dir: str):
     return out
 
 
+def docs_token_bpe(sf_dir: str):
+    """BPE-ish subword token counting (GPT-2-style pretokenizer
+    pattern: word / number / punctuation runs) — vectorized RE2 count
+    per doc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], pat)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def docs_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash + two-phase min-id per distinct text."""
     from vrl_ray.stages.dedup import exact_dedup
@@ -686,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events_distinct_users,
         "events_cumulative": events_cumulative,
         "docs_token_stats": docs_token_stats,
+        "docs_token_bpe": docs_token_bpe,
         "docs_dedup_exact": docs_dedup_exact,
         "docs_string_ops": docs_string_ops,
         "docs_regex_extract": docs_regex_extract,
@@ -841,6 +857,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS sum_words,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "docs_token_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -216,3 +216,29 @@ class TestEnrichmentTableFile:
                                                     "unknown"]
         assert out["tool_risk"].to_pylist() == [5, 4, 2]
         assert out["enrich_err"].to_pylist()[2] is not None
+
+
+class TestSkewFlattening:
+    """The two-phase aggregate's map-side combiner flattens hot-key
+    skew BEFORE the exchange (SURVEY §4 stragglers row): a 90%-hot
+    conv_id contributes one partial row per block, not per row."""
+
+    def test_partial_rows_bounded_by_distinct_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vrl_ray.stages.aggregate import _partial_counts
+
+        # 10k rows, 90% on one hot key
+        keys = ["hot"] * 9000 + [f"cold{i}" for i in range(1000)]
+        t = pa.table({"conv_id": pa.array(keys)})
+        partial = _partial_counts(["conv_id"])
+        ds = rd.from_arrow(t).repartition(8) \
+            .map_batches(partial, batch_format="pyarrow")
+        rows = ds.take_all()
+        # exchange volume: ≤ distinct×blocks partial rows, not 10k
+        assert len(rows) <= 1001 + 8
+        total = sum(r["n"] for r in rows)
+        assert total == 10000
+        hot = sum(r["n"] for r in rows if r["conv_id"] == "hot")
+        assert hot == 9000
