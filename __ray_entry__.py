@@ -261,6 +261,25 @@ def events_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_declarative_pipeline(sf_dir: str):
+    """The declarative remap-and-route builder (pipelines/builder.py):
+    user VRL program + datadog-query routes + aggregates, compiled to
+    vectorized stages — the generalized flagship shape on the events
+    table."""
+    from vrl_ray.pipelines.builder import PipelineSpec, run_pipeline
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    spec = PipelineSpec(
+        program=".kind = downcase(.event_type)",
+        routes=[("errors", "@kind:error"), ("big", "@value:>=100")],
+        aggregates={"by_sink_kind": ["sink", "kind"]},
+    )
+    res = run_pipeline(ds, spec)
+    out = res["aggregates"]["by_sink_kind"]
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT) per group, two-phase: per-batch distinct
     (event_type, user_id) pairs → global distinct via groupby →
@@ -698,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
+        "events_declarative_pipeline": events_declarative_pipeline,
         "events_distinct_users": events_distinct_users,
         "events_cumulative": events_cumulative,
         "docs_token_stats": docs_token_stats,
@@ -830,6 +850,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_declarative_pipeline": """
+            SELECT CASE WHEN lower(event_type) = 'error' THEN 'errors'
+                        WHEN value >= 100 THEN 'big'
+                        ELSE 'default' END AS sink,
+                   lower(event_type) AS kind,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

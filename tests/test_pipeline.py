@@ -242,3 +242,53 @@ class TestSkewFlattening:
         assert total == 10000
         hot = sum(r["n"] for r in rows if r["conv_id"] == "hot")
         assert hot == 9000
+
+
+class TestPipelineBuilder:
+    """Declarative remap-and-route pipelines (pipelines/builder.py):
+    user-supplied VRL program + datadog-query routes + aggregates."""
+
+    def test_end_to_end(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vrl_ray.pipelines.builder import PipelineSpec, run_pipeline
+
+        ds = rd.from_items([
+            {"event_type": "Click", "value": 5.0},
+            {"event_type": "Error", "value": 1.0},
+            {"event_type": "View", "value": 150.0},
+            {"event_type": "Error", "value": 200.0},
+        ])
+        spec = PipelineSpec(
+            program='.kind = downcase(.event_type)',
+            routes=[("errors", "@kind:error"), ("big", "@value:>=100")],
+            aggregates={"by_sink": ["sink"], "by_kind": ["sink", "kind"]},
+        )
+        res = run_pipeline(ds, spec, str(tmp_path / "out"))
+        by_sink = {r["sink"]: r["n"] for r in
+                   res["aggregates"]["by_sink"].to_dict("records")}
+        # first-match priority: the 200.0 Error routes to errors, not big
+        assert by_sink == {"errors": 2, "big": 1, "default": 1}
+        # sinks written and readable, partitioned by sink
+        import os
+
+        got = rd.read_parquet(res["sink_dir"]).to_pandas()
+        assert len(got) == 4 and "sink" in got.columns
+
+    def test_interpreter_fallback_program(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.pipelines.builder import PipelineSpec, run_pipeline
+
+        # parse_key_value is outside the vectorizable subset → the
+        # stage falls back to the per-row interpreter transparently
+        ds = rd.from_items([{"text": "a=1 b=2"}, {"text": "a=3"}])
+        spec = PipelineSpec(
+            program='.kv = parse_key_value!(.text)\n.a = to_int!(.kv.a)',
+            routes=[("high", "@a:>=2")],
+            aggregates={"by_sink": ["sink"]},
+        )
+        res = run_pipeline(ds, spec)
+        by_sink = {r["sink"]: r["n"] for r in
+                   res["aggregates"]["by_sink"].to_dict("records")}
+        assert by_sink == {"high": 1, "default": 1}

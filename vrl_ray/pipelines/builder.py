@@ -1,0 +1,137 @@
+"""Pipeline builder: a declarative remap-and-route pipeline from user
+specs — the generalized form of the flagship (a user of the reference
+brings a VRL program + route conditions; we compile both and wire the
+Ray Data pipeline around them).
+
+    spec = PipelineSpec(
+        program=\"\"\"
+            .kind = downcase(.event_type)
+            .big, .err = to_int(.value)
+        \"\"\",
+        routes=[("errors", "@err:*"),            # datadog query syntax
+                ("big", "@big:>=100")],
+        default_sink="default",
+        aggregates={"by_sink": ["sink"], "by_kind": ["sink", "kind"]},
+    )
+    result = run_pipeline(ds, spec, out_dir)
+
+Compilation strategy per component (all once per actor):
+- program → Arrow column plan when vectorizable (lang/vectorize.py),
+  else the per-row interpreter
+- each route condition → vectorized boolean mask
+  (functions/datadog_query.compile_query_mask), else the row matcher;
+  first-match-wins priority, exactly Vector's `route` transform
+- sinks → write-through Hive-partitioned parquet in the SAME pass
+- aggregates → map-side partials + single combine (count_by_multi)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass
+class PipelineSpec:
+    program: str                       # VRL transform applied per event
+    routes: list                       # [(sink_name, datadog_query)]
+    default_sink: str = "default"
+    aggregates: dict = field(default_factory=dict)  # name -> key list
+    batch_size: int = 65536
+
+
+class _SpecStage:
+    """One fused actor: remap → route → (optional) sink write."""
+
+    def __init__(self, spec: PipelineSpec, sink_dir: Optional[str],
+                 keep_columns: list):
+        from ..functions.datadog_query import (NotVectorizableQuery,
+                                               compile_query_mask,
+                                               match_datadog_query)
+        from ..lang.remap import RemapStage, VectorRemapStage
+        from ..lang.vectorize import NotVectorizable
+        from ..lang.parser import ParseError
+
+        pa.set_cpu_count(1)
+        try:
+            self.remap = VectorRemapStage(spec.program)
+        except (NotVectorizable, ParseError):
+            self.remap = RemapStage(spec.program)
+        self.routes = []
+        for name, q in spec.routes:
+            # keep the query text alongside the compiled mask: term
+            # validation happens at first call (needs the schema), so
+            # a mask can still demote to the row matcher at runtime
+            try:
+                self.routes.append((name, compile_query_mask(q), q))
+            except Exception:  # pragma: no cover - defensive
+                self.routes.append((name, None, q))
+        self.match_row = match_datadog_query
+        self.spec = spec
+        self.sink_dir = sink_dir
+        self.keep = keep_columns
+
+    def _route(self, batch: pa.Table) -> pa.Table:
+        from ..functions.datadog_query import NotVectorizableQuery
+
+        n = len(batch)
+        sink = np.full(n, self.spec.default_sink, dtype=object)
+        unassigned = np.ones(n, dtype=bool)
+        rows = None
+        for name, maskf, row_q in self.routes:
+            if maskf is not None:
+                try:
+                    m = maskf(batch).to_numpy(zero_copy_only=False)
+                except NotVectorizableQuery:
+                    maskf = None
+            if maskf is None:
+                if rows is None:
+                    rows = batch.to_pylist()
+                m = np.array([self.match_row(
+                    {k: v for k, v in r.items() if v is not None}, row_q)
+                    for r in rows])
+            m = m & unassigned
+            sink[m] = name
+            unassigned &= ~m
+        return batch.append_column(
+            "sink", pa.array(sink.tolist(), pa.string()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self._route(self.remap(batch))
+        if self.sink_dir is not None:
+            from .transcript import make_sink_writer
+
+            return make_sink_writer(self.sink_dir, self.keep)(out)
+        return out
+
+
+def run_pipeline(ds, spec: PipelineSpec, out_dir: Optional[str] = None):
+    """Execute the declarative pipeline in one streaming pass.
+    Returns {"aggregates": {name: DataFrame}, "sink_dir": ...}."""
+    import ray
+
+    from ..stages.aggregate import count_by_multi
+
+    agg_cols = sorted({"sink"} | {k for ks in spec.aggregates.values()
+                                  for k in ks})
+    sink_dir = os.path.join(out_dir, "sinks") if out_dir else None
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    staged = ds.map_batches(
+        _SpecStage,
+        fn_constructor_kwargs=dict(spec=spec, sink_dir=sink_dir,
+                                   keep_columns=agg_cols),
+        batch_format="pyarrow", batch_size=spec.batch_size,
+        concurrency=max(2, ncpu - 2))
+    if sink_dir is None:
+        staged = staged.select_columns(agg_cols)
+
+    out: dict = {"sink_dir": sink_dir}
+    if spec.aggregates:
+        out["aggregates"] = count_by_multi(staged, dict(spec.aggregates))
+    else:
+        out["rows"] = staged.count()
+    return out
