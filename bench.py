@@ -117,7 +117,7 @@ def run_once() -> dict:
 #: listing) is amortized — exactly as on a real cluster where the
 #: 10^12-turn job runs for hours. ~250k convs ≈ 60M turns ≈ 60-90 s at
 #: 8 CPUs. Override with GRAFT_SCALING_CONVS.
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "600000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "1200000"))
 
 
 def run_scaling() -> dict:

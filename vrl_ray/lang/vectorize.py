@@ -171,13 +171,73 @@ def _k_replace(ctx, a):
         rep.as_py() if isinstance(rep, pa.Scalar) else rep), e
 
 
+def _k_match(ctx, a):
+    v, e = a[0]
+    pat = a[1][0]
+    return pc.match_substring_regex(
+        v, pat.as_py() if isinstance(pat, pa.Scalar) else pat), e
+
+
+def _k_is_null(ctx, a):
+    v, e = a[0]
+    return pc.is_null(v), e
+
+
+def _k_is_nullish(ctx, a):
+    # is_nullish.rs: null, "", "-", or whitespace-only strings
+    v, e = a[0]
+    if pa.types.is_string(v.type):
+        trimmed = pc.utf8_trim_whitespace(v)
+        nullish = pc.or_(pc.equal(trimmed, ""), pc.equal(trimmed, "-"))
+        return pc.fill_null(pc.or_(pc.is_null(v), nullish), True), e
+    return pc.is_null(v), e
+
+
+def _k_format_timestamp(ctx, a):
+    from ..functions.parse import _chrono_to_strptime
+
+    v, e = a[0]
+    fmt = a[1][0]
+    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
+    out = pc.strftime(v, format=_chrono_to_strptime(fmt))
+    if "%f" not in fmt and "%.f" not in fmt:
+        # Arrow's %S always renders fractional seconds; chrono's only
+        # with an explicit %.f — strip the fraction for parity
+        out = pc.replace_substring_regex(out, r"\.\d{6}", "")
+    return out, e
+
+
+def _k_parse_timestamp(ctx, a):
+    from ..functions.parse import _chrono_to_strptime
+
+    v, e = a[0]
+    fmt = a[1][0]
+    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
+    out = pc.strptime(v, format=_chrono_to_strptime(fmt), unit="us",
+                      error_is_null=True)
+    out = pc.assume_timezone(out, "UTC")  # VRL timestamps are UTC
+    bad = pc.and_(pc.is_valid(v), pc.is_null(out))
+    return out, _merge_errs(
+        ctx.n, e, _err_where(bad, "unable to parse timestamp", ctx.n))
+
+
+def _k_to_unix_timestamp(ctx, a):
+    v, e = a[0]
+    us = pc.cast(v, pa.int64())   # timestamp[us] → µs since epoch
+    return pc.divide(us, 1_000_000), e
+
+
 _KERNELS: dict[str, Callable] = {
     "downcase": _k_downcase, "upcase": _k_upcase, "to_int": _k_to_int,
     "to_float": _k_to_float, "to_string": _k_to_string, "round": _k_round,
     "floor": _k_floor, "ceil": _k_ceil, "abs": _k_abs,
     "strlen": _k_strlen, "contains": _k_contains,
     "starts_with": _k_starts_with, "ends_with": _k_ends_with,
-    "replace": _k_replace,
+    "replace": _k_replace, "match": _k_match, "is_null": _k_is_null,
+    "is_nullish": _k_is_nullish,
+    "format_timestamp": _k_format_timestamp,
+    "parse_timestamp": _k_parse_timestamp,
+    "to_unix_timestamp": _k_to_unix_timestamp,
 }
 
 
@@ -207,6 +267,15 @@ def _compile_expr(node) -> Callable:
         def lit(ctx):
             return pa.scalar(v), None
         return lit
+
+    if kind == "regex":
+        # regex literal → its pattern string (kernels take it as the
+        # RE2 pattern argument)
+        src = node[1]
+
+        def rx(ctx):
+            return pa.scalar(src), None
+        return rx
 
     if kind == "path":
         if node[1] != "event" or len(node[2]) != 1 or \

@@ -180,6 +180,7 @@ def run_flagship(
     metrics["wall_sec"] = time.time() - t0
     metrics["rows"] = int(tool_tbl["n"].sum()) if len(tool_tbl) else 0
     metrics["stage_stats"] = stats.get("stats", "")
+    metrics["agg_phases"] = stats.get("phases", {})
     if write_sinks:
         # per-stage metrics next to the output (north_rule: metrics
         # emitted per stage)

@@ -110,16 +110,28 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
     # materialize FIRST: to_arrow_refs() on a lazy Dataset re-executes
     # the plan (double-running any side-effecting stage upstream, e.g.
     # the sink writer); on a materialized one it just hands over refs
+    import time as _time
+
+    t0 = _time.time()
     mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    t1 = _time.time()
+    tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    partials_df = pa.concat_tables(tables).to_pandas() if tables else \
+        pd.DataFrame(columns=group_cols + ["n"])
+    t2 = _time.time()
+    merged = (partials_df.groupby(group_cols, dropna=False, sort=False)["n"]
+              .sum().reset_index())
+    t3 = _time.time()
     if stats_out is not None:
         # whole-pipeline operator stats (upstream stages fuse into
         # this plan) — callers persist these as per-stage metrics
         stats_out["stats"] = mat.stats()
-    tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
-    partials_df = pa.concat_tables(tables).to_pandas() if tables else \
-        pd.DataFrame(columns=group_cols + ["n"])
-    merged = (partials_df.groupby(group_cols, dropna=False, sort=False)["n"]
-              .sum().reset_index())
+        stats_out["phases"] = {
+            "map_and_partials_sec": round(t1 - t0, 2),
+            "driver_pull_sec": round(t2 - t1, 2),
+            "driver_combine_sec": round(t3 - t2, 2),
+            "partial_rows": int(len(partials_df)),
+        }
     out: dict[str, pd.DataFrame] = {}
     for which in names:
         keys = key_sets[which]
