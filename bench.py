@@ -117,11 +117,24 @@ def run_once() -> dict:
 #: listing) is amortized — exactly as on a real cluster where the
 #: 10^12-turn job runs for hours. ~250k convs ≈ 60M turns ≈ 60-90 s at
 #: 8 CPUs. Override with GRAFT_SCALING_CONVS.
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "1200000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "600000"))
+
+
+#: the two parallelism levels for the N-vs-4N proxy. Override with
+#: GRAFT_SCALING_CPUS="2,8". NOTE this sandbox's aggregate memory
+#: bandwidth saturates at ~8 cores (15.3 GB/s @8 vs 10.5 @32 measured
+#: with a pure-memcpy ray workload), so the 8→32 pairing conflates
+#: hardware saturation with software scaling; 2→8 measures software
+#: scaling on unsaturated hardware. A real 4N-node cluster scales
+#: memory bandwidth with the nodes. Both pairings are reported in
+#: BASELINE.md.
+SCALING_CPUS = [int(x) for x in
+                os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")]
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
+    """Same job, fresh processes, at the two SCALING_CPUS levels
+    (N vs 4N stand-in)."""
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -143,14 +156,15 @@ def run_scaling() -> dict:
         SCALING_CONVS, SEED)
     ray.shutdown()
 
-    lo, hi = sub(8), sub(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    n_lo, n_hi = SCALING_CPUS
+    lo, hi = sub(n_lo), sub(n_hi)
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "sec_8": lo["value"], "sec_32": hi["value"],
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
+        f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
         "rows": lo["rows"],
-        "rows_per_sec_8": lo["rows_per_sec"],
-        "rows_per_sec_32": hi["rows_per_sec"],
+        f"rows_per_sec_{n_lo}": lo["rows_per_sec"],
+        f"rows_per_sec_{n_hi}": hi["rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -125,7 +125,7 @@ def run_pipeline(ds, spec: PipelineSpec, out_dir: Optional[str] = None):
         fn_constructor_kwargs=dict(spec=spec, sink_dir=sink_dir,
                                    keep_columns=agg_cols),
         batch_format="pyarrow", batch_size=spec.batch_size,
-        concurrency=max(2, ncpu - 2))
+        concurrency=(max(1, ncpu - 2) if ncpu > 2 else 1))
     if sink_dir is None:
         staged = staged.select_columns(agg_cols)
 

@@ -153,7 +153,10 @@ def run_flagship(
     # breaks N→4N scaling efficiency
     if enrich_concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        enrich_concurrency = max(2, ncpu - 2)
+        # leave ≥1 CPU for the read/aggregate tasks: a pool that holds
+        # EVERY core starves upstream reads (observed deadlock at
+        # ncpu=2 with pool=2)
+        enrich_concurrency = max(1, ncpu - 2) if ncpu > 2 else 1
 
     from ..stages.aggregate import count_by_multi
 
@@ -236,7 +239,8 @@ def run_resumable(
         # single pass: fused parse→enrich→route→write, then per-sink
         # counts from the SAME stream (no re-read of the output)
         import ray as _ray
-        pool = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+        _n = int(_ray.cluster_resources().get("CPU", 8))
+        pool = max(1, _n - 2) if _n > 2 else 1
         sunk = ds.map_batches(
             FlagshipStage, fn_constructor_kwargs={"sink_dir": shard_out},
             batch_format="pyarrow", batch_size=batch_size,
