@@ -292,3 +292,24 @@ class TestPipelineBuilder:
         by_sink = {r["sink"]: r["n"] for r in
                    res["aggregates"]["by_sink"].to_dict("records")}
         assert by_sink == {"high": 1, "default": 1}
+
+
+class TestOperatorBudget:
+    """Plan-shape guard: the flagship must stay ONE fused map operator
+    (+ read) — an accidental extra operator boundary re-ships
+    full-width batches through the object store (BASELINE.md rule 2)."""
+
+    def test_flagship_operator_count(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vrl_ray.pipelines.transcript import run_flagship
+        from vrl_ray.sources.transcripts import transcript_table
+
+        ds = rd.from_arrow(transcript_table(60, seed=4)).repartition(4)
+        res = run_flagship(ds, str(tmp_path / "o"))
+        import re
+
+        stats = res["metrics"]["stage_stats"]
+        maps = re.findall(r"Operator \d+ (MapBatches[^:]*):", stats)
+        # exactly the fused stage + the 3-column partial-counts stage
+        assert len(maps) <= 2, f"map operators grew: {maps}"
