@@ -6,13 +6,15 @@ cached deterministic synthetic transcript table scaled by
 ``$GRAFT_SF_DIR``'s sf, plus representative operator queries over the
 sf tables, and print ONE JSON line.
 
-``--scaling``: run the headline pipeline in two FRESH processes at
-num_cpus=8 and num_cpus=32 on the SAME input and report throughput at
-both plus scaling efficiency (sandbox stand-in for the N vs 4N-node
-criterion; BASELINE.md records the protocol).
+``--scaling``: run the headline pipeline in two FRESH processes at the
+GRAFT_SCALING_CPUS levels (default 8,32; use "2,8" for the
+unsaturated-hardware pairing — see BASELINE.md) on the SAME cached
+input and report throughput at both plus scaling efficiency (sandbox
+stand-in for the N vs 4N-node criterion).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     RAY_GRAFT_CPUS (default 32).
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_SCALING_CPUS, GRAFT_SCALING_CONVS.
 """
 
 from __future__ import annotations
