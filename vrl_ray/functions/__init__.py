@@ -34,8 +34,34 @@ from . import ip as _ip
 REGISTRY: dict[str, Callable] = {}
 
 
+def _vrl_guard(name: str, fn: Callable) -> Callable:
+    """Error-lane contract: stdlib calls raise ONLY VrlError for bad
+    data/argument values (the reference rejects wrong argument kinds
+    at compile time; we surface them as runtime VRL errors).
+    TypeError passes through — the interpreter maps it to its
+    bad-arguments diagnostic."""
+    import functools
+
+    from ..value import VrlError
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (VrlError, TypeError):
+            raise
+        except (AttributeError, ValueError, KeyError, IndexError,
+                OverflowError, UnicodeError, ZeroDivisionError,
+                ArithmeticError) as e:
+            raise VrlError(
+                f'invalid argument to "{name}": '
+                f"{type(e).__name__}: {e}") from e
+
+    return wrapped
+
+
 def register(name: str, fn: Callable) -> None:
-    REGISTRY[name] = fn
+    REGISTRY[name] = _vrl_guard(name, fn)
 
 
 def _bulk(mod, names: dict[str, str]) -> None:

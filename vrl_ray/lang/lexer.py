@@ -106,7 +106,7 @@ def tokenize(src: str) -> list[Token]:
             toks.append(Token("STRING", body, i))
             i = j
             continue
-        if c.isdigit() and toks and toks[-1].kind == "OP" \
+        if c.isascii() and c.isdigit() and toks and toks[-1].kind == "OP" \
                 and toks[-1].value == ".":
             # digit-leading path field (`.0tar`, expressions/query/
             # mixed.vrl): after `.` a digits+letters run is a field
@@ -115,7 +115,9 @@ def tokenize(src: str) -> list[Token]:
                 toks.append(Token("IDENT", m2.group(0), i))
                 i += m2.end()
                 continue
-        if c.isdigit() or (c == "-" and i + 1 < n and src[i + 1].isdigit()
+        if (c.isascii() and c.isdigit()) or (
+                c == "-" and i + 1 < n and src[i + 1].isascii()
+                and src[i + 1].isdigit()
                            and toks and toks[-1].kind in
                            ("OP", "LPAREN", "LBRACKET", "LBRACE", "COMMA",
                             "COLON", "ASSIGN", "SEMI") ):
@@ -127,7 +129,7 @@ def tokenize(src: str) -> list[Token]:
                 toks.append(Token("INT", int(text), i))
             i = m.end()
             continue
-        if c.isdigit():
+        if c.isascii() and c.isdigit():
             m = _NUM.match(src, i)
             text = m.group(0).replace("_", "")
             toks.append(Token("FLOAT" if "." in text else "INT",
