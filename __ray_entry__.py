@@ -244,6 +244,55 @@ def events_hourly(sf_dir: str):
     return _round(out, ["sum_value"], 2)
 
 
+def events_sliding(sf_dir: str):
+    """Sliding event-time window (2h length, 1h step) — each event
+    explodes to the two windows covering it (vectorized one-to-many),
+    then a grouped count. The Ray-native sliding-window idiom: window
+    assignment is a map, never a shuffle per window."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        prev = pc.add(hour, pa.scalar(-3600_000_000, pa.duration("us")))
+        n = len(b)
+        ws = pa.concat_arrays([
+            hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
+            prev.combine_chunks() if isinstance(prev, pa.ChunkedArray) else prev,
+        ])
+        vals = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": ws,
+            "value": pa.array(np.concatenate([vals, vals])),
+        })
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return _round(out, ["sum_value"], 2)
+
+
+def events_p95(sf_dir: str):
+    """Exact per-group p95 (linear interpolation, matching DuckDB's
+    quantile_cont) via groupby().map_groups."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def p95(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p95_value": [round(float(
+                g["value"].quantile(0.95, interpolation="linear")), 4)],
+        })
+
+    return ds.groupby("event_type").map_groups(p95, batch_format="pandas")
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user —
     groupby(key).map_groups over ts-sorted groups (the Ray Data
@@ -714,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_route": events_route,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
+        "events_sliding": events_sliding,
+        "events_p95": events_p95,
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
@@ -838,6 +889,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "events_sliding": """
+            SELECT w.ws AS window_start, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events,
+                 LATERAL (VALUES (date_trunc('hour', ts)),
+                                 (date_trunc('hour', ts)
+                                  - INTERVAL 1 HOUR)) AS w(ws)
+            GROUP BY w.ws
+        """,
+        "events_p95": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.95), 4) AS p95_value
+            FROM events GROUP BY event_type
         """,
         "events_sessionize": """
             WITH g AS (
