@@ -184,6 +184,56 @@ def orders_top_per_customer(sf_dir: str):
     return out
 
 
+def parts_never_ordered(sf_dir: str):
+    """Anti-join (NOT EXISTS over a filtered subquery): parts never
+    ordered in bulk (quantity > 45). The key side is pre-filtered +
+    batch-distinct, broadcast once; each batch filters against the
+    shared set — no shuffle of the big side."""
+    import ray
+    from ray.data.aggregate import Count
+
+    used = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+            .filter(expr="l_quantity > 45")
+            .map_batches(lambda b: b.select(["l_partkey"])
+                         .group_by(["l_partkey"]).aggregate([]),
+                         batch_format="pyarrow")
+            .groupby("l_partkey").aggregate(Count(alias_name="_c")))
+    mat = used.materialize()
+    keys = set()
+    for t in ray.get(mat.to_arrow_refs()):
+        keys.update(t["l_partkey"].to_pylist())
+    ref = ray.put(keys)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in b["p_partkey"].to_pylist()]
+            return b.filter(pa.array(mask))
+
+    return _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def keys_union_distinct(sf_dir: str):
+    """ds.union + two-phase distinct count across two tables."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    o = _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(lambda b: pa.table({"k": b["o_orderkey"]}),
+                     batch_format="pyarrow")
+    l = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(lambda b: pa.table({"k": b["l_orderkey"]}),
+                     batch_format="pyarrow")
+    u = o.union(l)
+    partial = u.map_batches(lambda b: b.group_by(["k"]).aggregate([]),
+                            batch_format="pyarrow")
+    n = partial.groupby("k").aggregate(Count(alias_name="_c")).count()
+    return pd.DataFrame({"n_keys": [int(n)]})
+
+
 # ---------------------------------------------------------------------------
 # events: parse / route / window / sessionize (VRL-style transforms)
 
@@ -759,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "orders_top_per_customer": orders_top_per_customer,
         "customer_per_nation": customer_per_nation,
+        "parts_never_ordered": parts_never_ordered,
+        "keys_union_distinct": keys_union_distinct,
         "events_parse_json": events_parse_json,
         "events_route": events_route,
         "events_hourly": events_hourly,
@@ -871,6 +923,18 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                      '[REDACTED]', 'g') AS redacted
             FROM documents
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey
+                                AND l.l_quantity > 45)
+        """,
+        "keys_union_distinct": """
+            SELECT count(*) AS n_keys FROM (
+              SELECT DISTINCT k FROM (
+                SELECT o_orderkey AS k FROM orders
+                UNION ALL SELECT l_orderkey AS k FROM lineitem))
         """,
         "events_parse_json": """
             SELECT event_type,
