@@ -99,3 +99,82 @@ def test_wrong_type_arguments_raise_only_vrl_errors():
                 fn(v)
             except (VrlError, TypeError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# property-based parity: random vectorizable programs must agree with
+# the row interpreter exactly (the column plan's correctness gate)
+
+import pyarrow as pa
+
+_NUM_COLS = ["a", "b"]
+_STR_COLS = ["s", "t"]
+
+_num_expr = st.deferred(lambda: st.one_of(
+    st.sampled_from([f".{c}" for c in _NUM_COLS]),
+    st.integers(-100, 100).map(str),
+    st.floats(-100, 100, allow_nan=False).map(lambda f: f"{f:.3f}"),
+    st.tuples(_num_expr, st.sampled_from(["+", "-", "*"]), _num_expr)
+      .map(lambda p: f"({p[0]} {p[1]} {p[2]})"),
+))
+
+_str_expr = st.one_of(
+    st.sampled_from([f".{c}" for c in _STR_COLS]),
+    st.sampled_from(['"x"', '"Foo Bar"', '""']),
+)
+
+_bool_expr = st.one_of(
+    st.tuples(_num_expr, st.sampled_from([">", ">=", "<", "<=", "==", "!="]),
+              _num_expr).map(lambda p: f"({p[0]} {p[1]} {p[2]})"),
+    st.tuples(_str_expr, st.sampled_from(["==", "!="]), _str_expr)
+      .map(lambda p: f"({p[0]} {p[1]} {p[2]})"),
+)
+
+_stmt = st.one_of(
+    _num_expr.map(lambda e: f".o1 = {e}"),
+    st.tuples(_str_expr, st.sampled_from(["downcase", "upcase", "strlen"]))
+      .map(lambda p: f".o2 = {p[1]}({p[0]})"),
+    _bool_expr.map(lambda e: f".o3 = {e}"),
+    st.tuples(_bool_expr, _num_expr, _num_expr)
+      .map(lambda p: f"if {p[0]} {{ .o4 = {p[1]} }} else {{ .o4 = {p[2]} }}"),
+)
+
+_program = st.lists(_stmt, min_size=1, max_size=4).map("\n".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(src=_program,
+       a=st.lists(st.integers(-1000, 1000), min_size=3, max_size=3),
+       b=st.lists(st.floats(-1000, 1000, allow_nan=False),
+                  min_size=3, max_size=3))
+def test_vector_plan_matches_interpreter(src, a, b):
+    from vrl_ray.lang.interpreter import Program
+    from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
+
+    batch = pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.float64()),
+        "s": pa.array(["Ab", "", "zz Q"]),
+        "t": pa.array(["x", "Foo Bar", "y"]),
+    })
+    try:
+        vp = VectorProgram(src)
+    except NotVectorizable:
+        return
+    out = vp.run(batch)
+    prog = Program(src)
+    for i, row in enumerate(batch.to_pylist()):
+        try:
+            _, ev, _ = prog.resolve(dict(row))
+        except (VrlError, Exception):
+            continue  # row errors → vector path may produce anything defined
+        for f in ("o1", "o2", "o3", "o4"):
+            if f in ev and f in out.column_names:
+                got = out[f][i].as_py()
+                want = ev[f]
+                if isinstance(want, float) and isinstance(got, (int, float)):
+                    assert abs(got - want) < 1e-6 or (
+                        want != 0 and abs(got - want) / abs(want) < 1e-9), \
+                        (src, f, got, want)
+                else:
+                    assert got == want, (src, f, i, got, want)
