@@ -313,3 +313,39 @@ class TestOperatorBudget:
         maps = re.findall(r"Operator \d+ (MapBatches[^:]*):", stats)
         # exactly the fused stage + the 3-column partial-counts stage
         assert len(maps) <= 2, f"map operators grew: {maps}"
+
+
+class TestBuilderResumable:
+    def test_resume_skips_done_shards(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from vrl_ray.pipelines.builder import (PipelineSpec,
+                                               run_pipeline_resumable)
+
+        ind = tmp_path / "in"
+        ind.mkdir()
+        for i in range(4):
+            pq.write_table(pa.table({
+                "event_type": pa.array(["Error", "View"] * 25),
+                "value": pa.array([float(j) for j in range(50)]),
+            }), str(ind / f"part-{i}.parquet"))
+
+        spec = PipelineSpec(
+            program='.kind = downcase(.event_type)',
+            routes=[("errors", "@kind:error")],
+            aggregates={"by_sink": ["sink"]},
+        )
+        out = str(tmp_path / "out")
+        r1 = run_pipeline_resumable(str(ind), spec, out, num_shards=4)
+        assert len(r1["shards_done"]) == 4 and not r1["shards_skipped"]
+        by_sink = {r["sink"]: r["n"] for r in
+                   r1["aggregates"]["by_sink"].to_dict("records")}
+        assert by_sink == {"errors": 100, "default": 100}
+
+        # rerun: all shards skipped, aggregates identical
+        r2 = run_pipeline_resumable(str(ind), spec, out, num_shards=4)
+        assert r2["shards_done"] == [] and len(r2["shards_skipped"]) == 4
+        by_sink2 = {r["sink"]: r["n"] for r in
+                    r2["aggregates"]["by_sink"].to_dict("records")}
+        assert by_sink2 == by_sink

@@ -109,6 +109,76 @@ class _SpecStage:
         return out
 
 
+def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
+                           out_dir: str, *, num_shards: int = 16):
+    """Shard-checkpointed run of a declarative pipeline over a parquet
+    directory: deterministic file→shard assignment, atomic per-shard
+    manifest + lineage (same layout as transcript.run_resumable), a
+    rerun skips completed shards. Aggregates are computed over ALL
+    shards' sink output at the end (consistent after resume)."""
+    import json
+    import time
+
+    import ray
+    import ray.data as rd
+
+    from .transcript import _shards
+    from ..stages.aggregate import count_by_multi
+
+    files = [os.path.join(input_dir, f) for f in os.listdir(input_dir)
+             if f.endswith(".parquet")]
+    shards = _shards(files, num_shards)
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    os.makedirs(manifest_dir, exist_ok=True)
+    os.makedirs(lineage_dir, exist_ok=True)
+
+    agg_cols = sorted({"sink"} | {k for ks in spec.aggregates.values()
+                                  for k in ks})
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(1, ncpu - 2) if ncpu > 2 else 1
+
+    done, skipped = [], []
+    for i, shard_files in enumerate(shards):
+        marker = os.path.join(manifest_dir, f"shard-{i:05d}.json")
+        if os.path.exists(marker):
+            skipped.append(i)
+            continue
+        t0 = time.time()
+        shard_out = os.path.join(out_dir, "sinks", f"shard={i:05d}")
+        staged = rd.read_parquet(shard_files).map_batches(
+            _SpecStage,
+            fn_constructor_kwargs=dict(spec=spec, sink_dir=shard_out,
+                                       keep_columns=agg_cols),
+            batch_format="pyarrow", batch_size=spec.batch_size,
+            concurrency=pool)
+        from ..stages.aggregate import count_by_small
+
+        counts = count_by_small(staged, ["sink"])
+        lineage = {
+            "shard": i, "input_files": shard_files,
+            "output_dir": shard_out,
+            "rows_out_per_sink": {str(r["sink"]): int(r["n"])
+                                  for r in counts.to_dict("records")},
+            "wall_sec": time.time() - t0,
+        }
+        with open(os.path.join(lineage_dir, f"shard-{i:05d}.json"), "w") as f:
+            json.dump(lineage, f, indent=1)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"shard": i, "files": shard_files}, f)
+        os.replace(tmp, marker)
+        done.append(i)
+
+    agg_src = rd.read_parquet(os.path.join(out_dir, "sinks"),
+                              columns=agg_cols)
+    out: dict = {"shards_done": done, "shards_skipped": skipped,
+                 "sink_dir": os.path.join(out_dir, "sinks")}
+    if spec.aggregates:
+        out["aggregates"] = count_by_multi(agg_src, dict(spec.aggregates))
+    return out
+
+
 def run_pipeline(ds, spec: PipelineSpec, out_dir: Optional[str] = None):
     """Execute the declarative pipeline in one streaming pass.
     Returns {"aggregates": {name: DataFrame}, "sink_dir": ...}."""
