@@ -48,6 +48,14 @@ def _nulls(n: int, typ=pa.string()):
     return pa.nulls(n, typ)
 
 
+def _as_array(v, n: int):
+    """Scalar results (constant expressions / all-scalar if_else)
+    broadcast to a full column."""
+    if isinstance(v, pa.Scalar):
+        return pa.repeat(v, n)
+    return v
+
+
 def _merge_errs(n: int, *errs):
     out = None
     for e in errs:
@@ -458,12 +466,12 @@ class VectorProgram:
 
         def run(ctx):
             c, _ = condf(ctx)
-            c = pc.fill_null(pc.cast(c, pa.bool_()), False)
+            c = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
             out = {}
             for field in then_a:
                 tv, _ = then_a[field](ctx)
                 ev, _ = else_a[field](ctx)
-                out[field] = pc.if_else(c, tv, ev)
+                out[field] = _as_array(pc.if_else(c, tv, ev), ctx.n)
             return out
         return ("__if__", None, run)
 
@@ -489,9 +497,7 @@ class VectorProgram:
                         ctx.written[k] = arr
                     continue
                 v, e = f(ctx)
-                if isinstance(v, pa.Scalar):
-                    v = pa.repeat(v, ctx.n)  # pragma: no cover - rare
-                ctx.written[field] = v
+                ctx.written[field] = _as_array(v, ctx.n)
                 if errfield is not None:
                     ctx.written[errfield] = (
                         e if e is not None else _nulls(ctx.n))
