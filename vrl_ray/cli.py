@@ -75,16 +75,28 @@ def run_ray(source: str, input_path: str, output_path: str | None) -> int:
 
     from .lang.remap import remap
 
-    ds = rd.read_json(input_path, file_extensions=None)
-    out = remap(ds, source)
-    if output_path:
-        out.write_parquet(output_path)
-        print(f"wrote {out.count()} rows to {output_path}", file=sys.stderr)
-    else:
-        for batch in out.iter_batches(batch_format="pyarrow", batch_size=1024):
-            for row in batch.to_pylist():
-                print(json.dumps({k: v for k, v in row.items()
-                                  if v is not None}, default=str))
+    try:
+        ds = rd.read_json(input_path, file_extensions=None)
+        out = remap(ds, source)
+        if output_path:
+            out.write_parquet(output_path)
+            print(f"wrote {out.count()} rows to {output_path}",
+                  file=sys.stderr)
+        else:
+            for batch in out.iter_batches(batch_format="pyarrow",
+                                          batch_size=1024):
+                for row in batch.to_pylist():
+                    print(json.dumps({k: v for k, v in row.items()
+                                      if v is not None}, default=str))
+    except Exception as e:
+        # the Ray path is columnar: NDJSON whose fields change type
+        # between lines cannot load as a typed column — use the
+        # serial per-event mode for heterogeneous events
+        print(f"error: --ray requires schema-consistent NDJSON "
+              f"(columnar load failed: {str(e)[:200]}). "
+              f"Run without --ray for heterogeneous events.",
+              file=sys.stderr)
+        return 1
     return 0
 
 
