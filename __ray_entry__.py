@@ -154,7 +154,9 @@ def q3_revenue_join(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    from vrl_ray.stages.join import join_partitions
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def rev(b: pa.Table) -> pa.Table:
@@ -170,50 +172,37 @@ def q3_revenue_join(sf_dir: str):
 
 
 def orders_top_per_customer(sf_dir: str):
-    """Top-3 orders per customer — windowed rank as
-    groupby(key).map_groups over sorted groups."""
-    import pandas as pd
+    """Top-3 orders per customer — windowed rank via hash-partition →
+    within-partition sort → vectorized segmented rank (bounded group
+    count; no per-key Python — stages/window.py)."""
+    from vrl_ray.stages.window import top_k_per_key
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, True]).head(3)
-
-    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
-    return out
+    return top_k_per_key(ds, key="o_custkey", order_col="o_totalprice",
+                         k=3, descending=True, tiebreak="o_orderkey")
 
 
 def parts_never_ordered(sf_dir: str):
     """Anti-join (NOT EXISTS over a filtered subquery): parts never
     ordered in bulk (quantity > 45). The key side is pre-filtered +
-    batch-distinct, broadcast once; each batch filters against the
-    shared set — no shuffle of the big side."""
-    import ray
+    two-phase distinct, then a native left_anti hash join — keys stay
+    distributed end to end (no driver set)."""
     from ray.data.aggregate import Count
+    from vrl_ray.stages.join import join_partitions
 
     used = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
             .filter(expr="l_quantity > 45")
             .map_batches(lambda b: b.select(["l_partkey"])
                          .group_by(["l_partkey"]).aggregate([]),
                          batch_format="pyarrow")
-            .groupby("l_partkey").aggregate(Count(alias_name="_c")))
-    mat = used.materialize()
-    keys = set()
-    for t in ray.get(mat.to_arrow_refs()):
-        keys.update(t["l_partkey"].to_pylist())
-    ref = ray.put(keys)
-
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in b["p_partkey"].to_pylist()]
-            return b.filter(pa.array(mask))
-
+            .groupby("l_partkey").aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]))
+    # native distributed anti-join: both sides hash-partitioned on the
+    # key — no driver key-set, works when the key side outgrows memory
     return _read(sf_dir, "part", ["p_partkey", "p_name"]) \
-        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 4))
+        .join(used, join_type="left_anti",
+              num_partitions=join_partitions(),
+              on=("p_partkey",), right_on=("l_partkey",))
 
 
 def keys_union_distinct(sf_dir: str):
@@ -344,20 +333,13 @@ def events_p95(sf_dir: str):
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user —
-    groupby(key).map_groups over ts-sorted groups (the Ray Data
-    streaming-window idiom; ordering assumption: within-group sort)."""
-    import pandas as pd
+    """Session windows (30-min inactivity gap) per user — hash
+    partition → within-partition sort → vectorized segmented gap
+    detection (bounded group count, stages/window.py)."""
+    from vrl_ray.stages.window import session_counts
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds().fillna(1e18)
-        n = int((gaps > 1800).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return session_counts(ds, key="user_id", ts="ts", gap_seconds=1800)
 
 
 def events_declarative_pipeline(sf_dir: str):
@@ -401,19 +383,15 @@ def events_distinct_users(sf_dir: str):
 
 
 def events_cumulative(sf_dir: str):
-    """Running sum per user ordered by ts — the streaming-window
-    idiom: groupby(user).map_groups over ts-sorted groups (bounded
-    group size; partitioning assumption documented)."""
-    import pandas as pd
+    """Running sum per user ordered by ts — hash partition →
+    within-partition sort → vectorized segmented cumsum (bounded
+    group count, stages/window.py)."""
+    from vrl_ray.stages.window import running_sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(2)
-        return g[["user_id", "event_id", "running_value"]]
-
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return running_sum(ds, key="user_id", order_by=["ts", "event_id"],
+                       value="value", out="running_value", round_to=2,
+                       keep=["user_id", "event_id"])
 
 
 def events_vrl_remap(sf_dir: str):

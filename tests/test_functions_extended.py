@@ -237,6 +237,22 @@ class TestDatadogQueryVectorized:
                 for r in rows]
             assert mask == want, q
 
+    def test_numeric_spec_on_string_column_matches_row_eval(self):
+        """ADVICE r1: '@value:5' over a STRING column must match '5.0'
+        numerically (like _match_scalar), not by exact string
+        equality."""
+        import pyarrow as pa
+
+        from vrl_ray.functions.datadog_query import (compile_query_mask,
+                                                     match_datadog_query)
+
+        vals = ["5.0", "5", "4", "abc", None, "5e0"]
+        batch = pa.table({"value": pa.array(vals, pa.string())})
+        mask = compile_query_mask("@value:5")(batch).to_pylist()
+        want = [match_datadog_query({"value": v} if v is not None else {},
+                                    "@value:5") for v in vals]
+        assert mask == want
+
     def test_full_text_not_vectorizable(self):
         import pyarrow as pa
         import pytest as _pytest

@@ -1,0 +1,311 @@
+"""Scale-path tests for the round-2 rewrites: distributed LSH verify,
+block-pair exact embedding near-dup, bucketed approximate near-dup,
+real IVF pruning, and the bounded-partition window operators.
+
+These guard the 100-TB properties VERDICT r1 flagged: no driver-side
+materialization in stages/, FLOPs that scale with nprobe, and
+windows with per-PARTITION (not per-key) Python overhead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _clustered_vecs(n_clusters=8, per_cluster=60, dim=24, seed=5):
+    """Clustered embeddings — the regime IVF is built for."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 4
+    vecs = np.vstack([
+        centers[i] + rng.normal(size=(per_cluster, dim)).astype(np.float32)
+        for i in range(n_clusters)
+    ])
+    return vecs
+
+
+def _vec_ds(vecs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })).materialize()
+
+
+class TestNoDriverMaterialization:
+    def test_stages_never_pull_datasets_to_driver(self):
+        """The repo invariant (CLAUDE.md rule 1 + VERDICT r1 §wrong):
+        no stage may pull a whole dataset to the driver. Source scan —
+        iter_batches/iter_rows/to_pandas on big data are banned in
+        stages/."""
+        import vrl_ray.stages as stages
+
+        root = os.path.dirname(stages.__file__)
+        for path in glob.glob(os.path.join(root, "*.py")):
+            src = open(path).read()
+            for banned in ("iter_batches", "iter_rows"):
+                assert banned not in src, f"{path} uses {banned}"
+
+
+class TestDistributedJaccardVerify:
+    def test_matches_direct_jaccard(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.dedup import ngram_jaccard, verify_pairs_jaccard
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog every day",
+            2: "the quick brown fox jumps over the lazy dog every night",
+            3: "completely unrelated text about arrow kernels and joins",
+            4: "the quick brown fox jumps over the lazy dog every day",
+        }
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+        }))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([1, 1, 2], pa.int64()),
+            "id_b": pa.array([2, 3, 4], pa.int64()),
+        }))
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in verify_pairs_jaccard(pairs, docs,
+                                             threshold=0.5).take_all()}
+        assert set(got) == {(1, 2), (2, 4)}
+        assert got[(1, 2)] == pytest.approx(ngram_jaccard(texts[1], texts[2]))
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.dedup import verify_pairs_jaccard
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["x"])}))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+        assert verify_pairs_jaccard(pairs, docs).count() == 0
+
+
+class TestExactNearDupBlockJoin:
+    def test_matches_numpy_all_pairs(self, ray_session):
+        """Exact block-pair self-join at a size that forces several
+        buckets — identical pairs to a numpy O(n²) reference."""
+        from vrl_ray.stages.dedup import embedding_near_dups
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(300, 16)).astype(np.float32)
+        # plant near-dups across the id space
+        for a, b in [(0, 299), (17, 120), (45, 46)]:
+            vecs[b] = vecs[a] + 0.01 * rng.normal(size=16).astype(np.float32)
+        ds = _vec_ds(vecs)
+
+        got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+               embedding_near_dups(ds, threshold=0.95,
+                                   num_buckets=5).take_all()}
+
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        want = {(a, b) for a in range(300) for b in range(a + 1, 300)
+                if sims[a, b] >= 0.95}
+        assert set(got) == want
+        for (a, b), c in got.items():
+            assert c == pytest.approx(float(sims[a, b]), abs=1e-5)
+
+    def test_bucket_count_scales_with_n(self, ray_session):
+        from vrl_ray.stages.dedup import embedding_near_dups
+
+        vecs = np.eye(8, dtype=np.float32)  # tiny, orthogonal — no pairs
+        ds = _vec_ds(vecs)
+        assert embedding_near_dups(ds, threshold=0.9).count() == 0
+
+
+class TestApproxNearDupLSH:
+    def test_recalls_planted_near_dups(self, ray_session):
+        from vrl_ray.stages.dedup import embedding_near_dups_lsh
+
+        vecs = _clustered_vecs()
+        rng = np.random.default_rng(9)
+        planted = [(0, 480 - 1), (100, 250), (300, 301)]
+        for a, b in planted:
+            vecs[b] = vecs[a] + 0.01 * rng.normal(size=vecs.shape[1]) \
+                .astype(np.float32)
+        ds = _vec_ds(vecs)
+        got = {(r["id_a"], r["id_b"]) for r in
+               embedding_near_dups_lsh(ds, threshold=0.99, nlist=8,
+                                       assign=2).take_all()}
+        for a, b in planted:
+            assert (min(a, b), max(a, b)) in got
+        # and no false positives: every reported pair really is >= 0.99
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for a, b in got:
+            assert float(vn[a] @ vn[b]) >= 0.99 - 1e-5
+
+
+class TestIvfPruning:
+    def test_recall_at_10_on_clustered_data(self, ray_session):
+        from vrl_ray.stages.similarity import knn_brute_force, knn_ivf
+
+        vecs = _clustered_vecs()
+        ds = _vec_ds(vecs)
+        q = vecs[:5].astype(np.float64)
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        approx = knn_ivf(ds, q, k=10, nlist=8, nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(5):
+            want = set(exact[exact["query_idx"] == qi]["vec_id"])
+            got = set(approx[approx["query_idx"] == qi]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_flops_scale_with_nprobe(self):
+        """The pruning evidence VERDICT asked for: rows entering the
+        fine matmul (n_scored) must scale with nprobe, not stay at
+        n."""
+        from vrl_ray.stages.similarity import (IvfIndex, _normalize,
+                                               probe_topk_batch)
+
+        vecs = _clustered_vecs()
+        index = IvfIndex(vecs, nlist=8, seed=3)
+        q = _normalize(vecs[:3].astype(np.float32))
+        batch = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+        def scored(nprobe):
+            order = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
+            mask = np.zeros((len(q), len(index.centroids)), dtype=bool)
+            for i, row in enumerate(order):
+                mask[i, row] = True
+            _, n_scored = probe_topk_batch(index.centroids, mask, q, batch,
+                                           10, "vec_id", "embedding")
+            return n_scored
+
+        n = len(vecs)
+        s1, s4, s8 = scored(1), scored(4), scored(8)
+        assert s8 == n                      # probe everything → full scan
+        assert s1 < s4 < s8                 # monotone in nprobe
+        assert s1 <= n * 0.55               # 1/8 lists (3 queries) ≪ full
+
+
+class TestWindowOps:
+    @pytest.fixture()
+    def events(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        n = 5000
+        users = rng.integers(0, 400, size=n)
+        ts = np.datetime64("2024-01-01", "us") + \
+            rng.integers(0, 86400_000_000, size=n).astype("timedelta64[us]")
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts),
+            "value": pa.array(rng.uniform(0, 100, size=n).round(2)),
+        })
+        return rd.from_arrow(t), t.to_pandas()
+
+    def test_running_sum_matches_pandas(self, events):
+        from vrl_ray.stages.window import running_sum
+
+        ds, df = events
+        got = running_sum(ds, key="user_id", order_by=["ts", "event_id"],
+                          value="value", keep=["user_id", "event_id"],
+                          num_partitions=8).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df["running_value"] = df.groupby("user_id")["value"].cumsum().round(2)
+        want = df[["user_id", "event_id", "running_value"]]
+        m = got.merge(want, on=["user_id", "event_id"],
+                      suffixes=("_got", "_want"))
+        assert len(m) == len(df)
+        assert np.allclose(m["running_value_got"], m["running_value_want"])
+
+    def test_top_k_matches_pandas(self, events):
+        from vrl_ray.stages.window import top_k_per_key
+
+        ds, df = events
+        got = top_k_per_key(ds, key="user_id", order_col="value", k=3,
+                            tiebreak="event_id",
+                            num_partitions=8).to_pandas()
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        want = df.groupby("user_id").head(3)
+        assert len(got) == len(want)
+        assert (set(map(tuple, got[["user_id", "event_id"]].values)) ==
+                set(map(tuple, want[["user_id", "event_id"]].values)))
+
+    def test_session_counts_matches_pandas(self, events):
+        from vrl_ray.stages.window import session_counts
+
+        ds, df = events
+        got = session_counts(ds, key="user_id", ts="ts", gap_seconds=1800,
+                             num_partitions=8).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        df = df.sort_values(["user_id", "ts"])
+        gaps = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        df["_new"] = gaps.isna() | (gaps > 1800)
+        want = df.groupby("user_id")["_new"].sum().astype("int64") \
+            .reset_index().rename(columns={"_new": "n_sessions"})
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
+
+    def test_string_keys_supported(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import top_k_per_key
+
+        t = pa.table({"k": pa.array(["a", "b", "a", "b", "a"]),
+                      "v": pa.array([1.0, 5.0, 3.0, 2.0, 2.0])})
+        got = top_k_per_key(rd.from_arrow(t), key="k", order_col="v",
+                            k=1, num_partitions=4).to_pandas()
+        top = dict(zip(got["k"], got["v"]))
+        assert top == {"a": 3.0, "b": 5.0}
+
+
+class TestCardinalityAwareAggregate:
+    def test_switches_to_distributed_combine(self, ray_session):
+        """10⁵ distinct keys with a 10³ row budget → the driver must
+        NOT pull the partials; combine goes distributed and the pull
+        is bounded by the distinct-key result."""
+        import ray.data as rd
+
+        from vrl_ray.stages.aggregate import count_by_multi
+
+        n = 100_000
+        t = pa.table({
+            "conv": pa.array([f"c{i}" for i in range(n)]),
+            "tool": pa.array(["bash", "edit", None, "read"] * (n // 4)),
+        })
+        ds = rd.from_arrow(t)
+        stats: dict = {}
+        out = count_by_multi(ds, {"conv": ["conv"], "tool": ["tool"]},
+                             stats_out=stats, max_driver_rows=1000)
+        assert stats["phases"]["combine"] == "distributed"
+        assert len(out["conv"]) == n
+        assert out["conv"]["n"].sum() == n
+        tool = dict(zip(out["tool"]["tool"], out["tool"]["n"]))
+        assert tool["bash"] == n // 4
+        # null key survives the distributed combine
+        assert out["tool"]["n"].sum() == n
+
+    def test_driver_combine_still_default(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.aggregate import count_by_multi
+
+        t = pa.table({"k": pa.array(["a", "b", "a"])})
+        stats: dict = {}
+        out = count_by_multi(rd.from_arrow(t), {"k": ["k"]},
+                             stats_out=stats)
+        assert stats["phases"]["combine"] == "driver"
+        assert dict(zip(out["k"]["k"], out["k"]["n"])) == {"a": 2, "b": 1}

@@ -330,6 +330,19 @@ def _vec_term(attr: Optional[str], value: str, batch) -> "Any":
                                                "float"):
         return pc.fill_null(pc.equal(pc.cast(col, pa.float64()), p_num),
                             False)
+    if p_num is not None and pa.types.is_string(col.type):
+        # row-matcher parity (_match_scalar): '@value:5' matches a
+        # string '5.0' numerically. Arrow has no null-on-error cast,
+        # so validate numeric strings with a regex, cast only those,
+        # and fall back to string equality for the rest.
+        is_num = pc.match_substring_regex(
+            col, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+        is_num = pc.fill_null(is_num, False)
+        safe_strs = pc.if_else(is_num, col, pa.scalar("0", pa.string()))
+        as_num = pc.cast(safe_strs, pa.float64())
+        num_eq = pc.and_(is_num, pc.equal(as_num, p_num))
+        str_eq = pc.and_(pc.invert(is_num), pc.equal(col, pat))
+        return pc.fill_null(pc.or_(num_eq, str_eq), False)
     return pc.fill_null(pc.equal(pc.cast(col, pa.string()), pat), False)
 
 

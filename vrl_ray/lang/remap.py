@@ -106,9 +106,31 @@ class VectorRemapStage:
         from .vectorize import VectorProgram
 
         self.program = VectorProgram(source)   # compile once per actor
+        self.source = source
+        self._fallback: Optional[RemapStage] = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.program.run(batch)
+        try:
+            out = self.program.run(batch)
+        except Exception:
+            # Data-dependent schema surprises (e.g. `.v > 3` over a
+            # string-typed column raises ArrowNotImplementedError) must
+            # degrade to the per-row error lane, never crash the stage
+            # (repo invariant: data errors NEVER raise; ADVICE r1).
+            if self._fallback is None:
+                self._fallback = RemapStage(self.source)
+            out = self._fallback(batch)
+            # align to the vector path's output schema (column set +
+            # order) so mixed vector/fallback blocks stay consistent
+            n = len(out)
+            for f in self.program.target_fields:
+                if f not in out.column_names:
+                    out = out.append_column(f, pa.nulls(n, pa.string()))
+            order = (list(batch.column_names)
+                     + [f for f in self.program.target_fields
+                        if f not in batch.column_names]
+                     + ["vrl_err", "extra", "aborted"])
+            return out.select([c for c in order if c in out.column_names])
         n = len(out)
         if "extra" not in out.column_names:
             out = out.append_column("extra", pa.nulls(n, pa.string()))

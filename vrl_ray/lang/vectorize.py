@@ -431,7 +431,21 @@ class VectorProgram:
     def __init__(self, source: str):
         self.source = source
         stmts = parse(source)
+        self._if_fields: list[list[str]] = []
         self.plan: list = [self._compile_stmt(s) for s in stmts]
+        # target fields in execution order (for fallback schema parity)
+        self.target_fields: list[str] = []
+        if_i = 0
+        for stmt in self.plan:
+            for field, errfield, _ in stmt:
+                if field == "__if__":
+                    fs = self._if_fields[if_i]
+                    if_i += 1
+                else:
+                    fs = [field] + ([errfield] if errfield else [])
+                for f_ in fs:
+                    if f_ not in self.target_fields:
+                        self.target_fields.append(f_)
 
     # → list of (field, errfield|None, exprfn) produced per statement
     def _compile_stmt(self, s):
@@ -463,16 +477,28 @@ class VectorProgram:
         else_a = self._branch_assigns(els)
         if set(then_a) != set(else_a):
             raise NotVectorizable("branches assign different fields")
+        self._if_fields.append(list(then_a))
 
         def run(ctx):
-            c, _ = condf(ctx)
+            """Returns ({field: values}, errs|None): per-row errors
+            from the condition or the TAKEN branch only (the other
+            branch's vectorized errors are discarded — that branch
+            never ran for the row)."""
+            c, ce = condf(ctx)
             c = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
             out = {}
+            errs = ce
             for field in then_a:
-                tv, _ = then_a[field](ctx)
-                ev, _ = else_a[field](ctx)
+                tv, te = then_a[field](ctx)
+                ev, ee = else_a[field](ctx)
                 out[field] = _as_array(pc.if_else(c, tv, ev), ctx.n)
-            return out
+                taken_err = None
+                if te is not None or ee is not None:
+                    tn = te if te is not None else _nulls(ctx.n)
+                    en = ee if ee is not None else _nulls(ctx.n)
+                    taken_err = pc.if_else(c, tn, en)
+                errs = _merge_errs(ctx.n, errs, taken_err)
+            return out, errs
         return ("__if__", None, run)
 
     def _branch_assigns(self, block) -> dict:
@@ -489,18 +515,74 @@ class VectorProgram:
         return out
 
     def run(self, batch: pa.Table) -> pa.Table:
+        """Execute the column plan with interpreter-parity error
+        semantics: an UNHANDLED fallible expression (no ``.ok, .err =``
+        capture, no ``??``) that errors on a row stops that row's
+        program — the target field keeps its prior value, later
+        statements skip the row, and the error lands in a ``vrl_err``
+        column (always appended; null where no error) — matching
+        RemapStage's per-row error lane instead of silently writing
+        type defaults (ADVICE r1)."""
         ctx = _Ctx(batch)
+        active = None            # None ⇒ all rows live (fast path)
+        err_acc = None
+
+        def gate_write(field, values):
+            """Write `values` to field only on live rows; dead rows
+            keep their pre-statement value (null for new fields)."""
+            values = _as_array(values, ctx.n)
+            if active is None:
+                return values
+            old = ctx.col(field)
+            if pa.types.is_null(old.type):
+                old = _nulls(ctx.n, values.type) if not \
+                    pa.types.is_null(values.type) else old
+            return pc.if_else(active, values, old)
+
+        def kill(rows_err):
+            """Deactivate rows with a new unhandled error; record the
+            first error per row."""
+            nonlocal active, err_acc
+            bad = pc.is_valid(rows_err)
+            if active is not None:
+                bad = pc.and_(bad, active)
+            err_acc = (pc.if_else(bad, rows_err, err_acc)
+                       if err_acc is not None
+                       else pc.if_else(bad, rows_err, _nulls(ctx.n)))
+            live = pc.invert(bad)
+            active = live if active is None else pc.and_(active, live)
+
         for stmt in self.plan:
             for field, errfield, f in stmt:
                 if field == "__if__":
-                    for k, arr in f(ctx).items():
-                        ctx.written[k] = arr
+                    out_fields, errs = f(ctx)
+                    for k, arr in out_fields.items():
+                        ctx.written[k] = gate_write(k, arr)
+                    if errs is not None:
+                        kill(errs)
                     continue
                 v, e = f(ctx)
-                ctx.written[field] = _as_array(v, ctx.n)
                 if errfield is not None:
-                    ctx.written[errfield] = (
-                        e if e is not None else _nulls(ctx.n))
+                    # handled (.ok, .err =): error-as-value, row lives on
+                    ctx.written[field] = gate_write(field, v)
+                    ctx.written[errfield] = gate_write(
+                        errfield, e if e is not None else _nulls(ctx.n))
+                    continue
+                if e is None:
+                    ctx.written[field] = gate_write(field, v)
+                    continue
+                # unhandled fallible: write only where no error, then
+                # stop errored rows for the rest of the program
+                v = _as_array(v, ctx.n)
+                old = ctx.col(field)
+                if pa.types.is_null(old.type) and not \
+                        pa.types.is_null(v.type):
+                    old = _nulls(ctx.n, v.type)
+                ok = pc.is_null(e)
+                if active is not None:
+                    ok = pc.and_(ok, active)
+                ctx.written[field] = pc.if_else(ok, v, old)
+                kill(e)
         out = batch
         for name, arr in ctx.written.items():
             if name in out.column_names:
@@ -509,4 +591,8 @@ class VectorProgram:
                     name, arr)
             else:
                 out = out.append_column(name, arr)
+        if "vrl_err" not in out.column_names:
+            out = out.append_column(
+                "vrl_err", err_acc if err_acc is not None
+                else _nulls(ctx.n))
         return out

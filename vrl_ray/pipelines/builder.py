@@ -146,6 +146,11 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
             continue
         t0 = time.time()
         shard_out = os.path.join(out_dir, "sinks", f"shard={i:05d}")
+        from .transcript import _clear_stale_shard
+
+        # idempotent reprocessing: drop stale part files from a
+        # crashed attempt before writing (marker is absent here)
+        _clear_stale_shard(shard_out)
         staged = rd.read_parquet(shard_files).map_batches(
             _SpecStage,
             fn_constructor_kwargs=dict(spec=spec, sink_dir=shard_out,

@@ -197,6 +197,19 @@ def run_flagship(
 # Checkpoint / resume
 
 
+def _clear_stale_shard(shard_out: str) -> None:
+    """Remove a shard output dir left behind by a crashed run (called
+    only for shards whose completion marker is absent, so nothing
+    finished is ever deleted). Makes shard reprocessing idempotent —
+    without this, rerun part files APPEND next to the stale ones and
+    the final read_parquet over the sink tree double-counts rows
+    (ADVICE r1)."""
+    import shutil
+
+    if os.path.isdir(shard_out):
+        shutil.rmtree(shard_out)
+
+
 def _shards(files: list[str], num_shards: int) -> list[list[str]]:
     out: list[list[str]] = [[] for _ in range(min(num_shards, max(1, len(files))))]
     for i, f in enumerate(sorted(files)):
@@ -236,6 +249,9 @@ def run_resumable(
         t0 = time.time()
         ds = rd.read_parquet(shard_files, columns=INPUT_COLUMNS)
         shard_out = os.path.join(out_dir, "sinks", f"shard={i:05d}")
+        # a crash mid-write leaves part files with no marker; clear
+        # them before reprocessing or the final read double-counts
+        _clear_stale_shard(shard_out)
         # single pass: fused parse→enrich→route→write, then per-sink
         # counts from the SAME stream (no re-read of the output)
         import ray as _ray

@@ -60,11 +60,20 @@ def count_by_small(ds, keys: list[str]):
             .sum().reset_index())
 
 
-def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
+def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
+                   max_driver_rows: int = 2_000_000):
     """Several grouped counts in ONE pass over the input (one read, one
     shuffle instead of one per aggregation): each batch emits partials
     for every key set, tagged and reshaped to a common schema
     ``(which, k0, k1, n)``; a single groupby-sum finishes all of them.
+
+    Cardinality-aware combine: while total partial rows stay under
+    ``max_driver_rows`` the combine runs on the driver (a distributed
+    shuffle's ~3 s fixed cost exceeds the work — BASELINE.md). Beyond
+    the budget (unbounded keys, e.g. conv_id at 10¹² turns) the
+    combine switches to a distributed groupby over the materialized
+    partials, and the driver only ever pulls the final distinct-key
+    result. ``stats_out['phases']['combine']`` records which path ran.
 
     Returns ``{name: pandas.DataFrame(keys + ['n'])}``. All key
     columns must be string-typed.
@@ -115,12 +124,28 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
     t0 = _time.time()
     mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
     t1 = _time.time()
-    tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
-    partials_df = pa.concat_tables(tables).to_pandas() if tables else \
-        pd.DataFrame(columns=group_cols + ["n"])
-    t2 = _time.time()
-    merged = (partials_df.groupby(group_cols, dropna=False, sort=False)["n"]
-              .sum().reset_index())
+    total_partials = mat.count()  # metadata count on materialized blocks
+    if total_partials <= max_driver_rows:
+        combine = "driver"
+        tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+        partials_df = pa.concat_tables(tables).to_pandas() if tables else \
+            pd.DataFrame(columns=group_cols + ["n"])
+        t2 = _time.time()
+        merged = (partials_df.groupby(group_cols, dropna=False,
+                                      sort=False)["n"]
+                  .sum().reset_index())
+        pulled = len(partials_df)
+    else:
+        # unbounded key cardinality: distributed combine; the driver
+        # pull shrinks from distinct×blocks partials to distinct keys
+        combine = "distributed"
+        from ray.data.aggregate import Sum
+
+        merged_ds = mat.groupby(group_cols).aggregate(
+            Sum("n", alias_name="n"))
+        t2 = _time.time()
+        merged = merged_ds.to_pandas()
+        pulled = len(merged)
     t3 = _time.time()
     if stats_out is not None:
         # whole-pipeline operator stats (upstream stages fuse into
@@ -130,7 +155,9 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None):
             "map_and_partials_sec": round(t1 - t0, 2),
             "driver_pull_sec": round(t2 - t1, 2),
             "driver_combine_sec": round(t3 - t2, 2),
-            "partial_rows": int(len(partials_df)),
+            "partial_rows": int(total_partials),
+            "driver_pulled_rows": int(pulled),
+            "combine": combine,
         }
     out: dict[str, pd.DataFrame] = {}
     for which in names:

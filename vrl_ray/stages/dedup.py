@@ -225,9 +225,12 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     # candidate pairs = bucket self-join (hash shuffle on the bucket
     # key — the Ray-native form; per-group Python map_groups costs
     # ~1ms × O(buckets) and dominates at small bucket sizes)
+    from .join import join_partitions
+
     left = banded.rename_columns({id_column: "id_a"})
     right = banded.rename_columns({id_column: "id_b"})
-    joined = left.join(right, join_type="inner", num_partitions=16,
+    joined = left.join(right, join_type="inner",
+                       num_partitions=join_partitions(),
                        on=("band", "band_hash"))
 
     def upper_triangle(b: pa.Table) -> pa.Table:
@@ -250,32 +253,57 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
                          k: int = 3, id_column: str = "doc_id",
-                         text_column: str = "text"):
-    """Exact-Jaccard verification of LSH candidates. The docs side is
-    broadcast as an id->text dict (small side — candidates reference
-    only docs that collided; for 100 TB inputs swap this for a
-    bucket-partitioned join on id ranges, same call shape)."""
-    import ray
+                         text_column: str = "text",
+                         num_partitions: int | None = None):
+    """Exact-Jaccard verification of LSH candidates as a DISTRIBUTED
+    double hash join: pairs ⋈ docs on id_a, then ⋈ docs on id_b — both
+    sides hash-partitioned on the id, no driver materialization and no
+    whole-corpus broadcast. The join moves each doc text at most twice
+    through the shuffle; candidate pairs reference only colliding docs,
+    so the inner join prunes everything else. Scales with the input
+    instead of with worker memory."""
+    from .join import join_partitions
 
-    mat = docs_ds.select_columns([id_column, text_column]).materialize()
-    lookup = {}
-    for b in ray.get(mat.to_arrow_refs()):
-        lookup.update(zip(b[id_column].to_pylist(), b[text_column].to_pylist()))
-    ref = ray.put(lookup)
+    num_partitions = join_partitions(num_partitions)
+    texts = docs_ds.select_columns([id_column, text_column])
+    side_a = texts.rename_columns({id_column: "id_a", text_column: "_text_a"})
+    side_b = texts.rename_columns({id_column: "id_b", text_column: "_text_b"})
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
+    from .join import drop_empty_blocks
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ia = batch["id_a"].to_pylist()
-            ib = batch["id_b"].to_pylist()
-            sims = [ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
-                    for a, b in zip(ia, ib)]
-            out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+    def _empty_result():
+        import ray.data as rd
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 8))
+        return rd.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+
+    # distributed groupbys emit empty partitions as zero-column
+    # blocks, which a downstream Acero join rejects; map_batches can't
+    # rewrite them (Ray skips empty blocks in map operators) — drop
+    # them by block metadata (no driver pull)
+    pairs_ds = drop_empty_blocks(pairs_ds.materialize())
+    if pairs_ds is None:
+        return _empty_result()
+    j = pairs_ds.join(side_a, join_type="inner",
+                      num_partitions=num_partitions, on=("id_a",))
+    # the first join's own empty partitions have the same issue
+    j = drop_empty_blocks(j.materialize())
+    if j is None:
+        return _empty_result()
+    j = j.join(side_b, join_type="inner",
+               num_partitions=num_partitions, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sims = [ngram_jaccard(ta or "", tb or "", k)
+                for ta, tb in zip(batch["_text_a"].to_pylist(),
+                                  batch["_text_b"].to_pylist())]
+        out = batch.drop_columns(["_text_a", "_text_b"]) \
+            .append_column("jaccard", pa.array(sims, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -344,9 +372,12 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
 
     # bucket self-join on the band key (same idiom as MinHash-LSH),
     # then vectorized hamming verify: XOR + popcount over numpy
+    from .join import join_partitions
+
     left = banded.rename_columns({id_column: "id_a", "fp": "fp_a"})
     right = banded.rename_columns({id_column: "id_b", "fp": "fp_b"})
-    joined = left.join(right, join_type="inner", num_partitions=16,
+    joined = left.join(right, join_type="inner",
+                       num_partitions=join_partitions(),
                        on=("band", "band_key"))
 
     _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -378,52 +409,205 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
 # embedding cosine near-dup
 
 
+def _pair_table(ia, ib, ss) -> pa.Table:
+    return pa.table({"id_a": pa.array(ia, pa.int64()),
+                     "id_b": pa.array(ib, pa.int64()),
+                     "cosine": pa.array(ss, pa.float64())})
+
+
+def _pack_vecs(m: np.ndarray) -> pa.Array:
+    """(n, dim) float32 → fixed-size-binary column (dim·4 bytes/row) —
+    the join-safe encoding for vector payloads (Acero rejects list
+    columns as join payload)."""
+    m = np.ascontiguousarray(m, dtype=np.float32)
+    n, dim = m.shape
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(dim * 4), n, [None, pa.py_buffer(m.tobytes())])
+
+
+def _unpack_vecs(col) -> np.ndarray:
+    """Inverse of :func:`_pack_vecs` (handles chunk/slice offsets)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = col.type.byte_width // 4
+    flat = np.frombuffer(col.buffers()[1], dtype=np.float32)
+    start = col.offset * dim
+    return flat[start:start + len(col) * dim].reshape(len(col), dim)
+
+
+def _vecs_of(batch: pa.Table, vec_column: str) -> np.ndarray:
+    col = batch[vec_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # flatten() respects list offsets/slices; .values would not
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    v = flat.reshape(len(batch), -1)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return v / n
+
+
 def embedding_near_dups(ds, *, threshold: float = 0.95,
                         id_column: str = "vec_id",
                         vec_column: str = "embedding",
-                        block: int = 2048):
-    """Near-dup pairs with cosine >= threshold.
+                        block: int = 2048,
+                        num_buckets: Optional[int] = None):
+    """EXACT near-dup pairs with cosine >= threshold, fully
+    distributed — no driver materialization, no whole-matrix
+    broadcast.
 
-    Scale path: normalized vectors, blocked matmul of each batch
-    against a broadcast matrix of all vectors (ray.put once, read per
-    actor). O(n^2) flops but memory-bounded by block size; for 100 TB
-    swap the broadcast side for IVF buckets (similarity.py) — the call
-    shape stays identical."""
+    Block-pair self-join: each row is hashed to one of ``nb`` buckets,
+    then replicated to the ``nb`` bucket-PAIR groups it participates
+    in (a standard exact all-pairs decomposition). A bounded
+    ``groupby(pair).map_groups`` (nb·(nb+1)/2 groups — group COUNT is
+    fixed, so the per-group Python overhead rule doesn't bite)
+    cross-multiplies the two buckets of each group with a blocked
+    numpy matmul. Peak memory per task is 2·n/nb vectors; data
+    movement is n·nb rows. Compute stays O(n²·d) — that's what exact
+    all-pairs costs; for the sub-quadratic 100 TB path use
+    :func:`embedding_near_dups_lsh` (centroid-bucketed, approximate).
+    """
+    n_rows = ds.count()  # parquet metadata count — no execution
+    if num_buckets is None:
+        # size buckets so one group (2·n/nb vectors) stays well under
+        # a worker heap; grows with sqrt(n) so replication factor nb
+        # stays modest
+        num_buckets = int(max(2, min(32, np.ceil(np.sqrt(n_rows / 4096.0)))))
+    nb = num_buckets
+
+    sel = ds.select_columns([id_column, vec_column])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        b = ((ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)
+             ) % np.uint64(nb)
+        pieces = []
+        for kk in range(nb):
+            lo = np.minimum(b, kk)
+            hi = np.maximum(b, kk)
+            pg = (lo * nb + hi).astype(np.int64)
+            pieces.append(batch.append_column("_pg", pa.array(pg))
+                          .append_column("_bkt", pa.array(b.astype(np.int64))))
+        return pa.concat_tables(pieces)
+
+    exploded = sel.map_batches(explode, batch_format="pyarrow")
+
+    def cross(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _pair_table([], [], [])
+        pg = int(group["_pg"][0].as_py())
+        i, j = pg // nb, pg % nb
+        bkt = group["_bkt"].to_numpy(zero_copy_only=False)
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        vecs = _vecs_of(group, vec_column)
+        # each row lands in this group exactly once (pair key (b,k)
+        # collapses to one value per k), so sides need no dedup
+        if i == j:
+            li = ri = np.arange(len(ids))
+        else:
+            li = np.flatnonzero(bkt == i)
+            ri = np.flatnonzero(bkt == j)
+        lv, lids = vecs[li], ids[li]
+        rv, rids = vecs[ri], ids[ri]
+        ia, ib, ss = [], [], []
+        for s in range(0, len(lv), block):
+            sims = lv[s:s + block] @ rv.T
+            rr, cc = np.nonzero(sims >= threshold)
+            for r, c in zip(rr, cc):
+                a, bb = int(lids[s + r]), int(rids[c])
+                if i == j:
+                    # each unordered pair scored twice — keep one
+                    if a >= bb:
+                        continue
+                elif a > bb:
+                    a, bb = bb, a  # off-diagonal: scored once; canonicalize
+                elif a == bb:
+                    continue
+                ia.append(a); ib.append(bb)
+                ss.append(float(sims[r, c]))
+        return _pair_table(ia, ib, ss)
+
+    pairs = exploded.groupby("_pg").map_groups(cross, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    # a pair can only appear in its one bucket-pair group, but keep the
+    # distinct as a safety net (and to give a stable schema)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+
+
+def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
+                            id_column: str = "vec_id",
+                            vec_column: str = "embedding",
+                            nlist: int = 16, assign: int = 2,
+                            train_sample: int = 4096, seed: int = 11,
+                            num_partitions: int | None = None):
+    """APPROXIMATE near-dup pairs — the sub-quadratic 100 TB path.
+
+    Mirrors :func:`simhash_near_dups`: train a coarse k-means
+    quantizer on a sample, assign every vector to its ``assign``
+    nearest centroids (multi-probe explode), self-join on the bucket
+    key, verify exact cosine within joined pairs, distinct. Compute
+    scales with bucket occupancy (≈ n²·assign²/nlist per bucket),
+    not n². Recall depends on cluster structure: near-dup pairs
+    (cosine ≥ 0.9ish) almost always share a top-``assign`` centroid."""
+    from .join import join_partitions
+    from .similarity import IvfIndex, _sample_vectors
+
+    num_partitions = join_partitions(num_partitions)
+    train = _sample_vectors(ds, vec_column, train_sample, seed)
+    index = IvfIndex(train, nlist=nlist, seed=seed)
     import ray
 
-    mats, ids = [], []
-    for b in ds.select_columns([id_column, vec_column]).iter_batches(
-            batch_format="pyarrow"):
-        ids.extend(b[id_column].to_pylist())
-        mats.append(np.array(b[vec_column].to_pylist(), dtype=np.float32))
-    all_vecs = np.vstack(mats)
-    norms = np.linalg.norm(all_vecs, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    all_vecs = all_vecs / norms
-    all_ids = np.array(ids)
-    ref = ray.put((all_ids, all_vecs))
+    cref = ray.put(index.centroids)
 
-    class NearDup:
+    class Assign:
         def __init__(self):
-            self.ids, self.vecs = ray.get(ref)
+            self.centroids = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.array(batch[id_column].to_pylist())
-            q = np.array(batch[vec_column].to_pylist(), dtype=np.float32)
-            n = np.linalg.norm(q, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            q = q / n
-            sims = q @ self.vecs.T  # (batch, all)
-            ia, ib, ss = [], [], []
-            for r in range(sims.shape[0]):
-                hits = np.flatnonzero(sims[r] >= threshold)
-                for c in hits:
-                    if bids[r] < self.ids[c]:  # each pair once
-                        ia.append(int(bids[r])); ib.append(int(self.ids[c]))
-                        ss.append(float(sims[r, c]))
-            return pa.table({"id_a": pa.array(ia, pa.int64()),
-                             "id_b": pa.array(ib, pa.int64()),
-                             "cosine": pa.array(ss, pa.float64())})
+            vecs = _vecs_of(batch, vec_column)
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            sims = vecs @ self.centroids.T
+            a = min(assign, sims.shape[1])
+            top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
+            flat = vecs[:, :]  # normalized
+            oi = np.repeat(ids, a)
+            ob = top.reshape(-1).astype(np.int64)
+            ov = np.repeat(flat, a, axis=0)
+            return pa.table({
+                id_column: pa.array(oi),
+                "bucket": pa.array(ob),
+                # Acero hash joins reject list-typed payload columns;
+                # pack the vector as fixed-size binary (zero-copy)
+                "_v": _pack_vecs(ov),
+            })
 
-    return ds.map_batches(NearDup, batch_format="pyarrow",
-                          batch_size=block, concurrency=(1, 8))
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+    left = assigned.rename_columns({id_column: "id_a", "_v": "_va"})
+    right = assigned.rename_columns({id_column: "id_b", "_v": "_vb"})
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=("bucket",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        m = pc.less(b["id_a"], b["id_b"])
+        t = b.filter(m)
+        if len(t) == 0:
+            return _pair_table([], [], [])
+        va = _unpack_vecs(t["_va"])
+        vb = _unpack_vecs(t["_vb"])
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return _pair_table(
+            t["id_a"].to_numpy(zero_copy_only=False)[keep].tolist(),
+            t["id_b"].to_numpy(zero_copy_only=False)[keep].tolist(),
+            cos[keep].astype(np.float64).tolist())
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    # a pair collides once per shared bucket — distinct with max cosine
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))

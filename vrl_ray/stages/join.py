@@ -20,6 +20,45 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def join_partitions(requested: Optional[int] = None,
+                    lo: int = 2, hi: int = 256) -> int:
+    """Size a hash-join's ``num_partitions`` to the cluster: the
+    shuffle spawns aggregator actors that hold CPU slots, so asking
+    for many more partitions than cores starves the map side in small
+    sessions (observed: a 16-partition join crawling in a 4-CPU test
+    session), while too few partitions caps parallelism and per-task
+    memory headroom on a big cluster. Default: ~cluster CPUs, clamped
+    to [lo, hi]; an explicit ``requested`` is clamped the same way."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cap = max(lo, min(hi, ncpu))
+    if requested is None:
+        return cap
+    return max(lo, min(requested, cap))
+
+
+def drop_empty_blocks(mat):
+    """Rebuild a MATERIALIZED dataset without its empty blocks.
+
+    Distributed groupbys/joins emit empty partitions as zero-column
+    blocks (no schema), which a downstream Acero hash join rejects
+    ("No match ... for key field on left side"); ``map_batches`` can't
+    fix them because Ray skips empty blocks in map operators. This
+    inspects only block METADATA (num_rows) — block data never moves
+    to the driver. Returns None when every block is empty."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(block_ref)
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
+
+
 def broadcast_join(ds, small: "pa.Table", on: str, right_on: Optional[str] = None,
                    columns: Optional[list[str]] = None, concurrency=(1, 8),
                    how: str = "inner"):

@@ -1,0 +1,151 @@
+"""Partition-parallel window operators (running sums, per-key top-k,
+sessionization) without per-key Python.
+
+``groupby(key).map_groups`` pays ~1 ms of Python per GROUP — fatal
+when keys number in the millions (CLAUDE.md rule 6). The idiom here
+instead hash-partitions keys into a BOUNDED number of partitions
+(``groupby(_pid)``, default 64 groups regardless of key count),
+sorts each partition once with an Arrow kernel, and runs the window
+as vectorized numpy segment ops (cumsum/diff/rank with per-key
+resets). Python cost is O(num_partitions); everything per-row is a
+C kernel.
+
+Partitioning assumption: all rows of one key fit in one partition
+task (keys are hashed, so a partition holds ~n_keys/num_partitions
+keys; size partitions so the largest fits a worker heap). This is the
+same assumption any PARTITION BY window has.
+
+Reference parity: these implement the SQL-window shapes used by the
+driver oracle (row_number / running sum / session gaps); the
+reference (VRL) has no window operator — this is part of the
+beyond-reference training-pipeline surface (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hash_partition_ids(col: pa.ChunkedArray | pa.Array,
+                        num_partitions: int) -> pa.Array:
+    """Deterministic vectorized key → partition id (works for int and
+    string keys; pandas' C hash, no Python loop)."""
+    import pandas as pd
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    else:
+        h = pd.util.hash_array(np.asarray(arr.to_pandas(), dtype=object))
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+
+def partitioned_apply(ds, key: str, fn: Callable[[pa.Table], pa.Table],
+                      *, num_partitions: int = 64):
+    """Co-locate all rows of each ``key`` and apply ``fn`` once per
+    hash PARTITION (bounded count), never per key. ``fn`` sees an
+    Arrow table whose rows cover complete keys."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_pid", _hash_partition_ids(b[key],
+                                                           num_partitions))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def apply(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(["_pid"]))
+
+    return tagged.groupby("_pid").map_groups(apply, batch_format="pyarrow")
+
+
+def _segments(keys: np.ndarray):
+    """Start indices + lengths of equal-key runs in a sorted array."""
+    n = len(keys)
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    return starts, lens
+
+
+def running_sum(ds, *, key: str, order_by: list[str], value: str,
+                out: str = "running_value", round_to: int | None = 2,
+                keep: list[str] | None = None, num_partitions: int = 64):
+    """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING) — vectorized segmented cumsum per hash
+    partition."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts, lens = _segments(k)
+        cs = np.cumsum(v)
+        base = np.repeat(cs[starts] - v[starts], lens)
+        run = cs - base
+        if round_to is not None:
+            run = np.round(run, round_to)
+        cols = keep if keep is not None else [key] + order_by
+        out_t = t.select(cols)
+        return out_t.append_column(out, pa.array(run, pa.float64()))
+
+    return partitioned_apply(ds, key, fn, num_partitions=num_partitions)
+
+
+def top_k_per_key(ds, *, key: str, order_col: str, k: int,
+                  descending: bool = True, tiebreak: str | None = None,
+                  num_partitions: int = 64):
+    """row_number() OVER (PARTITION BY key ORDER BY order_col [DESC]
+    [, tiebreak]) <= k — segmented rank, no per-key Python."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending"),
+                     (order_col, "descending" if descending else "ascending")]
+        if tiebreak:
+            sort_keys.append((tiebreak, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kk = t[key].to_numpy(zero_copy_only=False)
+        starts, lens = _segments(kk)
+        rank = np.arange(len(kk)) - np.repeat(starts, lens)
+        return t.filter(pa.array(rank < k))
+
+    return partitioned_apply(ds, key, fn, num_partitions=num_partitions)
+
+
+def session_counts(ds, *, key: str, ts: str, gap_seconds: float,
+                   out: str = "n_sessions", num_partitions: int = 64):
+    """Count session windows (new session when the gap since the
+    previous event of the same key exceeds ``gap_seconds``) — one
+    row per key. Segmented diff + per-partition Arrow group_by."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (ts, "ascending")]))
+        k = t[key].to_numpy(zero_copy_only=False)
+        tv = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        n = len(k)
+        if n == 0:
+            return pa.table({key: t[key], out: pa.array([], pa.int64())})
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = tv[1:] - tv[:-1]
+        new_sess = new_key | (gap > int(gap_seconds * 1e6))
+        flagged = pa.table({key: t[key],
+                            "_s": pa.array(new_sess.astype(np.int64))})
+        g = flagged.group_by([key]).aggregate([("_s", "sum")])
+        return g.rename_columns([key, out])
+
+    return partitioned_apply(ds, key, fn, num_partitions=num_partitions)
