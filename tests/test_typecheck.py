@@ -1,0 +1,95 @@
+"""Unit tests for the static type checker (vrl_ray/lang/typecheck.py)
+— Kind algebra, type_def compile-time resolution, and compile-time
+fallibility forcing (the reference's compiler.rs:49-62 /
+value/kind/debug.rs surface). The corpus (test_vrl_corpus.py) is the
+integration evidence; these pin the unit behaviors directly."""
+
+from __future__ import annotations
+
+import pytest
+
+from vrl_ray.lang import compile_program
+from vrl_ray.lang.typecheck import Kind, VrlCompileError
+
+
+def run(src, obj=None, strict=True):
+    r, ev, ab = compile_program(src, strict=strict).resolve(obj or {})
+    return r
+
+
+class TestKindAlgebra:
+    def test_union_object_fields_gain_undefined(self):
+        a = Kind.object({"x": Kind.prim("boolean")})
+        b = Kind.object({"y": Kind.prim("bytes")})
+        u = a.union(b)
+        assert u.debug_info() == {"object": {
+            "x": {"boolean": True, "undefined": True},
+            "y": {"bytes": True, "undefined": True}}}
+
+    def test_never_and_any_render(self):
+        assert Kind.never().debug_info() == {"never": True}
+        assert Kind.any().debug_info() == {"any": True}
+
+    def test_union_with_never_is_identity(self):
+        k = Kind.prim("bytes").union(Kind.never())
+        assert k.debug_info() == {"bytes": True}
+
+
+class TestTypeDefStatic:
+    def test_if_without_else_is_value_or_null(self):
+        assert run('x = if false { "y" }\ntype_def(x)') == \
+            {"bytes": True, "null": True}
+
+    def test_branch_assignment_unions(self):
+        src = ('. = {}\n_r = if true { .x = true } else { .y = "hi" }\n'
+               'type_def(.)')
+        assert run(src) == {"object": {
+            "x": {"boolean": True, "undefined": True},
+            "y": {"bytes": True, "undefined": True}}}
+
+    def test_abort_is_never(self):
+        assert run("type_def({abort})", strict=True) == {"never": True}
+
+    def test_short_circuit_state_application(self):
+        src = ('x = false\n_x = false && {x = "s"}\ntype_def(x)')
+        assert run(src) == {"boolean": True}
+        src = ('x = false\n_x = true && {x = "s"; true}\ntype_def(x)')
+        assert run(src) == {"bytes": True}
+
+    def test_push_on_unknown_external(self):
+        assert run("type_def(push!(.x, 5))") == \
+            {"array": {}, "array_unknown_infinite": {"any": True}}
+
+    def test_array_holes_fill_null(self):
+        assert run('.x = []\n.x[3] = "v"\ntype_def(.x)') == \
+            {"array": {"0": {"null": True}, "1": {"null": True},
+                       "2": {"null": True}, "3": {"bytes": True}}}
+
+    def test_runtime_fallback_outside_subset(self):
+        # slice() isn't statically modeled → runtime type_def kinds
+        assert run("type_def(slice!([1], 0))", strict=False) == \
+            {"array": {"0": {"integer": True}}}
+
+
+class TestFallibilityForcing:
+    def test_unhandled_fallible_call_rejected(self):
+        with pytest.raises(VrlCompileError):
+            compile_program("5 + to_int(.foo)")
+
+    def test_possibly_undefined_arithmetic_rejected(self):
+        with pytest.raises(VrlCompileError):
+            compile_program('.onk = ["a", "b"]\ndel(.onk[0])\n'
+                            '.onk[1] + "nork"')
+
+    def test_handled_forms_accepted(self):
+        compile_program("x = to_int!(.foo)")
+        compile_program("x, err = to_int(.foo)")
+        compile_program('x = to_int(.foo) ?? 0')
+
+    def test_division_constant_propagation(self):
+        compile_program("foo = 4\nx = 5 / foo")      # infallible
+        with pytest.raises(VrlCompileError):
+            compile_program("x = 5 / .n")            # unknown divisor
+
+    def test_lenient_mode_still_compiles(self):
+        compile_program("5 + to_int(.foo)", strict=False)

@@ -38,31 +38,9 @@ from vrl_ray.value import VrlError
 ROOT = "/root/reference/lib/tests/tests"
 
 SKIPS = {
-    # --- static type-inference surface (TypeState/Kind unions incl.
-    # `undefined`/`never`; we have no program-level type checker) ---
-    "expressions/abort/abort_typedef.vrl": "static typedef",
-    "expressions/assignment/infallible_assignment_typedef.vrl": "static typedef",
-    "expressions/if_statement/conditional_assignment.vrl": "static typedef",
-    "expressions/if_statement/if_else_external_assignment.vrl": "static typedef assert",
-    "expressions/if_statement/if_else_local_assignment.vrl": "static typedef assert",
-    "expressions/if_statement/if_else_object.vrl": "static typedef",
-    "expressions/if_statement/if_expression.vrl": "static typedef assert",
-    "expressions/if_statement/if_external_assignment.vrl": "static typedef assert",
-    "expressions/if_statement/if_local_assignment.vrl": "static typedef assert",
-    "expressions/if_statement/if_new_external_assignment.vrl": "static typedef assert",
-    "expressions/if_statement/if_null.vrl": "static typedef assert",
-    "expressions/if_statement/if_resolves.vrl": "static typedef assert",
-    "expressions/return/return_typedef.vrl": "static typedef",
-    "expressions/short_circuit/and.vrl": "static typedef assert",
-    "expressions/short_circuit/or.vrl": "static typedef assert",
-    "expressions/short_circuit/err_coalesce.vrl": "static typedef",
-    "functions/push_unknown_array_typedef.vrl": "static typedef",
-    "issues/8068_del_type_def.vrl": "static typedef",
-    # --- compile-time-only checks ---
+    # --- compile-time-only checks not yet modeled ---
     "expressions/function_call/closure_scope.vrl": "compile-time scope check",
     "expressions/query/scalar.vrl": "compile-time query check",
-    "issues/6469_fallible_operations_marked_as_infallible.vrl":
-        "compile-time fallibility check",
     "functions/replace_with/wrong_type.vrl":
         "compile-time closure return-type check",
     "examples/blog_vector_remap_language_error_diagnostic.vrl":
@@ -217,4 +195,6 @@ def test_corpus_case(path):
 def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
-    assert len(runnable) >= 200, len(runnable)
+    # r2: static type checker un-skipped the typedef + fallibility
+    # cases (was >= 200 with 28 skips; now 8 skips remain)
+    assert len(runnable) >= 218, len(runnable)

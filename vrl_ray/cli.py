@@ -35,7 +35,7 @@ def run_serial(source: str, lines: list[str], print_object: bool) -> int:
     from .value import VrlError
 
     try:
-        program = compile_program(source)
+        program = compile_program(source, strict=False)
     except Exception as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -122,7 +122,8 @@ def run_repl(input_fn=None, out=None) -> int:
         if not line.strip():
             continue
         try:
-            result, event, aborted = compile_program(line).resolve(event)
+            result, event, aborted = compile_program(
+                line, strict=False).resolve(event)
             if not isinstance(event, dict):
                 event = {}
             print(_print_value(result) if aborted is None else "aborted",

@@ -91,9 +91,19 @@ class Program:
     ``(result, event, aborted)``; event is mutated in place like the
     reference target."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, strict: bool = False):
         self.source = source
         self.stmts = parse(source)
+        # static pass: resolves type_def() to compile-time kinds and
+        # (under strict) rejects unhandled fallible expressions —
+        # the reference's compile step (compiler.rs:49-62). Programs
+        # outside the modeled subset keep runtime semantics unchanged.
+        from .typecheck import Unsupported, annotate
+
+        try:
+            self.stmts = annotate(self.stmts, strict=strict)
+        except Unsupported:
+            pass
 
     def resolve(self, event: Any, metadata: Optional[dict] = None):
         ctx = _Ctx(event, metadata or {})
@@ -108,8 +118,11 @@ class Program:
         return result, ctx.root[0], None
 
 
-def compile_program(source: str) -> Program:
-    return Program(source)
+def compile_program(source: str, strict: bool = True) -> Program:
+    """Reference-parity compile: static type pass ON (compile-time
+    type_def + fallibility forcing where modeled). The lenient
+    entry point for pipeline stages is ``Program(src)`` directly."""
+    return Program(source, strict=strict)
 
 
 class _Ctx:
@@ -152,6 +165,10 @@ class _Ctx:
 
             return self._TEMPLATE.sub(sub, v)
         return v
+
+    def _eval_lit_typedef(self, n):
+        # compile-time-resolved type_def() result (typecheck.annotate)
+        return copy.deepcopy(n[1])
 
     def _eval_regex(self, n):
         try:
