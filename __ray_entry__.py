@@ -537,7 +537,9 @@ def docs_string_ops(sf_dir: str):
 
 
 def docs_langid(sf_dir: str):
-    """Heuristic n-gram language ID (actor pool) — rows-only check."""
+    """Heuristic n-gram language ID (actor pool) — oracle-checked:
+    the trigram-overlap scoring is pure substring counting, which the
+    SQL oracle reproduces term by term."""
     from vrl_ray.stages.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -546,22 +548,45 @@ def docs_langid(sf_dir: str):
 
 
 def docs_quality(sf_dir: str):
-    """Quality scoring components — rows-only check."""
+    """Quality scoring components — oracle-checked on the exact
+    rational components (stopword + alpha ratios); the composite
+    ``quality`` (log-scaled, float-rounding-sensitive) is covered by
+    unit tests instead."""
     from vrl_ray.stages.text import quality_score_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(quality_score_batch, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality"])
+    return out.select_columns(["doc_id", "stop_ratio", "alpha_ratio"])
 
 
 def docs_fingerprint(sf_dir: str):
-    """Rolling-hash winnowing fingerprint — rows-only check
-    (deterministic across workers: blake2b token hashes)."""
-    from vrl_ray.stages.text import fingerprint_batch
+    """Winnowing fingerprint (min-hash over 8-token windows) —
+    oracle-checked via the md5 window hash. The faster
+    rolling-polynomial variant (stages/text.py fingerprint_batch) has
+    identical winnowing structure and is unit-tested for cross-worker
+    determinism."""
+    from vrl_ray.stages.text import fingerprint_md5_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
-             .select_columns(["doc_id", "fingerprint"])
+    return ds.map_batches(fingerprint_md5_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint_md5"])
+
+
+def docs_jaccard_verify(sf_dir: str):
+    """Exact token-set Jaccard verification (the LSH verify stage,
+    k=1) over an enumerated candidate set — oracle-checked: DuckDB
+    reproduces word-set intersection/union exactly."""
+    import ray.data as rd
+    from vrl_ray.stages.dedup import verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids = list(range(40))
+    ia, ib = zip(*[(a, b) for a in ids for b in ids if a < b])
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(ia, pa.int64()),
+        "id_b": pa.array(ib, pa.int64())}))
+    out = verify_pairs_jaccard(pairs, docs, threshold=0.3, k=1)
+    return out.select_columns(["id_a", "id_b"])
 
 
 def docs_minhash_pairs(sf_dir: str):
@@ -661,7 +686,8 @@ def embeddings_knn(sf_dir: str):
 
 
 def embeddings_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (scale path) — rows-only."""
+    """IVF-bucketed approximate top-10 (scale path) — rows-only
+    (approximate by design; recall vs brute force is unit-tested)."""
     from vrl_ray.stages.similarity import knn_ivf
 
     q = _query_vecs(sf_dir, 5)
@@ -670,14 +696,30 @@ def embeddings_knn_ivf(sf_dir: str):
     return out[["query_idx", "vec_id"]]
 
 
+def embeddings_knn_full_probe(sf_dir: str):
+    """The IVF machinery at nprobe == nlist (probe everything) must be
+    EXACT — oracle-checked against the same DuckDB cosine top-k as
+    brute force. Proves the probe/mask/top-k path loses nothing."""
+    from vrl_ray.stages.similarity import knn_ivf
+
+    q = _query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, q, k=10, nlist=16, nprobe=16).to_pandas()
+    return out[["query_idx", "vec_id"]]
+
+
 def embeddings_near_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs — rows-only. Threshold 0.3
-    (the synthetic embeddings are random gaussians, max pairwise
-    cosine ≈ 0.33; a production near-dup run would use ≥0.95)."""
+    """Embedding-cosine near-dup pairs — oracle-checked against a
+    DuckDB all-pairs cosine self-join on the pair ids (the cosine
+    value itself is float32 on the Ray side, float64 in SQL, so only
+    the id pairs are compared). Threshold 0.3 (the synthetic
+    embeddings are random gaussians, max pairwise cosine ≈ 0.33; a
+    production near-dup run would use ≥0.95)."""
     from vrl_ray.stages.dedup import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.3)
+    return embedding_near_dups(ds, threshold=0.3).select_columns(
+        ["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -813,8 +855,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash_pairs": docs_simhash_pairs,
+        "docs_jaccard_verify": docs_jaccard_verify,
         "embeddings_knn": embeddings_knn,
         "embeddings_knn_ivf": embeddings_knn_ivf,
+        "embeddings_knn_full_probe": embeddings_knn_full_probe,
         "embeddings_near_dups": embeddings_near_dups,
         "docs_grok_parse": docs_grok_parse,
         "transcript_flagship": transcript_flagship,
@@ -1010,6 +1054,112 @@ def oracle_sql() -> dict[str, str]:
                    replace(text, 'data', 'DATA') AS replaced,
                    contains(text, 'spark') AS has_spark
             FROM documents
+        """,
+        "docs_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '\\w+') AS ws
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(ws, w -> list_contains(
+                              ['the','a','an','and','or','of','to','in',
+                               'is','it','that','this','for','on','with',
+                               'as','at','by'], w))) AS DOUBLE) / len(ws)
+                   END AS stop_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text,
+                              '[^A-Za-z \\t\\n\\r\\f\\v]', '', 'g'))
+                              AS DOUBLE) / length(text)
+                   END AS alpha_ratio
+            FROM w
+        """,
+        "docs_langid": """
+            WITH c AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+            ), s AS (
+              SELECT doc_id, t,
+                CASE WHEN length(t) = 0 THEN 0.0
+                     ELSE CAST(len(regexp_extract_all(t, '[一-鿿]'))
+                          AS DOUBLE) / length(t) END AS cjk,
+                (contains(t,'the')::INT + contains(t,'and')::INT
+                 + contains(t,'ing')::INT + contains(t,'ion')::INT
+                 + contains(t,'to ')::INT + contains(t,'of ')::INT
+                 + contains(t,' th')::INT + contains(t,'er ')::INT
+                 + contains(t,' a ')::INT) AS s_en,
+                (contains(t,'de ')::INT + contains(t,' de')::INT
+                 + contains(t,'la ')::INT + contains(t,'os ')::INT
+                 + contains(t,'ión')::INT + contains(t,'ar ')::INT
+                 + contains(t,' la')::INT + contains(t,'es ')::INT
+                 + contains(t,'ción')::INT) AS s_es,
+                (contains(t,'ei ')::INT + contains(t,'der')::INT
+                 + contains(t,'die')::INT + contains(t,'und')::INT
+                 + contains(t,'sch')::INT + contains(t,'ich')::INT
+                 + contains(t,'en ')::INT + contains(t,' de')::INT
+                 + contains(t,'ung')::INT) AS s_de,
+                (contains(t,'le ')::INT + contains(t,' de')::INT
+                 + contains(t,'es ')::INT + contains(t,'ent')::INT
+                 + contains(t,'la ')::INT + contains(t,'et ')::INT
+                 + contains(t,' le')::INT + contains(t,'ion')::INT
+                 + contains(t,'que')::INT) AS s_fr
+              FROM c)
+            SELECT doc_id,
+              CASE WHEN cjk > 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+                   WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                        THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de'
+                   ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "docs_jaccard_verify": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '\\w+'))
+                         AS ws
+              FROM documents WHERE doc_id < 40)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(a.ws || b.ws)) >= 0.3
+        """,
+        "docs_fingerprint": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\\w+') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN NULL
+                        WHEN len(toks) <= 8
+                            THEN md5(array_to_string(toks, ' '))
+                        ELSE list_min(list_transform(
+                              range(1, len(toks) - 6),
+                              i -> md5(array_to_string(
+                                       toks[i:i+7], ' '))))
+                   END AS fingerprint_md5
+            FROM w
+        """,
+        "embeddings_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.3
+        """,
+        "embeddings_knn_full_probe": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.qe AS DOUBLE[])) AS sim
+                       FROM embeddings e CROSS JOIN q)
+            SELECT CAST(qid AS INTEGER) AS query_idx, vec_id
+            FROM (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, vec_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
         """,
         "embeddings_knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

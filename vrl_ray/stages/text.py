@@ -118,6 +118,28 @@ def quality_score_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return out.append_column("quality", pa.array(quality))
 
 
+def fingerprint_md5_batch(batch: pa.Table, text_column: str = "text",
+                          window: int = 8) -> pa.Table:
+    """Winnowing fingerprint variant with an ORACLE-CHECKABLE window
+    hash: min over md5(hex) of each ``window``-token run (md5 exists
+    in SQL engines, so the driver can verify it end-to-end — the
+    rolling-polynomial variant above is the faster production path,
+    this one is the verifiable twin). Empty docs → null."""
+    fps: list = []
+    for t in batch[text_column].to_pylist():
+        toks = _WORD.findall((t or "").lower())
+        if not toks:
+            fps.append(None)
+            continue
+        if len(toks) <= window:
+            fps.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            continue
+        fps.append(min(
+            hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
+            for i in range(len(toks) - window + 1)))
+    return batch.append_column("fingerprint_md5", pa.array(fps, pa.string()))
+
+
 def fingerprint_batch(batch: pa.Table, text_column: str = "text",
                       window: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint (winnowing-style): min of a
