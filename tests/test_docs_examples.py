@@ -35,13 +35,11 @@ NONDET = {"now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
           "dns_lookup", "reverse_dns", "http_request", "get_env_var"}
 
 # known divergences (documented): full ua-parser database, XXH3
-# variants, zstd frame parameter bytes
+# variants
 KNOWN_DIVERGENT = {
     ("parse_user_agent", 2),   # Opera Mini deep device database
     ("xxhash", 3),             # XXH3-64 (not implemented)
     ("xxhash", 4),             # XXH3-128 (not implemented)
-    ("encode_zstd", 0),        # zstd frame header params differ from zstd crate
-    ("decode_zstd", 0),        # frame w/o content size: depends on probe
 }
 
 _WRAP = re.compile(r"^[srt]'(.*)'$", re.S)

@@ -80,6 +80,33 @@ class TestDistributedJaccardVerify:
         assert set(got) == {(1, 2), (2, 4)}
         assert got[(1, 2)] == pytest.approx(ngram_jaccard(texts[1], texts[2]))
 
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        """The large-candidate join path must agree with the
+        candidate-bounded broadcast path (force it via
+        broadcast_limit=0)."""
+        import ray.data as rd
+
+        from vrl_ray.stages.dedup import verify_pairs_jaccard
+
+        texts = {i: f"shared words alpha beta gamma delta {i % 3}"
+                 for i in range(1, 9)}
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+        }))
+        ia, ib = zip(*[(a, b) for a in texts for b in texts if a < b])
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64())}))
+        fast = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in verify_pairs_jaccard(
+                    pairs, docs, threshold=0.5).take_all()}
+        slow = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                for r in verify_pairs_jaccard(
+                    pairs, docs, threshold=0.5,
+                    broadcast_limit=0).take_all()}
+        assert fast == slow and fast
+
     def test_empty_pairs(self, ray_session):
         import ray.data as rd
 

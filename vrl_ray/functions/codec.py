@@ -180,10 +180,51 @@ def _pa_codec(name: str):
         raise VrlError(f"codec {name} unavailable in this environment: {e}") from e
 
 
+# zstd default window-log per compression level (the zstd library's
+# published clevels table for the streaming/unknown-size path — what
+# the reference's zstd-crate Encoder emits, encode_zstd.rs)
+_ZSTD_WLOG = {1: 19, 2: 20, 3: 21, 4: 21, 5: 21, 6: 21, 7: 21, 8: 21,
+              9: 22, 10: 22, 11: 22, 12: 22, 13: 22, 14: 22, 15: 22,
+              16: 22, 17: 23, 18: 23, 19: 23, 20: 25, 21: 26, 22: 27}
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _zstd_crate_frame(raw: bytes, level: int) -> bytes:
+    """Rewrite a pyarrow-produced zstd frame header to the byte form
+    the reference's zstd-crate streaming encoder emits: no
+    Frame_Content_Size, no single-segment flag, window descriptor from
+    the level's default window log. The compressed blocks are
+    identical — only the header descriptor bytes differ."""
+    if len(raw) < 6 or raw[:4] != _ZSTD_MAGIC:
+        return raw
+    fhd = raw[4]
+    if fhd & 0b11:          # dictionary id present — don't touch
+        return raw
+    single = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    if not single and fcs_flag == 0:
+        return raw          # already crate-shaped
+    pos = 5
+    wd = None
+    if not single:
+        wd = raw[5]
+        pos += 1
+    pos += {0: (1 if single else 0), 1: 2, 2: 4, 3: 8}[fcs_flag]
+    if wd is None:
+        wd = (_ZSTD_WLOG.get(level, 21) - 10) << 3
+    new_fhd = fhd & 0b100   # keep only the checksum flag
+    return _ZSTD_MAGIC + bytes([new_fhd, wd]) + raw[pos:]
+
+
 def encode_zstd(value: str, compression_level: int = 3) -> bytes:
     import pyarrow as pa
-    codec = _pa_codec("zstd")
-    return codec.compress(_to_bytes(value), asbytes=True)
+    try:
+        codec = pa.Codec("zstd", int(compression_level))
+    except Exception as e:
+        raise VrlError(f"codec zstd unavailable: {e}") from e
+    raw = codec.compress(_to_bytes(value), asbytes=True)
+    return _zstd_crate_frame(raw, compression_level)
 
 
 def _zstd_content_size(raw: bytes):
@@ -211,13 +252,53 @@ def _zstd_content_size(raw: bytes):
         return None
 
 
+def _zstd_probe_size(codec, raw: bytes) -> bytes:
+    """Decompress a zstd frame that carries NO Frame_Content_Size.
+    pyarrow needs the exact size, but under- and over-shoots raise
+    DISTINGUISHABLE errors ("Destination buffer is too small" vs
+    "Corrupt"), so the exact size is found by exponential growth +
+    binary search — O(log n) decompression attempts."""
+    def attempt(n):
+        try:
+            return codec.decompress(raw, decompressed_size=n,
+                                    asbytes=True), 0
+        except Exception as e:
+            return None, (-1 if "too small" in str(e).lower() else 1)
+
+    lo, hi = 0, max(64, len(raw) * 4)
+    while True:
+        out, sign = attempt(hi)
+        if out is not None:
+            return out
+        if sign > 0:
+            break
+        lo, hi = hi, hi * 4
+        if hi > 1 << 34:
+            raise VrlError("zstd frame too large to probe")
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        out, sign = attempt(mid)
+        if out is not None:
+            return out
+        if sign < 0:
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    raise VrlError("unable to determine zstd decompressed size")
+
+
 def decode_zstd(value: bytes) -> str:
     codec = _pa_codec("zstd")
     raw = _raw(value)
     size = _zstd_content_size(raw)
     try:
-        out = _decompress_sized(codec, raw, size)
+        if size is not None:
+            out = _decompress_sized(codec, raw, size)
+        else:
+            out = _zstd_probe_size(codec, raw)
         return out.decode("utf-8", "replace")
+    except VrlError:
+        raise
     except Exception as e:
         raise VrlError(f"unable to decode value with Zstd decoder: {e}") from e
 

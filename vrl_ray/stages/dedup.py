@@ -254,22 +254,26 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
                          k: int = 3, id_column: str = "doc_id",
                          text_column: str = "text",
-                         num_partitions: int | None = None):
-    """Exact-Jaccard verification of LSH candidates as a DISTRIBUTED
-    double hash join: pairs ⋈ docs on id_a, then ⋈ docs on id_b — both
-    sides hash-partitioned on the id, no driver materialization and no
-    whole-corpus broadcast. The join moves each doc text at most twice
-    through the shuffle; candidate pairs reference only colliding docs,
-    so the inner join prunes everything else. Scales with the input
-    instead of with worker memory."""
-    from .join import join_partitions
+                         num_partitions: int | None = None,
+                         broadcast_limit: int = 200_000):
+    """Exact-Jaccard verification of LSH candidates, bounded by the
+    CANDIDATE count, never the corpus:
+
+    - small candidate sets (≤ ``broadcast_limit`` pairs — the common
+      case after the hot-bucket guard): pull only the candidate pair
+      ids, filter the docs table distributedly to the referenced ids
+      (``pc.is_in`` against a broadcast id array), and broadcast only
+      THOSE texts as a lookup dict. Driver/worker memory is O(pairs),
+      not O(corpus) — the r1 whole-corpus-dict anti-pattern is gone
+      but the cheap single-pass verify is kept.
+    - large candidate sets: a fully distributed double hash join
+      (pairs ⋈ docs on id_a, then on id_b), both sides
+      hash-partitioned; nothing materializes on the driver."""
+    from .join import drop_empty_blocks, join_partitions
+
+    import ray
 
     num_partitions = join_partitions(num_partitions)
-    texts = docs_ds.select_columns([id_column, text_column])
-    side_a = texts.rename_columns({id_column: "id_a", text_column: "_text_a"})
-    side_b = texts.rename_columns({id_column: "id_b", text_column: "_text_b"})
-
-    from .join import drop_empty_blocks
 
     def _empty_result():
         import ray.data as rd
@@ -286,6 +290,54 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
     pairs_ds = drop_empty_blocks(pairs_ds.materialize())
     if pairs_ds is None:
         return _empty_result()
+
+    def verify_with_lookup(texts_ref):
+        class Verify:
+            def __init__(self):
+                self.texts = ray.get(texts_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                sims = [ngram_jaccard(self.texts.get(a, ""),
+                                      self.texts.get(b, ""), k)
+                        for a, b in zip(batch["id_a"].to_pylist(),
+                                        batch["id_b"].to_pylist())]
+                out = batch.append_column(
+                    "jaccard", pa.array(sims, pa.float64()))
+                return out.filter(
+                    pc.greater_equal(out["jaccard"], threshold))
+
+        return Verify
+
+    n_pairs = pairs_ds.count()
+    if n_pairs <= broadcast_limit:
+        # candidate ids → broadcast array → distributed doc filter →
+        # pull ONLY the referenced texts (≤ 2 × n_pairs docs)
+        id_chunks = [pa.concat_arrays(
+            [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])
+            for t in ray.get(pairs_ds.to_arrow_refs())]
+        cand_ids = pc.unique(pa.concat_arrays(id_chunks))
+        ids_ref = ray.put(cand_ids)
+
+        def keep_candidates(b: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            return b.filter(pc.is_in(b[id_column], value_set=wanted))
+
+        cand_docs = docs_ds.select_columns([id_column, text_column]) \
+            .map_batches(keep_candidates, batch_format="pyarrow") \
+            .materialize()
+        lookup: dict = {}
+        for t in ray.get(cand_docs.to_arrow_refs()):
+            lookup.update(zip(t[id_column].to_pylist(),
+                              t[text_column].to_pylist()))
+        texts_ref = ray.put(lookup)
+        return pairs_ds.map_batches(verify_with_lookup(texts_ref),
+                                    batch_format="pyarrow",
+                                    concurrency=(1, 8))
+
+    # large candidate set → distributed double join
+    texts = docs_ds.select_columns([id_column, text_column])
+    side_a = texts.rename_columns({id_column: "id_a", text_column: "_text_a"})
+    side_b = texts.rename_columns({id_column: "id_b", text_column: "_text_b"})
     j = pairs_ds.join(side_a, join_type="inner",
                       num_partitions=num_partitions, on=("id_a",))
     # the first join's own empty partitions have the same issue
