@@ -349,3 +349,47 @@ class TestBuilderResumable:
         by_sink2 = {r["sink"]: r["n"] for r in
                     r2["aggregates"]["by_sink"].to_dict("records")}
         assert by_sink2 == by_sink
+
+
+class TestCrashedShardNoDoubleCount:
+    def test_stale_partials_cleared_before_reprocess(self, ray_session,
+                                                     tmp_path):
+        """ADVICE r1: a shard that died mid-write leaves part files
+        with no completion marker; the rerun must clear them, not
+        append next to them (which double-counts in the final read)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from vrl_ray.pipelines.builder import (PipelineSpec,
+                                               run_pipeline_resumable)
+
+        ind = tmp_path / "in"
+        ind.mkdir()
+        for i in range(2):
+            pq.write_table(pa.table({
+                "event_type": pa.array(["Error", "View"] * 25),
+                "value": pa.array([float(j) for j in range(50)]),
+            }), str(ind / f"part-{i}.parquet"))
+
+        spec = PipelineSpec(program='.kind = downcase(.event_type)',
+                            routes=[("errors", "@kind:error")],
+                            aggregates={"by_sink": ["sink"]})
+        out = str(tmp_path / "out")
+
+        # simulate the crash: stale part files under an UNMARKED shard
+        stale = tmp_path / "out" / "sinks" / "shard=00000" / "sink=errors"
+        stale.mkdir(parents=True)
+        pq.write_table(pa.table({
+            "kind": pa.array(["error"] * 37)}),
+            str(stale / "part-stalecrash.parquet"))
+
+        r = run_pipeline_resumable(str(ind), spec, out, num_shards=2)
+        assert len(r["shards_done"]) == 2
+        by_sink = {x["sink"]: x["n"] for x in
+                   r["aggregates"]["by_sink"].to_dict("records")}
+        # exact counts — the 37 stale rows must NOT appear
+        assert by_sink == {"errors": 50, "default": 50}
+        assert not any("stalecrash" in f for _, _, fs in
+                       os.walk(out) for f in fs)
