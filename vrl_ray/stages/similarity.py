@@ -154,6 +154,120 @@ def probe_topk_batch(centroids: np.ndarray, probe_mask: np.ndarray,
                      "sim": pa.array(sv, pa.float64())}), int(len(cols))
 
 
+def build_ivf_store(ds, out_dir: str, *, nlist: int = 16,
+                    train_sample: int = 4096, seed: int = 11,
+                    id_column: str = "vec_id",
+                    vec_column: str = "embedding") -> "IvfIndex":
+    """The bucket-partitioned scale path: train the coarse quantizer,
+    tag every row with its centroid bucket in one map pass, and write
+    the dataset Hive-partitioned by ``bucket``. Queries then read ONLY
+    the probed partitions — pruning happens at the STORAGE layer
+    (row groups never leave disk), not just at compute. Centroids are
+    persisted next to the data; a 100 TB corpus pays the assign+write
+    once and each query scans nprobe/nlist of it."""
+    import os
+
+    import ray
+
+    train = _sample_vectors(ds, vec_column, train_sample, seed)
+    index = IvfIndex(train, nlist=nlist, seed=seed)
+    cref = ray.put(index.centroids)
+
+    class Tag:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_vecs(batch, vec_column))
+            buckets = np.argmax(vecs @ self.centroids.T, axis=1)
+            return batch.append_column(
+                "bucket", pa.array(buckets.astype(np.int64)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 8)) \
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), index.centroids)
+    return index
+
+
+def knn_ivf_indexed(store_dir: str, queries: np.ndarray, k: int = 10, *,
+                    nprobe: int = 4, id_column: str = "vec_id",
+                    vec_column: str = "embedding"):
+    """Approximate top-k over a :func:`build_ivf_store` layout: probe
+    each query's ``nprobe`` nearest centroids and read ONLY those
+    Hive partitions (partition-column filter → non-probed files are
+    never opened). No coarse-assign pass at query time."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(store_dir, "_centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    nl = len(centroids)
+    order = np.argsort(-(q @ centroids.T), axis=1)[:, :min(nprobe, nl)]
+    probed = sorted({int(b) for row in order for b in row})
+    probe_mask = np.zeros((len(q), nl), dtype=bool)
+    for qi_, row in enumerate(order):
+        probe_mask[qi_, row] = True
+
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+
+    probed_set = set(probed)
+    ds = rd.read_parquet(
+        store_dir,
+        # PATH-level pruning: non-probed partition files never open
+        partition_filter=PathPartitionFilter.of(
+            # non-partition paths (the _centroids sidecar) have no
+            # 'bucket' key — drop them here too
+            lambda d: "bucket" in d and int(d["bucket"]) in probed_set,
+            style="hive"),
+        partitioning=Partitioning("hive", field_types={"bucket": int}),
+        file_extensions=["parquet"],   # skip _centroids.npy
+    )
+    state = ray.put((probe_mask, q))
+
+    class TopK:
+        def __init__(self):
+            self.probe_mask, self.q = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_vecs(batch, vec_column))
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            buckets = batch["bucket"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sims = self.q @ vecs.T
+            allowed = self.probe_mask[:, buckets]
+            sims = np.where(allowed, sims, -np.inf)
+            qi, vi, sv = [], [], []
+            for qidx in range(sims.shape[0]):
+                s = sims[qidx]
+                ok = np.flatnonzero(np.isfinite(s))
+                if not len(ok):
+                    continue
+                kk = min(k, len(ok))
+                top = ok[np.argpartition(-s[ok], kk - 1)[:kk]]
+                for c in top:
+                    qi.append(qidx)
+                    vi.append(int(ids[c]))
+                    sv.append(float(s[c]))
+            return pa.table({"query_idx": pa.array(qi, pa.int32()),
+                             id_column: pa.array(vi, pa.int64()),
+                             "sim": pa.array(sv, pa.float64())})
+
+    partials = ds.map_batches(TopK, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    merged = partials.to_pandas()
+    out = (
+        merged.sort_values(["query_idx", "sim"], ascending=[True, False])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, *, nlist: int = 16,
             nprobe: int = 4, train_sample: int = 4096,
             id_column: str = "vec_id", vec_column: str = "embedding",
