@@ -394,6 +394,24 @@ def events_cumulative(sf_dir: str):
                        keep=["user_id", "event_id"])
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (the custom operator Ray Data lacks): each event
+    picks up the latest PRIOR-or-equal error event's id for the same
+    user (stages/window.asof_join: one shuffle, vectorized segmented
+    forward-fill, no per-key Python). Oracle: DuckDB ASOF JOIN."""
+    from vrl_ray.stages.window import asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"]) \
+        .filter(expr="event_type == 'error'") \
+        .map_batches(lambda b: b.select(["user_id", "ts", "event_id"]),
+                     batch_format="pyarrow")
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    value_cols=["event_id"], suffix="_err")
+    return out.select_columns(["event_id", "user_id", "event_id_err"])
+
+
 def events_vrl_remap(sf_dir: str):
     """An actual VRL program executed per event through the language
     front end (lang.RemapStage: compile once per actor, tree-walk per
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "events_sliding": events_sliding,
         "events_p95": events_p95,
+        "events_asof_join": events_asof_join,
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
@@ -1020,6 +1039,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
+        """,
+        "events_asof_join": """
+            SELECT a.event_id, a.user_id, b.event_id AS event_id_err
+            FROM events a
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                            WHERE event_type = 'error') b
+            ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "events_vrl_remap": """
             SELECT event_id, lower(event_type) AS kind,

@@ -45,6 +45,8 @@ def _bench_queries():
         "q1_pricing": E.q1_pricing,
         "events_parse_json": E.events_parse_json,
         "events_sessionize": E.events_sessionize,
+        "events_cumulative": E.events_cumulative,
+        "orders_top_per_customer": E.orders_top_per_customer,
         "docs_token_stats": E.docs_token_stats,
         "docs_dedup_exact": E.docs_dedup_exact,
         "docs_minhash_pairs": E.docs_minhash_pairs,

@@ -418,3 +418,39 @@ class TestIvfStore:
         # the full scan would see, and it still returns k rows/query
         tight = knn_ivf_indexed(store, q, k=10, nprobe=1).to_pandas()
         assert len(tight) == 50
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import asof_join
+
+        rng = np.random.default_rng(4)
+        nl, nr = 3000, 400
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 50, nl), pa.int64()),
+            "ts": pa.array(rng.integers(0, 100000, nl), pa.int64()),
+            "lid": pa.array(range(nl), pa.int64()),
+        })
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 50, nr), pa.int64()),
+            "ts": pa.array(rng.integers(0, 100000, nr), pa.int64()),
+            "rv": pa.array(rng.uniform(size=nr)),
+        })
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        key="k", ts="ts", value_cols=["rv"],
+                        num_partitions=8).to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+
+        ldf = lt.to_pandas().sort_values("ts", kind="mergesort")
+        rdf = rt.to_pandas().sort_values("ts", kind="mergesort")
+        want = pd.merge_asof(ldf, rdf, on="ts", by="k",
+                             direction="backward") \
+            .sort_values("lid").reset_index(drop=True)
+        assert len(got) == nl
+        import numpy as _np
+        a = got["rv_right"].to_numpy()
+        b = want["rv"].to_numpy()
+        both_nan = _np.isnan(a) & _np.isnan(b)
+        assert bool(_np.all(both_nan | _np.isclose(a, b, equal_nan=True)))

@@ -121,6 +121,94 @@ def top_k_per_key(ds, *, key: str, order_col: str, k: int,
     return partitioned_apply(ds, key, fn, num_partitions=num_partitions)
 
 
+def asof_join(left, right, *, key: str, ts: str,
+              value_cols: list[str], suffix: str = "_right",
+              num_partitions: int = 64):
+    """As-of join: each left row picks up the LATEST right row with
+    ``right.ts <= left.ts`` for the same ``key`` (DuckDB/kdb ASOF JOIN
+    semantics; lefts before any right get nulls).
+
+    Ray Data has no native as-of join; the composition is
+    union-with-side-tag → hash-partition by key (bounded partition
+    count) → within-partition sort by (key, ts, side) → vectorized
+    forward-fill of right values → emit left rows. One shuffle, no
+    per-key Python. Ties (left.ts == right.ts) take the right row, so
+    side sorts rights before lefts at equal ts.
+
+    Partitioning assumption: one key's rows fit one partition task —
+    the same assumption as any PARTITION BY window."""
+    lcols = list(left.schema().names)
+
+    # normalize both sides to a common schema:
+    # key, ts, _side, left payload (nulls on right rows), right values
+    rschema = right.schema()
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lschema = left.schema()
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    payload = [c for c in lcols if c not in (key, ts)]
+
+    def norm_left(b: pa.Table) -> pa.Table:
+        cols = {key: b[key], ts: b[ts],
+                "_side": pa.array(np.ones(len(b), dtype=np.int8))}
+        for c in payload:
+            cols[c] = b[c]
+        for c in value_cols:
+            cols[c + suffix] = pa.nulls(len(b), rtypes[c])
+        return pa.table(cols)
+
+    def norm_right(b: pa.Table) -> pa.Table:
+        cols = {key: b[key], ts: b[ts],
+                "_side": pa.array(np.zeros(len(b), dtype=np.int8))}
+        for c in payload:
+            cols[c] = pa.nulls(len(b), ltypes[c])
+        for c in value_cols:
+            cols[c + suffix] = b[c]
+        return pa.table(cols)
+
+    u = left.map_batches(norm_left, batch_format="pyarrow").union(
+        right.map_batches(norm_right, batch_format="pyarrow"))
+
+    def fill(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (ts, "ascending"),
+                          ("_side", "ascending")]))
+        k = t[key].to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return t.drop_columns(["_side"]).filter(pa.array([], pa.bool_()))
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        # last right-row index at or before each position (per key)
+        is_right = side == 0
+        idx = np.arange(n)
+        src = np.where(is_right, idx, -1)
+        src[new_key & ~is_right] = -1
+        # segmented forward max: np.maximum.accumulate with resets
+        seg_id = np.cumsum(new_key) - 1
+        # reset trick: offset each segment so accumulate can't leak
+        big = (seg_id.astype(np.int64) + 1) * (n + 1)
+        filled = np.maximum.accumulate(np.where(src >= 0, big + src, 0))
+        take_src = filled - big
+        valid = (filled >= big) & (take_src >= 0)
+        out = t
+        for c in value_cols:
+            col = t[c + suffix].combine_chunks() \
+                if isinstance(t[c + suffix], pa.ChunkedArray) \
+                else t[c + suffix]
+            taken = col.take(pa.array(np.where(valid, take_src, 0)))
+            out = out.set_column(
+                out.column_names.index(c + suffix), c + suffix,
+                pc.if_else(pa.array(valid), taken,
+                           pa.nulls(n, col.type)))
+        keep = out.filter(pa.array(side == 1))
+        return keep.drop_columns(["_side"])
+
+    return partitioned_apply(u, key, fill,
+                             num_partitions=num_partitions)
+
+
 def session_counts(ds, *, key: str, ts: str, gap_seconds: float,
                    out: str = "n_sessions", num_partitions: int = 64):
     """Count session windows (new session when the gap since the
