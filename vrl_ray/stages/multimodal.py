@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode bodies are STUBS (image/audio libraries are not in this
-container — marked explicitly); everything Ray-side is real and
-tested: schema handling, small-batch actor stages sized for large
-binary payloads, deterministic fake feature extraction for pipeline
-tests, output layout.
+Decode is REAL for the formats the Python stdlib can parse — P6 PPM
+images (header + raw RGB) and RIFF/PCM WAV audio (``wave`` module) —
+and the synthetic generator emits VALID payloads in those formats, so
+the pipeline decodes actual bytes end-to-end. Formats needing
+external codecs (PNG/JPEG, MP3/OGG, any video) fall back to a
+clearly-marked deterministic pseudo-decode (or raise when
+``fallback_fake=False``) exactly where PIL/soundfile/ffmpeg would
+plug in on a real cluster.
 
 Pattern for a real deployment: put model/codec init in ``__init__``
 (once per actor), keep ``batch_size`` small (payload × batch ×
@@ -17,6 +20,8 @@ cleanly).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,45 +37,113 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → P6 PPM bytes (the stdlib-decodable format)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM bytes → (h, w, 3) uint8. Raises ValueError on non-PPM."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    data = parts[3][:w * h * 3]
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/PCM WAV bytes (stdlib ``wave``)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float32 samples in [-1, 1], sample rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        raw = f.readframes(f.getnframes())
+        rate = f.getframerate()
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    return x, rate
+
+
 def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake media rows (binary payloads) for tests."""
+    """Deterministic media rows with REAL payload bytes: P6 PPM images
+    and PCM16 WAV audio (both stdlib-decodable); video payloads stay
+    opaque bytes (no pure-Python codec)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    rows = {k: [] for k in ("media_id", "kind", "payload", "mime", "width",
-                            "height", "duration_ms")}
+    rows: dict = {k: [] for k in ("media_id", "kind", "payload", "mime",
+                                  "width", "height", "duration_ms")}
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
+        if kind == "image":
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime = encode_ppm(px), "image/x-portable-pixmap"
+            dur = -1
+        elif kind == "audio":
+            n_samp = int(rng.integers(400, 4000))
+            wave_f = (np.sin(np.linspace(0, rng.uniform(5, 60), n_samp))
+                      * rng.uniform(0.1, 0.9) * 32767)
+            payload, mime = encode_wav(wave_f.astype(np.int16)), "audio/wav"
+            w = h = -1
+            dur = int(n_samp / 8.0)        # 8 kHz
+        else:
+            payload, mime = rng.bytes(int(rng.integers(256, 4096))), \
+                "video/mp4"
+            w = int(rng.integers(16, 512))
+            h = int(rng.integers(16, 512))
+            dur = int(rng.integers(100, 60000))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["payload"].append(rng.bytes(size))
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind])
-        rows["width"].append(int(rng.integers(16, 512)) if kind != "audio" else -1)
-        rows["height"].append(int(rng.integers(16, 512)) if kind != "audio" else -1)
-        rows["duration_ms"].append(int(rng.integers(100, 60000)) if kind != "image" else -1)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w if kind != "audio" else -1)
+        rows["height"].append(h if kind != "audio" else -1)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _resize_nearest(px: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (real, not a stub)."""
+    tw, th = target
+    h, w, _ = px.shape
+    yi = (np.arange(th) * h // th).clip(0, h - 1)
+    xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return px[yi][:, xi]
 
 
 class DecodeImage:
     """Actor-pool stage: decode + resize image payloads.
 
-    STUB: the real body would be `PIL.Image.open(...)` loaded in
-    ``__init__``-checked imports; this container has no imaging
-    library, so `deterministic_fake=True` derives a stable
-    pseudo-decode from the payload hash (keeps pipeline tests real),
-    and `deterministic_fake=False` raises NotImplementedError exactly
-    where the real decoder would plug in.
-    """
+    REAL for P6 PPM payloads (header parse + zero-copy frombuffer +
+    numpy nearest-neighbor resize). Other formats (PNG/JPEG) need
+    PIL/opencv — not in this container — and take the deterministic
+    pseudo-decode when ``fallback_fake=True`` (default) or raise
+    ValueError into the error column otherwise."""
 
     def __init__(self, target: tuple[int, int] = (64, 64),
-                 deterministic_fake: bool = True):
+                 fallback_fake: bool = True):
         self.target = target
-        self.fake = deterministic_fake
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "real image decoding requires PIL/opencv (not in this "
-                "container); construct with deterministic_fake=True")
+        self.fallback_fake = fallback_fake
 
     def _fake_pixels(self, payload: bytes) -> np.ndarray:
         h = hashlib.blake2b(payload, digest_size=8).digest()
@@ -79,44 +152,67 @@ class DecodeImage:
         return rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, errs = [], []
         for payload in batch["payload"].to_pylist():
-            px = self._fake_pixels(payload)
-            # mean-RGB "feature" — stands in for a real embedding head
+            try:
+                px = decode_ppm(payload)
+                errs.append(None)
+            except ValueError as e:
+                if self.fallback_fake:
+                    px = self._fake_pixels(payload)
+                    errs.append(None)
+                else:
+                    feats.append(np.zeros(3, np.float32))
+                    errs.append(str(e))
+                    continue
+            px = _resize_nearest(px, self.target)
             feats.append(px.reshape(-1, 3).mean(axis=0).astype(np.float32))
         arr = pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), 3))
-        return batch.drop_columns(["payload"]).append_column("rgb_mean", arr)
+        out = batch.drop_columns(["payload"]).append_column("rgb_mean", arr)
+        return out.append_column("decode_err", pa.array(errs, pa.string()))
 
 
 class DecodeAudio:
-    """Audio feature-extraction stage (STUB decode, real plumbing):
-    derives fixed-width pseudo-waveform stats per payload; the real
-    body would load soundfile/librosa in ``__init__``."""
+    """Audio feature extraction — REAL for RIFF/PCM16 WAV payloads
+    (stdlib ``wave`` decode → rms + zero-crossing rate over the actual
+    samples). Non-WAV formats fall back to the deterministic
+    pseudo-decode (or error-column with ``fallback_fake=False``)."""
 
-    def __init__(self, deterministic_fake: bool = True):
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "real audio decoding requires soundfile/librosa (not in "
-                "this container)")
+    def __init__(self, fallback_fake: bool = True):
+        self.fallback_fake = fallback_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rms, zcr = [], []
+        rms, zcr, errs = [], [], []
         for payload in batch["payload"].to_pylist():
-            h = hashlib.blake2b(payload, digest_size=8).digest()
-            rng = np.random.default_rng(int.from_bytes(h, "little"))
-            wave = rng.normal(size=256).astype(np.float32)
-            rms.append(float(np.sqrt(np.mean(wave ** 2))))
-            zcr.append(float(np.mean(np.signbit(wave[:-1]) !=
-                                     np.signbit(wave[1:]))))
+            try:
+                x, _rate = decode_wav(payload)
+                errs.append(None)
+            except Exception as e:
+                if not self.fallback_fake:
+                    rms.append(0.0)
+                    zcr.append(0.0)
+                    errs.append(str(e))
+                    continue
+                h = hashlib.blake2b(payload, digest_size=8).digest()
+                rng = np.random.default_rng(int.from_bytes(h, "little"))
+                x = rng.normal(size=256).astype(np.float32)
+                errs.append(None)
+            rms.append(float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[:-1]) !=
+                                     np.signbit(x[1:]))) if len(x) > 1
+                       else 0.0)
         out = batch.drop_columns(["payload"])
         out = out.append_column("rms", pa.array(rms, pa.float32()))
-        return out.append_column("zero_cross_rate",
-                                 pa.array(zcr, pa.float32()))
+        out = out.append_column("zero_cross_rate",
+                                pa.array(zcr, pa.float32()))
+        return out.append_column("decode_err", pa.array(errs, pa.string()))
 
 
 class SampleFrames:
-    """Video frame-sampling stage (STUB decode, real plumbing):
-    emits one row per sampled frame (one-to-many, like unnest)."""
+    """Video frame-sampling stage (decode STUB, real plumbing): emits
+    one row per sampled frame (one-to-many, like unnest). Real video
+    decode needs ffmpeg bindings — not in this container; frame
+    TIMESTAMPS derive from the real duration metadata."""
 
     def __init__(self, every_ms: int = 1000, deterministic_fake: bool = True):
         self.every_ms = every_ms
