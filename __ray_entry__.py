@@ -412,6 +412,35 @@ def events_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_id_err"])
 
 
+def events_range_join(sf_dir: str):
+    """Range (band) join — each event pairs with every 30-minute
+    window opened by an error event of the same user
+    (stages/window.range_join: bucketized one-shuffle equi join +
+    exact in-range filter). Oracle: DuckDB non-equi join."""
+    import ray.data as rd
+    from vrl_ray.stages.window import range_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "error")
+        t = b.filter(m)
+        ts = t["ts"].combine_chunks() if isinstance(t["ts"], pa.ChunkedArray) \
+            else t["ts"]
+        te = pc.add(ts, pa.scalar(1_800_000_000, pa.duration("us")))
+        return pa.table({"user_id": t["user_id"], "window_id": t["event_id"],
+                         "w_lo": ts, "w_hi": te})
+
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"]) \
+        .map_batches(windows, batch_format="pyarrow")
+    out = range_join(left, right, key="user_id", point="ts",
+                     lo="w_lo", hi="w_hi",
+                     bucket_width=1_800_000_000,
+                     right_cols=["window_id"])
+    return out.select_columns(["event_id", "window_id"])
+
+
 def events_vrl_remap(sf_dir: str):
     """An actual VRL program executed per event through the language
     front end (lang.RemapStage: compile once per actor, tree-walk per
@@ -856,6 +885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding,
         "events_p95": events_p95,
         "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
         "events_vrl_remap": events_vrl_remap,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
@@ -1039,6 +1069,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING), 2) AS running_value
             FROM events
+        """,
+        "events_range_join": """
+            SELECT a.event_id, b.event_id AS window_id
+            FROM events a
+            JOIN (SELECT user_id, event_id, ts,
+                         ts + INTERVAL 30 MINUTE AS te
+                  FROM events WHERE event_type = 'error') b
+            ON a.user_id = b.user_id AND a.ts >= b.ts AND a.ts <= b.te
         """,
         "events_asof_join": """
             SELECT a.event_id, a.user_id, b.event_id AS event_id_err

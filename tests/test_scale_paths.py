@@ -454,3 +454,39 @@ class TestAsofJoin:
         b = want["rv"].to_numpy()
         both_nan = _np.isnan(a) & _np.isnan(b)
         assert bool(_np.all(both_nan | _np.isclose(a, b, equal_nan=True)))
+
+
+class TestRangeJoin:
+    def test_matches_bruteforce_intervals(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import range_join
+
+        rng = np.random.default_rng(6)
+        nl, nr = 4000, 300
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 30, nl), pa.int64()),
+            "t": pa.array(rng.integers(0, 100000, nl), pa.int64()),
+            "lid": pa.array(range(nl), pa.int64()),
+        })
+        lo = rng.integers(0, 90000, nr)
+        # overlapping, variable-width intervals incl. wide ones
+        hi = lo + rng.integers(1, 30000, nr)
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 30, nr), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "rid": pa.array(range(nr), pa.int64()),
+        })
+        got = {(r["lid"], r["rid"]) for r in range_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), key="k", point="t",
+            lo="lo", hi="hi", bucket_width=5000,
+            right_cols=["rid"], num_partitions=8).take_all()}
+
+        ld, rd_ = lt.to_pandas(), rt.to_pandas()
+        want = set()
+        for _, rrow in rd_.iterrows():
+            m = ld[(ld["k"] == rrow["k"]) & (ld["t"] >= rrow["lo"]) &
+                   (ld["t"] <= rrow["hi"])]
+            want.update((int(x), int(rrow["rid"])) for x in m["lid"])
+        assert got == want and len(want) > 100

@@ -209,6 +209,78 @@ def asof_join(left, right, *, key: str, ts: str,
                              num_partitions=num_partitions)
 
 
+def _as_int64(col) -> "np.ndarray":
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
+               bucket_width: int, right_cols: list[str],
+               num_partitions: int | None = None,
+               max_interval_buckets: int = 1024):
+    """Interval (band) join: emit (left, right) pairs where
+    ``lo <= left.point <= hi`` for the same ``key`` — the non-equi
+    join shape Ray Data lacks.
+
+    Bucketization turns it into ONE equi hash join: every right
+    interval explodes to the ``bucket_width``-wide buckets it covers,
+    every left point maps to its single bucket, the join runs on
+    (key, bucket), and an exact filter keeps in-range pairs. Each
+    matching pair meets in exactly one bucket (the point's), so no
+    dedup pass is needed. ``max_interval_buckets`` guards degenerate
+    giant intervals (the LSH hot-bucket idiom: a pathological interval
+    would otherwise explode the join). Timestamps are compared at
+    microsecond precision (int64)."""
+    from .join import join_partitions
+
+    num_partitions = join_partitions(num_partitions)
+    w = int(bucket_width)
+
+    def explode_right(b: pa.Table) -> pa.Table:
+        los = _as_int64(b[lo])
+        his = _as_int64(b[hi])
+        b0 = los // w
+        b1 = his // w
+        spans = np.clip(b1 - b0 + 1, 0, max_interval_buckets)
+        idx = np.repeat(np.arange(len(b)), spans)
+        # bucket offsets within each interval
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(spans) - spans, spans)
+        buckets = b0[idx] + off
+        cols = {"_bucket": pa.array(buckets, pa.int64()),
+                "_lo": pa.array(los[idx]), "_hi": pa.array(his[idx])}
+        kcol = (b[key].combine_chunks()
+                if isinstance(b[key], pa.ChunkedArray) else b[key])
+        cols[key] = kcol.take(pa.array(idx))
+        for c in right_cols:
+            col = (b[c].combine_chunks()
+                   if isinstance(b[c], pa.ChunkedArray) else b[c])
+            cols[c] = col.take(pa.array(idx))
+        return pa.table(cols)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        pts = _as_int64(b[point])
+        return b.append_column("_bucket", pa.array(pts // w, pa.int64())) \
+            .append_column("_pt", pa.array(pts))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(explode_right, batch_format="pyarrow")
+    j = lt.join(rt, join_type="inner", num_partitions=num_partitions,
+                on=(key, "_bucket"))
+
+    def in_range(b: pa.Table) -> pa.Table:
+        pts = b["_pt"].to_numpy(zero_copy_only=False)
+        los = b["_lo"].to_numpy(zero_copy_only=False)
+        his = b["_hi"].to_numpy(zero_copy_only=False)
+        keep = (pts >= los) & (pts <= his)
+        return b.filter(pa.array(keep)) \
+            .drop_columns(["_bucket", "_pt", "_lo", "_hi"])
+
+    return j.map_batches(in_range, batch_format="pyarrow")
+
+
 def session_counts(ds, *, key: str, ts: str, gap_seconds: float,
                    out: str = "n_sessions", num_partitions: int = 64):
     """Count session windows (new session when the gap since the
