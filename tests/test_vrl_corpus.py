@@ -15,11 +15,12 @@ string. Comparison rules follow src/test/mod.rs:195-330:
   diagnostic wording differs), or — when our run succeeds — that the
   stringified value matches (some wants are bare strings)
 
-Skips (SKIPS dict, reason per file): tests of the *static type
-checker* (type_def unions with `undefined`/`never`, compile-time
-fallibility and read-only enforcement) — our engine type-checks stage
-schemas, not VRL programs (SURVEY §1.3 mapping) — plus exact
-diagnostic-text and uuid-crate-internal cases.
+Skips (SKIPS dict, reason per file): only exact diagnostic-TEXT
+parity (our diagnostics carry the same error class but not the
+reference's positioned Rust text) and upstream-crate internals. The
+static-type-checker cases (typedef unions, compile-time fallibility,
+scalar-query and closure-return checks) pass since r2 via
+lang/typecheck.py.
 """
 
 from __future__ import annotations
@@ -38,11 +39,7 @@ from vrl_ray.value import VrlError
 ROOT = "/root/reference/lib/tests/tests"
 
 SKIPS = {
-    # --- compile-time-only checks not yet modeled ---
-    "expressions/function_call/closure_scope.vrl": "compile-time scope check",
-    "expressions/query/scalar.vrl": "compile-time query check",
-    "functions/replace_with/wrong_type.vrl":
-        "compile-time closure return-type check",
+    # --- exact diagnostic-text formatting ---
     "examples/blog_vector_remap_language_error_diagnostic.vrl":
         "diagnostic text formatting",
     # --- exact positioned diagnostic text inside a value ---
@@ -195,6 +192,7 @@ def test_corpus_case(path):
 def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
-    # r2: static type checker un-skipped the typedef + fallibility
-    # cases (was >= 200 with 28 skips; now 8 skips remain)
-    assert len(runnable) >= 218, len(runnable)
+    # r2: static type checker un-skipped the typedef + fallibility +
+    # compile-time-check cases (was >= 200 with 28 skips; 5 remain —
+    # exact diagnostic text + upstream-crate internals only)
+    assert len(runnable) >= 221, len(runnable)

@@ -398,7 +398,13 @@ class _Ctx:
             params, body = closure
 
             def closure_fn(*cargs):
-                saved = {p: self.vars.get(p) for p in params}
+                # closure scoping (E701 surface): params and NEW vars
+                # defined inside the closure scope OUT afterwards;
+                # reassignments of pre-existing outer vars persist
+                # (the accumulator idiom)
+                existing = set(self.vars)
+                saved = {p: self.vars[p] for p in params
+                         if p in self.vars}
                 try:
                     for p, a in zip(params, cargs):
                         self.vars[p] = a
@@ -413,8 +419,14 @@ class _Ctx:
                         # (return/return_in_closure.vrl)
                         return r.value
                 finally:
-                    for p, old in saved.items():
-                        self.vars[p] = old
+                    for v in list(self.vars):
+                        if v not in existing:
+                            del self.vars[v]
+                    for p in params:
+                        if p in saved:
+                            self.vars[p] = saved[p]
+                        else:
+                            self.vars.pop(p, None)
 
             pos.append(_adapt_closure(name, closure_fn, len(params)))
         try:

@@ -513,6 +513,12 @@ class _Infer:
         return n, self.state.vars[name], False
 
     def _e_index(self, n):
+        if self.strict and n[1][0] == "lit" and \
+                not isinstance(n[1][1], (dict, list)):
+            # `true.foo` / `0[0]` — the reference rejects queries on
+            # scalar literals at parse time (query/scalar.vrl)
+            raise VrlCompileError(
+                "syntax error: cannot query a scalar literal")
         new_base, bk, bf = self.expr(n[1])
         return ("index", new_base, n[2]), _kind_at(bk, n[2]), bf
 
@@ -623,6 +629,30 @@ class _Infer:
     def _e_call(self, n):
         _, name, bang, args, closure = n
         if closure is not None:
+            if name == "replace_with" and self.strict:
+                # E122: the closure must return bytes
+                # (replace_with.rs closure return-type check)
+                params, body = closure
+                if len(params) == 1:
+                    saved = self.state.vars.get(params[0])
+                    self.state.vars[params[0]] = Kind.any()
+                    try:
+                        _, bk, _bf = self.expr(
+                            body if body[0] != "block" or
+                            len(body[1]) != 1 else body[1][0])
+                    except Unsupported:
+                        bk = None
+                    finally:
+                        if saved is None:
+                            self.state.vars.pop(params[0], None)
+                        else:
+                            self.state.vars[params[0]] = saved
+                    if bk is not None and not bk.is_any and \
+                            not bk.contains("bytes"):
+                        raise VrlCompileError(
+                            "type mismatch in closure return type: "
+                            "block returns invalid value type "
+                            "(error[E122])")
             raise Unsupported("closure call")
         if name == "type_def":
             if len(args) != 1 or args[0][0] is not None:
