@@ -178,3 +178,41 @@ def test_vector_plan_matches_interpreter(src, a, b):
                         (src, f, got, want)
                 else:
                     assert got == want, (src, f, i, got, want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(src=_program,
+       a=st.lists(st.integers(-1000, 1000), min_size=3, max_size=3),
+       b=st.lists(st.floats(-1000, 1000, allow_nan=False),
+                  min_size=3, max_size=3))
+def test_annotate_preserves_runtime_semantics(src, a, b):
+    """The static pass rebuilds the AST (rewriting only type_def
+    nodes); for programs without type_def the annotated tree must be
+    RUNTIME-equivalent to the raw parse — same results, same errors,
+    same event mutations."""
+    from vrl_ray.lang.interpreter import Program
+    from vrl_ray.lang.parser import parse
+    from vrl_ray.lang.typecheck import (Unsupported, VrlCompileError,
+                                        annotate)
+
+    rows = [{"a": x, "b": y, "s": "Ab", "t": "zz"}
+            for x, y in zip(a, b)]
+    raw = Program.__new__(Program)
+    raw.source = src
+    raw.stmts = parse(src)
+    try:
+        ann_stmts = annotate(parse(src), strict=False)
+    except Unsupported:
+        return
+    ann = Program.__new__(Program)
+    ann.source = src
+    ann.stmts = ann_stmts
+    for row in rows:
+        def run(p):
+            ev = dict(row)
+            try:
+                r, ev2, ab = p.resolve(ev)
+                return ("ok", r, ev2, ab is not None)
+            except Exception as e:
+                return ("err", type(e).__name__)
+        assert run(raw) == run(ann), src
