@@ -393,3 +393,42 @@ class TestCrashedShardNoDoubleCount:
         assert by_sink == {"errors": 50, "default": 50}
         assert not any("stalecrash" in f for _, _, fs in
                        os.walk(out) for f in fs)
+
+
+class TestBuilderDedupAndWindows:
+    def test_declarative_dedup_and_windows(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vrl_ray.pipelines.builder import PipelineSpec, run_pipeline
+
+        n = 300
+        rng = np.random.default_rng(8)
+        ts = (np.datetime64("2024-01-01", "us")
+              + rng.integers(0, 7200_000_000, n).astype("timedelta64[us]"))
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array(
+                rng.choice(["Error", "View"], n).tolist()),
+            "value": pa.array(rng.uniform(0, 10, n)),
+            # 100 duplicate payloads (every third row repeats content)
+            "text": pa.array([f"msg-{i % 200}" for i in range(n)]),
+        })
+        spec = PipelineSpec(
+            program=".kind = downcase(.event_type)",
+            routes=[("errors", "@kind:error")],
+            aggregates={"by_sink": ["sink"]},
+            dedup={"column": "text", "id_column": "event_id"},
+            windows={"sessions": {"type": "session", "key": "user_id",
+                                  "ts": "ts", "gap_seconds": 900}},
+        )
+        res = run_pipeline(rd.from_arrow(t), spec)
+        by_sink = dict(zip(res["aggregates"]["by_sink"]["sink"],
+                           res["aggregates"]["by_sink"]["n"]))
+        assert sum(by_sink.values()) == 200          # dedup kept min-ids
+        sess = res["windows"]["sessions"]
+        assert set(sess.columns) == {"user_id", "n_sessions"}
+        assert sess["n_sessions"].sum() >= len(sess)  # ≥1 session each

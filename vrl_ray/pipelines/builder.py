@@ -42,6 +42,16 @@ class PipelineSpec:
     default_sink: str = "default"
     aggregates: dict = field(default_factory=dict)  # name -> key list
     batch_size: int = 65536
+    #: optional exact dedup BEFORE the transform:
+    #: {"column": <content col>, "id_column": <unique id col>}
+    dedup: Optional[dict] = None
+    #: optional window computations over the ROUTED stream, returned
+    #: as extra result frames: name -> one of
+    #:   {"type": "session", "key": ..., "ts": ..., "gap_seconds": N}
+    #:   {"type": "running_sum", "key": ..., "order_by": [...],
+    #:    "value": ..., "keep": [...]}
+    #:   {"type": "top_k", "key": ..., "order_col": ..., "k": N}
+    windows: dict = field(default_factory=dict)
 
 
 class _SpecStage:
@@ -184,29 +194,79 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
     return out
 
 
+def _apply_dedup(ds, dd: dict):
+    """Exact dedup keeping full rows: surviving min-ids from
+    exact_dedup, then a native left_semi join (both sides distributed,
+    no driver key set)."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import join_partitions
+
+    column, id_column = dd["column"], dd["id_column"]
+    keep = exact_dedup(ds, column=column, id_column=id_column)
+    return ds.join(keep, join_type="left_semi",
+                   num_partitions=join_partitions(),
+                   on=(id_column,))
+
+
+def _run_window(ds, w: dict):
+    from ..stages import window as W
+
+    kind = w["type"]
+    if kind == "session":
+        return W.session_counts(ds, key=w["key"], ts=w["ts"],
+                                gap_seconds=w["gap_seconds"]).to_pandas()
+    if kind == "running_sum":
+        return W.running_sum(ds, key=w["key"], order_by=w["order_by"],
+                             value=w["value"],
+                             keep=w.get("keep")).to_pandas()
+    if kind == "top_k":
+        return W.top_k_per_key(ds, key=w["key"], order_col=w["order_col"],
+                               k=w["k"],
+                               tiebreak=w.get("tiebreak")).to_pandas()
+    raise ValueError(f"unknown window type {kind!r}")
+
+
 def run_pipeline(ds, spec: PipelineSpec, out_dir: Optional[str] = None):
-    """Execute the declarative pipeline in one streaming pass.
-    Returns {"aggregates": {name: DataFrame}, "sink_dir": ...}."""
+    """Execute the declarative pipeline in one streaming pass
+    (plus one extra pass per requested window computation).
+    Returns {"aggregates": {name: DataFrame}, "windows": {...},
+    "sink_dir": ...}."""
     import ray
 
     from ..stages.aggregate import count_by_multi
 
+    if spec.dedup:
+        ds = _apply_dedup(ds, spec.dedup)
+
     agg_cols = sorted({"sink"} | {k for ks in spec.aggregates.values()
                                   for k in ks})
+    win_cols = sorted({c for w in spec.windows.values()
+                       for c in ([w.get("key"), w.get("ts"),
+                                  w.get("value"), w.get("order_col")]
+                                 + list(w.get("order_by", []))
+                                 + list(w.get("keep", [])))
+                       if c})
+    keep_cols = sorted(set(agg_cols) | set(win_cols))
     sink_dir = os.path.join(out_dir, "sinks") if out_dir else None
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     staged = ds.map_batches(
         _SpecStage,
         fn_constructor_kwargs=dict(spec=spec, sink_dir=sink_dir,
-                                   keep_columns=agg_cols),
+                                   keep_columns=keep_cols),
         batch_format="pyarrow", batch_size=spec.batch_size,
         concurrency=(max(1, ncpu - 2) if ncpu > 2 else 1))
     if sink_dir is None:
-        staged = staged.select_columns(agg_cols)
+        staged = staged.select_columns(keep_cols)
+    if spec.windows:
+        # several consumers → materialize the slim routed columns once
+        staged = staged.materialize()
 
     out: dict = {"sink_dir": sink_dir}
     if spec.aggregates:
         out["aggregates"] = count_by_multi(staged, dict(spec.aggregates))
     else:
         out["rows"] = staged.count()
+    if spec.windows:
+        out["windows"] = {name: _run_window(staged, w)
+                          for name, w in spec.windows.items()}
     return out
