@@ -755,6 +755,27 @@ def embeddings_knn_full_probe(sf_dir: str):
     return out[["query_idx", "vec_id"]]
 
 
+def embeddings_knn_store_full(sf_dir: str):
+    """The bucket-partitioned IVF STORE path at full probe — builds
+    the Hive-partitioned store (write once), then queries reading all
+    partitions; must equal exact brute-force top-k (same oracle).
+    Proves the storage-layer layout + path-level partition filter +
+    probe math end to end."""
+    import os
+    import shutil
+
+    from vrl_ray.stages.similarity import build_ivf_store, knn_ivf_indexed
+
+    q = _query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    store = os.path.join("/tmp", "vrl_ray_ivf_store",
+                         os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(store, ignore_errors=True)
+    build_ivf_store(ds, store, nlist=16)
+    out = knn_ivf_indexed(store, q, k=10, nprobe=16).to_pandas()
+    return out[["query_idx", "vec_id"]]
+
+
 def embeddings_near_dups(sf_dir: str):
     """Embedding-cosine near-dup pairs — oracle-checked against a
     DuckDB all-pairs cosine self-join on the pair ids (the cosine
@@ -908,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn": embeddings_knn,
         "embeddings_knn_ivf": embeddings_knn_ivf,
         "embeddings_knn_full_probe": embeddings_knn_full_probe,
+        "embeddings_knn_store_full": embeddings_knn_store_full,
         "embeddings_near_dups": embeddings_near_dups,
         "docs_grok_parse": docs_grok_parse,
         "transcript_flagship": transcript_flagship,
@@ -1212,6 +1234,20 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.3
         """,
         "embeddings_knn_full_probe": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.qe AS DOUBLE[])) AS sim
+                       FROM embeddings e CROSS JOIN q)
+            SELECT CAST(qid AS INTEGER) AS query_idx, vec_id
+            FROM (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, vec_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
+        """,
+        "embeddings_knn_store_full": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.qid, e.vec_id,
