@@ -636,6 +636,24 @@ def docs_jaccard_verify(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def docs_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli sample (md5-threshold, shuffle-free) —
+    oracle-checked row for row (md5 exists in SQL)."""
+    from vrl_ray.stages.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, id_column="doc_id", fraction=0.25)
+
+
+def docs_sample_per_lang(sf_dir: str):
+    """Exactly k=5 docs per language by md5(id) order — the
+    deterministic per-key reservoir; oracle-checked."""
+    from vrl_ray.stages.sample import sample_k_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_k_per_key(ds, key="lang", id_column="doc_id", k=5)
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, exact-Jaccard verified
     (threshold 0.5) — rows-only check (sketch-based, not in SQL)."""
@@ -926,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_jaccard_verify": docs_jaccard_verify,
+        "docs_hash_sample": docs_hash_sample,
+        "docs_sample_per_lang": docs_sample_per_lang,
         "embeddings_knn": embeddings_knn,
         "embeddings_knn_ivf": embeddings_knn_ivf,
         "embeddings_knn_full_probe": embeddings_knn_full_probe,
@@ -1198,6 +1218,20 @@ def oracle_sql() -> dict[str, str]:
                    WHEN s_de >= s_fr THEN 'de'
                    ELSE 'fr' END AS lang_pred
             FROM s
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(0.25 * 4294967296 AS BIGINT))
+        """,
+        "docs_sample_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS rn
+              FROM documents)
+            WHERE rn <= 5
         """,
         "docs_jaccard_verify": """
             WITH w AS (

@@ -490,3 +490,36 @@ class TestRangeJoin:
                    (ld["t"] <= rrow["hi"])]
             want.update((int(x), int(rrow["rid"])) for x in m["lid"])
         assert got == want and len(want) > 100
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_fractional(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.sample import hash_sample
+
+        t = pa.table({"id": pa.array(range(4000), pa.int64())})
+        a = sorted(r["id"] for r in hash_sample(
+            rd.from_arrow(t), id_column="id", fraction=0.3).take_all())
+        b = sorted(r["id"] for r in hash_sample(
+            rd.from_arrow(t), id_column="id", fraction=0.3).take_all())
+        assert a == b                      # reproducible
+        assert 0.25 < len(a) / 4000 < 0.35  # near the target fraction
+        # monotone: a smaller fraction is a SUBSET (same hash order)
+        c = set(r["id"] for r in hash_sample(
+            rd.from_arrow(t), id_column="id", fraction=0.1).take_all())
+        assert c <= set(a)
+
+    def test_sample_k_per_key_exact_k(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.sample import sample_k_per_key
+
+        t = pa.table({
+            "k": pa.array([i % 7 for i in range(700)], pa.int64()),
+            "id": pa.array(range(700), pa.int64()),
+        })
+        out = sample_k_per_key(rd.from_arrow(t), key="k", id_column="id",
+                               k=3, num_partitions=8).to_pandas()
+        counts = out.groupby("k").size()
+        assert (counts == 3).all() and len(counts) == 7
