@@ -257,3 +257,32 @@ class TestCli:
         assert run_repl(input_fn=lambda: next(lines), out=buf) == 0
         out = buf.getvalue().splitlines()
         assert out[-1] == '{"a":1,"b":2}'
+
+
+class TestVectorFallbackInRay:
+    def test_schema_surprise_degrades_to_error_lane(self, ray_session):
+        """ADVICE r1 high: a data-dependent Arrow type error inside
+        the vectorized remap stage must NOT crash the pipeline — the
+        batch reruns through the interpreter and the rows carry
+        vrl_err."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vrl_ray.lang.remap import remap
+
+        # string-typed column where the program compares numerically
+        ds = rd.from_arrow(pa.table({"v": pa.array(["a", "b", "c"])}))
+        out = remap(ds, ".big = .v > 3").take_all()
+        assert len(out) == 3
+        assert all(r["vrl_err"] for r in out)
+        assert all(r["big"] is None for r in out)
+
+    def test_nested_program_via_remap(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vrl_ray.lang.remap import remap
+
+        ds = rd.from_arrow(pa.table({"event_type": pa.array(["A", "b"])}))
+        rows = remap(ds, ".meta.kind = downcase(.event_type)").take_all()
+        assert [r["meta"] for r in rows] == [{"kind": "a"}, {"kind": "b"}]
