@@ -242,9 +242,10 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         return t.group_by(["id_a", "id_b"]).aggregate([]) \
                 .select(["id_a", "id_b"])
 
+    # upper_triangle already dedups within each batch (its group_by);
+    # the global distinct shuffle then moves only the batch-distinct
+    # pairs (two-phase combine, same idiom as count_by)
     pairs = joined.map_batches(upper_triangle, batch_format="pyarrow")
-    # global distinct (a pair can collide in several bands/blocks) —
-    # aggregate-based, no per-group Python
     from ray.data.aggregate import Count
 
     return pairs.groupby(["id_a", "id_b"]) \
