@@ -134,21 +134,30 @@ class MinHashLSH:
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_column].to_pylist()
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         texts = batch[self.text_column].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.mh.signature(_shingle_hashes(t or "", self.k))
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
+        n = len(texts)
+        if n == 0:
+            return pa.table({
+                self.id_column: pa.array([], batch[self.id_column].type),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+            })
+        sigs = np.vstack([self.mh.signature(_shingle_hashes(t or "", self.k))
+                          for t in texts])          # (n, num_perm)
+        # band hash = vectorized FNV-1a over each band's signature
+        # words — ONE numpy pass for all docs × bands (a digest call
+        # per band costs ~16 digests/doc and dominated this stage)
+        v = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = np.full((n, self.bands), 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.rows_per_band):
+                h = (h ^ v[:, :, j]) * np.uint64(0x100000001B3)
         return pa.table({
-            self.id_column: pa.array(out_id),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            self.id_column: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n)),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64)),
         })
 
 
