@@ -77,16 +77,12 @@ _SHINGLE_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                           0x85EBCA77C2B2AE63], dtype=np.uint64)
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles (uint64), fully vectorized: crc32 per
-    token (C loop) then a numpy rolling multiply-xor combine over the
-    k-window — no per-shingle string building or digest calls."""
-    import zlib
-
-    toks = _TOKEN.findall(text.lower())
-    if not toks:
+def _shingles_from_hashes(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """k-window rolling multiply-xor combine over precomputed token
+    hashes (uint64) — the shingle kernel shared by the per-doc and
+    batch paths. Empty docs hash to [0]."""
+    if len(th) == 0:
         return np.array([0], dtype=np.uint64)
-    th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
     k = min(k, len(th))
     n = len(th) - k + 1
     with np.errstate(over="ignore"):
@@ -94,6 +90,42 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         for i in range(1, k):
             out = out ^ (th[i:n + i] * _SHINGLE_MULT[i % len(_SHINGLE_MULT)])
     return out
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashed k-word shingles (uint64): crc32 per token (C loop) then
+    the rolling combine — no per-shingle string building or digests."""
+    import zlib
+
+    toks = _TOKEN.findall(text.lower())
+    th = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    return _shingles_from_hashes(th, k)
+
+
+def _batch_token_hashes(texts: list) -> list[np.ndarray]:
+    """Token-hash arrays for a BATCH of docs with the crc32 memoized
+    per distinct token (vocabulary ≪ token stream for real corpora —
+    pandas factorize does the dedup in C; same crc32 values as the
+    per-doc path, just not recomputed)."""
+    import zlib
+
+    import pandas as pd
+
+    token_lists = [_TOKEN.findall((t or "").lower()) for t in texts]
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                       count=len(token_lists))
+    if lens.sum() == 0:
+        return [np.empty(0, np.uint64) for _ in token_lists]
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in token_lists if t])
+    codes, uniques = pd.factorize(flat)
+    uniq_h = np.array([zlib.crc32(w.encode()) for w in uniques],
+                      dtype=np.uint64)
+    th_flat = uniq_h[codes]
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return [th_flat[offsets[i]:offsets[i + 1]]
+            for i in range(len(token_lists))]
 
 
 class MinHasher:
@@ -143,8 +175,10 @@ class MinHashLSH:
                 "band": pa.array([], pa.int32()),
                 "band_hash": pa.array([], pa.int64()),
             })
-        sigs = np.vstack([self.mh.signature(_shingle_hashes(t or "", self.k))
-                          for t in texts])          # (n, num_perm)
+        th_per_doc = _batch_token_hashes(texts)
+        sigs = np.vstack([
+            self.mh.signature(_shingles_from_hashes(th, self.k))
+            for th in th_per_doc])                  # (n, num_perm)
         # band hash = vectorized FNV-1a over each band's signature
         # words — ONE numpy pass for all docs × bands (a digest call
         # per band costs ~16 digests/doc and dominated this stage)
