@@ -415,16 +415,10 @@ class SimHash:
         self.out = out
 
     @staticmethod
-    def fingerprint(text: str) -> int:
-        import zlib
-
-        toks = _TOKEN.findall((text or "").lower())
-        if not toks:
+    def fingerprint_from_hashes(t32: np.ndarray) -> int:
+        """SimHash from precomputed token crc hashes (uint64)."""
+        if len(t32) == 0:
             return 0
-        # 64-bit token hashes from crc32 + two-multiplier mixing
-        # (vectorized — a digest call per token costs ~50× more)
-        t32 = np.array([zlib.crc32(t.encode()) for t in toks],
-                       dtype=np.uint64)
         with np.errstate(over="ignore"):
             hs = (t32 * _SHINGLE_MULT[0]) ^ ((t32 + np.uint64(0x9E37)) *
                                              _SHINGLE_MULT[1])
@@ -433,6 +427,17 @@ class SimHash:
         fp = np.sum((votes > 0).astype(np.uint64) <<
                     np.arange(64, dtype=np.uint64))
         return int(fp)
+
+    @staticmethod
+    def fingerprint(text: str) -> int:
+        import zlib
+
+        toks = _TOKEN.findall((text or "").lower())
+        # 64-bit token hashes from crc32 + two-multiplier mixing
+        # (vectorized — a digest call per token costs ~50× more)
+        t32 = np.array([zlib.crc32(t.encode()) for t in toks],
+                       dtype=np.uint64)
+        return SimHash.fingerprint_from_hashes(t32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [self.fingerprint(t) for t in batch[self.text_column].to_pylist()]
@@ -451,8 +456,11 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
     mask = (1 << band_bits) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = SimHash(text_column)
-        fps = [sh.fingerprint(t) for t in batch[text_column].to_pylist()]
+        texts = batch[text_column].to_pylist()
+        # memoized token CRCs (vocab ≪ token stream), then vectorized
+        # bit votes per doc
+        fps = [SimHash.fingerprint_from_hashes(th)
+               for th in _batch_token_hashes(texts)]
         ids = batch[id_column].to_pylist()
         oi, ob, oh, of = [], [], [], []
         for i, fp in zip(ids, fps):
