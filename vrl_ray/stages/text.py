@@ -145,17 +145,35 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text",
     """Rolling-hash document fingerprint (winnowing-style): min of a
     rolling polynomial hash over token windows — robust to small
     edits; used for fast near-dup prefiltering."""
+    import pandas as pd
+
     B, M = 1000003, (1 << 61) - 1
+    texts = batch[text_column].to_pylist()
+    token_lists = [_WORD.findall((t or "").lower()) for t in texts]
+    # memoize the per-token digest across the batch (vocab ≪ stream);
+    # blake2b, NOT builtin hash() — hash() is salted per process and
+    # would break cross-worker determinism
+    nonempty = [t for t in token_lists if t]
+    if nonempty:
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in nonempty])
+        codes, uniques = pd.factorize(flat)
+        uniq_h = np.array([int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=4).digest(), "little")
+            for w in uniques], dtype=np.int64)
+        flat_h = uniq_h[codes]
+        lens = np.fromiter((len(t) for t in nonempty), dtype=np.int64,
+                           count=len(nonempty))
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        h_iter = iter(flat_h[offs[i]:offs[i + 1]].tolist()
+                      for i in range(len(nonempty)))
     fps = []
-    for t in batch[text_column].to_pylist():
-        toks = _WORD.findall((t or "").lower())
+    for toks in token_lists:
         if not toks:
             fps.append(0)
             continue
-        # blake2b, NOT builtin hash() — hash() is salted per process
-        # and would break cross-worker determinism
-        hs = [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=4).digest(),
-                             "little") for w in toks]
+        hs = next(h_iter)
         if len(hs) < window:
             acc = 0
             for h in hs:
