@@ -96,11 +96,18 @@ def run_once() -> dict:
     res = run_flagship(tdir, out_dir, write_sinks=True)
     headline = time.time() - t0
 
+    # per-query: best of 2 runs — the sandbox has a bursty co-tenant
+    # (identical code swings 2-3× run to run; BASELINE.md round-2
+    # section); min-of-2 measures the code, not the neighbor
     queries = {}
     for name, fn in _bench_queries().items():
-        tq = time.time()
-        _consume(fn(SF_DIR))
-        queries[name] = round(time.time() - tq, 3)
+        best = None
+        for _ in range(2):
+            tq = time.time()
+            _consume(fn(SF_DIR))
+            dt = time.time() - tq
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     ray.shutdown()
     return {
