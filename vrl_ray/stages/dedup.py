@@ -149,6 +149,39 @@ class MinHasher:
             v ^= v >> np.uint64(33)  # mix high bits into the low word
         return v.min(axis=1)
 
+    def signatures_batch(self, shingle_lists: list) -> np.ndarray:
+        """Signatures for a BATCH of docs in one segmented pass:
+        hash all shingles at once, per-doc minima via
+        ``np.minimum.reduceat`` — no per-doc Python in the permutation
+        math. Identical values to :meth:`signature` per doc. Memory is
+        bounded by chunking the shingle stream (~num_perm × chunk × 8
+        bytes live at once)."""
+        n = len(shingle_lists)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shingle_lists),
+                           dtype=np.int64, count=n)
+        # group docs into chunks of ≤ ~512k shingles
+        chunk_limit = 1 << 19
+        i = 0
+        while i < n:
+            j = i
+            total = 0
+            while j < n and (total == 0 or total + lens[j] <= chunk_limit):
+                total += int(lens[j])
+                j += 1
+            seg = shingle_lists[i:j]
+            flat = np.concatenate(seg) if total else \
+                np.empty(0, np.uint64)
+            offs = np.zeros(j - i, dtype=np.int64)
+            if j - i > 1:
+                np.cumsum(lens[i:j - 1], out=offs[1:])
+            with np.errstate(over="ignore"):
+                v = self.a[:, None] * flat[None, :] + self.b[:, None]
+                v ^= v >> np.uint64(33)
+            out[i:j] = np.minimum.reduceat(v, offs, axis=1).T
+            i = j
+        return out
+
 
 class MinHashLSH:
     """map_batches stage: text -> (doc_id, band, band_hash) rows
@@ -176,9 +209,9 @@ class MinHashLSH:
                 "band_hash": pa.array([], pa.int64()),
             })
         th_per_doc = _batch_token_hashes(texts)
-        sigs = np.vstack([
-            self.mh.signature(_shingles_from_hashes(th, self.k))
-            for th in th_per_doc])                  # (n, num_perm)
+        shingles = [_shingles_from_hashes(th, self.k)
+                    for th in th_per_doc]
+        sigs = self.mh.signatures_batch(shingles)   # (n, num_perm)
         # band hash = vectorized FNV-1a over each band's signature
         # words — ONE numpy pass for all docs × bands (a digest call
         # per band costs ~16 digests/doc and dominated this stage)
