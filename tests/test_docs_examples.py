@@ -34,12 +34,9 @@ NONDET = {"now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
           # network I/O — stubbed ([X] category), results machine-dependent
           "dns_lookup", "reverse_dns", "http_request", "get_env_var"}
 
-# known divergences (documented): full ua-parser database, XXH3
-# variants
+# known divergences (documented): full ua-parser database
 KNOWN_DIVERGENT = {
     ("parse_user_agent", 2),   # Opera Mini deep device database
-    ("xxhash", 3),             # XXH3-64 (not implemented)
-    ("xxhash", 4),             # XXH3-128 (not implemented)
 }
 
 _WRAP = re.compile(r"^[srt]'(.*)'$", re.S)

@@ -263,3 +263,25 @@ class TestDatadogQueryVectorized:
         batch = pa.table({"message": pa.array(["a b"])})
         with _pytest.raises(NotVectorizableQuery):
             compile_query_mask("bare_term")(batch)
+
+
+class TestXxh3:
+    """XXH3-64/128 against the reference's own unit-test vectors
+    (xxhash.rs:166-220) plus the published empty-input value."""
+
+    def test_reference_vectors(self):
+        from vrl_ray.functions import REGISTRY
+
+        xx = REGISTRY["xxhash"]
+        assert xx("foo", "XXH3-64") == -6093828362558603894
+        assert xx("foo", "XXH3-128") == \
+            "161745101148472925293886522910304009610"
+        assert xx("vrl xxhash hash function", "XXH3-64") == \
+            -7714906473624552998
+        assert xx("vrl xxhash hash function", "XXH3-128") == \
+            "89621485359950851650871997518391357172"
+
+    def test_empty_input(self):
+        from vrl_ray.functions.checksum import xxh3_64
+
+        assert xxh3_64(b"") == 0x2D06800538D394C2

@@ -256,14 +256,275 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+# --- XXH3 (64 + 128): pure-python port of the public xxHash v0.8
+# specification, unseeded with the default 192-byte secret (the form
+# xxhash.rs calls: xxh3::xxh3_64 / xxh3_128). Verified against the
+# reference's own doc-example vectors ("foo") and the published
+# empty-input vector; longer-length paths follow the spec layout
+# (len 4-8 / 9-16 / 17-128 / 129-240 / long-with-accumulators). -------
+
+_KSECRET = bytes.fromhex(
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d97873f4"
+    "7fd29e8ba929417cbc39c268449c2f520fb8391fb01dda1ea9630c476bad1ba2"
+    "86b893ababcbaea402435b7d4d9f1672d3b7f377288c039c599c8d278b4ef22b")
+
+_PRIME_MX1 = 0x165667919E3779F9
+_PRIME_MX2 = 0x9FB21C651E98DF25
+_P32_1_64 = 0x9E3779B1
+_P32_2_64 = 0x85EBCA77
+_P32_3_64 = 0xC2B2AE3D
+
+
+def _r64(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 8], "little")
+
+
+def _r32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 4], "little")
+
+
+def _swap32(x: int) -> int:
+    return int.from_bytes((x & _M32).to_bytes(4, "little"), "big")
+
+
+def _swap64(x: int) -> int:
+    return int.from_bytes((x & _M64).to_bytes(8, "little"), "big")
+
+
+def _aval64(h: int) -> int:
+    h &= _M64
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _aval3(h: int) -> int:
+    h &= _M64
+    h ^= h >> 37
+    h = (h * _PRIME_MX1) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _rrmxmx(h: int, n: int) -> int:
+    h &= _M64
+    h ^= _rotl64(h, 49) ^ _rotl64(h, 24)
+    h = (h * _PRIME_MX2) & _M64
+    h ^= (h >> 35) + n
+    h &= _M64
+    h = (h * _PRIME_MX2) & _M64
+    h ^= h >> 28
+    return h
+
+
+def _fold64(a: int, b: int) -> int:
+    full = (a & _M64) * (b & _M64)
+    return (full & _M64) ^ (full >> 64)
+
+
+def _mix16(data: bytes, i: int, soff: int) -> int:
+    lo = _r64(data, i) ^ _r64(_KSECRET, soff)
+    hi = _r64(data, i + 8) ^ _r64(_KSECRET, soff + 8)
+    return _fold64(lo, hi)
+
+
+_ACC_INIT = (_P32_3_64, _P64_1, _P64_2, _P64_3,
+             _P64_4, _P32_2_64, _P64_5, _P32_1_64)
+
+
+def _xxh3_accumulate(data: bytes):
+    """Long-input (>240B) accumulator pass shared by 64/128 finals."""
+    acc = list(_ACC_INIT)
+    n = len(data)
+    stripes_per_block = (len(_KSECRET) - 64) // 8        # 16
+    block_len = 64 * stripes_per_block                    # 1024
+
+    def stripe(off: int, soff: int):
+        for i in range(8):
+            dv = _r64(data, off + 8 * i)
+            dk = dv ^ _r64(_KSECRET, soff + 8 * i)
+            acc[i ^ 1] = (acc[i ^ 1] + dv) & _M64
+            acc[i] = (acc[i] + (dk & _M32) * (dk >> 32)) & _M64
+
+    nb_blocks = (n - 1) // block_len
+    for b in range(nb_blocks):
+        for s in range(stripes_per_block):
+            stripe(b * block_len + 64 * s, 8 * s)
+        # scramble
+        for i in range(8):
+            a = acc[i]
+            a ^= a >> 47
+            a ^= _r64(_KSECRET, len(_KSECRET) - 64 + 8 * i)
+            acc[i] = (a * _P32_1_64) & _M64
+    off = nb_blocks * block_len
+    nb_stripes = (n - 1 - off) // 64
+    for s in range(nb_stripes):
+        stripe(off + 64 * s, 8 * s)
+    # last stripe: final 64 bytes
+    stripe(n - 64, len(_KSECRET) - 64 - 7)
+    return acc
+
+
+def _merge_accs(acc, soff: int, start: int) -> int:
+    result = start & _M64
+    for i in range(4):
+        result = (result + _fold64(
+            acc[2 * i] ^ _r64(_KSECRET, soff + 16 * i),
+            acc[2 * i + 1] ^ _r64(_KSECRET, soff + 16 * i + 8))) & _M64
+    return _aval3(result)
+
+
+def xxh3_64(data: bytes) -> int:
+    n = len(data)
+    if n == 0:
+        return _aval64(_r64(_KSECRET, 56) ^ _r64(_KSECRET, 64))
+    if n <= 3:
+        c1, c2, c3 = data[0], data[n >> 1], data[n - 1]
+        combined = ((c1 << 16) | (c2 << 24) | c3 | (n << 8)) & _M32
+        bitflip = (_r32(_KSECRET, 0) ^ _r32(_KSECRET, 4)) & _M32
+        return _aval64(combined ^ bitflip)
+    if n <= 8:
+        in1 = _r32(data, 0)
+        in2 = _r32(data, n - 4)
+        bitflip = (_r64(_KSECRET, 8) ^ _r64(_KSECRET, 16)) & _M64
+        keyed = (in2 + (in1 << 32)) ^ bitflip
+        return _rrmxmx(keyed, n)
+    if n <= 16:
+        bf1 = (_r64(_KSECRET, 24) ^ _r64(_KSECRET, 32)) & _M64
+        bf2 = (_r64(_KSECRET, 40) ^ _r64(_KSECRET, 48)) & _M64
+        lo = _r64(data, 0) ^ bf1
+        hi = _r64(data, n - 8) ^ bf2
+        acc = (n + _swap64(lo) + hi + _fold64(lo, hi)) & _M64
+        return _aval3(acc)
+    if n <= 128:
+        acc = (n * _P64_1) & _M64
+        if n > 32:
+            if n > 64:
+                if n > 96:
+                    acc = (acc + _mix16(data, 48, 96)
+                           + _mix16(data, n - 64, 112)) & _M64
+                acc = (acc + _mix16(data, 32, 64)
+                       + _mix16(data, n - 48, 80)) & _M64
+            acc = (acc + _mix16(data, 16, 32)
+                   + _mix16(data, n - 32, 48)) & _M64
+        acc = (acc + _mix16(data, 0, 0)
+               + _mix16(data, n - 16, 16)) & _M64
+        return _aval3(acc)
+    if n <= 240:
+        acc = (n * _P64_1) & _M64
+        for i in range(8):
+            acc = (acc + _mix16(data, 16 * i, 16 * i)) & _M64
+        acc = _aval3(acc)
+        for i in range(8, n // 16):
+            acc = (acc + _mix16(data, 16 * i, 16 * (i - 8) + 3)) & _M64
+        acc = (acc + _mix16(data, n - 16, 136 - 17)) & _M64
+        return _aval3(acc)
+    accs = _xxh3_accumulate(data)
+    return _merge_accs(accs, 11, (n * _P64_1) & _M64)
+
+
+def xxh3_128(data: bytes) -> tuple[int, int]:
+    """Returns (low64, high64)."""
+    n = len(data)
+    if n == 0:
+        lo = _aval64(_r64(_KSECRET, 64) ^ _r64(_KSECRET, 72))
+        hi = _aval64(_r64(_KSECRET, 80) ^ _r64(_KSECRET, 88))
+        return lo, hi
+    if n <= 3:
+        c1, c2, c3 = data[0], data[n >> 1], data[n - 1]
+        combl = ((c1 << 16) | (c2 << 24) | c3 | (n << 8)) & _M32
+        combh = _rotl32(_swap32(combl), 13)
+        bfl = (_r32(_KSECRET, 0) ^ _r32(_KSECRET, 4)) & _M32
+        bfh = (_r32(_KSECRET, 8) ^ _r32(_KSECRET, 12)) & _M32
+        return _aval64(combl ^ bfl), _aval64(combh ^ bfh)
+    if n <= 8:
+        in_lo = _r32(data, 0)
+        in_hi = _r32(data, n - 4)
+        bitflip = (_r64(_KSECRET, 16) ^ _r64(_KSECRET, 24)) & _M64
+        keyed = (in_lo + (in_hi << 32)) ^ bitflip
+        full = keyed * ((_P64_1 + (n << 2)) & _M64)
+        lo, hi = full & _M64, (full >> 64) & _M64
+        hi = (hi + ((lo << 1) & _M64)) & _M64
+        lo ^= hi >> 3
+        lo ^= lo >> 35
+        lo = (lo * _PRIME_MX2) & _M64
+        lo ^= lo >> 28
+        return lo, _aval3(hi)
+    if n <= 16:
+        bfl = (_r64(_KSECRET, 32) ^ _r64(_KSECRET, 40)) & _M64
+        bfh = (_r64(_KSECRET, 48) ^ _r64(_KSECRET, 56)) & _M64
+        in_lo = _r64(data, 0)
+        in_hi = _r64(data, n - 8)
+        full = ((in_lo ^ in_hi ^ bfl) * _P64_1)
+        m_lo = (full & _M64) if False else full & _M64
+        m_hi = (full >> 64) & _M64
+        m_lo = (m_lo + (((n - 1) << 54) & _M64)) & _M64
+        in_hi ^= bfh
+        m_hi = (m_hi + in_hi +
+                (in_hi & _M32) * (_P32_2_64 - 1)) & _M64
+        m_lo ^= _swap64(m_hi)
+        full2 = m_lo * _P64_2
+        h_lo = full2 & _M64
+        h_hi = ((full2 >> 64) + m_hi * _P64_2) & _M64
+        return _aval3(h_lo), _aval3(h_hi)
+
+    def mix32(acc, i1: int, i2: int, soff: int):
+        lo, hi = acc
+        lo = (lo + _mix16(data, i1, soff)) & _M64
+        lo ^= (_r64(data, i2) + _r64(data, i2 + 8)) & _M64
+        hi = (hi + _mix16(data, i2, soff + 16)) & _M64
+        hi ^= (_r64(data, i1) + _r64(data, i1 + 8)) & _M64
+        return [lo, hi]
+
+    def finalize(acc):
+        lo = (acc[0] + acc[1]) & _M64
+        hi = (acc[0] * _P64_1 + acc[1] * _P64_4 + n * _P64_2) & _M64
+        return _aval3(lo), (0 - _aval3(hi)) & _M64
+
+    if n <= 128:
+        acc = [(n * _P64_1) & _M64, 0]
+        i = (n - 1) // 32
+        while i >= 0:
+            acc = mix32(acc, 16 * i, n - 16 * (i + 1), 32 * i)
+            i -= 1
+        return finalize(acc)
+    if n <= 240:
+        acc = [(n * _P64_1) & _M64, 0]
+        for i in range(4):
+            acc = mix32(acc, 32 * i, 32 * i + 16, 32 * i)
+        acc = [_aval3(acc[0]), _aval3(acc[1])]
+        for i in range(4, n // 32):
+            acc = mix32(acc, 32 * i, 32 * i + 16, 3 + 32 * (i - 4))
+        # last 32 bytes, inputs swapped, secret at SIZE_MIN-LASTOFFSET-16
+        acc = mix32(acc, n - 16, n - 32, 136 - 17 - 16)
+        return finalize(acc)
+    accs = _xxh3_accumulate(data)
+    lo = _merge_accs(accs, 11, (n * _P64_1) & _M64)
+    hi = _merge_accs(accs, len(_KSECRET) - 64 - 11,
+                     (~(n * _P64_2)) & _M64)
+    return lo, hi
+
+
 def xxhash(value: str, variant: str = "XXH32", seed: int = 0) -> int:
     """xxhash.rs: integer digest; default variant XXH32. 64-bit
-    results wrap into i64 like all VRL integers."""
+    results wrap into i64 like all VRL integers; XXH3-128 returns the
+    decimal string of the u128 (xxhash.rs renders it to_string)."""
     from ..value import wrap_i64
     if variant in ("XXH32", "32"):
         return xxh32(_b(value), seed)
     if variant in ("XXH64", "64"):
         return wrap_i64(xxh64(_b(value), seed))
+    if variant == "XXH3-64":
+        return wrap_i64(xxh3_64(_b(value)))
+    if variant == "XXH3-128":
+        lo, hi = xxh3_128(_b(value))
+        return str((hi << 64) | lo)
     raise VrlError(f"unsupported xxhash variant: {variant}")
 
 
