@@ -461,8 +461,8 @@ def xxh3_128(data: bytes) -> tuple[int, int]:
         bfh = (_r64(_KSECRET, 48) ^ _r64(_KSECRET, 56)) & _M64
         in_lo = _r64(data, 0)
         in_hi = _r64(data, n - 8)
-        full = ((in_lo ^ in_hi ^ bfl) * _P64_1)
-        m_lo = (full & _M64) if False else full & _M64
+        full = (in_lo ^ in_hi ^ bfl) * _P64_1
+        m_lo = full & _M64
         m_hi = (full >> 64) & _M64
         m_lo = (m_lo + (((n - 1) << 54) & _M64)) & _M64
         in_hi ^= bfh
