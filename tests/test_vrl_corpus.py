@@ -47,8 +47,6 @@ SKIPS = {
     "expressions/assignment/infallible_err_merge_assignment.vrl":
         "diagnostic text in value",
     # --- upstream-crate internals ---
-    "functions/uuid_v7_valid_with_timestamp.vrl":
-        "uuid crate sub-ms counter encoding",
     "functions/parse_etld/custom_psl_file_wrong_format.vrl":
         "PSL loader leniency",
 }
@@ -193,6 +191,6 @@ def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
     # r2: static type checker un-skipped the typedef + fallibility +
-    # compile-time-check cases (was >= 200 with 28 skips; 5 remain —
-    # exact diagnostic text + upstream-crate internals only)
-    assert len(runnable) >= 221, len(runnable)
+    # compile-time-check + uuid-v7 cases (was >= 200 with 28 skips; 4
+    # remain — exact diagnostic text + the PSL loader case only)
+    assert len(runnable) >= 222, len(runnable)

@@ -181,13 +181,23 @@ def uuid_v4() -> str:
 
 
 def uuid_v7(timestamp: Optional[datetime] = None) -> str:
-    """RFC 9562 UUIDv7: 48-bit unix-ms timestamp + random."""
+    """RFC 9562 UUIDv7: 48-bit timestamp field + random.
+
+    Bit-parity quirk (uuid_v7.rs:23-29): the reference feeds chrono's
+    TOTAL nanos-since-epoch truncated `as u32` into the uuid crate as
+    the SUBSEC nanos, so the encoded millis field is
+    ``secs*1000 + (total_ns % 2^32) // 1e6`` — up to ~4.29 s ahead of
+    the true unix millis. Reproduced here exactly so the corpus
+    timestamp-prefix check matches byte for byte."""
     if timestamp is not None:
         if not isinstance(timestamp, datetime):
             raise VrlError("uuid_v7 timestamp must be a timestamp")
-        ms = int(timestamp.timestamp() * 1000)
+        secs = int(timestamp.timestamp())
+        total_ns = secs * 1_000_000_000 + timestamp.microsecond * 1000
     else:
-        ms = time.time_ns() // 1_000_000
+        total_ns = time.time_ns()
+        secs = total_ns // 1_000_000_000
+    ms = secs * 1000 + (total_ns % (1 << 32)) // 1_000_000
     rand_a = _random.getrandbits(12)
     rand_b = _random.getrandbits(62)
     n = (ms & ((1 << 48) - 1)) << 80
