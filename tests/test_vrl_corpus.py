@@ -42,10 +42,6 @@ SKIPS = {
     # --- exact diagnostic-text formatting ---
     "examples/blog_vector_remap_language_error_diagnostic.vrl":
         "diagnostic text formatting",
-    # --- exact positioned diagnostic text inside a value ---
-    "expressions/query/function_call_error.vrl": "diagnostic text in value",
-    "expressions/assignment/infallible_err_merge_assignment.vrl":
-        "diagnostic text in value",
     # --- upstream-crate internals ---
     "functions/parse_etld/custom_psl_file_wrong_format.vrl":
         "PSL loader leniency",
@@ -190,7 +186,7 @@ def test_corpus_case(path):
 def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
-    # r2: static type checker un-skipped the typedef + fallibility +
-    # compile-time-check + uuid-v7 cases (was >= 200 with 28 skips; 4
-    # remain — exact diagnostic text + the PSL loader case only)
-    assert len(runnable) >= 222, len(runnable)
+    # r2: un-skipped typedef/fallibility/compile-time-check/uuid-v7/
+    # span-diagnostic cases (was >= 200 with 28 skips; 2 remain — the
+    # full multi-line rendered diagnostic + the PSL loader case)
+    assert len(runnable) >= 224, len(runnable)

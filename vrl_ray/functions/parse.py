@@ -620,7 +620,7 @@ def parse_syslog(value: str) -> dict:
         except ValueError:
             pass
         return out
-    raise VrlError("unable to parse syslog message")
+    raise VrlError("unable to parse input as valid syslog message")
 
 
 # ---------------------------------------------------------------------------

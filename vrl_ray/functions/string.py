@@ -29,7 +29,8 @@ __all__ = [
 
 def _s(v: Any) -> str:
     if not isinstance(v, str):
-        raise VrlError(f"expected string, got {type(v).__name__}")
+        from ..value import vrl_type
+        raise VrlError(f"expected string, got {vrl_type(v)}")
     return v
 
 

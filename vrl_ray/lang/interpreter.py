@@ -23,6 +23,11 @@ from ..functions import REGISTRY
 from .parser import parse, ParseError
 
 
+class VrlCallError(VrlError):
+    """A fallible-call error already formatted with the reference's
+    span-carrying diagnostic text (captured by ``ok, err =``)."""
+
+
 class VrlRuntimeError(Exception):
     """Unrecoverable program error (the Terminate::Error lane)."""
 
@@ -318,14 +323,24 @@ class _Ctx:
 
     # --- function calls ---
     def _eval_call(self, n):
-        _, name, bang, args, closure = n
+        _, name, bang, args, closure = n[:5]
+        span = n[5] if len(n) > 5 else None
         try:
             return self._call(name, args, closure)
-        except VrlError as e:
+        except VrlCallError as e:
+            # a nested call already attributed the error — don't
+            # re-wrap (the reference points at the innermost call)
             if bang:
-                raise VrlRuntimeError(
-                    f"function call error for \"{name}\": {e.message}") from e
+                raise VrlRuntimeError(e.message) from e
             raise
+        except VrlError as e:
+            # reference diagnostic shape (ExpressionError::Error):
+            # `function call error for "f" at (start:end): message`
+            at = f" at ({span[0]}:{span[1]})" if span else ""
+            msg = f'function call error for "{name}"{at}: {e.message}'
+            if bang:
+                raise VrlRuntimeError(msg) from e
+            raise VrlCallError(msg) from e
 
     def _call(self, name, args, closure):
         # path-argument builtins operate on the event / variables /

@@ -353,12 +353,18 @@ class Parser:
         return ("block", stmts)
 
     def _parse_call(self):
-        name = self.expect("IDENT").value
+        name_tok = self.expect("IDENT")
+        name = name_tok.value
         bang = bool(self.accept("OP", "!"))
         self.expect("LPAREN")
         args = []
+        end_pos = None
         self.skip_nl()
-        while not self.accept("RPAREN"):
+        while True:
+            rp = self.accept("RPAREN")
+            if rp is not None:
+                end_pos = rp.pos + 1
+                break
             if self.peek().kind in ("IDENT", "NULL", "TRUE", "FALSE", "IF",
                                     "ELSE") and self.peek(1).kind == "COLON":
                 aname = str(self.next().value)
@@ -369,7 +375,8 @@ class Parser:
                 args.append((None, self.parse_expr()))
             self.skip_nl()
             if not self.accept("COMMA"):
-                self.expect("RPAREN")
+                rp = self.expect("RPAREN")
+                end_pos = rp.pos + 1
                 break
             self.skip_nl()
         closure = None
@@ -381,7 +388,10 @@ class Parser:
             self.expect("OP", "|")
             body = self._parse_braced_block()
             closure = (params, body)
-        return ("call", name, bang, args, closure)
+        # span of the call expression (reference diagnostics carry it:
+        # `function call error for "f" at (start:end): ...`)
+        return ("call", name, bang, args, closure,
+                (name_tok.pos, end_pos))
 
     def _parse_path(self):
         prefix = "event"

@@ -627,7 +627,7 @@ class _Infer:
 
     # --- calls ---
     def _e_call(self, n):
-        _, name, bang, args, closure = n
+        _, name, bang, args, closure = n[:5]
         if closure is not None:
             if name == "replace_with" and self.strict:
                 # E122: the closure must return bytes
@@ -673,11 +673,11 @@ class _Infer:
             fallible = (k.is_any or bool(k.bits & bad_bits)
                         or (bad_containers and
                             (k.obj is not None or k.arr is not None)))
-            return ("call", name, bang, [(None, na)], None), \
+            return ("call", name, bang, [(None, na)], None) + tuple(n[5:]), \
                 Kind.prim(out_kind), (f or fallible) and not bang
         if name in ("assert", "assert_eq"):
             new_args = [(an, self.expr(ae)[0]) for an, ae in args]
-            return ("call", name, bang, new_args, None), \
+            return ("call", name, bang, new_args, None) + tuple(n[5:]), \
                 Kind.prim("boolean"), not bang
         if name == "exists":
             return n, Kind.prim("boolean"), False
@@ -697,12 +697,12 @@ class _Infer:
                 kinds.append(k)
                 fall = fall or f
             kind, mfall = _merge_kind(kinds[0], kinds[1])
-            return ("call", name, bang, na + list(args[2:]), None), \
+            return ("call", name, bang, na + list(args[2:]), None) + tuple(n[5:]), \
                 kind, (fall or mfall) and not bang
         raise Unsupported(f"call {name}")
 
     def _call_del(self, n):
-        _, name, bang, args, _ = n
+        _, name, bang, args, _ = n[:5]
         if not args or args[0][1][0] != "path":
             raise Unsupported("del target")
         anode = args[0][1]
@@ -712,7 +712,7 @@ class _Infer:
         return n, removed, False
 
     def _call_push(self, n):
-        _, name, bang, args, _ = n
+        _, name, bang, args, _ = n[:5]
         if len(args) != 2:
             raise Unsupported("push args")
         na0, k0, f0 = self.expr(args[0][1])

@@ -499,7 +499,7 @@ def _compile_expr(node) -> Callable:
         return iff
 
     if kind == "call":
-        _, name, bang, args, closure = node
+        _, name, bang, args, closure = node[:5]
         if closure is not None:
             if name == "map_values":
                 return _compile_map_values(args, closure)
