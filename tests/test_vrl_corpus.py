@@ -39,9 +39,6 @@ from vrl_ray.value import VrlError
 ROOT = "/root/reference/lib/tests/tests"
 
 SKIPS = {
-    # --- exact diagnostic-text formatting ---
-    "examples/blog_vector_remap_language_error_diagnostic.vrl":
-        "diagnostic text formatting",
     # --- upstream-crate internals ---
     "functions/parse_etld/custom_psl_file_wrong_format.vrl":
         "PSL loader leniency",
@@ -186,7 +183,7 @@ def test_corpus_case(path):
 def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
-    # r2: un-skipped typedef/fallibility/compile-time-check/uuid-v7/
-    # span-diagnostic cases (was >= 200 with 28 skips; 2 remain — the
-    # full multi-line rendered diagnostic + the PSL loader case)
-    assert len(runnable) >= 224, len(runnable)
+    # r2: un-skipped typedef / fallibility / compile-time-check /
+    # uuid-v7 / span-diagnostic / rendered-diagnostic cases (was
+    # >= 200 with 28 skips; ONE remains — the PSL loader case)
+    assert len(runnable) >= 225, len(runnable)

@@ -67,14 +67,26 @@ class Kind:
     """Immutable-by-convention kind value. ``any`` is a flag (the
     reference's Kind::any is recursively infinite)."""
 
-    __slots__ = ("bits", "obj", "arr", "is_any")
+    __slots__ = ("bits", "obj", "arr", "is_any", "approx")
 
     def __init__(self, bits=(), obj: Optional[Coll] = None,
-                 arr: Optional[Coll] = None, is_any: bool = False):
+                 arr: Optional[Coll] = None, is_any: bool = False,
+                 approx: bool = False):
         self.bits = frozenset(bits)
         self.obj = obj
         self.arr = arr
         self.is_any = is_any
+        # approx: the kind came from the generated stdlib table whose
+        # container contents are coarser than the reference's real
+        # per-function type_def — never force fallibility from it
+        self.approx = approx
+
+    def with_approx(self) -> "Kind":
+        if self.approx:
+            return self
+        k = Kind(self.bits, self.obj, self.arr, self.is_any)
+        k.approx = True
+        return k
 
     # --- constructors ---
     @staticmethod
@@ -114,15 +126,18 @@ class Kind:
 
     # --- algebra ---
     def union(self, other: "Kind") -> "Kind":
+        ap = self.approx or other.approx
         if self.is_any or other.is_any:
-            return Kind.any()
-        if self.is_never:
-            return other
-        if other.is_never:
-            return self
-        obj = _union_coll(self.obj, other.obj)
-        arr = _union_coll(self.arr, other.arr)
-        return Kind(self.bits | other.bits, obj, arr)
+            out = Kind.any()
+        elif self.is_never:
+            out = other
+        elif other.is_never:
+            out = self
+        else:
+            obj = _union_coll(self.obj, other.obj)
+            arr = _union_coll(self.arr, other.arr)
+            out = Kind(self.bits | other.bits, obj, arr)
+        return out.with_approx() if ap else out
 
     def without(self, *names) -> "Kind":
         if self.is_any:
@@ -201,8 +216,11 @@ _NO_CONST = object()
 
 class State:
     def __init__(self):
-        self.ext = Kind.any()
-        self.meta = Kind.any()
+        # the reference's ExternalEnv: the event/metadata roots are
+        # OBJECTS with any-kind fields (flatten(.) / compact(.)
+        # compile infallibly; .anything is any)
+        self.ext = Kind.object({}, unknown=Kind.any())
+        self.meta = Kind.object({}, unknown=Kind.any())
         self.vars: dict[str, Kind] = {}
         # constant values of locals (the reference's resolve_constant
         # path, op.rs:169-176 — `foo = 4; 5 / foo` is infallible)
@@ -231,8 +249,10 @@ class State:
 
 
 def _kind_at(kind: Kind, segs: list) -> Kind:
-    """Kind of `kind` queried at a path."""
+    """Kind of `kind` queried at a path (approx taint propagates
+    downward — fields of an approx container are approx)."""
     for seg in segs:
+        parent_approx = kind.approx
         if kind.is_any:
             return Kind.any()
         if isinstance(seg, str):
@@ -258,6 +278,8 @@ def _kind_at(kind: Kind, segs: list) -> Kind:
             kind = inner
         else:
             raise Unsupported(f"path segment {seg!r}")
+        if parent_approx:
+            kind = kind.with_approx()
         if kind.is_never:
             return Kind.prim("undefined")
     return kind
@@ -352,9 +374,14 @@ class _Infer:
     """Walks the AST mutating a State; returns (Kind, fallible) per
     expression and rewrites ``type_def`` calls to literal dicts."""
 
-    def __init__(self, strict: bool):
+    def __init__(self, strict: bool, allow_generic: bool = True):
         self.state = State()
         self.strict = strict
+        # generic-table calls return the DECLARED kinds, which are
+        # coarser than the reference's per-function type_def math; a
+        # program that inspects kinds via type_def() must not see
+        # those — it bails to runtime instead
+        self.allow_generic = allow_generic
 
     # --- helpers ---
     def _root(self, prefix: str) -> Kind:
@@ -588,6 +615,11 @@ class _Infer:
         nl, lk, lf = self.expr(ln)
         nr, rk, rf = self.expr(rn)
         kind, fall = _binop_kind(op, lk, rk, rn, self._const(rn))
+        if fall and (lk.approx or rk.approx):
+            # operands typed from the coarse generic table — the
+            # reference's finer kinds compiled this; don't force
+            fall = False
+            kind = kind.with_approx()
         return ("binop", op, nl, nr), kind, lf or rf or fall
 
     def _short_circuit(self, op, ln, rn):
@@ -611,6 +643,8 @@ class _Infer:
             self.state = self.state.merge(base)
             fall = (lf or rf or not lk.only(("null", "boolean"))
                     or not rk.only(("null", "boolean")))
+            if fall and (lk.approx or rk.approx) and not (lf or rf):
+                fall = False
             return ("binop", op, nl, nr), Kind.prim("boolean"), fall
         # ||
         if lhs_false:
@@ -623,6 +657,8 @@ class _Infer:
         self.state = self.state.merge(base)
         kind = Kind.any() if lk.is_any else \
             lk.without("null").union(rk)
+        if lk.approx or rk.approx:
+            kind = kind.with_approx()
         return ("binop", op, nl, nr), kind, lf or rf
 
     # --- calls ---
@@ -699,7 +735,57 @@ class _Infer:
             kind, mfall = _merge_kind(kinds[0], kinds[1])
             return ("call", name, bang, na + list(args[2:]), None) + tuple(n[5:]), \
                 kind, (fall or mfall) and not bang
-        raise Unsupported(f"call {name}")
+        return self._call_generic(n)
+
+    def _call_generic(self, n):
+        """Any other stdlib call, typed from the generated reference
+        metadata table (declared parameter kinds + intrinsic failure
+        reasons): the call is fallible when the reference's compiler
+        would say so — intrinsically, or because an argument's
+        inferred Kind is not verified against the declared kinds."""
+        from ._stdlib_typedefs import STDLIB_TYPEDEFS
+
+        _, name, bang, args, closure = n[:5]
+        spec = STDLIB_TYPEDEFS.get(name)
+        if spec is None or closure is not None or not self.allow_generic:
+            # unknown function / un-lowered closure body / a program
+            # whose type_def answers would become imprecise: bail,
+            # keep runtime semantics
+            raise Unsupported(f"call {name}")
+        new_args = []
+        arg_kinds = []
+        for aname, aexpr in args:
+            ne, k, f = self.expr(aexpr)
+            if f and not bang:
+                # fallible argument expression keeps the call fallible
+                arg_kinds.append((aname, None))
+            else:
+                arg_kinds.append((aname, k))
+            new_args.append((aname, ne))
+        # reference rule: a call is fallible when any argument's
+        # inferred Kind is NOT verified against the declared parameter
+        # kinds (intrinsic failure reasons alone don't force handling
+        # when every argument type-checks — e.g. crc("foo") compiles
+        # infallible in the reference docs examples)
+        fallible = False
+        params = spec["args"]
+        for idx, (aname, k) in enumerate(arg_kinds):
+            if aname is None:
+                declared = params[idx][1] if idx < len(params) else ("any",)
+            else:
+                declared = next((p[1] for p in params if p[0] == aname),
+                                ("any",))
+            if "any" in declared:
+                continue
+            if k is not None and k.approx:
+                continue   # coarser-than-reference kind: don't force
+            if k is None or not _kind_verified(k, declared):
+                fallible = True
+        ret = Kind.never()
+        for t in spec["ret"]:
+            ret = ret.union(_kind_from_name(t))
+        return ("call", name, bang, new_args, closure) + tuple(n[5:]), \
+            ret.with_approx(), fallible and not bang
 
     def _call_del(self, n):
         _, name, bang, args, _ = n[:5]
@@ -744,6 +830,35 @@ _COERCE_CALLS = {
                 True),
     "to_string": ("bytes", frozenset(("regex",)), True),
 }
+
+
+def _kind_from_name(t: str) -> Kind:
+    if t == "any":
+        return Kind.any()
+    if t == "string":
+        return Kind.prim("bytes")
+    if t == "object":
+        return Kind.object({}, unknown=Kind.any())
+    if t == "array":
+        return Kind.array({}, unknown=Kind.any())
+    return Kind.prim(t)
+
+
+def _kind_verified(k: Kind, declared: tuple) -> bool:
+    """True when every possible kind of `k` is within the declared
+    parameter kinds (the reference's argument verification)."""
+    if k.is_any:
+        return False
+    allowed = set(declared)
+    for b in k.bits:
+        name = {"bytes": "string"}.get(b, b)
+        if name not in allowed:
+            return False
+    if k.obj is not None and "object" not in allowed:
+        return False
+    if k.arr is not None and "array" not in allowed:
+        return False
+    return True
 
 
 def _merge_kind(lk: Kind, rk: Kind):
@@ -873,6 +988,14 @@ def _default_kind(expr) -> Kind:
 # ---------------------------------------------------------------------------
 # entry point
 
+def _contains_type_def(node) -> bool:
+    if isinstance(node, (list, tuple)):
+        if len(node) > 1 and node[0] == "call" and node[1] == "type_def":
+            return True
+        return any(_contains_type_def(x) for x in node)
+    return False
+
+
 def annotate(stmts: list, strict: bool = False) -> list:
     """Static pass over a parsed program. Rewrites ``type_def(expr)``
     calls to their STATIC kind (a ``lit_typedef`` node the interpreter
@@ -880,6 +1003,6 @@ def annotate(stmts: list, strict: bool = False) -> list:
     :class:`VrlCompileError` for unhandled fallible statements.
     Raises :class:`Unsupported` (caller keeps the original AST) for
     programs outside the modeled subset."""
-    inf = _Infer(strict)
+    inf = _Infer(strict, allow_generic=not _contains_type_def(stmts))
     out, _ = inf.run(stmts)
     return out
