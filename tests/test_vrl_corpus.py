@@ -38,11 +38,7 @@ from vrl_ray.value import VrlError
 
 ROOT = "/root/reference/lib/tests/tests"
 
-SKIPS = {
-    # --- upstream-crate internals ---
-    "functions/parse_etld/custom_psl_file_wrong_format.vrl":
-        "PSL loader leniency",
-}
+SKIPS: dict = {}
 
 
 def _parse_case(path: str) -> dict:
@@ -183,7 +179,6 @@ def test_corpus_case(path):
 def test_corpus_pass_floor():
     """Collected, non-skipped corpus coverage must not shrink."""
     runnable = [c for c in CASES if not c.marks]
-    # r2: un-skipped typedef / fallibility / compile-time-check /
-    # uuid-v7 / span-diagnostic / rendered-diagnostic cases (was
-    # >= 200 with 28 skips; ONE remains — the PSL loader case)
-    assert len(runnable) >= 225, len(runnable)
+    # r2: every repo-side skip is gone (was 28 in r1) — only the
+    # corpus's own SKIP/DIAGNOSTICS/read_only markers remain excluded
+    assert len(runnable) >= 226, len(runnable)

@@ -441,6 +441,9 @@ _BUILTIN_SUFFIXES = {
 }
 
 _PSL_CACHE: dict[str, tuple[set, set, set]] = {}
+# a PSL rule: dot-separated labels of letters/digits/-/_ (unicode
+# labels allowed — the real list has IDN entries)
+_PSL_RULE = _re.compile(r"^[\w\-]+(\.[\w\-]+)*$", _re.UNICODE)
 
 
 def _load_psl(path: str) -> tuple[set, set, set]:
@@ -454,12 +457,22 @@ def _load_psl(path: str) -> tuple[set, set, set]:
             line = line.strip()
             if not line or line.startswith("//"):
                 continue
+            body = line[1:] if line.startswith("!") else \
+                line[2:] if line.startswith("*.") else line
+            # format validation (publicsuffix-crate parity: feeding a
+            # non-PSL file must ERROR, parse_etld/custom_psl_file_
+            # wrong_format.vrl): rules are dot-separated labels of
+            # [letters digits - _ *], nothing else
+            if not _PSL_RULE.match(body):
+                raise VrlError("Unable to parse psl file")
             if line.startswith("!"):
-                exc.add(line[1:])
+                exc.add(body)
             elif line.startswith("*."):
-                wild.add(line[2:])
+                wild.add(body)
             else:
-                rules.add(line)
+                rules.add(body)
+    if not rules and not wild and not exc:
+        raise VrlError("Unable to parse psl file")
     _PSL_CACHE[path] = (rules, wild, exc)
     return rules, wild, exc
 
