@@ -41,8 +41,19 @@ ROOT = "/root/reference/lib/tests/tests"
 SKIPS: dict = {}
 
 
+def _read_only_spec(header: str, rest: str) -> tuple:
+    """`# read_only[_recursive|_metadata]: PATH` → (prefix, segs,
+    recursive) for compile_program's E315 enforcement."""
+    prefix = "meta" if "metadata" in header else "event"
+    recursive = "recursive" in header or "metadata" in header
+    p = rest.strip().lstrip(".%")
+    segs = [s for s in p.split(".") if s]
+    return (prefix, segs, recursive)
+
+
 def _parse_case(path: str) -> dict:
     src_lines, obj, res, mode, approx = [], [], [], None, False
+    read_only: list = []
     content = open(path).read()
     skip = content.startswith("# SKIP") or content.startswith("# DIAGNOSTICS")
     done = False
@@ -62,7 +73,8 @@ def _parse_case(path: str) -> dict:
                 mode = "res"
                 res.append(line[len("result:"):].strip())
             elif line.startswith("read_only"):
-                skip = True
+                header, _, rest = line.partition(":")
+                read_only.append(_read_only_spec(header, rest))
             else:
                 if mode == "obj":
                     obj.append(line)
@@ -73,7 +85,7 @@ def _parse_case(path: str) -> dict:
             src_lines.append(line)
     return {"skip": skip, "obj": "".join(obj),
             "res": "\n".join(res).strip(), "approx": approx,
-            "src": "\n".join(src_lines)}
+            "src": "\n".join(src_lines), "read_only": read_only}
 
 
 def _jsonable(v):
@@ -150,7 +162,8 @@ def test_corpus_case(path):
         kind = "loose"
 
     try:
-        r, ev, aborted = compile_program(c["src"]).resolve(obj)
+        r, ev, aborted = compile_program(
+            c["src"], read_only=c["read_only"] or None).resolve(obj)
     except (VrlError, VrlRuntimeError, ParseError) as e:
         assert kind == "loose", \
             f"unexpected error {type(e).__name__}: {e}\nsource:\n{c['src']}"

@@ -96,15 +96,19 @@ class Program:
     ``(result, event, aborted)``; event is mutated in place like the
     reference target."""
 
-    def __init__(self, source: str, strict: bool = False):
+    def __init__(self, source: str, strict: bool = False,
+                 read_only=None):
         self.source = source
         self.stmts = parse(source)
         # static pass: resolves type_def() to compile-time kinds and
         # (under strict) rejects unhandled fallible expressions —
         # the reference's compile step (compiler.rs:49-62). Programs
         # outside the modeled subset keep runtime semantics unchanged.
-        from .typecheck import Unsupported, annotate
+        from .typecheck import Unsupported, annotate, check_read_only
 
+        if read_only:
+            # E315 enforcement: standalone walk, never bails
+            check_read_only(self.stmts, read_only)
         try:
             self.stmts = annotate(self.stmts, strict=strict)
         except Unsupported:
@@ -123,11 +127,13 @@ class Program:
         return result, ctx.root[0], None
 
 
-def compile_program(source: str, strict: bool = True) -> Program:
+def compile_program(source: str, strict: bool = True,
+                    read_only=None) -> Program:
     """Reference-parity compile: static type pass ON (compile-time
-    type_def + fallibility forcing where modeled). The lenient
+    type_def + fallibility forcing where modeled; optional read-only
+    path list as (prefix, segments, recursive) tuples). The lenient
     entry point for pipeline stages is ``Program(src)`` directly."""
-    return Program(source, strict=strict)
+    return Program(source, strict=strict, read_only=read_only)
 
 
 class _Ctx:

@@ -988,6 +988,48 @@ def _default_kind(expr) -> Kind:
 # ---------------------------------------------------------------------------
 # entry point
 
+def check_read_only(stmts: list, read_only: list) -> None:
+    """Compile-time read-only path enforcement (the reference's E315
+    'mutation of read-only value'). ``read_only`` entries are
+    ``(prefix, segments, recursive)`` with prefix 'event'/'meta'.
+
+    Rules (read_only*.vrl corpus): assigning the marked path or any
+    ANCESTOR of it (including the root) errors — replacing an
+    ancestor would clobber the protected value; assigning BELOW a
+    non-recursive marked path is allowed, below a recursive one
+    errors. Runs as a standalone AST walk, independent of Kind
+    inference (no bail)."""
+
+    def conflicts(prefix: str, segs: list) -> bool:
+        for r_prefix, r_segs, recursive in read_only:
+            if prefix != r_prefix:
+                continue
+            n = min(len(segs), len(r_segs))
+            if segs[:n] != r_segs[:n]:
+                continue
+            if len(segs) <= len(r_segs):
+                return True          # exact match or ancestor (or root)
+            if recursive:
+                return True          # descendant of recursive mark
+        return False
+
+    def walk(node) -> None:
+        if not isinstance(node, (list, tuple)):
+            return
+        if node and node[0] == "assign":
+            for t in node[1]:
+                if t[0] == "path" and conflicts(t[1], list(t[2])):
+                    raise VrlCompileError("mutation of read-only value "
+                                          "(error[E315])")
+            walk(node[3])
+            return
+        for x in node:
+            walk(x)
+
+    for s in stmts:
+        walk(s)
+
+
 def _contains_type_def(node) -> bool:
     if isinstance(node, (list, tuple)):
         if len(node) > 1 and node[0] == "call" and node[1] == "type_def":
