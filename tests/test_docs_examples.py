@@ -34,10 +34,8 @@ NONDET = {"now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
           # network I/O — stubbed ([X] category), results machine-dependent
           "dns_lookup", "reverse_dns", "http_request", "get_env_var"}
 
-# known divergences (documented): full ua-parser database
-KNOWN_DIVERGENT = {
-    ("parse_user_agent", 2),   # Opera Mini deep device database
-}
+# no known divergences remain (r1 had ua-parser/XXH3/zstd entries)
+KNOWN_DIVERGENT: set = set()
 
 _WRAP = re.compile(r"^[srt]'(.*)'$", re.S)
 

@@ -669,4 +669,36 @@ def parse_user_agent(value: str, mode: str = "fast") -> dict:
         fam = nt.get(os["version"] or "")
         if fam:
             os = {"family": fam, "version": f"NT {os['version']}"}
+    if mode == "enriched":
+        # ua-parser enriched shape: split versions into components,
+        # resolve embedded-browser tokens (Opera Mini) and device
+        # brand/family/model (parse_user_agent.rs enriched mode)
+        mini = _re.search(r"Opera Mini/(\d+)(?:\.(\d+))?(?:\.(\d+))?",
+                          value)
+        if mini:
+            ver = _re.search(r"Version/([\d.]+)", value)
+            browser = {"family": "Opera Mini", "major": mini.group(1),
+                       "minor": mini.group(2), "patch": mini.group(3),
+                       "version": ver.group(1) if ver
+                       else ".".join(g for g in mini.groups() if g)}
+        else:
+            parts = ((browser.get("version") or "").split(".") + [None] * 3)
+            browser = {"family": browser.get("family"),
+                       "major": parts[0] or None, "minor": parts[1],
+                       "patch": parts[2],
+                       "version": browser.get("version")}
+        oparts = ((os.get("version") or "").replace("NT ", "")
+                  .split(".") + [None] * 4)
+        os = {"family": os.get("family"), "major": oparts[0] or None,
+              "minor": oparts[1], "patch": oparts[2],
+              "patch_minor": oparts[3], "version": os.get("version")}
+        if "iPhone" in value:
+            device = {"brand": "Apple", "category": device["category"],
+                      "family": "iPhone", "model": "iPhone"}
+        elif "iPad" in value:
+            device = {"brand": "Apple", "category": device["category"],
+                      "family": "iPad", "model": "iPad"}
+        else:
+            device = {"brand": None, "category": device["category"],
+                      "family": "Other", "model": None}
     return {"browser": browser, "os": os, "device": device}
