@@ -667,11 +667,48 @@ def docs_minhash_pairs(sf_dir: str):
 
 def docs_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3 over 16-bit bands) —
-    rows-only check."""
+    rows-only check (the crc32-based fingerprint is not expressible in
+    SQL); docs_simhash_recall gates this output against the exact
+    Jaccard pair set."""
     from vrl_ray.stages.dedup import simhash_near_dups
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dups(docs, max_hamming=3)
+
+
+def docs_simhash_recall(sf_dir: str):
+    """Quality gate for the SimHash sketch against ground truth
+    (VERDICT r2 item 2): E = exact 3-shingle-Jaccard >= 0.5 pairs
+    (all-pairs — this is a TEST oracle, O(n²) by definition, capped),
+    S = simhash pairs at hamming <= 3.  The 16-bit × 4 banding makes S
+    COMPLETE for the hamming metric (pigeonhole), so the gate pins the
+    hamming↔jaccard alignment: every S pair must be a true near-dup
+    (precision 1.0) and S must cover >= 50% of E.  DuckDB recomputes
+    |E| exactly and asserts the two booleans."""
+    import ray.data as rd
+    from vrl_ray.stages.dedup import simhash_near_dups, verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids = sorted(r["doc_id"]
+                 for r in docs.select_columns(["doc_id"]).take_all())
+    if len(ids) > 20_000:
+        raise ValueError(
+            "docs_simhash_recall is an exact all-pairs TEST gate "
+            f"(O(n²)); refusing {len(ids)} docs (cap 20000)")
+    ia, ib = zip(*[(a, b) for i, a in enumerate(ids)
+                   for b in ids[i + 1:]])
+    allp = rd.from_arrow(pa.table({"id_a": pa.array(ia, pa.int64()),
+                                   "id_b": pa.array(ib, pa.int64())}))
+    E = verify_pairs_jaccard(allp, docs, threshold=0.5, k=3).to_pandas()
+    S = simhash_near_dups(docs, max_hamming=3).to_pandas()
+    e_set = set(zip(E["id_a"], E["id_b"]))
+    s_set = set(zip(S["id_a"], S["id_b"]))
+    recall = (len(e_set & s_set) / len(e_set)) if e_set else 1.0
+    return pa.table({
+        "n_exact": pa.array([len(e_set)], pa.int64()),
+        "precision_pass": pa.array([s_set <= e_set], pa.bool_()),
+        "recall_pass": pa.array([recall >= 0.5], pa.bool_()),
+    })
 
 
 def docs_regex_extract(sf_dir: str):
@@ -943,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": docs_fingerprint,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_simhash_pairs": docs_simhash_pairs,
+        "docs_simhash_recall": docs_simhash_recall,
         "docs_jaccard_verify": docs_jaccard_verify,
         "docs_hash_sample": docs_hash_sample,
         "docs_sample_per_lang": docs_sample_per_lang,
@@ -1232,6 +1270,43 @@ def oracle_sql() -> dict[str, str]:
                          AS rn
               FROM documents)
             WHERE rn <= 5
+        """,
+        "docs_minhash_pairs": """
+            -- exact 3-shingle Jaccard >= 0.5 over ALL pairs: the
+            -- MinHash(64 perm)+LSH(16 bands)+exact-verify pipeline is
+            -- measured to reproduce this set EXACTLY on this data
+            -- (recall 1.0 at the verified threshold), so the sketch
+            -- output hash-matches ground truth (VERDICT r2 item 2)
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\\w+') toks
+                       FROM documents),
+            w AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))
+                   END ws FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(a.ws || b.ws)) >= 0.5
+        """,
+        "docs_simhash_recall": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\\w+') toks
+                       FROM documents),
+            w AS (SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                              range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' ')))
+                   END ws FROM t)
+            SELECT count(*) AS n_exact,
+                   CAST(1 AS BOOLEAN) AS precision_pass,
+                   CAST(1 AS BOOLEAN) AS recall_pass
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(a.ws || b.ws)) >= 0.5
         """,
         "docs_jaccard_verify": """
             WITH w AS (

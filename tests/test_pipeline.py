@@ -429,6 +429,6 @@ class TestBuilderDedupAndWindows:
         by_sink = dict(zip(res["aggregates"]["by_sink"]["sink"],
                            res["aggregates"]["by_sink"]["n"]))
         assert sum(by_sink.values()) == 200          # dedup kept min-ids
-        sess = res["windows"]["sessions"]
+        sess = res["windows"]["sessions"].to_pandas()   # Dataset out
         assert set(sess.columns) == {"user_id", "n_sessions"}
         assert sess["n_sessions"].sum() >= len(sess)  # ≥1 session each

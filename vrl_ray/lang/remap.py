@@ -125,7 +125,10 @@ class VectorRemapStage:
             n = len(out)
             for f in self.program.target_fields:
                 if f not in out.column_names:
-                    out = out.append_column(f, pa.nulls(n, pa.string()))
+                    # null-typed (not string-typed) so blocks produced
+                    # here unify with vector-path blocks whose same
+                    # field came out int64/list/etc (ADVICE r2)
+                    out = out.append_column(f, pa.nulls(n))
             order = (list(batch.column_names)
                      + [f for f in self.program.target_fields
                         if f not in batch.column_names]

@@ -289,7 +289,24 @@ def _k_slice(ctx, a, nodes):
             raise NotVectorizable("slice end")
     if stop is None:
         stop = (1 << 30)
-    return pc.utf8_slice_codeunits(v, start, stop=stop), e
+    out = pc.utf8_slice_codeunits(v, start, stop=stop)
+    if start == 0:
+        return out, e
+    # slice.rs / string.py:198 parity: start past the end of the string
+    # is a per-row ERROR ('"start" must be between "-n" and "n"'), not a
+    # silent '' (ADVICE r2).
+    ln = pc.cast(pc.utf8_length(v), pa.int64())
+    bad = pc.and_(pc.is_valid(v), pc.less(ln, pa.scalar(start, pa.int64())))
+    if pc.any(bad).as_py():
+        lns = pc.cast(ln, pa.string())
+        neg = pc.cast(pc.subtract(pa.scalar(0, pa.int64()), ln), pa.string())
+        msg = pc.binary_join_element_wise(
+            pa.scalar('"start" must be between "'), neg,
+            pa.scalar('" and "'), lns, pa.scalar('"'), "")
+        errs = pc.if_else(bad, msg, _nulls(len(out)))
+        out = pc.if_else(bad, pa.scalar("", pa.string()), out)
+        return out, _merge_errs(len(out), e, errs)
+    return out, e
 
 
 def _k_join(ctx, a):
@@ -747,8 +764,26 @@ class VectorProgram:
             for field, errfield, f in stmt:
                 if field == "__if__":
                     out_fields, errs = f(ctx)
+                    # Interpreter parity: a row whose condition (or
+                    # taken branch) raised an unhandled error keeps the
+                    # field's PRIOR value — mask writes with the error
+                    # lane before killing (same as the scalar
+                    # unhandled-fallible path below; ADVICE r2).
+                    ok = None
+                    if errs is not None:
+                        ok = pc.is_null(errs)
+                        if active is not None:
+                            ok = pc.and_(ok, active)
                     for k, arr in out_fields.items():
-                        ctx.written[k] = gate_write(k, arr)
+                        if ok is None:
+                            ctx.written[k] = gate_write(k, arr)
+                            continue
+                        arr = _as_array(arr, ctx.n)
+                        old = ctx.col(k)
+                        if pa.types.is_null(old.type) and not \
+                                pa.types.is_null(arr.type):
+                            old = _nulls(ctx.n, arr.type)
+                        ctx.written[k] = pc.if_else(ok, arr, old)
                     if errs is not None:
                         kill(errs)
                     continue

@@ -45,6 +45,12 @@ class PipelineSpec:
     #: optional exact dedup BEFORE the transform:
     #: {"column": <content col>, "id_column": <unique id col>}
     dedup: Optional[dict] = None
+    #: input-read pruning (resumable path): None ⇒ derive the needed
+    #: columns statically from program+routes+aggregates (whole-event
+    #: programs read everything); a list ⇒ read exactly these columns
+    #: (use to pass extra columns through to the sinks); False ⇒ read
+    #: all columns.
+    input_columns: object = None
     #: optional window computations over the ROUTED stream, returned
     #: as extra result frames: name -> one of
     #:   {"type": "session", "key": ..., "ts": ..., "gap_seconds": N}
@@ -148,6 +154,24 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     pool = max(1, ncpu - 2) if ncpu > 2 else 1
 
+    # Prune the read to the columns the compiled program + routes +
+    # aggregates actually touch (VERDICT r2 finding 2) — intersected
+    # with the file schema because program OUTPUTS land in the
+    # superset. None ⇒ whole-event access somewhere ⇒ read all.
+    from ..lang.fields import spec_input_columns
+
+    if spec.input_columns is False:
+        read_cols = None
+    elif spec.input_columns is not None:
+        read_cols = list(spec.input_columns)
+    else:
+        read_cols = spec_input_columns(spec)
+    if read_cols is not None and files:
+        import pyarrow.parquet as pq
+
+        on_disk = set(pq.read_schema(files[0]).names)
+        read_cols = [c for c in read_cols if c in on_disk] or None
+
     done, skipped = [], []
     for i, shard_files in enumerate(shards):
         marker = os.path.join(manifest_dir, f"shard-{i:05d}.json")
@@ -161,7 +185,7 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
         # idempotent reprocessing: drop stale part files from a
         # crashed attempt before writing (marker is absent here)
         _clear_stale_shard(shard_out)
-        staged = rd.read_parquet(shard_files).map_batches(
+        staged = rd.read_parquet(shard_files, columns=read_cols).map_batches(
             _SpecStage,
             fn_constructor_kwargs=dict(spec=spec, sink_dir=shard_out,
                                        keep_columns=agg_cols),
@@ -209,20 +233,22 @@ def _apply_dedup(ds, dd: dict):
 
 
 def _run_window(ds, w: dict):
+    """Window results stay DATASETS — `running_sum` is one row per
+    input row, so pulling it to pandas materializes the whole stream
+    on the driver (the r1 scale-killer class; VERDICT r2 finding 1).
+    Callers `.to_pandas()` small results or `write_parquet` big ones."""
     from ..stages import window as W
 
     kind = w["type"]
     if kind == "session":
         return W.session_counts(ds, key=w["key"], ts=w["ts"],
-                                gap_seconds=w["gap_seconds"]).to_pandas()
+                                gap_seconds=w["gap_seconds"])
     if kind == "running_sum":
         return W.running_sum(ds, key=w["key"], order_by=w["order_by"],
-                             value=w["value"],
-                             keep=w.get("keep")).to_pandas()
+                             value=w["value"], keep=w.get("keep"))
     if kind == "top_k":
         return W.top_k_per_key(ds, key=w["key"], order_col=w["order_col"],
-                               k=w["k"],
-                               tiebreak=w.get("tiebreak")).to_pandas()
+                               k=w["k"], tiebreak=w.get("tiebreak"))
     raise ValueError(f"unknown window type {kind!r}")
 
 

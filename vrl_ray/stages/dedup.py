@@ -266,9 +266,14 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     # the partials are NOT bounded-cardinality at 10^9-doc scale)
     if banded.count() <= 5_000_000:
         counts = count_by_small(banded, ["band", "band_hash"])
+        hot = counts[counts["n"] > max_bucket]
     else:
-        counts = count_by(banded, ["band", "band_hash"]).to_pandas()
-    hot = counts[counts["n"] > max_bucket]
+        # filter to hot keys DISTRIBUTEDLY before pulling: the full
+        # count set is O(bands × docs) rows at corpus scale, the hot
+        # set is tiny (VERDICT r2 finding 3)
+        hot = count_by(banded, ["band", "band_hash"]).map_batches(
+            lambda b: b.filter(pc.greater(b["n"], max_bucket)),
+            batch_format="pyarrow").to_pandas()
     hot_keys = set(zip(hot["band"], hot["band_hash"]))
 
     if hot_keys:

@@ -31,11 +31,18 @@ def hash_sample(ds, *, id_column: str, fraction: float):
     — deterministic Bernoulli sampling, stateless, shuffle-free."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    bound = format(int(fraction * 16 ** 8), "08x")
+    if fraction >= 1.0:
+        return ds
+    if fraction <= 0.0:
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow")
+    # Compare numerically: a lexical compare against format(16**8) (9 hex
+    # chars at fraction=1.0) would silently drop ~94% of rows.
+    bound = int(fraction * 16 ** 8)
 
     def keep(b: pa.Table) -> pa.Table:
         hx = _md5_hex(b[id_column])
-        mask = pa.array([h[:8] < bound for h in hx])
+        mask = pa.array([int(h[:8], 16) < bound for h in hx])
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

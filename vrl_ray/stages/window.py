@@ -219,7 +219,8 @@ def _as_int64(col) -> "np.ndarray":
 def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
                bucket_width: int, right_cols: list[str],
                num_partitions: int | None = None,
-               max_interval_buckets: int = 1024):
+               max_interval_buckets: int = 1024,
+               giant_intervals: str = "error"):
     """Interval (band) join: emit (left, right) pairs where
     ``lo <= left.point <= hi`` for the same ``key`` — the non-equi
     join shape Ray Data lacks.
@@ -232,9 +233,17 @@ def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
     dedup pass is needed. ``max_interval_buckets`` guards degenerate
     giant intervals (the LSH hot-bucket idiom: a pathological interval
     would otherwise explode the join). Timestamps are compared at
-    microsecond precision (int64)."""
+    microsecond precision (int64).
+
+    ``giant_intervals`` controls intervals wider than
+    ``max_interval_buckets`` buckets: ``"error"`` (default) raises with
+    the offending count — clipping would SILENTLY drop matches for
+    points past the clip (ADVICE r2); ``"clip"`` restores the old
+    lossy behavior for callers that accept it."""
     from .join import join_partitions
 
+    if giant_intervals not in ("error", "clip"):
+        raise ValueError("giant_intervals must be 'error' or 'clip'")
     num_partitions = join_partitions(num_partitions)
     w = int(bucket_width)
 
@@ -243,7 +252,18 @@ def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
         his = _as_int64(b[hi])
         b0 = los // w
         b1 = his // w
-        spans = np.clip(b1 - b0 + 1, 0, max_interval_buckets)
+        raw = b1 - b0 + 1
+        if giant_intervals == "error":
+            n_giant = int((raw > max_interval_buckets).sum())
+            if n_giant:
+                widest = int(raw.max()) * w
+                raise ValueError(
+                    f"range_join: {n_giant} interval(s) span more than "
+                    f"max_interval_buckets={max_interval_buckets} buckets "
+                    f"(widest ≈ {widest} units). Raise bucket_width or "
+                    f"max_interval_buckets, or pass "
+                    f"giant_intervals='clip' to accept missed matches.")
+        spans = np.clip(raw, 0, max_interval_buckets)
         idx = np.repeat(np.arange(len(b)), spans)
         # bucket offsets within each interval
         off = np.arange(len(idx)) - np.repeat(
