@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.vectorized import (
-    VectorGrok, VectorKV, json_extract_subset,
+    VectorGrok, VectorKV, json_extract_typed,
     to_int64_lane, to_float64_lane, combine_str,
 )
 
@@ -92,11 +92,15 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     # exact Python fallback ONLY on grok-classified rows RE2 missed
     g_fields, g_matched = grok.extract(texts, consider=g_mask)
 
-    # --- kv subset
-    kv_fields = kv.extract(texts)
+    # --- kv subset (RE2 on classified rows only, scatter back)
+    kv_fields = kv.extract(texts, consider=k_mask)
 
-    # --- json subset (python loop over only those rows)
-    j_cols, j_ok = json_extract_subset(texts, j_mask, JSON_KEYS)
+    # --- json subset: RE2 flat-shape fast path, json.loads fallback
+    # only for nested/escaped/malformed rows (~1% of the stream) —
+    # the parse stage's only remaining Python loop (VERDICT r2 item 3)
+    j_cols, j_ok = json_extract_typed(
+        texts, j_mask,
+        [("status", "int"), ("duration", "float"), ("path", "str")])
 
     ga = pa.array(g_mask & g_matched)
     ka = pa.array(k_mask)
@@ -114,14 +118,12 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     kv_path = masked(kv_fields["path"], ka)
     kv_method = masked(kv_fields["method"], ka)
 
-    j_status = pa.array(j_cols["status"])
-    j_duration = pa.array(j_cols["duration"])
-    j_path = pa.array([v if isinstance(v, str) else None for v in j_cols["path"]], pa.string())
     jm = pa.array(j_mask & j_ok)
 
-    status = pc.if_else(jm, to_int64_lane(j_status), to_int64_lane(kv_status))
-    duration = pc.if_else(jm, to_float64_lane(j_duration), to_float64_lane(kv_duration))
-    path = pc.if_else(jm, j_path, kv_path)
+    status = pc.if_else(jm, j_cols["status"], to_int64_lane(kv_status))
+    duration = pc.if_else(jm, j_cols["duration"],
+                          to_float64_lane(kv_duration))
+    path = pc.if_else(jm, j_cols["path"], kv_path)
     method = kv_method
 
     # parse_fmt + error lane
