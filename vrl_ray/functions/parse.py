@@ -43,10 +43,31 @@ def parse_json(value: str, max_depth: Optional[int] = None) -> Any:
     try:
         parsed = _json.loads(value)
     except (ValueError, TypeError) as e:
-        raise VrlError(f"unable to parse json: {e}") from e
+        raise VrlError(f"unable to parse json: {_serde_msg(e)}") from e
     if max_depth is None:
         return parsed
     return _truncate_depth(parsed, max_depth)
+
+
+#: Python json decoder message → serde_json phrasing (the reference's
+#: runtime error text, pinned by the diagnostics corpus's
+#: program_aborted_internal_function_call_error.vrl)
+_SERDE_MSGS = {
+    "Expecting property name enclosed in double quotes":
+        "key must be a string",
+    "Expecting value": "expected value",
+    "Extra data": "trailing characters",
+    "Expecting ',' delimiter": "expected `,` or `}`",
+    "Expecting ':' delimiter": "expected `:`",
+}
+
+
+def _serde_msg(e) -> str:
+    if isinstance(e, _json.JSONDecodeError):
+        mapped = _SERDE_MSGS.get(e.msg)
+        if mapped:
+            return f"{mapped} at line {e.lineno} column {e.colno}"
+    return str(e)
 
 
 def _truncate_depth(v: Any, depth: int) -> Any:

@@ -21,8 +21,10 @@ bridges the two: a compiled program applied per row inside
 from .parser import parse, ParseError
 from .interpreter import Program, compile_program, VrlRuntimeError, Abort
 from .remap import RemapStage, remap
+from .diag_pass import collect_diagnostics, render_diagnostics
 
 __all__ = [
     "parse", "ParseError", "Program", "compile_program",
     "VrlRuntimeError", "Abort", "RemapStage", "remap",
+    "collect_diagnostics", "render_diagnostics",
 ]

@@ -383,15 +383,25 @@ class _Ctx:
                 return _ex(base, segs)
             _, removed = V.path_remove(base, segs, compact=compact_flag)
             return removed
-        if name == "unnest" and args and args[0][1][0] == "path":
-            # unnest(.path) — N copies of the event, one per array
-            # element at the path (unnest.rs:64-72); `. = unnest(...)`
-            # then makes the root an array → the host emits N events.
+        if name == "unnest" and args and (
+                args[0][1][0] == "path"
+                or args[0][1][0] == "var"
+                or (args[0][1][0] == "index" and args[0][1][1][0] == "var")):
+            # unnest(<path>) — N copies of the path's ROOT (event or
+            # variable value), one per array element at the path
+            # (unnest.rs:64-72); `. = unnest(...)` then makes the
+            # event root an array → the host emits N events.
             from ..functions.misc import unnest as _unnest
             anode = args[0][1]
-            if anode[1] != "event":
-                raise VrlError("unnest requires an event path")
-            return _unnest(self.root[0], anode[2])
+            if anode[0] == "path":
+                if anode[1] != "event":
+                    raise VrlError("unnest requires an event path")
+                return _unnest(self.root[0], anode[2])
+            vname = anode[1][1] if anode[0] == "index" else anode[1]
+            segs = anode[2] if anode[0] == "index" else []
+            if vname not in self.vars:
+                raise VrlError(f"undefined variable {vname}")
+            return _unnest(self.vars[vname], segs)
         if name == "assert":
             cond = self.eval(args[0][1])
             msg = self.eval(args[1][1]) if len(args) > 1 else "assertion failed"

@@ -10,10 +10,20 @@ class Token(NamedTuple):
     kind: str
     value: object
     pos: int
+    end: int = -1
 
 
 class LexError(ValueError):
-    pass
+    """Lex failure; carries the reference's positioned diagnostic
+    fields when the error class has one (lex.rs Error::labels):
+    ``code``/``title``/``label``/``span``."""
+
+    def __init__(self, msg, code=None, title=None, label=None, span=None):
+        super().__init__(msg)
+        self.code = code
+        self.title = title
+        self.label = label
+        self.span = span
 
 
 KEYWORDS = {"if", "else", "true", "false", "null", "abort", "return"}
@@ -33,6 +43,7 @@ _COMMENT = re.compile(r"#[^\n]*")
 
 def _string(src: str, i: int, quote: str) -> tuple[str, int]:
     out = []
+    start = i
     i += 1
     while i < len(src):
         c = src[i]
@@ -49,19 +60,29 @@ def _string(src: str, i: int, quote: str) -> tuple[str, int]:
             esc = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
                    "\\": "\\", "0": "\0", "{": "{", "}": "}"}.get(nxt)
             if esc is None:
-                # lex.rs rejects unknown escapes (issues/6571)
-                raise LexError(f"invalid escape character: \\{nxt}")
+                # lex.rs rejects unknown escapes (issues/6571);
+                # E209 span = the escaped char (lex.rs:244-249)
+                raise LexError(
+                    f"invalid escape character: \\{nxt}", code=209,
+                    title=f"invalid escape character: \\{nxt}",
+                    label=f"invalid escape character: {nxt or 'none'}",
+                    span=(i + 1, i + 2))
             out.append(esc); i += 2
             continue
         if c == quote:
             return "".join(out), i + 1
         out.append(c)
         i += 1
-    raise LexError(f"unterminated string at {i}")
+    raise LexError(f"unterminated string at {i}", code=207,
+                   title="invalid string literal",
+                   label="invalid string literal",
+                   span=(start, start + 1))
 
 
-def _raw(src: str, i: int) -> tuple[str, int]:
-    # s'..' / r'..' / t'..' raw literal: only \' is an escape
+def _raw(src: str, i: int, err_pos: int) -> tuple[str, int]:
+    # s'..' / r'..' / t'..' raw literal: only \' is an escape.
+    # ``err_pos`` is where an unterminated literal is reported
+    # (lex.rs Error::Literal start; see tokenize for the rule).
     quote = src[i]
     out = []
     i += 1
@@ -73,12 +94,15 @@ def _raw(src: str, i: int) -> tuple[str, int]:
         if c == quote:
             return "".join(out), i + 1
         out.append(c); i += 1
-    raise LexError(f"unterminated raw string at {i}")
+    raise LexError(f"unterminated raw string at {i}", code=208,
+                   title="invalid literal", label="invalid literal",
+                   span=(err_pos, err_pos + 1))
 
 
 def tokenize(src: str) -> list[Token]:
     toks: list[Token] = []
     i, n = 0, len(src)
+    open_parens = 0
     while i < n:
         m = _WS.match(src, i)
         if m:
@@ -88,7 +112,7 @@ def tokenize(src: str) -> list[Token]:
             # newline = statement separator (parser skips where
             # insignificant); collapse runs
             if not toks or toks[-1].kind != "NL":
-                toks.append(Token("NL", "\n", i))
+                toks.append(Token("NL", "\n", i, i + 1))
             i = m.end(); continue
         m = _COMMENT.match(src, i)
         if m:
@@ -96,14 +120,20 @@ def tokenize(src: str) -> list[Token]:
         c = src[i]
         # typed raw strings s'..' r'..' t'..'
         if c in "srt" and i + 1 < n and src[i + 1] == "'":
-            body, j = _raw(src, i + 1)
+            # unterminated-literal position: the reference's direct
+            # lexing reports the `s`/`r`/`t` char, while its LQuery
+            # look-ahead scan (active inside call/query contexts)
+            # reports the quote (lex.rs tests:1634-1636 vs 1852-1856);
+            # open parens approximate "inside a scan context"
+            err_pos = i + 1 if open_parens > 0 else i
+            body, j = _raw(src, i + 1, err_pos)
             kind = {"s": "STRING", "r": "REGEX", "t": "TIMESTAMP"}[c]
-            toks.append(Token(kind, body, i))
+            toks.append(Token(kind, body, i, j))
             i = j
             continue
         if c == '"' or c == "'":
             body, j = _string(src, i, c)
-            toks.append(Token("STRING", body, i))
+            toks.append(Token("STRING", body, i, j))
             i = j
             continue
         if c.isascii() and c.isdigit() and toks and toks[-1].kind == "OP" \
@@ -112,7 +142,7 @@ def tokenize(src: str) -> list[Token]:
             # mixed.vrl): after `.` a digits+letters run is a field
             m2 = re.match(r"[0-9][0-9A-Za-z_@]*", src[i:])
             if m2 and not m2.group(0).isdigit():
-                toks.append(Token("IDENT", m2.group(0), i))
+                toks.append(Token("IDENT", m2.group(0), i, i + m2.end()))
                 i += m2.end()
                 continue
         if (c.isascii() and c.isdigit()) or (
@@ -124,30 +154,31 @@ def tokenize(src: str) -> list[Token]:
             m = _NUM.match(src, i)
             text = m.group(0).replace("_", "")
             if "." in text:
-                toks.append(Token("FLOAT", float(text), i))
+                toks.append(Token("FLOAT", float(text), i, m.end()))
             else:
-                toks.append(Token("INT", int(text), i))
+                toks.append(Token("INT", int(text), i, m.end()))
             i = m.end()
             continue
         if c.isascii() and c.isdigit():
             m = _NUM.match(src, i)
             text = m.group(0).replace("_", "")
             toks.append(Token("FLOAT" if "." in text else "INT",
-                              float(text) if "." in text else int(text), i))
+                              float(text) if "." in text else int(text),
+                              i, m.end()))
             i = m.end()
             continue
         matched2 = next((t for t in _TWO_CHAR if src.startswith(t, i)), None)
         if matched2:
-            toks.append(Token("OP", matched2, i))
+            toks.append(Token("OP", matched2, i, i + 2))
             i += 2
             continue
         m = _IDENT.match(src, i)
         if m:
             w = m.group(0)
             if w in KEYWORDS:
-                toks.append(Token(w.upper(), w, i))
+                toks.append(Token(w.upper(), w, i, m.end()))
             else:
-                toks.append(Token("IDENT", w, i))
+                toks.append(Token("IDENT", w, i, m.end()))
             i = m.end()
             continue
         if c == "%":
@@ -159,25 +190,29 @@ def tokenize(src: str) -> list[Token]:
                                    "TIMESTAMP", "IDENT", "RPAREN",
                                    "RBRACKET", "TRUE", "FALSE", "NULL")
             if not operand_end:
-                toks.append(Token("PERCENT_PATH", "%", i))
+                toks.append(Token("PERCENT_PATH", "%", i, i + 1))
                 i += 1
                 continue
         if c in "{}[]()":
             kind = {"{": "LBRACE", "}": "RBRACE", "[": "LBRACKET",
                     "]": "RBRACKET", "(": "LPAREN", ")": "RPAREN"}[c]
-            toks.append(Token(kind, c, i))
+            if kind == "LPAREN":
+                open_parens += 1
+            elif kind == "RPAREN":
+                open_parens = max(0, open_parens - 1)
+            toks.append(Token(kind, c, i, i + 1))
             i += 1
             continue
         if c == ",":
-            toks.append(Token("COMMA", c, i)); i += 1; continue
+            toks.append(Token("COMMA", c, i, i + 1)); i += 1; continue
         if c == ";":
-            toks.append(Token("SEMI", c, i)); i += 1; continue
+            toks.append(Token("SEMI", c, i, i + 1)); i += 1; continue
         if c == ":":
-            toks.append(Token("COLON", c, i)); i += 1; continue
+            toks.append(Token("COLON", c, i, i + 1)); i += 1; continue
         if c == "=":
-            toks.append(Token("ASSIGN", c, i)); i += 1; continue
+            toks.append(Token("ASSIGN", c, i, i + 1)); i += 1; continue
         if c in "+-*/%<>!|.":
-            toks.append(Token("OP", c, i)); i += 1; continue
+            toks.append(Token("OP", c, i, i + 1)); i += 1; continue
         raise LexError(f"unexpected character {c!r} at {i}")
-    toks.append(Token("EOF", None, n))
+    toks.append(Token("EOF", None, n, n))
     return toks

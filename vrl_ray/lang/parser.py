@@ -7,24 +7,46 @@ segs) ('var', name) ('array', items) ('object', pairs) ('call', name,
 bang, args, closure) ('binop', op, l, r) ('not', e) ('if', arms,
 else_block) ('block', stmts) ('assign', targets, op, expr)
 ('abort', expr|None) ('return', expr) ('index', expr, segs).
+
+Positions: every expression node's source span is recorded in
+``Parser.spans`` keyed by ``id(node)`` (nodes stay alive inside the
+returned AST, so ids are stable); ``Parser.meta`` holds per-node
+details diagnostics need (operator/keyword/segment spans).
+``Parser.diags`` collects parse-level diagnostics the reference
+reports with recovery — E650 chained comparison, E205 reserved
+keyword, E203 unexpected end of query path (parser.lalrpop error
+recovery; lex.rs reserved idents).
 """
 
 from __future__ import annotations
 
 from .lexer import tokenize, Token, LexError
+from .diagnostics import Diagnostic, Label, RESERVED_IDENTS, note_see_docs
 
 
 class ParseError(ValueError):
-    pass
+    def __init__(self, msg, diag=None):
+        super().__init__(msg)
+        self.diag = diag
 
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src
         try:
             self.toks = tokenize(src)
         except LexError as e:
-            raise ParseError(str(e)) from e
+            err = ParseError(str(e))
+            if e.code is not None:
+                err.diag = Diagnostic(e.code, e.title,
+                                      [Label(e.label, e.span)])
+            raise err from e
         self.i = 0
+        self.spans: dict = {}
+        self.meta: dict = {}
+        self.diags: list = []
+        self._diag_spans: set = set()
+        self._last_segspans: list = []
 
     # --- token helpers ---
     def peek(self, off=0) -> Token:
@@ -53,6 +75,20 @@ class Parser:
         while self.peek().kind == "NL":
             self.next()
 
+    def _last_end(self) -> int:
+        return self.toks[self.i - 1].end if self.i else 0
+
+    def _rec(self, node, start):
+        if isinstance(node, tuple):
+            self.spans[id(node)] = (start, self._last_end())
+        return node
+
+    def _diag(self, diag: Diagnostic):
+        key = (diag.code, diag.labels[0].start)
+        if key not in self._diag_spans:
+            self._diag_spans.add(key)
+            self.diags.append(diag)
+
     # --- program ---
     def parse_program(self) -> list:
         stmts = []
@@ -65,14 +101,19 @@ class Parser:
 
     def parse_statement(self):
         if self.peek().kind == "ABORT":
-            self.next()
+            kw = self.next()
             msg = None
             if self.peek().kind not in ("EOF", "SEMI", "RBRACE", "NL"):
                 msg = self.parse_expr()
-            return ("abort", msg)
+            node = ("abort", msg)
+            self.spans[id(node)] = (kw.pos, self._last_end())
+            self.meta[id(node)] = {"kw": (kw.pos, kw.end)}
+            return node
         if self.peek().kind == "RETURN":
-            self.next()
-            return ("return", self.parse_expr())
+            kw = self.next()
+            node = ("return", self.parse_expr())
+            self.spans[id(node)] = (kw.pos, self._last_end())
+            return node
         # try assignment (backtracking)
         save = self.i
         asgn = self._try_assignment()
@@ -82,24 +123,37 @@ class Parser:
         return self.parse_expr()
 
     def _try_assignment(self):
+        start = self.peek().pos
         targets = []
+        tspans = []
         while True:
+            tstart = self.peek().pos
             t = self._try_target()
             if t is None:
                 return None
             targets.append(t)
+            tspans.append((tstart, self._last_end()))
             if not self.accept("COMMA"):
                 break
         op = None
-        if self.accept("ASSIGN"):
+        op_tok = self.accept("ASSIGN")
+        if op_tok is not None:
             op = "="
-        elif self.accept("OP", "|="):
-            op = "|="
         else:
-            return None
+            op_tok = self.accept("OP", "|=")
+            if op_tok is not None:
+                op = "|="
+            else:
+                return None
         self.skip_nl()
+        estart = self.peek().pos
         expr = self.parse_expr()
-        return ("assign", targets, op, expr)
+        node = ("assign", targets, op, expr)
+        self.spans[id(node)] = (start, self._last_end())
+        self.meta[id(node)] = {
+            "tspans": tspans, "op_span": (op_tok.pos, op_tok.end),
+            "expr_span": (estart, self._last_end())}
+        return node
 
     def _try_target(self):
         t = self.peek()
@@ -111,137 +165,213 @@ class Parser:
             # variable target, possibly var.path — but NOT a function call
             if self.peek(1).kind == "LPAREN":
                 return None
-            name = self.next().value
+            tok = self.next()
+            name = tok.value
+            if name in RESERVED_IDENTS:
+                self._reserved(tok)
             if name == "_":
                 return ("discard",)
             segs = self._parse_path_continuation()
             if segs:
-                return ("varpath", name, segs)
-            return ("var", name)
+                node = ("varpath", name, segs)
+                self.meta[id(node)] = {
+                    "name_span": (tok.pos, tok.end),
+                    "segspans": list(self._last_segspans)}
+                return node
+            node = ("var", name)
+            self.spans[id(node)] = (tok.pos, tok.end)
+            return node
         return None
+
+    def _reserved(self, tok):
+        """E205 (lex.rs:220-226): reserved identifier outside
+        function-call position."""
+        self._diag(Diagnostic(205, "reserved keyword", [
+            Label("this identifier name is reserved for future use "
+                  "in the language", (tok.pos, tok.end)),
+            Label.context("use a different name instead",
+                          (tok.pos, tok.end))]))
 
     # --- expressions (precedence per ast.rs:708-723) ---
     def parse_expr(self):
-        return self.parse_err()
+        start = self.peek().pos
+        return self._rec(self.parse_err(), start)
 
     def parse_err(self):
-        left = self.parse_or()
-        while self.accept("OP", "??"):
+        start = self.peek().pos
+        left = self._rec(self.parse_or(), start)
+        while True:
+            op_tok = self.accept("OP", "??")
+            if op_tok is None:
+                return left
             self.skip_nl()
-            right = self.parse_or()
+            rstart = self.peek().pos
+            right = self._rec(self.parse_or(), rstart)
             left = ("binop", "??", left, right)
-        return left
+            self._rec(left, start)
+            self.meta[id(left)] = {"op_span": (op_tok.pos, op_tok.end)}
 
     def parse_or(self):
-        left = self.parse_and()
+        start = self.peek().pos
+        left = self._rec(self.parse_and(), start)
         while self.accept("OP", "||"):
             self.skip_nl()
-            left = ("binop", "||", left, self.parse_and())
+            rstart = self.peek().pos
+            left = ("binop", "||", left,
+                    self._rec(self.parse_and(), rstart))
+            self._rec(left, start)
         return left
 
     def parse_and(self):
-        left = self.parse_eq()
+        start = self.peek().pos
+        left = self._rec(self.parse_eq(), start)
         while self.accept("OP", "&&"):
             self.skip_nl()
-            left = ("binop", "&&", left, self.parse_eq())
+            rstart = self.peek().pos
+            left = ("binop", "&&", left,
+                    self._rec(self.parse_eq(), rstart))
+            self._rec(left, start)
         return left
 
+    def _chained_cmp(self, op_tok):
+        """E650 (op.rs ChainedComparison): second comparison operator
+        at the same precedence level."""
+        self._diag(Diagnostic(
+            650, "comparison operators can't be chained together",
+            [Label("", (op_tok.pos, op_tok.end))],
+            notes=[note_see_docs("comparisons", "comparison")]))
+
     def parse_eq(self):
-        left = self.parse_cmp()
+        start = self.peek().pos
+        left = self._rec(self.parse_cmp(), start)
+        seen = False
         while True:
-            if self.accept("OP", "=="):
+            op_tok = self.peek()
+            if op_tok.kind == "OP" and op_tok.value in ("==", "!="):
+                self.next()
+                if seen:
+                    self._chained_cmp(op_tok)
+                seen = True
                 self.skip_nl()
-                left = ("binop", "==", left, self.parse_cmp())
-            elif self.accept("OP", "!="):
-                self.skip_nl()
-                left = ("binop", "!=", left, self.parse_cmp())
+                rstart = self.peek().pos
+                left = ("binop", op_tok.value, left,
+                        self._rec(self.parse_cmp(), rstart))
+                self._rec(left, start)
             else:
                 return left
 
     def parse_cmp(self):
-        left = self.parse_merge()
+        start = self.peek().pos
+        left = self._rec(self.parse_merge(), start)
+        seen = False
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value in (">", ">=", "<", "<="):
                 self.next()
+                if seen:
+                    self._chained_cmp(t)
+                seen = True
                 self.skip_nl()
-                left = ("binop", t.value, left, self.parse_merge())
+                rstart = self.peek().pos
+                left = ("binop", t.value, left,
+                        self._rec(self.parse_merge(), rstart))
+                self._rec(left, start)
             else:
                 return left
 
     def parse_merge(self):
-        left = self.parse_add()
+        start = self.peek().pos
+        left = self._rec(self.parse_add(), start)
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value == "|":
                 # not a closure delimiter: merge operator
                 self.next()
                 self.skip_nl()
-                left = ("binop", "|", left, self.parse_add())
+                rstart = self.peek().pos
+                left = ("binop", "|", left,
+                        self._rec(self.parse_add(), rstart))
+                self._rec(left, start)
             else:
                 return left
 
     def parse_add(self):
-        left = self.parse_mul()
+        start = self.peek().pos
+        left = self._rec(self.parse_mul(), start)
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value in ("+", "-"):
                 self.next()
                 self.skip_nl()
-                left = ("binop", t.value, left, self.parse_mul())
+                rstart = self.peek().pos
+                left = ("binop", t.value, left,
+                        self._rec(self.parse_mul(), rstart))
+                self._rec(left, start)
             else:
                 return left
 
     def parse_mul(self):
-        left = self.parse_unary()
+        start = self.peek().pos
+        left = self._rec(self.parse_unary(), start)
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value in ("*", "/", "%"):
                 self.next()
                 self.skip_nl()
-                left = ("binop", t.value, left, self.parse_unary())
+                rstart = self.peek().pos
+                left = ("binop", t.value, left,
+                        self._rec(self.parse_unary(), rstart))
+                self._rec(left, start)
             else:
                 return left
 
     def parse_unary(self):
-        if self.accept("OP", "!"):
-            return ("not", self.parse_unary())
+        bang = self.accept("OP", "!")
+        if bang is not None:
+            node = ("not", self.parse_unary())
+            self.spans[id(node)] = (bang.pos, self._last_end())
+            self.meta[id(node)] = {"bang": (bang.pos, bang.end)}
+            return node
         return self.parse_postfix()
 
     def parse_postfix(self):
-        e = self.parse_primary()
+        start = self.peek().pos
+        e = self._rec(self.parse_primary(), start)
         segs = self._parse_path_continuation()
         if segs:
-            return ("index", e, segs)
+            node = ("index", e, segs)
+            self._rec(node, start)
+            self.meta[id(node)] = {"segspans": list(self._last_segspans)}
+            return node
         return e
 
     def parse_primary(self):
         t = self.peek()
         if t.kind == "STRING":
             self.next()
-            return ("lit", t.value)
+            return self._rec(("lit", t.value), t.pos)
         if t.kind == "REGEX":
             self.next()
-            return ("regex", t.value)
+            return self._rec(("regex", t.value), t.pos)
         if t.kind == "TIMESTAMP":
             self.next()
-            return ("ts", t.value)
+            return self._rec(("ts", t.value), t.pos)
         if t.kind in ("INT", "FLOAT"):
             self.next()
-            return ("lit", t.value)
+            return self._rec(("lit", t.value), t.pos)
         if t.kind == "TRUE":
             self.next()
-            return ("lit", True)
+            return self._rec(("lit", True), t.pos)
         if t.kind == "FALSE":
             self.next()
-            return ("lit", False)
+            return self._rec(("lit", False), t.pos)
         if t.kind == "NULL":
             self.next()
-            return ("lit", None)
+            return self._rec(("lit", None), t.pos)
         if t.kind == "OP" and t.value == "-":
             self.next()
             inner = self.parse_unary()
-            return ("binop", "-", ("lit", 0), inner)
+            return self._rec(("binop", "-", ("lit", 0), inner), t.pos)
         if t.kind == "OP" and t.value == ".":
             return self._parse_path()
         if t.kind == "PERCENT_PATH":
@@ -249,7 +379,7 @@ class Parser:
         if t.kind == "ABORT":
             # `abort` in expression position (block/abort_check.vrl)
             self.next()
-            return ("abort", None)
+            return self._rec(("abort", None), t.pos)
         if t.kind == "LPAREN":
             # group: one or more statements (`;`/newline separated) —
             # multiline predicates are statement groups
@@ -277,12 +407,14 @@ class Parser:
             ):
                 return self._parse_call()
             self.next()
-            return ("var", t.value)
+            if t.value in RESERVED_IDENTS:
+                self._reserved(t)
+            return self._rec(("var", t.value), t.pos)
         raise ParseError(f"unexpected token {t.kind} {t.value!r} at {t.pos}")
 
     # --- compound forms ---
     def _parse_array(self):
-        self.expect("LBRACKET")
+        start = self.expect("LBRACKET").pos
         items = []
         self.skip_nl()
         while not self.accept("RBRACKET"):
@@ -292,7 +424,7 @@ class Parser:
                 self.expect("RBRACKET")
                 break
             self.skip_nl()
-        return ("array", items)
+        return self._rec(("array", items), start)
 
     def _parse_object_or_block(self):
         # object: `{ "key": ... }` or `{}`; else block
@@ -301,7 +433,7 @@ class Parser:
             j += 1
         if (self.peek(j).kind == "STRING" and self.peek(j + 1).kind == "COLON") \
                 or self.peek(j).kind == "RBRACE":
-            self.expect("LBRACE")
+            start = self.expect("LBRACE").pos
             pairs = []
             self.skip_nl()
             while not self.accept("RBRACE"):
@@ -314,11 +446,11 @@ class Parser:
                     self.expect("RBRACE")
                     break
                 self.skip_nl()
-            return ("object", pairs)
+            return self._rec(("object", pairs), start)
         return self._parse_braced_block()
 
     def _parse_if(self):
-        self.expect("IF")
+        start = self.expect("IF").pos
         arms = []
         cond = self.parse_expr()
         body = self._parse_braced_block()
@@ -339,27 +471,30 @@ class Parser:
             else:
                 else_block = self._parse_braced_block()
                 break
-        return ("if", arms, else_block)
+        return self._rec(("if", arms, else_block), start)
 
     def _parse_braced_block(self):
         self.skip_nl()
-        self.expect("LBRACE")
+        start = self.expect("LBRACE").pos
         stmts = []
         self.skip_nl()
         while not self.accept("RBRACE"):
             stmts.append(self.parse_statement())
             while self.accept("SEMI") or self.accept("NL"):
                 pass
-        return ("block", stmts)
+        return self._rec(("block", stmts), start)
 
     def _parse_call(self):
         name_tok = self.expect("IDENT")
         name = name_tok.value
-        bang = bool(self.accept("OP", "!"))
+        bang_tok = self.accept("OP", "!")
+        bang = bang_tok is not None
         self.expect("LPAREN")
         args = []
+        kw_spans = []
         end_pos = None
         self.skip_nl()
+        args_start = self.peek().pos
         while True:
             rp = self.accept("RPAREN")
             if rp is not None:
@@ -367,11 +502,14 @@ class Parser:
                 break
             if self.peek().kind in ("IDENT", "NULL", "TRUE", "FALSE", "IF",
                                     "ELSE") and self.peek(1).kind == "COLON":
-                aname = str(self.next().value)
+                kw_tok = self.next()
+                aname = str(kw_tok.value)
+                kw_spans.append((kw_tok.pos, kw_tok.end))
                 self.next()  # colon
                 self.skip_nl()
                 args.append((aname, self.parse_expr()))
             else:
+                kw_spans.append(None)
                 args.append((None, self.parse_expr()))
             self.skip_nl()
             if not self.accept("COMMA"):
@@ -379,6 +517,7 @@ class Parser:
                 end_pos = rp.pos + 1
                 break
             self.skip_nl()
+        args_end = rp.pos
         closure = None
         if self.accept("OP", "->"):
             self.expect("OP", "|")
@@ -390,26 +529,45 @@ class Parser:
             closure = (params, body)
         # span of the call expression (reference diagnostics carry it:
         # `function call error for "f" at (start:end): ...`)
-        return ("call", name, bang, args, closure,
+        node = ("call", name, bang, args, closure,
                 (name_tok.pos, end_pos))
+        self.spans[id(node)] = (name_tok.pos, end_pos)
+        self.meta[id(node)] = {
+            "ident_span": (name_tok.pos, name_tok.end),
+            "bang_span": (bang_tok.pos, bang_tok.end) if bang else None,
+            "args_span": (args_start, args_end),
+            "kw_spans": kw_spans}
+        return node
 
     def _parse_path(self):
         prefix = "event"
-        if self.accept("PERCENT_PATH"):
+        start = self.peek().pos
+        pp = self.accept("PERCENT_PATH")
+        if pp is not None:
             prefix = "meta"
             if self.peek().kind == "IDENT":
-                name = self.next().value
-                segs = [name] + self._parse_path_continuation()
-                return ("path", prefix, segs)
+                tok = self.next()
+                segspans = [(tok.pos, tok.end)]
+                segs = [tok.value] + self._parse_path_continuation()
+                segspans += self._last_segspans
+                node = ("path", prefix, segs)
+                self._rec(node, start)
+                self.meta[id(node)] = {"segspans": segspans}
+                return node
             # bare `%` = whole metadata
-            return ("path", prefix, [])
+            return self._rec(("path", prefix, []), start)
         self.expect("OP", ".")
         t = self.peek()
         if t.kind == "IDENT" or t.kind == "STRING" or t.kind in (
                 "IF", "ELSE", "TRUE", "FALSE", "NULL", "RETURN", "ABORT"):
             self.next()
+            segspans = [(t.pos, t.end)]
             segs = [str(t.value)] + self._parse_path_continuation()
-            return ("path", prefix, segs)
+            segspans += self._last_segspans
+            node = ("path", prefix, segs)
+            self._rec(node, start)
+            self.meta[id(node)] = {"segspans": segspans}
+            return node
         if t.kind == "LPAREN":
             # coalesced field `.(a|b)` — take first alternative
             self.next()
@@ -418,26 +576,52 @@ class Parser:
                 self.expect("IDENT")
             self.expect("RPAREN")
             segs = [first] + self._parse_path_continuation()
-            return ("path", prefix, segs)
+            return self._rec(("path", prefix, segs), start)
         # bare `.` = whole event
-        return ("path", prefix, [])
+        return self._rec(("path", prefix, []), start)
+
+    def _end_of_path(self, dot_tok):
+        """E203 (parser.lalrpop error recovery, UnrecognizedToken):
+        a query path's trailing `.` with no following segment."""
+        self._diag(Diagnostic(203, "syntax error", [
+            Label("unexpected end of query path",
+                  (dot_tok.pos, dot_tok.end)),
+            Label.context(
+                'expected one of: "identifier", "path field", '
+                '"string literal", "abort", "return"',
+                (dot_tok.pos, dot_tok.end))]))
 
     def _parse_path_continuation(self) -> list:
         segs: list = []
+        segspans: list = []
         while True:
             t = self.peek()
-            if t.kind == "OP" and t.value == "." and self.peek(1).kind in (
-                    "IDENT", "STRING", "IF", "ELSE", "TRUE", "FALSE", "NULL",
-                    "RETURN", "ABORT"):
-                self.next()
-                segs.append(str(self.next().value))
-                continue
+            if t.kind == "OP" and t.value == ".":
+                nxt = self.peek(1)
+                if nxt.kind in ("IDENT", "STRING", "IF", "ELSE", "TRUE",
+                                "FALSE", "NULL", "RETURN", "ABORT"):
+                    self.next()
+                    seg_tok = self.next()
+                    segs.append(str(seg_tok.value))
+                    segspans.append((seg_tok.pos, seg_tok.end))
+                    continue
+                if t.pos == self._last_end() and t.pos > 0 and \
+                        nxt.kind in ("EOF", "NL", "SEMI", "RBRACE",
+                                     "RPAREN", "RBRACKET", "COMMA"):
+                    # `.foo.` — dot glued to the path, no segment after
+                    self.next()
+                    self._end_of_path(t)
+                    continue
+                self._last_segspans = segspans
+                return segs
             if t.kind == "LBRACKET" and self.peek(1).kind == "INT" and \
                     self.peek(2).kind == "RBRACKET":
                 self.next()
                 segs.append(int(self.next().value))
-                self.next()
+                rb = self.next()
+                segspans.append((t.pos, rb.end))
                 continue
+            self._last_segspans = segspans
             return segs
 
 

@@ -254,7 +254,9 @@ def _kind_at(kind: Kind, segs: list) -> Kind:
     for seg in segs:
         parent_approx = kind.approx
         if kind.is_any:
-            return Kind.any()
+            # keep the approx taint: `any` from a coarse-table result
+            # must not force fallibility downstream (unnest_typedefs)
+            return kind
         if isinstance(seg, str):
             if kind.obj is not None:
                 inner = kind.obj.known.get(
