@@ -459,27 +459,60 @@ def events_vrl_remap(sf_dir: str):
 
 
 def events_logfmt_roundtrip(sf_dir: str):
-    """encode_logfmt → parse_key_value round-trip per event (row-level
-    stdlib parity exercised through the pipeline); oracle is the
-    identity projection."""
-    from vrl_ray.functions.codec import encode_logfmt
-    from vrl_ray.functions.parse import parse_key_value
+    """encode_logfmt → parse_key_value round-trip per event, fully
+    vectorized: the logfmt line is BUILT with Arrow kernels (quoting
+    mask per encode_key_value.rs: empty / padded / contains space,
+    quote or '='), parsed back with the RE2 VectorKV extractor,
+    and the value lane cast to float64. Rows whose event_type needs
+    escape sequences (backslash or quote — not expressible as a
+    regular unescape) take the exact row-level stdlib fallback.
+    Oracle is the identity projection."""
+    from vrl_ray.functions.vectorized import VectorKV
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    kv = VectorKV(["event_type", "value"])
 
     def roundtrip(b: pa.Table) -> pa.Table:
-        ids = b["event_id"].to_pylist()
-        ets = b["event_type"].to_pylist()
-        vals = b["value"].to_pylist()
-        out_et, out_val = [], []
-        for et, v in zip(ets, vals):
-            line = encode_logfmt({"event_type": et, "value": v})
-            parsed = parse_key_value(line)
-            out_et.append(parsed["event_type"])
-            out_val.append(float(parsed["value"]))
-        return pa.table({"event_id": pa.array(ids, pa.int64()),
-                         "event_type": pa.array(out_et, pa.string()),
-                         "value": pa.array(out_val, pa.float64())})
+        import numpy as np
+
+        et = pc.cast(b["event_type"], pa.string()).combine_chunks()
+        val_s = pc.cast(b["value"], pa.string()).combine_chunks()
+
+        # rows needing escape handling → row-level stdlib (exact oracle)
+        esc_mask = pc.fill_null(
+            pc.match_substring_regex(et, r'["\\]'), True)
+        esc_idx = np.flatnonzero(esc_mask.to_numpy(zero_copy_only=False))
+
+        needs_q = pc.or_(pc.equal(et, ""),
+                         pc.match_substring_regex(et, r'[ "=]|^\s|\s$'))
+        quoted = pc.binary_join_element_wise('"', et, '"', "")
+        et_enc = pc.if_else(pc.fill_null(needs_q, True), quoted, et)
+        lines = pc.binary_join_element_wise(
+            "event_type=", et_enc, " value=", val_s, "")
+
+        parsed = kv.extract(lines)
+        out_et, out_val = parsed["event_type"], \
+            pc.cast(parsed["value"], pa.float64())
+
+        if len(esc_idx):
+            from vrl_ray.functions.codec import encode_logfmt
+            from vrl_ray.functions.parse import parse_key_value
+            et_py, v_py = et.to_pylist(), b["value"].to_pylist()
+            fix_et, fix_v = [], []
+            for i in esc_idx:
+                p = parse_key_value(encode_logfmt(
+                    {"event_type": et_py[i], "value": v_py[i]}))
+                fix_et.append(p["event_type"])
+                fix_v.append(float(p["value"]))
+            out_et = pc.replace_with_mask(
+                out_et, pa.array(esc_mask.to_numpy(zero_copy_only=False)),
+                pa.array(fix_et, pa.string()))
+            out_val = pc.replace_with_mask(
+                out_val, pa.array(esc_mask.to_numpy(zero_copy_only=False)),
+                pa.array(fix_v, pa.float64()))
+
+        return pa.table({"event_id": pc.cast(b["event_id"], pa.int64()),
+                         "event_type": out_et, "value": out_val})
 
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
