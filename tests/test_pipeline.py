@@ -195,6 +195,37 @@ class TestFusedStage:
         assert n_files == int(res["agg_tool"]["n"].sum())
 
 
+class TestAggParquetOut:
+    """agg_out='parquet' (scale-out aggregates, VERDICT r2 item 7):
+    the distributed-combine parquet output must equal the pandas
+    output — compared via a DISTRIBUTED full-outer join, not by
+    pulling frames (the conv aggregate is O(distinct conv_id))."""
+
+    def test_parquet_agg_equals_pandas_via_join(self, ray_session, tmp_path):
+        import ray.data as rd
+        from vrl_ray.pipelines.transcript import run_flagship
+        from vrl_ray.sources.transcripts import transcript_dataset
+
+        r_pd = run_flagship(transcript_dataset(80, seed=11),
+                            str(tmp_path / "a"))
+        r_pq = run_flagship(transcript_dataset(80, seed=11),
+                            str(tmp_path / "b"), agg_out="parquet")
+
+        assert r_pq["metrics"]["rows"] == r_pd["metrics"]["rows"]
+
+        for name, keys in (("agg_conv", ["sink", "conv_id"]),
+                           ("agg_tool", ["sink", "tool"])):
+            ref = rd.from_pandas(
+                r_pd[name].rename(columns={"n": "n_ref"}))
+            joined = r_pq[name].join(
+                ref, join_type="full_outer", num_partitions=2,
+                on=tuple(keys))
+            bad = joined.filter(
+                lambda r: r["n"] != r["n_ref"]).count()
+            assert bad == 0, f"{name}: {bad} mismatched keys"
+            assert joined.count() == len(r_pd[name])
+
+
 class TestEnrichmentTableFile:
     """VRL enrichment-table parity: tables loaded from a file once per
     actor (enrich.py load_enrichment_table)."""

@@ -133,12 +133,20 @@ def run_flagship(
     write_sinks: bool = True,
     enrich_concurrency: Optional[int] = None,
     batch_size: int = 65536,
+    agg_out: str = "pandas",
 ):
     """Run the full pipeline in ONE streaming pass and ONE fused
     operator: read → [parse → enrich → route → write sinks] →
     two-phase aggregate (both key sets). Returns the two aggregate
     frames + metrics. ``input_path`` may be a path (str) or a
-    Dataset."""
+    Dataset.
+
+    ``agg_out="pandas"`` (default) returns the aggregates as pandas
+    frames — right for bounded keys tested here. ``agg_out="parquet"``
+    (scale-out, VERDICT r2 item 7) writes them to
+    ``out_dir/agg/{tool,conv}/`` via a distributed combine and returns
+    lazy Datasets instead: at 10^12 turns the conv-keyed frame is
+    O(distinct conv_id) and must never land on the driver."""
     import ray
     import ray.data as rd
 
@@ -176,12 +184,23 @@ def run_flagship(
         agg_src = agg_src.select_columns(["sink", "conv_id", "tool"])
 
     stats: dict = {}
+    agg_dir = None
+    if agg_out == "parquet":
+        assert out_dir is not None, "agg_out='parquet' needs out_dir"
+        agg_dir = os.path.join(out_dir, "agg")
+    elif agg_out != "pandas":
+        raise ValueError("agg_out must be 'pandas' or 'parquet'")
     aggs = count_by_multi(agg_src, {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS},
-                          stats_out=stats)
+                          stats_out=stats, out_dir=agg_dir)
     tool_tbl = aggs["tool"]
     conv_tbl = aggs["conv"]
     metrics["wall_sec"] = time.time() - t0
-    metrics["rows"] = int(tool_tbl["n"].sum()) if len(tool_tbl) else 0
+    if agg_out == "parquet":
+        # distributed sum over the (small) tool aggregate — no frame pull
+        metrics["rows"] = int(tool_tbl.sum("n") or 0)
+        metrics["agg_dir"] = agg_dir
+    else:
+        metrics["rows"] = int(tool_tbl["n"].sum()) if len(tool_tbl) else 0
     metrics["stage_stats"] = stats.get("stats", "")
     metrics["agg_phases"] = stats.get("phases", {})
     if write_sinks:

@@ -61,7 +61,7 @@ def count_by_small(ds, keys: list[str]):
 
 
 def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
-                   max_driver_rows: int = 2_000_000):
+                   max_driver_rows: int = 2_000_000, out_dir=None):
     """Several grouped counts in ONE pass over the input (one read, one
     shuffle instead of one per aggregation): each batch emits partials
     for every key set, tagged and reshaped to a common schema
@@ -77,6 +77,14 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
 
     Returns ``{name: pandas.DataFrame(keys + ['n'])}``. All key
     columns must be string-typed.
+
+    ``out_dir`` (scale-out path): when set, the combine is ALWAYS
+    distributed and each key set's result is written to
+    ``out_dir/<name>/`` as parquet; the return value is
+    ``{name: ray.data.Dataset}`` (lazy read-back) and the driver never
+    holds a frame — at 10^12 turns the conv-keyed result is O(distinct
+    conv_id), which belongs in the cluster, not on the driver
+    (VERDICT r2 item 7).
     """
     import pandas as pd
     import pyarrow.compute as pc
@@ -125,6 +133,48 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
     mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
     t1 = _time.time()
     total_partials = mat.count()  # metadata count on materialized blocks
+    if out_dir is not None:
+        # scale-out combine: distributed groupby, results land in
+        # parquet (one directory per key set), driver pull = ZERO rows
+        import os
+
+        from ray.data.aggregate import Sum
+
+        # materialize the merged counts once so the per-key-set split
+        # below doesn't re-run the shuffle per key set
+        merged_mat = mat.groupby(group_cols).aggregate(
+            Sum("n", alias_name="n")).materialize()
+        t2 = _time.time()
+
+        def _splitter(which: str, keys: list[str]):
+            def split(b: pa.Table) -> pa.Table:
+                sub = b.filter(pc.equal(b["which"], which))
+                cols = {k: sub[f"k{i}"] for i, k in enumerate(keys)}
+                cols["n"] = sub["n"]
+                return pa.table(cols)
+            return split
+
+        import ray.data as rd
+
+        out_ds: dict = {}
+        for which, keys in key_sets.items():
+            d = os.path.join(out_dir, which)
+            merged_mat.map_batches(
+                _splitter(which, keys),
+                batch_format="pyarrow").write_parquet(d)
+            out_ds[which] = rd.read_parquet(d)
+        t3 = _time.time()
+        if stats_out is not None:
+            stats_out["stats"] = mat.stats()
+            stats_out["phases"] = {
+                "map_and_partials_sec": round(t1 - t0, 2),
+                "driver_pull_sec": 0.0,
+                "shuffle_and_write_sec": round(t3 - t2, 2),
+                "partial_rows": int(total_partials),
+                "driver_pulled_rows": 0,
+                "combine": "distributed-parquet",
+            }
+        return out_ds
     if total_partials <= max_driver_rows:
         combine = "driver"
         tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
