@@ -285,3 +285,103 @@ class TestXxh3:
         from vrl_ray.functions.checksum import xxh3_64
 
         assert xxh3_64(b"") == 0x2D06800538D394C2
+
+
+def _xsum_fill(n: int) -> bytes:
+    """The public xxHash XSUM sanity buffer: byteGen starts at
+    PRIME32_1, each byte is its top byte, then byteGen *= PRIME64_1."""
+    byte_gen = 2654435761
+    p64 = 11400714785074694797
+    out = bytearray(n)
+    for i in range(n):
+        out[i] = (byte_gen >> 56) & 0xFF
+        byte_gen = (byte_gen * p64) & 0xFFFFFFFFFFFFFFFF
+    return bytes(out)
+
+
+# (xxh3_64, xxh3_128 low64, xxh3_128 high64) over the XSUM sanity
+# buffer, generated from the system libxxhash.so.0.8.1 (the canonical
+# implementation). Lengths cover every branch: empty / 1-3 / 4-8 /
+# 9-16 / 17-128 (each unroll level) / 129-240 midsize / >240 long
+# (partial stripe, exact stripe, block boundary, multi-block).
+_XSUM_VECTORS = {
+    0: (0x2D06800538D394C2, 0x6001C324468D497F, 0x99AA06D3014798D8),
+    1: (0xC44BDFF4074EECDB, 0xC44BDFF4074EECDB, 0xA6CD5E9392000F6A),
+    3: (0x54247382A8D6B94D, 0x54247382A8D6B94D, 0x20EFC49FF02422EA),
+    4: (0xE5DC74BC51848A51, 0x2E7D8D6876A39FE9, 0x970D585AC632BF8E),
+    8: (0x24CCC9ACAA9F65E4, 0x64C69CAB4BB21DC5, 0x47A7F080D82BB456),
+    9: (0x14D5001C15DD3F2B, 0xED7CCBC501EB7501, 0x564EF6078950D457),
+    16: (0x981B17D36C7498C9, 0x562980258A998629, 0xC68C368ECF8A9C05),
+    17: (0x796F5ACD3A60F862, 0xABBC12D11973D7DB, 0x955FA78643ED3669),
+    32: (0x9FEADDBDBF57EED3, 0x278410A17595E3F9, 0x98FC6458710DC2E8),
+    33: (0xABFB2D081B400A10, 0xE593BC4E5914C9D1, 0x3103C192CEAA2DED),
+    64: (0x9CB48487720EC49D, 0xEFDB6A44690721A9, 0x6D90E81A9B0FD622),
+    65: (0xFD81AAC4BEBC3883, 0xFE2F650FA500EC6E, 0x6C074D65E54DB85A),
+    96: (0x935A769A7F94776F, 0xE9324473EA9AFEBE, 0xD9D0B885F56C93F1),
+    97: (0xCA4CA268FD3C3A6C, 0x7C87228AE9671BA7, 0x09DFF37FAA6B284C),
+    128: (0xFCFF24126754D861, 0xEBB15E34A7FB5AB1, 0x39992220E045260A),
+    129: (0x98F1B0A679A2CA29, 0x86C9E3BC8F0A3B5C, 0x03815FC91F1B30B6),
+    160: (0x9D03A319ED4CBD2B, 0x737126C8D7C09CEE, 0xBA5D218964B622AD),
+    195: (0xCD94217EE362EC3A, 0x3FB593C086A66075, 0x7729543A26B207EE),
+    240: (0x81C3C2B67F568CCF, 0x5C9AAE94C8EBE5A0, 0xAA4202DAA2769DC8),
+    241: (0xC5A639ECD2030E5E, 0xC5A639ECD2030E5E, 0x99A80ECF0ECFC647),
+    256: (0x55DE574AD89D0AC5, 0x55DE574AD89D0AC5, 0x8B1C66091423D288),
+    512: (0x617E49599013CB6B, 0x617E49599013CB6B, 0x18D2D110DCC9BCA1),
+    1024: (0xDD85C9B5C1109C5C, 0xDD85C9B5C1109C5C, 0x0D30D24071C64C57),
+    1025: (0xD870C0FA13211C6A, 0xD870C0FA13211C6A, 0xFD3EE4FE7F2954C6),
+    2048: (0xDD59E2C3A5F038E0, 0xDD59E2C3A5F038E0, 0xF736557FD47073A5),
+    2240: (0x6E73A90539CF2948, 0x6E73A90539CF2948, 0xCCB134FBFA7CE49D),
+    2243: (0xFDD97DDF7A83E7A9, 0xFDD97DDF7A83E7A9, 0x13530813B1EEC8C4),
+    65536: (0x918F7F0F912CA480, 0x918F7F0F912CA480, 0xDEAFBD9DF07EDB70),
+}
+
+
+class TestXxh3LongPaths:
+    """Pin every XXH3 length branch — including the previously
+    unvectored 97-128 / 129-240 midsize and >240 accumulator paths —
+    against vectors from the canonical libxxhash (r3: this caught a
+    corrupt tail in the embedded 192-byte kSecret; all lengths >=97
+    were wrong before)."""
+
+    def test_sanity_vectors_64(self):
+        from vrl_ray.functions.checksum import xxh3_64
+
+        for n, (h64, _, _) in _XSUM_VECTORS.items():
+            assert xxh3_64(_xsum_fill(n)) == h64, f"len {n}"
+
+    def test_sanity_vectors_128(self):
+        from vrl_ray.functions.checksum import xxh3_128
+
+        for n, (_, lo, hi) in _XSUM_VECTORS.items():
+            assert xxh3_128(_xsum_fill(n)) == (lo, hi), f"len {n}"
+
+    def test_fuzz_against_system_libxxhash(self):
+        """Cross-check random inputs against libxxhash when present
+        (always present in this container; skip elsewhere)."""
+        import ctypes
+        import random
+
+        import pytest as _pytest
+
+        try:
+            lib = ctypes.CDLL("libxxhash.so.0")
+        except OSError:
+            _pytest.skip("system libxxhash not available")
+        lib.XXH3_64bits.restype = ctypes.c_uint64
+        lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+
+        class _H128(ctypes.Structure):
+            _fields_ = [("low64", ctypes.c_uint64),
+                        ("high64", ctypes.c_uint64)]
+
+        lib.XXH3_128bits.restype = _H128
+        lib.XXH3_128bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+
+        from vrl_ray.functions.checksum import xxh3_128, xxh3_64
+
+        rng = random.Random(0xC0FFEE)
+        for _ in range(40):
+            data = rng.randbytes(rng.randrange(0, 4096))
+            assert xxh3_64(data) == lib.XXH3_64bits(data, len(data))
+            ref = lib.XXH3_128bits(data, len(data))
+            assert xxh3_128(data) == (ref.low64, ref.high64)

@@ -263,13 +263,17 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # empty-input vector; longer-length paths follow the spec layout
 # (len 4-8 / 9-16 / 17-128 / 129-240 / long-with-accumulators). -------
 
+# The canonical 192-byte kSecret from the public xxHash v0.8 spec,
+# cross-checked byte-for-byte against the system libxxhash.so.0.8.1
+# (tests/test_checksum.py pins every length branch with vectors
+# generated from that library).
 _KSECRET = bytes.fromhex(
     "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
     "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
     "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
-    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d97873f4"
-    "7fd29e8ba929417cbc39c268449c2f520fb8391fb01dda1ea9630c476bad1ba2"
-    "86b893ababcbaea402435b7d4d9f1672d3b7f377288c039c599c8d278b4ef22b")
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d316552629d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e")
 
 _PRIME_MX1 = 0x165667919E3779F9
 _PRIME_MX2 = 0x9FB21C651E98DF25
