@@ -491,6 +491,141 @@ class TestRangeJoin:
             want.update((int(x), int(rrow["rid"])) for x in m["lid"])
         assert got == want and len(want) > 100
 
+    def test_auto_bucket_width_same_pairs(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import range_join
+
+        rng = np.random.default_rng(7)
+        nl, nr = 2000, 150
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 20, nl), pa.int64()),
+            "t": pa.array(rng.integers(0, 50000, nl), pa.int64()),
+            "lid": pa.array(range(nl), pa.int64()),
+        })
+        lo = rng.integers(0, 45000, nr)
+        hi = lo + rng.integers(1, 8000, nr)
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 20, nr), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "rid": pa.array(range(nr), pa.int64()),
+        })
+        # bucket_width=None derives the width from interval stats
+        got = {(r["lid"], r["rid"]) for r in range_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), key="k", point="t",
+            lo="lo", hi="hi", right_cols=["rid"],
+            num_partitions=4).take_all()}
+        ld, rd_ = lt.to_pandas(), rt.to_pandas()
+        want = set()
+        for _, rrow in rd_.iterrows():
+            m = ld[(ld["k"] == rrow["k"]) & (ld["t"] >= rrow["lo"]) &
+                   (ld["t"] <= rrow["hi"])]
+            want.update((int(x), int(rrow["rid"])) for x in m["lid"])
+        assert got == want and len(want) > 50
+
+
+class TestAsofJoinSkew:
+    """hot_key_threshold sub-partitions skewed keys by time range;
+    output must be identical to the unsplit path (pandas merge_asof
+    is the ground truth)."""
+
+    def _expected(self, lt, rt):
+        ldf = lt.to_pandas().sort_values("ts", kind="mergesort")
+        rdf = rt.to_pandas().sort_values("ts", kind="mergesort")
+        return pd.merge_asof(ldf, rdf, on="ts", by="k",
+                             direction="backward") \
+            .sort_values("lid").reset_index(drop=True)
+
+    def _check(self, got, want):
+        got = got.sort_values("lid").reset_index(drop=True)
+        assert len(got) == len(want)
+        a = got["rv_right"].to_numpy()
+        b = want["rv"].to_numpy()
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert bool(np.all(both_nan | np.isclose(a, b, equal_nan=True)))
+
+    def test_hot_key_matches_merge_asof(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import asof_join
+
+        rng = np.random.default_rng(11)
+        # key 0 is pathologically hot: 80% of all rows
+        n_hot, n_cold = 8000, 2000
+        lk = np.concatenate([np.zeros(n_hot, np.int64),
+                             rng.integers(1, 40, n_cold)])
+        lt = pa.table({
+            "k": pa.array(lk, pa.int64()),
+            "ts": pa.array(rng.integers(0, 1_000_000, n_hot + n_cold),
+                           pa.int64()),
+            "lid": pa.array(range(n_hot + n_cold), pa.int64()),
+        })
+        rk = np.concatenate([np.zeros(400, np.int64),
+                             rng.integers(1, 40, 200)])
+        rt = pa.table({
+            "k": pa.array(rk, pa.int64()),
+            "ts": pa.array(rng.integers(0, 1_000_000, 600), pa.int64()),
+            "rv": pa.array(rng.uniform(size=600)),
+        })
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        key="k", ts="ts", value_cols=["rv"],
+                        num_partitions=8, hot_key_threshold=1000,
+                        hot_time_splits=8).to_pandas()
+        self._check(got, self._expected(lt, rt))
+
+    def test_carry_in_across_empty_splits(self, ray_session):
+        """Rights exist ONLY in the earliest time range; every later
+        split must still see them via carry-in (the case a naive
+        time-split silently breaks)."""
+        import ray.data as rd
+
+        from vrl_ray.stages.window import asof_join
+
+        rng = np.random.default_rng(12)
+        n = 5000
+        lt = pa.table({
+            "k": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(rng.integers(0, 1_000_000, n), pa.int64()),
+            "lid": pa.array(range(n), pa.int64()),
+        })
+        # all rights in [0, 10_000) — splits 1..7 have no local right
+        rt = pa.table({
+            "k": pa.array(np.zeros(30, np.int64)),
+            "ts": pa.array(rng.integers(0, 10_000, 30), pa.int64()),
+            "rv": pa.array(rng.uniform(size=30)),
+        })
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        key="k", ts="ts", value_cols=["rv"],
+                        num_partitions=4, hot_key_threshold=500,
+                        hot_time_splits=8).to_pandas()
+        self._check(got, self._expected(lt, rt))
+        # rows past the right range must be filled (carry-in), not null
+        late = got[got["ts"] >= 10_000]
+        assert late["rv_right"].notna().all()
+
+    def test_no_hot_keys_falls_back(self, ray_session):
+        import ray.data as rd
+
+        from vrl_ray.stages.window import asof_join
+
+        rng = np.random.default_rng(13)
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 50, 1000), pa.int64()),
+            "ts": pa.array(rng.integers(0, 100000, 1000), pa.int64()),
+            "lid": pa.array(range(1000), pa.int64()),
+        })
+        rt = pa.table({
+            "k": pa.array(rng.integers(0, 50, 200), pa.int64()),
+            "ts": pa.array(rng.integers(0, 100000, 200), pa.int64()),
+            "rv": pa.array(rng.uniform(size=200)),
+        })
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        key="k", ts="ts", value_cols=["rv"],
+                        num_partitions=8,
+                        hot_key_threshold=10_000).to_pandas()
+        self._check(got, self._expected(lt, rt))
+
 
 class TestSampling:
     def test_hash_sample_deterministic_and_fractional(self, ray_session):

@@ -123,7 +123,9 @@ def top_k_per_key(ds, *, key: str, order_col: str, k: int,
 
 def asof_join(left, right, *, key: str, ts: str,
               value_cols: list[str], suffix: str = "_right",
-              num_partitions: int = 64):
+              num_partitions: int = 64,
+              hot_key_threshold: int | None = None,
+              hot_time_splits: int = 16):
     """As-of join: each left row picks up the LATEST right row with
     ``right.ts <= left.ts`` for the same ``key`` (DuckDB/kdb ASOF JOIN
     semantics; lefts before any right get nulls).
@@ -136,7 +138,14 @@ def asof_join(left, right, *, key: str, ts: str,
     side sorts rights before lefts at equal ts.
 
     Partitioning assumption: one key's rows fit one partition task —
-    the same assumption as any PARTITION BY window."""
+    the same assumption as any PARTITION BY window. For skewed keys
+    that break it, pass ``hot_key_threshold``: keys whose total row
+    count exceeds it are sub-partitioned into ``hot_time_splits``
+    time ranges, each split joined independently after receiving a
+    "carry-in" copy of the latest right row from all earlier splits
+    (at most hot_keys × splits replicated rows — the skew analogue of
+    the LSH hot-bucket guard). Output is identical to the unsplit
+    path; only the partition sizes change."""
     lcols = list(left.schema().names)
 
     # normalize both sides to a common schema:
@@ -205,8 +214,155 @@ def asof_join(left, right, *, key: str, ts: str,
         keep = out.filter(pa.array(side == 1))
         return keep.drop_columns(["_side"])
 
-    return partitioned_apply(u, key, fill,
-                             num_partitions=num_partitions)
+    if hot_key_threshold is None:
+        return partitioned_apply(u, key, fill,
+                                 num_partitions=num_partitions)
+    return _asof_skew_apply(u, key=key, ts=ts, fill=fill,
+                            num_partitions=num_partitions,
+                            threshold=int(hot_key_threshold),
+                            splits=max(2, int(hot_time_splits)))
+
+
+def _np_obj(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.to_pandas(), dtype=object)
+
+
+def _asof_skew_apply(u, *, key: str, ts: str, fill, num_partitions: int,
+                     threshold: int, splits: int):
+    """Skew-aware partition assignment for :func:`asof_join`.
+
+    Detects keys whose union row count exceeds ``threshold`` (pulling
+    ONLY the hot keys to the driver — the counts stay distributed),
+    sub-partitions each into ``splits`` time ranges, and replicates
+    the latest right row of every earlier range into each later one
+    ("carry-in") so each range joins independently. At most
+    ``len(hot) × splits`` rows are replicated."""
+    import ray as _ray
+    import ray.data as rd
+
+    mat = u.materialize()
+
+    counts = mat.groupby(key).count()
+    hot_rows = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], threshold)),
+        batch_format="pyarrow").take_all()
+    if not hot_rows:
+        return partitioned_apply(mat, key, fill,
+                                 num_partitions=num_partitions)
+    hot_keys = sorted(r[key] for r in hot_rows)
+    if len(hot_keys) * splits > 1_000_000:
+        raise ValueError(
+            f"asof_join: {len(hot_keys)} keys exceed hot_key_threshold="
+            f"{threshold}; the threshold is meant for a FEW skewed keys "
+            f"(carry-in replication would be {len(hot_keys) * splits} "
+            f"rows). Raise the threshold.")
+    hot_index = {k: i for i, k in enumerate(hot_keys)}
+    hot_set = pa.array(hot_keys)
+
+    # global ts range of hot rows (map-side partial, <=1 row per block)
+    def _mm(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.is_in(b[key], value_set=hot_set))
+        if len(m) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        tv = _as_int64(m[ts])
+        return pa.table({"lo": pa.array([int(tv.min())]),
+                         "hi": pa.array([int(tv.max())])})
+
+    mm = mat.map_batches(_mm, batch_format="pyarrow").take_all()
+    t_lo = min(r["lo"] for r in mm)
+    t_hi = max(r["hi"] for r in mm)
+    width = max((t_hi - t_lo) // splits + 1, 1)
+
+    def _split_of(tv: np.ndarray) -> np.ndarray:
+        return np.clip((tv - t_lo) // width, 0, splits - 1).astype(np.int64)
+
+    # latest right row per (hot key, split): per-block partial rows
+    # (union schema + _hsplit), then a tiny driver combine.
+    def _latest_right(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mask = pc.and_(pc.is_in(b[key], value_set=hot_set),
+                       pc.equal(b["_side"], 0))
+        m = b.filter(mask)
+        if len(m) == 0:
+            return m.append_column("_hsplit", pa.array([], pa.int64()))
+        tv = _as_int64(m[ts])
+        sp = _split_of(tv)
+        df = pd.DataFrame({"k": _np_obj(m[key]), "s": sp, "t": tv,
+                           "i": np.arange(len(m))})
+        pick = (df.sort_values("t", kind="stable")
+                .groupby(["k", "s"], sort=False).tail(1)["i"]
+                .to_numpy())
+        pick.sort()
+        return m.take(pa.array(pick)).append_column(
+            "_hsplit", pa.array(sp[pick], pa.int64()))
+
+    pmat = mat.map_batches(_latest_right,
+                           batch_format="pyarrow").materialize()
+    ptabs = [t for t in _ray.get(pmat.to_arrow_refs()) if t.num_rows]
+
+    def _pid_hot(kv, sv: int) -> int:
+        return num_partitions + hot_index[kv] * splits + sv
+
+    carry_tbl = None
+    if ptabs:
+        ptab = pa.concat_tables(ptabs)
+        ptv = _as_int64(ptab[ts])
+        psp = ptab["_hsplit"].to_numpy(zero_copy_only=False)
+        pkv = _np_obj(ptab[key])
+        order = np.lexsort((ptv, psp))
+        take_idx: list[int] = []
+        tgt_pid: list[int] = []
+        for k in hot_keys:
+            rows = [i for i in order if pkv[i] == k]
+            run = None
+            pos = 0
+            for s in range(splits):
+                # latest right in split s (rows are (split, ts)-sorted)
+                latest_in_s = None
+                while pos < len(rows) and psp[rows[pos]] == s:
+                    latest_in_s = rows[pos]
+                    pos += 1
+                if run is not None and s > 0:
+                    take_idx.append(run)
+                    tgt_pid.append(_pid_hot(k, s))
+                if latest_in_s is not None:
+                    run = latest_in_s
+        if take_idx:
+            carry_tbl = (ptab.take(pa.array(take_idx, pa.int64()))
+                         .drop_columns(["_hsplit"])
+                         .append_column("_pid",
+                                        pa.array(tgt_pid, pa.int64())))
+
+    def _tag(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pid = _hash_partition_ids(b[key], num_partitions) \
+            .to_numpy(zero_copy_only=False).copy()
+        hot_mask = pc.is_in(b[key], value_set=hot_set) \
+            .to_numpy(zero_copy_only=False)
+        if hot_mask.any():
+            tv = _as_int64(b[ts])[hot_mask]
+            sp = _split_of(tv)
+            hidx = pd.Series(_np_obj(b[key])[hot_mask]) \
+                .map(hot_index).to_numpy(dtype=np.int64)
+            pid[hot_mask] = num_partitions + hidx * splits + sp
+        return b.append_column("_pid", pa.array(pid, pa.int64()))
+
+    tagged = mat.map_batches(_tag, batch_format="pyarrow")
+    if carry_tbl is not None:
+        cols = list(carry_tbl.column_names)
+        tagged = tagged.map_batches(
+            lambda b, _c=cols: b.select(_c), batch_format="pyarrow")
+        tagged = tagged.union(rd.from_arrow(carry_tbl))
+
+    def _apply(g: pa.Table) -> pa.Table:
+        return fill(g.drop_columns(["_pid"]))
+
+    return tagged.groupby("_pid").map_groups(_apply,
+                                             batch_format="pyarrow")
 
 
 def _as_int64(col) -> "np.ndarray":
@@ -217,7 +373,7 @@ def _as_int64(col) -> "np.ndarray":
 
 
 def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
-               bucket_width: int, right_cols: list[str],
+               bucket_width: int | None = None, right_cols: list[str],
                num_partitions: int | None = None,
                max_interval_buckets: int = 1024,
                giant_intervals: str = "error"):
@@ -239,12 +395,38 @@ def range_join(left, right, *, key: str, point: str, lo: str, hi: str,
     ``max_interval_buckets`` buckets: ``"error"`` (default) raises with
     the offending count — clipping would SILENTLY drop matches for
     points past the clip (ADVICE r2); ``"clip"`` restores the old
-    lossy behavior for callers that accept it."""
+    lossy behavior for callers that accept it.
+
+    ``bucket_width=None`` (default) derives the width from interval
+    stats: the mean interval width (≈2× replication of the right
+    side, bounded bucket fan-in), raised if needed so the WIDEST
+    interval fits ``max_interval_buckets`` buckets. The stats pass
+    materializes the right side once (it is re-read by the explode);
+    pass an explicit width to skip it."""
     from .join import join_partitions
 
     if giant_intervals not in ("error", "clip"):
         raise ValueError("giant_intervals must be 'error' or 'clip'")
     num_partitions = join_partitions(num_partitions)
+    if bucket_width is None:
+        right = right.materialize()
+
+        def _wstats(b: pa.Table) -> pa.Table:
+            widths = _as_int64(b[hi]) - _as_int64(b[lo]) + 1
+            return pa.table({"n": pa.array([len(b)]),
+                             "sw": pa.array([int(widths.sum())]),
+                             "mx": pa.array([int(widths.max())])})
+
+        stats = right.map_batches(_wstats, batch_format="pyarrow") \
+            .take_all()
+        n_iv = sum(r["n"] for r in stats)
+        if n_iv == 0:
+            bucket_width = 1
+        else:
+            mean_w = sum(r["sw"] for r in stats) / n_iv
+            mx_w = max(r["mx"] for r in stats)
+            bucket_width = max(1, int(round(mean_w)),
+                               -(-mx_w // max_interval_buckets))
     w = int(bucket_width)
 
     def explode_right(b: pa.Table) -> pa.Table:
