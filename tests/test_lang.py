@@ -160,9 +160,11 @@ class TestVectorize:
 
         batch = pa.table({"s": pa.array(["12", "nope", None])})
         out = VectorProgram(".n, .err = to_int(.s)").run(batch)
-        assert out["n"].to_pylist() == [12, 0, None]
+        # null coerces to 0 with NO error (to_int.rs:12)
+        assert out["n"].to_pylist() == [12, 0, 0]
         assert out["err"].to_pylist()[1] is not None
         assert out["err"].to_pylist()[0] is None
+        assert out["err"].to_pylist()[2] is None
 
     def test_division_by_zero_lane(self):
         import pyarrow as pa
@@ -183,7 +185,7 @@ class TestVectorize:
         for src in (".x = parse_json(.t)",
                     "del(.x)",
                     ".x = {\"k\": 1}",
-                    ".x = filter(.arr) -> |i, v| { v > 1 }"):
+                    ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
 
@@ -198,8 +200,93 @@ class TestVectorize:
                     '.parts = split(.t, " ")',
                     ".pre = slice(.t, 0, 3)",
                     ".h = sha2(.t)",
-                    ".d = map_values(.xs) -> |v| { v * 2 }"):
+                    ".d = map_values(.xs) -> |v| { v * 2 }",
+                    ".f = filter(.xs) -> |_i, v| { v > 1 }"):
             VectorProgram(src)   # must not raise
+
+    def test_filter_closure_parity(self):
+        """r3: filter closure lowering — vector output must match the
+        interpreter element-for-element, including empty lists, empty
+        results and the index param."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "xs": pa.array([[1, 5, 2, 9], [], [3], [7, 7, 0, 0, 8]],
+                           pa.list_(pa.int64())),
+        })
+        for src in (".kept = filter(.xs) -> |_i, v| { v > 2 }",
+                    ".kept = filter(.xs) -> |i, _v| { i < 2 }",
+                    ".kept = filter(.xs) -> |i, v| { v + i > 6 }"):
+            out = VectorProgram(src).run(batch)
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                assert out["kept"][i].as_py() == ev["kept"], (src, i)
+
+    def test_error_text_parity_with_interpreter(self):
+        """r3: the vector lane's per-row error strings must match the
+        interpreter's positioned diagnostics byte-for-byte — including
+        values whose repr needs escaping — so vectorized and fallback
+        blocks of one dataset agree (ADVICE r2 class)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        cases = [
+            (".n, .err = to_int(.s)",
+             {"s": pa.array(["12", "nope", "3.7", "it's", "a\\b",
+                             None, "café"])}),
+            (".f, .err = to_float(.s)",
+             {"s": pa.array(["1.5", "junk", None, "don't"])}),
+            (".cut, .err = slice(.s, 5)",
+             {"s": pa.array(["long enough", "abc", ""])}),
+            ('.t, .err = parse_timestamp(.s, "%d/%m/%Y:%H:%M:%S %z")',
+             {"s": pa.array(["10/02/2021:13:44:01 +0000", "garbage",
+                             None])}),
+        ]
+        for src, cols in cases:
+            batch = pa.table(cols)
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                assert out[i]["err"] == ev["err"], (src, i, out[i]["err"],
+                                                   ev["err"])
+                tgt = src.split(",")[0].lstrip(" .")
+                assert out[i][tgt] == ev[tgt], (src, i)
+
+    def test_ok_err_into_nested_paths(self):
+        """r3: `ok, err =` where either target is a nested path."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(["12", "nope", "7"])})
+        for src, okf, errf in (
+                (".val, .meta.err = to_int(.s)", "val", ("meta", "err")),
+                (".out.val, .out.err = to_int(.s)",
+                 ("out", "val"), ("out", "err"))):
+            out = VectorProgram(src).run(batch)
+            p = Program(src)
+
+            def dig(obj, path):
+                if isinstance(path, str):
+                    return obj.get(path)
+                for seg in path:
+                    obj = (obj or {}).get(seg) if isinstance(obj, dict) \
+                        else None
+                return obj
+
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                got = out.to_pylist()[i]
+                assert dig(got, okf) == dig(ev, okf), (src, i)
+                assert dig(got, errf) == dig(ev, errf), (src, i)
 
     def test_remap_auto_selects_vector_stage(self, ray_session):
         import ray.data as rd

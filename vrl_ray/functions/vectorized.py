@@ -428,19 +428,34 @@ def json_extract_subset(
 
 def to_int64_lane(arr: pa.Array) -> pa.Array:
     """String/number array -> int64, invalid -> null (the caller owns
-    the error lane). Mirrors to_int.rs coercion for strings/floats."""
+    the error lane). Mirrors to_int.rs coercion: strings parse as
+    STRICT integers (Conversion::Integer = s.parse::<i64>(),
+    conversion/mod.rs:155-157 — "3.7" is an error, not 3), floats
+    truncate, bools widen, timestamps give epoch seconds."""
     if pa.types.is_integer(arr.type):
         return pc.cast(arr, pa.int64())
     if pa.types.is_floating(arr.type):
         return pc.cast(pc.trunc(arr), pa.int64(), safe=False)
-    f = _to_float64_or_null(arr)
-    return pc.cast(pc.trunc(f), pa.int64(), safe=False)
+    if pa.types.is_boolean(arr.type):
+        return pc.cast(arr, pa.int64())
+    if pa.types.is_timestamp(arr.type):
+        us = pc.cast(arr.cast(pa.timestamp("us")), pa.int64())
+        return pc.divide(us, pa.scalar(1_000_000, pa.int64()))
+    if not (pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    valid = pc.match_substring_regex(arr, r"^\s*[+-]?\d+\s*$")
+    cleaned = pc.if_else(pc.fill_null(valid, False), arr,
+                         pa.scalar(None, arr.type))
+    return pc.cast(pc.utf8_trim_whitespace(cleaned), pa.int64())
 
 
 def to_float64_lane(arr: pa.Array) -> pa.Array:
     if pa.types.is_floating(arr.type):
         return pc.cast(arr, pa.float64())
     if pa.types.is_integer(arr.type):
+        return pc.cast(arr, pa.float64())
+    if pa.types.is_boolean(arr.type):
         return pc.cast(arr, pa.float64())
     return _to_float64_or_null(arr)
 

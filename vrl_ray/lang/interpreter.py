@@ -69,6 +69,10 @@ _FN_DEFAULTS = {
     "length": 0, "to_float": 0.0, "parse_float": 0.0, "to_bool": False,
     "to_string": "", "downcase": "", "upcase": "", "encode_json": "",
     "format_timestamp": "", "join": "", "parse_json": None,
+    # exactly-timestamp kinds default to the epoch
+    # (kind.rs:60-66 Utc.timestamp(0,0); parse_timestamp.rs type_def)
+    "parse_timestamp": __import__("datetime").datetime(
+        1970, 1, 1, tzinfo=__import__("datetime").timezone.utc),
     # collection builders default to their container kind
     # (issues/11287: `ok, err = push(.undefined, x)` → ok == [])
     "push": [], "append": [], "merge": {},

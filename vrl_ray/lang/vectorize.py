@@ -92,32 +92,75 @@ def _k_upcase(ctx, a):
     return pc.utf8_upper(v), e
 
 
-def _k_to_int(ctx, a):
+def _call_frame(name: str, span) -> str:
+    """The interpreter's positioned diagnostic prefix
+    (`function call error for "f" at (s:e): `, interpreter.py:346)."""
+    at = f" at ({span[0]}:{span[1]})" if span else ""
+    return f'function call error for "{name}"{at}: '
+
+
+def _masked_err_msgs(bad, msg_fn, values, *, n):
+    """Interpreter-parity error column built by a Python callback on
+    ERROR rows only (masked-fallback idiom: errors are the rare case,
+    so per-row text construction costs O(bad), not O(n))."""
+    import numpy as np
+
+    bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
+    if not bad_np.any():
+        return None
+    idx = np.flatnonzero(bad_np)
+    arr = (values.combine_chunks()
+           if isinstance(values, pa.ChunkedArray) else values)
+    vals = arr.take(pa.array(idx)).to_pylist()
+    msgs = np.full(n, None, dtype=object)
+    for i, val in zip(idx, vals):
+        msgs[i] = msg_fn(val)
+    return pa.array(msgs, pa.string())
+
+
+def _coerce_err_msgs(v, bad, *, name, span, tail, n):
+    """`function call error for "<name>" at (s:e): unable to coerce
+    <value!r> into <tail>` — exact interpreter text (coerce.py) with
+    the value's Python repr, built on error rows only."""
+    prefix = _call_frame(name, span)
+    sv = v if pa.types.is_string(_typ(v)) else pc.cast(v, pa.string())
+    return _masked_err_msgs(
+        bad, lambda val: f"{prefix}unable to coerce {val!r} into {tail}",
+        sv, n=n)
+
+
+def _k_to_int(ctx, a, span=None):
     from ..functions.vectorized import to_int64_lane
 
     v, e = a[0]
     out = to_int64_lane(v)
     bad = pc.and_(pc.is_valid(v), pc.is_null(out))
-    errs = _err_where(bad, "unable to coerce value to integer", ctx.n)
-    # type default on error (assignment.rs:522-549)
-    out = pc.if_else(bad, pa.scalar(0, pa.int64()), out)
+    errs = _coerce_err_msgs(v, bad, name="to_int", span=span,
+                            tail="integer: Invalid integer", n=ctx.n)
+    # type default on error (assignment.rs:522-549); null coerces to 0
+    # with NO error (to_int.rs:12)
+    out = pc.fill_null(pc.if_else(bad, pa.scalar(0, pa.int64()), out), 0)
     return out, _merge_errs(ctx.n, e, errs)
 
 
-def _k_to_float(ctx, a):
+def _k_to_float(ctx, a, span=None):
     from ..functions.vectorized import to_float64_lane
 
     v, e = a[0]
     out = to_float64_lane(v)
     bad = pc.and_(pc.is_valid(v), pc.is_null(out))
-    errs = _err_where(bad, "unable to coerce value to float", ctx.n)
-    out = pc.if_else(bad, pa.scalar(0.0, pa.float64()), out)
+    errs = _coerce_err_msgs(v, bad, name="to_float", span=span,
+                            tail="float", n=ctx.n)
+    # null coerces to 0.0 with no error (to_float.rs:17)
+    out = pc.fill_null(
+        pc.if_else(bad, pa.scalar(0.0, pa.float64()), out), 0.0)
     return out, _merge_errs(ctx.n, e, errs)
 
 
 def _k_to_string(ctx, a):
     v, e = a[0]
-    return pc.cast(v, pa.string()), e
+    # null coerces to "" (to_string.rs:12)
+    return pc.fill_null(pc.cast(v, pa.string()), ""), e
 
 
 def _k_round(ctx, a):
@@ -215,18 +258,59 @@ def _k_format_timestamp(ctx, a):
     return out, e
 
 
-def _k_parse_timestamp(ctx, a):
+def _k_parse_timestamp(ctx, a, span=None):
+    import numpy as np
+
     from ..functions.parse import _chrono_to_strptime
+    from ..functions.parse import parse_timestamp as _scalar_pt
+    from ..value import VrlError
 
     v, e = a[0]
     fmt = a[1][0]
     fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
     out = pc.strptime(v, format=_chrono_to_strptime(fmt), unit="us",
                       error_is_null=True)
-    out = pc.assume_timezone(out, "UTC")  # VRL timestamps are UTC
-    bad = pc.and_(pc.is_valid(v), pc.is_null(out))
-    return out, _merge_errs(
-        ctx.n, e, _err_where(bad, "unable to parse timestamp", ctx.n))
+    if out.type.tz is None:      # VRL timestamps are UTC; %z formats
+        out = pc.assume_timezone(out, "UTC")   # come back tz-aware
+    elif out.type.tz != "UTC":
+        out = out.cast(pa.timestamp("us", tz="UTC"))
+    # null input is ALSO an error (parse_timestamp.rs: only
+    # bytes/timestamp convert) — the scalar fallback below reproduces
+    # the interpreter's exact message for it
+    bad = pc.is_null(out)
+    bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
+    if not bad_np.any():
+        return out, e
+    # masked scalar fallback on the FAILING rows only: Arrow's strptime
+    # is stricter than the interpreter's, and the interpreter's exact
+    # per-row error text (positioned call frame + strptime message)
+    # can't be built from a kernel
+    idx = np.flatnonzero(bad_np)
+    arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+    vals = arr.take(pa.array(idx)).to_pylist()
+    prefix = _call_frame("parse_timestamp", span)
+    msgs = np.full(ctx.n, None, dtype=object)
+    fixed = {}
+    from datetime import datetime, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    for i, s in zip(idx, vals):
+        try:
+            fixed[int(i)] = _scalar_pt(s, fmt)
+        except VrlError as ex:
+            msgs[i] = prefix + ex.message
+            # `ok, err =` default: exactly-timestamp kinds default to
+            # the epoch (kind.rs:60-66)
+            fixed[int(i)] = epoch
+    if fixed:
+        lst = out.to_pylist()
+        for i, dt in fixed.items():
+            lst[i] = dt
+        out = pa.array(lst, pa.timestamp("us", tz="UTC"))
+    errs = pa.array(msgs, pa.string())
+    if not pc.any(pc.is_valid(errs)).as_py():
+        errs = None
+    return out, _merge_errs(ctx.n, e, errs)
 
 
 def _k_to_unix_timestamp(ctx, a):
@@ -249,7 +333,7 @@ def _hash_kernel(algo: str):
     return k
 
 
-def _k_split(ctx, a, nodes):
+def _k_split(ctx, a, nodes, span=None):
     """split.rs vectorized: literal-string pattern → pc.split_pattern,
     regex-literal pattern → pc.split_pattern_regex; literal limit
     caps pieces (limit-1 max splits)."""
@@ -273,7 +357,7 @@ def _k_split(ctx, a, nodes):
     return out, e
 
 
-def _k_slice(ctx, a, nodes):
+def _k_slice(ctx, a, nodes, span=None):
     """slice.rs on strings, non-negative literal bounds (negative /
     array slicing falls back to the interpreter)."""
     v, e = a[0]
@@ -298,13 +382,17 @@ def _k_slice(ctx, a, nodes):
     ln = pc.cast(pc.utf8_length(v), pa.int64())
     bad = pc.and_(pc.is_valid(v), pc.less(ln, pa.scalar(start, pa.int64())))
     if pc.any(bad).as_py():
+        prefix = _call_frame("slice", span)
         lns = pc.cast(ln, pa.string())
         neg = pc.cast(pc.subtract(pa.scalar(0, pa.int64()), ln), pa.string())
         msg = pc.binary_join_element_wise(
-            pa.scalar('"start" must be between "'), neg,
+            pa.scalar(prefix + '"start" must be between "'), neg,
             pa.scalar('" and "'), lns, pa.scalar('"'), "")
         errs = pc.if_else(bad, msg, _nulls(len(out)))
-        out = pc.if_else(bad, pa.scalar("", pa.string()), out)
+        # `ok, err =` default for slice is NULL: its type_def is
+        # bytes-or-array (slice.rs:154-160), and only exact kinds get
+        # a non-null default_value (kind.rs:44-80)
+        out = pc.if_else(bad, pa.scalar(None, pa.string()), out)
         return out, _merge_errs(len(out), e, errs)
     return out, e
 
@@ -339,6 +427,14 @@ _KERNELS: dict[str, Callable] = {
 _KERNELS_NODES: dict[str, Callable] = {
     "split": _k_split,
     "slice": _k_slice,
+}
+
+#: kernels that build positioned per-row error text and therefore
+#: need the call-expression span
+_KERNELS_SPAN: dict[str, Callable] = {
+    "to_int": _k_to_int,
+    "to_float": _k_to_float,
+    "parse_timestamp": _k_parse_timestamp,
 }
 
 
@@ -436,6 +532,66 @@ def _compile_map_values(args, closure):
     return mv
 
 
+def _compile_filter(args, closure):
+    """Closure lowering: ``filter(.list_col) -> |i, v| { pred }``
+    evaluates the predicate ONCE over the flattened element array and
+    rebuilds each list from the kept elements — no per-row Python.
+    Both closure params are available: the index var binds to the
+    element's position within its own list. Object inputs (key/value
+    filtering) take the row fallback."""
+    import numpy as np
+
+    params, body = closure
+    if len(args) != 1 or args[0][0] is not None or len(params) != 2:
+        raise NotVectorizable("filter shape")
+    argf = _compile_expr(args[0][1])
+    iname, vname = params
+    bodyf = _compile_expr(_unwrap_block(body))
+
+    def fv(ctx):
+        v, e = argf(ctx)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_list(v.type):
+            raise _RowFallback("filter over non-list input")
+        if v.null_count:
+            raise _RowFallback("filter over null list rows")
+        flat = v.flatten()
+        lens_np = pc.list_value_length(v).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.cumsum(lens_np) - lens_np
+        within = np.arange(len(flat)) - np.repeat(starts, lens_np)
+        sub = _Ctx.__new__(_Ctx)
+        sub.batch = None
+        sub.n = len(flat)
+        sub.written = {}
+        sub.closure_vars = dict(ctx.closure_vars)
+        sub.closure_vars[vname] = flat
+        sub.closure_vars[iname] = pa.array(within, pa.int64())
+        bv, be = bodyf(sub)
+        if be is not None and pc.any(pc.is_valid(be)).as_py():
+            raise _RowFallback("filter predicate error")
+        bv = _as_array(bv, sub.n)
+        if not pa.types.is_boolean(bv.type):
+            # reference semantics: the filter closure must return a
+            # boolean (compile-time checked there) — anything else is
+            # outside the vector subset
+            raise _RowFallback("filter predicate not boolean")
+        mask = pc.fill_null(bv, False)
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        kept = flat.filter(mask)
+        # kept-count per list via prefix sums (robust to empty lists)
+        csum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(mask_np.astype(np.int64), out=csum[1:])
+        ends = starts + lens_np
+        new_lens = csum[ends] - csum[starts]
+        offsets = np.zeros(len(new_lens) + 1, dtype=np.int32)
+        np.cumsum(new_lens, out=offsets[1:])
+        out = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        return out, e
+    return fv
+
+
 def _compile_expr(node) -> Callable:
     kind = node[0]
     if kind == "lit":
@@ -520,8 +676,11 @@ def _compile_expr(node) -> Callable:
         if closure is not None:
             if name == "map_values":
                 return _compile_map_values(args, closure)
+            if name == "filter":
+                return _compile_filter(args, closure)
             raise NotVectorizable(f"closure call {name}")
-        if name not in _KERNELS and name not in _KERNELS_NODES:
+        if name not in _KERNELS and name not in _KERNELS_NODES \
+                and name not in _KERNELS_SPAN:
             raise NotVectorizable(f"call {name}")
         argfs = []
         argnodes = []
@@ -533,9 +692,18 @@ def _compile_expr(node) -> Callable:
         if name in _KERNELS_NODES:
             fn = _KERNELS_NODES[name]
 
+            span = node[5] if len(node) > 5 else None
+
             def call_n(ctx):
-                return fn(ctx, [f(ctx) for f in argfs], argnodes)
+                return fn(ctx, [f(ctx) for f in argfs], argnodes, span)
             return call_n
+        if name in _KERNELS_SPAN:
+            fn = _KERNELS_SPAN[name]
+            span = node[5] if len(node) > 5 else None
+
+            def call_s(ctx):
+                return fn(ctx, [f(ctx) for f in argfs], span)
+            return call_s
         fn = _KERNELS[name]
 
         def call(ctx):
@@ -812,8 +980,17 @@ class VectorProgram:
                 if errfield is not None:
                     # handled (.ok, .err =): error-as-value, row lives on
                     ctx.written[field] = gate_write(field, v)
-                    ctx.written[errfield] = gate_write(
-                        errfield, e if e is not None else _nulls(ctx.n))
+                    err_col = e if e is not None else _nulls(ctx.n)
+                    if isinstance(errfield, tuple):
+                        # flat ok + nested err (.x, .meta.err = ...)
+                        if active is not None:
+                            raise _RowFallback(
+                                "nested err write on error rows")
+                        ctx.written[errfield[0]] = _struct_set(
+                            ctx, errfield, _as_array(err_col, ctx.n))
+                    else:
+                        ctx.written[errfield] = gate_write(
+                            errfield, err_col)
                     continue
                 if e is None:
                     ctx.written[field] = gate_write(field, v)
