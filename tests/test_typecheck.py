@@ -93,3 +93,21 @@ class TestFallibilityForcing:
 
     def test_lenient_mode_still_compiles(self):
         compile_program("5 + to_int(.foo)", strict=False)
+
+    def test_unconditionally_fallible_type_defs_forced(self):
+        """r3: functions whose Rust type_def is always .fallible()
+        even with fully-verified args (slice.rs:154-160, join.rs:
+        101-103, format_timestamp.rs:120-122) must be handled — the
+        docs metadata alone would call them infallible."""
+        for src in ('.x = slice("hello", 1)',
+                    '.x = join(["a", "b"], ",")',
+                    '.x = tally(["a", "a"])'):
+            with pytest.raises(VrlCompileError):
+                compile_program(src)
+        # handled / aborting forms compile
+        compile_program('.x = slice!("hello", 1)')
+        compile_program('.x, .e = join(["a", "b"], ",")')
+        compile_program('.x = tally(["a"]) ?? {}')
+        # conditional type_defs (xxhash.rs:145-157): a valid constant
+        # variant stays infallible
+        compile_program('.h = xxhash("foo")')

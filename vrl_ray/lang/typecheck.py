@@ -739,6 +739,24 @@ class _Infer:
                 kind, (fall or mfall) and not bang
         return self._call_generic(n)
 
+    #: functions whose Rust `fn type_def` is UNCONDITIONALLY
+    #: `.fallible()` even though docs/generated/*.json lists no
+    #: internal failure reasons, so the generated table (and the
+    #: arg-verification rule below) would call them infallible.
+    #: Audited against src/stdlib/*.rs in r3: slice.rs:154-160,
+    #: join.rs:101-103, tally.rs:87-89, assert_eq.rs:132-134,
+    #: community_id.rs:238-240, format_timestamp.rs:120-122,
+    #: from_unix_timestamp.rs:192-194, encode_lz4.rs:98-101,
+    #: dns_lookup.rs:254-257, http_request.rs:315-318,
+    #: reverse_dns.rs:31-34. (hmac/xxhash/crc are CONDITIONAL —
+    #: infallible when the variant arg is a valid constant — which the
+    #: arg-verification rule already approximates.)
+    _ALWAYS_FALLIBLE = frozenset({
+        "slice", "join", "tally", "assert_eq", "community_id",
+        "format_timestamp", "from_unix_timestamp", "encode_lz4",
+        "dns_lookup", "http_request", "reverse_dns",
+    })
+
     def _call_generic(self, n):
         """Any other stdlib call, typed from the generated reference
         metadata table (declared parameter kinds + intrinsic failure
@@ -768,8 +786,9 @@ class _Infer:
         # inferred Kind is NOT verified against the declared parameter
         # kinds (intrinsic failure reasons alone don't force handling
         # when every argument type-checks — e.g. crc("foo") compiles
-        # infallible in the reference docs examples)
-        fallible = False
+        # infallible in the reference docs examples) — EXCEPT the
+        # functions whose Rust type_def is unconditionally fallible
+        fallible = name in self._ALWAYS_FALLIBLE
         params = spec["args"]
         for idx, (aname, k) in enumerate(arg_kinds):
             if aname is None:
