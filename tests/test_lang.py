@@ -259,6 +259,56 @@ class TestVectorize:
                 tgt = src.split(",")[0].lstrip(" .")
                 assert out[i][tgt] == ev[tgt], (src, i)
 
+    def test_variables_and_for_each_lowering(self):
+        """r3: per-event variables compile to columns and statement-
+        level for_each accumulators lower to segmented reductions —
+        parity with the interpreter incl. empty lists, error kills and
+        handled errors captured into variables."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        src = ("total = 0.0\nn = 0\n"
+               "for_each(.xs) -> |_i, v| { total = total + v\n"
+               "n = n + 1 }\n"
+               ".sum = total\n.count = n")
+        batch = pa.table({"xs": pa.array([[1.5, 2.5], [], [10.0]],
+                                         pa.list_(pa.float64()))})
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            assert out[i]["sum"] == ev["sum"], i
+            assert out[i]["count"] == ev["count"], i
+
+        # handled error into a variable + var round-trip
+        src2 = ("tmp = downcase(.s)\n.x = tmp\n"
+                "ok, e = to_int(.s)\n.ok = ok\n.err = e")
+        b2 = pa.table({"s": pa.array(["AB", "7", None])})
+        out2 = VectorProgram(src2).run(b2).to_pylist()
+        p2 = Program(src2)
+        for i, row in enumerate(b2.to_pylist()):
+            try:
+                _, ev, _ = p2.resolve(dict(row))
+            except Exception as ex:
+                # interpreter raises per row on an unhandled fallible —
+                # the remap stage maps that to the vrl_err lane, which
+                # is exactly what the vector path recorded
+                assert out2[i]["vrl_err"] == getattr(ex, "message",
+                                                     str(ex)), i
+                continue
+            for fld in ("x", "ok", "err"):
+                assert out2[i][fld] == ev[fld], (i, fld, out2[i], ev)
+
+        # unhandled fallible var assignment kills the row like the
+        # interpreter (later statements skip it, vrl_err records it)
+        src3 = "x = to_int(.s)\n.y = x"
+        b3 = pa.table({"s": pa.array(["5", "bad"])})
+        out3 = VectorProgram(src3).run(b3).to_pylist()
+        assert out3[0]["y"] == 5 and out3[0]["vrl_err"] is None
+        assert out3[1]["y"] is None and out3[1]["vrl_err"] is not None
+
     def test_ok_err_into_nested_paths(self):
         """r3: `ok, err =` where either target is a nested path."""
         import pyarrow as pa

@@ -190,6 +190,9 @@ def join(value: list, separator: str = "") -> str:
 def slice_(value: Union[str, list], start: int, end: Optional[int] = None):
     """slice.rs: negative indices from end; works on strings (chars)
     and arrays."""
+    if not isinstance(value, (str, list)):
+        from ..value import vrl_type
+        raise VrlError(f"expected string or array, got {vrl_type(value)}")
     v = value
     n = len(v)
     s = start if start >= 0 else max(0, n + start)

@@ -8,17 +8,25 @@ once per BATCH — no per-row Python at all. Anything outside the
 subset raises :class:`NotVectorizable` and the remap stage falls back
 to the per-row interpreter (same observable semantics, slower).
 
-Vectorizable subset (v1):
-- statements: `.field = expr`, `.ok, .err = expr` (infallible
-  assignment incl. per-row error lane + type default), statement-level
-  `if`/`else` whose branches assign the SAME single-segment fields
-- expressions: literals, single-segment event paths, arithmetic /
+Vectorizable subset (r3):
+- statements: `.field = expr` / `.a.b = expr` (struct writes),
+  `ok, err = expr` destructuring with event-path, nested-path or
+  VARIABLE targets (per-row error lane + reference type defaults),
+  variable assignment (`x = expr` — variables are columns),
+  statement-level `if`/`else` whose branches assign the SAME
+  single-segment fields, and `for_each(.list) -> |i, v| {acc = acc +
+  expr}` accumulators (segmented reductions, no per-row Python)
+- expressions: literals, event/nested paths, variables, arithmetic /
   comparison / equality / boolean ops with VRL semantics (wrapping
   i64, division errors by zero, null-falsy predicates), `!`,
-  `if cond { a } else { b }` as `pc.if_else`, and calls to the
-  kernel registry below
+  `if cond { a } else { b }` as `pc.if_else`, `map_values`/`filter`
+  closures over list columns, and the kernel registry below
 - kernels: downcase upcase to_int to_float to_string round floor ceil
-  abs strlen contains starts_with ends_with replace (literal)
+  abs strlen contains starts_with ends_with replace match is_null
+  is_nullish split slice join md5 sha1 sha2 format_timestamp
+  parse_timestamp to_unix_timestamp — with interpreter-parity
+  positioned error text (masked per-error-row construction) and
+  null-input error rules (_NULL_RULES)
 
 Error-as-value: every compiled expression yields ``(values,
 errs|None)`` where ``errs`` is a per-row string array — the same
@@ -437,6 +445,70 @@ _KERNELS_SPAN: dict[str, Callable] = {
     "parse_timestamp": _k_parse_timestamp,
 }
 
+#: null-input semantics: the reference errors when a required typed
+#: argument is null (only to_int/to_float/to_string/to_bool and the
+#: is_* predicates accept null). (message-suffix, handled-ok default)
+#: pairs mirror the interpreter's per-function text and _FN_DEFAULTS.
+_NULL_RULES: dict[str, tuple[str, Any]] = {
+    "downcase": ("expected string, got null", ""),
+    "upcase": ("expected string, got null", ""),
+    "strlen": ("expected string, got null", 0),
+    "contains": ("expected string, got null", None),
+    "starts_with": ("expected string, got null", None),
+    "ends_with": ("expected string, got null", None),
+    "replace": ("expected string, got null", None),
+    "match": ("expected string, got null", None),
+    "split": ("expected string, got null", None),
+    "md5": ("expected string", None),
+    "sha1": ("expected string", None),
+    "sha2": ("expected string", None),
+    "round": ("expected integer or float", None),
+    "floor": ("expected integer or float", None),
+    "ceil": ("expected integer or float", None),
+    "abs": ("expected integer or float", None),
+    "format_timestamp": ("expected timestamp", ""),
+    "to_unix_timestamp": ("expected timestamp", 0),
+    "join": ("expected array", ""),
+    "slice": ("expected string or array, got null", None),
+}
+
+
+def _wrap_null_rule(name: str, kfn: Callable, expected: str, default):
+    """Wrap a kernel so null first-arg rows produce the interpreter's
+    positioned error (and its handled-ok default) instead of silently
+    propagating null."""
+
+    def wk(ctx, a, *rest):
+        span = rest[-1] if rest else None
+        v, e = a[0]
+        if isinstance(v, pa.Scalar):
+            return kfn(ctx, a, *rest)
+        bad = pc.is_null(v)
+        if not pc.any(bad).as_py():
+            return kfn(ctx, a, *rest)
+        out, oe = kfn(ctx, a, *rest)
+        msg = _call_frame(name, span) + expected
+        errs = _err_where(bad, msg, ctx.n)
+        out = _as_array(out, ctx.n)
+        if default is not None:
+            out = pc.if_else(bad, pa.scalar(default), out)
+        return out, _merge_errs(ctx.n, oe, errs)
+
+    return wk
+
+
+def _drop_rest(f: Callable) -> Callable:
+    return lambda ctx, a, *rest: f(ctx, a)
+
+
+for _n, (_m, _d) in _NULL_RULES.items():
+    if _n in _KERNELS_NODES:
+        _KERNELS_NODES[_n] = _wrap_null_rule(_n, _KERNELS_NODES[_n],
+                                             _m, _d)
+    elif _n in _KERNELS:
+        _KERNELS_SPAN[_n] = _wrap_null_rule(_n, _drop_rest(_KERNELS[_n]),
+                                            _m, _d)
+
 
 # ---------------------------------------------------------------------------
 # expression compiler — AST → fn(ctx) -> (values, errs)
@@ -454,6 +526,8 @@ class _Ctx:
         self.n = len(batch)
         self.written: dict[str, pa.Array] = {}
         self.closure_vars: dict[str, pa.Array] = {}
+        # per-event variables as columns (one value per row)
+        self.vars: dict[str, pa.Array] = {}
 
     def col(self, name: str):
         if name in self.written:
@@ -516,6 +590,7 @@ def _compile_map_values(args, closure):
         sub.n = len(flat)
         sub.written = {}
         sub.closure_vars = dict(ctx.closure_vars)
+        sub.vars = {}          # outer vars are row-length, not element-length
         sub.closure_vars[pname] = flat
         bv, be = bodyf(sub)
         if be is not None and pc.any(pc.is_valid(be)).as_py():
@@ -566,6 +641,7 @@ def _compile_filter(args, closure):
         sub.n = len(flat)
         sub.written = {}
         sub.closure_vars = dict(ctx.closure_vars)
+        sub.vars = {}          # outer vars are row-length, not element-length
         sub.closure_vars[vname] = flat
         sub.closure_vars[iname] = pa.array(within, pa.int64())
         bv, be = bodyf(sub)
@@ -639,9 +715,13 @@ def _compile_expr(node) -> Callable:
         name = node[1]
 
         def var(ctx):
-            if name not in ctx.closure_vars:
-                raise NotVectorizable(f"var {name}")
-            return ctx.closure_vars[name], None
+            if name in ctx.closure_vars:
+                return ctx.closure_vars[name], None
+            if name in ctx.vars:
+                return ctx.vars[name], None
+            # a read of an undefined variable is a per-row runtime
+            # error in the interpreter — out of the column plan
+            raise _RowFallback(f"var {name}")
         return var
 
     if kind == "not":
@@ -814,8 +894,13 @@ class VectorProgram:
                 if field == "__if__":
                     fs = self._if_fields[if_i]
                     if_i += 1
+                elif field == "__foreach__":
+                    continue     # mutates variables, no output column
                 else:
-                    fs = [field] + ([errfield] if errfield else [])
+                    fs = [f_ for f_ in
+                          [field] + ([errfield] if errfield else [])
+                          if not (isinstance(f_, tuple)
+                                  and f_ and f_[0] == "__var__")]
                 for f_ in fs:
                     f_ = f_[0] if isinstance(f_, tuple) else f_
                     if f_ not in self.target_fields:
@@ -829,6 +914,10 @@ class VectorProgram:
                 raise NotVectorizable("|= assignment")
             fields = []
             for t in targets:
+                if t[0] == "var" and isinstance(t[1], str):
+                    # per-event variable target → column in ctx.vars
+                    fields.append(("__var__", t[1]))
+                    continue
                 if t[0] != "path" or t[1] != "event" or not t[2] or \
                         not all(isinstance(s, str) for s in t[2]):
                     raise NotVectorizable("assignment target")
@@ -842,7 +931,85 @@ class VectorProgram:
             raise NotVectorizable("assignment arity")
         if s[0] == "if":
             return [self._compile_if_stmt(s)]
+        if s[0] == "call" and s[1] == "for_each" and s[4] is not None:
+            return [self._compile_for_each(s)]
         raise NotVectorizable(s[0])
+
+    def _compile_for_each(self, s):
+        """Statement-level ``for_each(.list) -> |i, v| { acc = acc +
+        expr }`` lowers to segmented reductions: the element expression
+        runs ONCE over the flattened array and per-row prefix-sum
+        differences update each accumulator variable — the common VRL
+        aggregation idiom without per-row Python. Bodies outside the
+        `acc = acc + <elem expr>` shape stay on the interpreter."""
+        _, name, bang, args, closure = s[:5]
+        params, body = closure
+        if len(args) != 1 or args[0][0] is not None or len(params) != 2:
+            raise NotVectorizable("for_each shape")
+        argf = _compile_expr(args[0][1])
+        iname, vname = params
+        if body[0] != "block" or not body[1]:
+            raise NotVectorizable("for_each body")
+        accs = []
+        for st in body[1]:
+            if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1 \
+                    or st[1][0][0] != "var":
+                raise NotVectorizable("for_each body statement")
+            acc = st[1][0][1]
+            ex = st[3]
+            if ex[0] != "binop" or ex[1] != "+":
+                raise NotVectorizable("for_each accumulator op")
+            if ex[2] == ("var", acc):
+                elem = ex[3]
+            elif ex[3] == ("var", acc):
+                elem = ex[2]
+            else:
+                raise NotVectorizable("for_each accumulator form")
+            accs.append((acc, _compile_expr(elem)))
+
+        def fe(ctx):
+            v, e = argf(ctx)
+            if e is not None and pc.any(pc.is_valid(e)).as_py():
+                raise _RowFallback("for_each collection error")
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if not pa.types.is_list(v.type):
+                raise _RowFallback("for_each over non-list input")
+            if v.null_count:
+                raise _RowFallback("for_each over null list rows")
+            flat = v.flatten()
+            lens = pc.list_value_length(v) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            within = np.arange(len(flat)) - np.repeat(starts, lens)
+            sub = _Ctx.__new__(_Ctx)
+            sub.batch = None
+            sub.n = len(flat)
+            sub.written = {}
+            sub.vars = {}
+            sub.closure_vars = dict(ctx.closure_vars)
+            sub.closure_vars[vname] = flat
+            sub.closure_vars[iname] = pa.array(within, pa.int64())
+            updates = {}
+            for acc, elemf in accs:
+                if acc not in ctx.vars:
+                    raise _RowFallback("for_each accumulator undefined")
+                ev_, ee = elemf(sub)
+                if ee is not None and pc.any(pc.is_valid(ee)).as_py():
+                    raise _RowFallback("for_each element error")
+                arr = _as_array(ev_, sub.n)
+                if not _is_num_type(arr.type) or arr.null_count:
+                    raise _RowFallback("for_each non-numeric element")
+                is_int = pa.types.is_integer(arr.type)
+                x = arr.to_numpy(zero_copy_only=False)
+                csum = np.zeros(len(flat) + 1,
+                                dtype=np.int64 if is_int else np.float64)
+                np.cumsum(x, out=csum[1:])
+                inc = csum[starts + lens] - csum[starts]
+                prev = _as_array(ctx.vars[acc], ctx.n)
+                updates[acc] = pc.add(prev, pa.array(inc))
+            return updates
+        return ("__foreach__", None, fe)
 
     def _compile_if_stmt(self, s):
         arms, els = s[1], s[2]
@@ -930,6 +1097,51 @@ class VectorProgram:
 
         for stmt in self.plan:
             for field, errfield, f in stmt:
+                if field == "__foreach__":
+                    updates = f(ctx)
+                    for vn, arr in updates.items():
+                        if active is not None:
+                            arr = pc.if_else(
+                                active, arr,
+                                _as_array(ctx.vars[vn], ctx.n))
+                        ctx.vars[vn] = arr
+                    continue
+                if isinstance(field, tuple) and field \
+                        and field[0] == "__var__":
+                    vname = field[1]
+                    v, e = f(ctx)
+                    v = _as_array(v, ctx.n)
+                    old = ctx.vars.get(vname)
+                    old = _as_array(old, ctx.n) if old is not None \
+                        else (_nulls(ctx.n, v.type)
+                              if not pa.types.is_null(v.type)
+                              else _nulls(ctx.n))
+                    if errfield is not None:
+                        # handled: error-as-value, row lives on
+                        if active is None:
+                            ctx.vars[vname] = v
+                        else:
+                            ctx.vars[vname] = pc.if_else(active, v, old)
+                        err_col = e if e is not None else _nulls(ctx.n)
+                        if isinstance(errfield, tuple) and \
+                                errfield[0] == "__var__":
+                            ctx.vars[errfield[1]] = err_col
+                        elif isinstance(errfield, tuple):
+                            raise _RowFallback("var ok + nested err")
+                        else:
+                            ctx.written[errfield] = gate_write(
+                                errfield, err_col)
+                        continue
+                    if e is None:
+                        ctx.vars[vname] = v if active is None \
+                            else pc.if_else(active, v, old)
+                        continue
+                    ok = pc.is_null(e)
+                    if active is not None:
+                        ok = pc.and_(ok, active)
+                    ctx.vars[vname] = pc.if_else(ok, v, old)
+                    kill(e)
+                    continue
                 if field == "__if__":
                     out_fields, errs = f(ctx)
                     # Interpreter parity: a row whose condition (or
@@ -970,7 +1182,11 @@ class VectorProgram:
                         ctx, field, _as_array(v, ctx.n))
                     if errfield is not None:
                         err_col = e if e is not None else _nulls(ctx.n)
-                        if isinstance(errfield, tuple):
+                        if isinstance(errfield, tuple) and \
+                                errfield[0] == "__var__":
+                            ctx.vars[errfield[1]] = _as_array(err_col,
+                                                              ctx.n)
+                        elif isinstance(errfield, tuple):
                             ctx.written[errfield[0]] = _struct_set(
                                 ctx, errfield, err_col)
                         else:
@@ -981,7 +1197,11 @@ class VectorProgram:
                     # handled (.ok, .err =): error-as-value, row lives on
                     ctx.written[field] = gate_write(field, v)
                     err_col = e if e is not None else _nulls(ctx.n)
-                    if isinstance(errfield, tuple):
+                    if isinstance(errfield, tuple) and \
+                            errfield[0] == "__var__":
+                        # event-path ok + variable err (.x, e = ...)
+                        ctx.vars[errfield[1]] = _as_array(err_col, ctx.n)
+                    elif isinstance(errfield, tuple):
                         # flat ok + nested err (.x, .meta.err = ...)
                         if active is not None:
                             raise _RowFallback(
