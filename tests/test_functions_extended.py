@@ -81,6 +81,26 @@ class TestStructuredData:
                        "known_suffix": True}
         assert R["parse_etld"]("vector.acmecorp")["known_suffix"] is False
 
+    def test_etld_full_psl(self):
+        # full-PSL behaviors (system publicsuffix list, matching the
+        # reference's embedded `psl` crate): private-section entries,
+        # wildcard rules, and exceptions
+        import os
+        from vrl_ray.functions.parse_data import _SYSTEM_PSL
+        if not os.path.exists(_SYSTEM_PSL):
+            pytest.skip("system PSL not installed")
+        assert R["parse_etld"]("foo.github.io") == {
+            "etld": "github.io", "etld_plus": "github.io",
+            "known_suffix": True}
+        assert R["parse_etld"]("a.b.ck", plus_parts=1) == {
+            "etld": "b.ck", "etld_plus": "a.b.ck", "known_suffix": True}
+        assert R["parse_etld"]("www.ck") == {
+            "etld": "ck", "etld_plus": "ck", "known_suffix": True}
+        # IDN entries with combining marks parse (they broke \w-only
+        # validation)
+        assert R["parse_etld"]("x.ලංකා")[
+            "known_suffix"] is True
+
 
 class TestCrypto:
     KEY16 = "16_byte_keyxxxxx"

@@ -395,9 +395,13 @@ def encode_proto(value: dict, desc_file: str, message_type: str) -> bytes:
 
 # ---------------------------------------------------------------------------
 # parse_etld (parse_etld.rs): effective TLD via public suffix rules.
-# Without `psl`, a built-in subset of the Public Suffix List (the
-# reference embeds the full PSL via the `psl` crate; ours covers the
-# common ICANN section — pass `psl:` a full PSL file for parity).
+# The reference embeds the full PSL via the `psl` crate; we load the
+# system copy of the same list (Debian `publicsuffix` package at
+# /usr/share/publicsuffix/public_suffix_list.dat) when present, and
+# fall back to a built-in ICANN-section subset on boxes without it.
+# `psl:` still overrides with a caller-supplied file.
+
+_SYSTEM_PSL = "/usr/share/publicsuffix/public_suffix_list.dat"
 
 _BUILTIN_SUFFIXES = {
     # generic
@@ -446,6 +450,26 @@ _PSL_CACHE: dict[str, tuple[set, set, set]] = {}
 _PSL_RULE = _re.compile(r"^[\w\-]+(\.[\w\-]+)*$", _re.UNICODE)
 
 
+def _psl_rule_ok(body: str) -> bool:
+    """True if `body` looks like a PSL rule. `\\w` alone rejects IDN
+    entries carrying combining marks (e.g. Devanagari virama in the
+    real list), so allow Unicode mark categories too — while still
+    rejecting structural characters (JSON braces, quotes, spaces)
+    that signal a non-PSL file."""
+    if _PSL_RULE.match(body):
+        return True
+    import unicodedata
+    if not body or body.startswith(".") or body.endswith("."):
+        return False
+    for ch in body:
+        if ch.isalnum() or ch in "-_.":
+            continue
+        if unicodedata.category(ch).startswith("M"):
+            continue
+        return False
+    return ".." not in body
+
+
 def _load_psl(path: str) -> tuple[set, set, set]:
     """Parse a PSL file → (rules, wildcard bases, exceptions)."""
     cached = _PSL_CACHE.get(path)
@@ -463,7 +487,7 @@ def _load_psl(path: str) -> tuple[set, set, set]:
             # non-PSL file must ERROR, parse_etld/custom_psl_file_
             # wrong_format.vrl): rules are dot-separated labels of
             # [letters digits - _ *], nothing else
-            if not _PSL_RULE.match(body):
+            if not _psl_rule_ok(body):
                 raise VrlError("Unable to parse psl file")
             if line.startswith("!"):
                 exc.add(body)
@@ -477,6 +501,20 @@ def _load_psl(path: str) -> tuple[set, set, set]:
     return rules, wild, exc
 
 
+_DEFAULT_PSL_CACHE: Optional[tuple[set, set, set]] = None
+
+
+def _default_psl() -> tuple[set, set, set]:
+    """Full PSL from the OS `publicsuffix` package, else the subset."""
+    global _DEFAULT_PSL_CACHE
+    if _DEFAULT_PSL_CACHE is None:
+        try:
+            _DEFAULT_PSL_CACHE = _load_psl(_SYSTEM_PSL)
+        except Exception:
+            _DEFAULT_PSL_CACHE = (_BUILTIN_SUFFIXES, set(), set())
+    return _DEFAULT_PSL_CACHE
+
+
 def parse_etld(value: str, plus_parts: int = 0,
                psl: Optional[str] = None) -> dict:
     host = value.strip().strip(".").lower()
@@ -486,7 +524,7 @@ def parse_etld(value: str, plus_parts: int = 0,
     if psl:
         rules, wild, exc = _load_psl(psl)
     else:
-        rules, wild, exc = _BUILTIN_SUFFIXES, set(), set()
+        rules, wild, exc = _default_psl()
 
     etld = None
     known = False
