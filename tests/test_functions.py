@@ -370,6 +370,33 @@ class TestCodecChecksum:
         assert R["seahash"]("foobar") == 5348458858952426560
         assert R["seahash"]("bar") == -2796170501982571315
 
+    def test_crc_full_catalogue(self):
+        """The full 112-algorithm RevEng catalogue (crc.rs:7-118):
+        every entry's computed CRC of b'123456789' must equal the
+        catalogue's published check value — params and check are
+        independent facts, so agreement validates both."""
+        from vrl_ray.functions.checksum import _CRC_PARAMS, _crc_generic
+        assert len(_CRC_PARAMS) == 112
+        for name, p in _CRC_PARAMS.items():
+            assert _crc_generic(b"123456789", *p[:6]) == p[6], name
+
+    def test_crc_reference_vectors(self):
+        # crc.rs test module expectations, incl. exact error text
+        c = R["crc"]
+        assert c("foo", algorithm="CRC_8_MAXIM_DOW") == "18"
+        assert c("foo", algorithm="CRC_32_CKSUM") == "4271552933"
+        assert c("foo", algorithm="CRC_64_REDIS") == \
+            "12626267673720558670"
+        # sub-byte and >64-bit widths (bit-serial engine paths)
+        assert c("123456789", "CRC_3_GSM") == "4"
+        assert c("123456789", "CRC_82_DARC") == \
+            "749237524598872659187218"
+        # uppercase-only normalization, as the reference
+        assert c("foo", "crc_32_cksum") == "4271552933"
+        with pytest.raises(Exception) as ei:
+            c("foo", algorithm="CRC_UNKNOWN")
+        assert str(ei.value) == "Invalid CRC algorithm: CRC_UNKNOWN"
+
 
 class TestIp:
     def test_aton_ntoa(self):

@@ -111,3 +111,49 @@ class TestFallibilityForcing:
         # conditional type_defs (xxhash.rs:145-157): a valid constant
         # variant stays infallible
         compile_program('.h = xxhash("foo")')
+
+    def test_conditional_fallibility_exact(self):
+        """r3: exact resolve_constant-based conditional fallibility
+        (crc.rs:1011-1026, hmac.rs:178-198, xxhash.rs:145-158,
+        chunks.rs:130-136, random_*.rs get_length/get_range,
+        encode_gzip.rs:105-116, mod_func.rs type_def)."""
+        # valid constant variant → infallible
+        compile_program('.h = crc("foo", algorithm: "CRC_3_GSM")')
+        compile_program('.h = hmac("foo", "key", algorithm: "SHA1")')
+        compile_program('.h = xxhash("foo", variant: "XXH3-64")')
+        # constant propagated through a local is resolved too
+        compile_program('a = "CRC_32_CKSUM"\n.h = crc("foo", algorithm: a)')
+        # INVALID constant variant → fallible, must be handled
+        for src in ('.h = crc("foo", algorithm: "CRC_BOGUS")',
+                    '.h = hmac("foo", "key", algorithm: "MD5")',
+                    '.h = xxhash("foo", variant: "XXH128")'):
+            with pytest.raises(VrlCompileError):
+                compile_program(src)
+        # non-constant variant → fallible even though it's a string
+        with pytest.raises(VrlCompileError):
+            compile_program('a = to_string!(.v)\n'
+                            '.h = crc("foo", algorithm: a)')
+        # chunks: ANY constant size is infallible; expression is not
+        compile_program('.c = chunks("abcdef", 2)')
+        with pytest.raises(VrlCompileError):
+            compile_program('n = to_int!(.n)\n.c = chunks("abcdef", n)')
+        # random_*: constant in-range bounds are infallible
+        compile_program('.r = random_bytes(16)')
+        compile_program('.r = random_int(0, 10)')
+        compile_program('.r = random_float(0.0, 1.0)')
+        for src in ('.r = random_bytes(65537)',      # > 64 KiB
+                    '.r = random_int(10, 10)',       # max <= min
+                    '.r = random_float(2.0, 1.0)'):
+            with pytest.raises(VrlCompileError):
+                compile_program(src)
+        # encode_gzip/zlib: omitted or constant level <= 10
+        compile_program('.z = encode_gzip("x")')
+        compile_program('.z = encode_zlib("x", compression_level: 9)')
+        with pytest.raises(VrlCompileError):
+            compile_program('.z = encode_gzip("x", compression_level: 11)')
+        # mod: constant nonzero modulus narrows kind and fallibility
+        compile_program('.m = mod(10, 3)')
+        with pytest.raises(VrlCompileError):
+            compile_program('.m = mod(10, 0)')
+        with pytest.raises(VrlCompileError):
+            compile_program('.m = mod(to_int!(.a), to_int!(.b))')

@@ -63,31 +63,161 @@ def sha3(value: str, variant: str = "SHA3-512") -> str:
     return fn(_b(value)).hexdigest()
 
 
-# Generic parametric CRC (RevEng catalogue params: width, poly, init,
-# refin, refout, xorout) — the same catalogue the `crc` crate ships.
+# Generic parametric CRC. Params (width, poly, init, refin, refout,
+# xorout, check) from the published CRC RevEng catalogue — the same
+# catalogue behind the `crc` crate's constants the reference matches
+# on (crc.rs:7-118). `check` is the catalogue's CRC of b"123456789";
+# tests assert computed-check == catalogued-check for every entry,
+# so a wrong parameter can't pass silently.
 _CRC_PARAMS = {
-    "CRC_32_ISO_HDLC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
-    "CRC_32_CKSUM": (32, 0x04C11DB7, 0x00000000, False, False, 0xFFFFFFFF),
-    "CRC_32_BZIP2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0xFFFFFFFF),
-    "CRC_32_MPEG_2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0x00000000),
-    "CRC_32_ISCSI": (32, 0x1EDC6F41, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
-    "CRC_32_JAMCRC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0x00000000),
-    "CRC_32_XFER": (32, 0x000000AF, 0x00000000, False, False, 0x00000000),
-    "CRC_32_AIXM": (32, 0x814141AB, 0x00000000, False, False, 0x00000000),
-    "CRC_32_AUTOSAR": (32, 0xF4ACFB13, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
-    "CRC_32_BASE91_D": (32, 0xA833982B, 0xFFFFFFFF, True, True, 0xFFFFFFFF),
-    "CRC_32_CD_ROM_EDC": (32, 0x8001801B, 0x00000000, True, True, 0x00000000),
-    "CRC_16_IBM_3740": (16, 0x1021, 0xFFFF, False, False, 0x0000),
-    "CRC_16_ARC": (16, 0x8005, 0x0000, True, True, 0x0000),
-    "CRC_16_XMODEM": (16, 0x1021, 0x0000, False, False, 0x0000),
-    "CRC_16_MODBUS": (16, 0x8005, 0xFFFF, True, True, 0x0000),
-    "CRC_16_KERMIT": (16, 0x1021, 0x0000, True, True, 0x0000),
-    "CRC_16_USB": (16, 0x8005, 0xFFFF, True, True, 0xFFFF),
-    "CRC_8_SMBUS": (8, 0x07, 0x00, False, False, 0x00),
-    "CRC_8_MAXIM_DOW": (8, 0x31, 0x00, True, True, 0x00),
-    "CRC_64_ECMA_182": (64, 0x42F0E1EBA9EA3693, 0x0, False, False, 0x0),
-    "CRC_64_XZ": (64, 0x42F0E1EBA9EA3693,
-                  0xFFFFFFFFFFFFFFFF, True, True, 0xFFFFFFFFFFFFFFFF),
+    "CRC_3_GSM": (3, 0x3, 0x0, False, False, 0x7, 0x4),
+    "CRC_3_ROHC": (3, 0x3, 0x7, True, True, 0x0, 0x6),
+    "CRC_4_G_704": (4, 0x3, 0x0, True, True, 0x0, 0x7),
+    "CRC_4_INTERLAKEN": (4, 0x3, 0xF, False, False, 0xF, 0xB),
+    "CRC_5_EPC_C1G2": (5, 0x09, 0x09, False, False, 0x00, 0x00),
+    "CRC_5_G_704": (5, 0x15, 0x00, True, True, 0x00, 0x07),
+    "CRC_5_USB": (5, 0x05, 0x1F, True, True, 0x1F, 0x19),
+    "CRC_6_CDMA2000_A": (6, 0x27, 0x3F, False, False, 0x00, 0x0D),
+    "CRC_6_CDMA2000_B": (6, 0x07, 0x3F, False, False, 0x00, 0x3B),
+    "CRC_6_DARC": (6, 0x19, 0x00, True, True, 0x00, 0x26),
+    "CRC_6_GSM": (6, 0x2F, 0x00, False, False, 0x3F, 0x13),
+    "CRC_6_G_704": (6, 0x03, 0x00, True, True, 0x00, 0x06),
+    "CRC_7_MMC": (7, 0x09, 0x00, False, False, 0x00, 0x75),
+    "CRC_7_ROHC": (7, 0x4F, 0x7F, True, True, 0x00, 0x53),
+    "CRC_7_UMTS": (7, 0x45, 0x00, False, False, 0x00, 0x61),
+    "CRC_8_AUTOSAR": (8, 0x2F, 0xFF, False, False, 0xFF, 0xDF),
+    "CRC_8_BLUETOOTH": (8, 0xA7, 0x00, True, True, 0x00, 0x26),
+    "CRC_8_CDMA2000": (8, 0x9B, 0xFF, False, False, 0x00, 0xDA),
+    "CRC_8_DARC": (8, 0x39, 0x00, True, True, 0x00, 0x15),
+    "CRC_8_DVB_S2": (8, 0xD5, 0x00, False, False, 0x00, 0xBC),
+    "CRC_8_GSM_A": (8, 0x1D, 0x00, False, False, 0x00, 0x37),
+    "CRC_8_GSM_B": (8, 0x49, 0x00, False, False, 0xFF, 0x94),
+    "CRC_8_HITAG": (8, 0x1D, 0xFF, False, False, 0x00, 0xB4),
+    "CRC_8_I_432_1": (8, 0x07, 0x00, False, False, 0x55, 0xA1),
+    "CRC_8_I_CODE": (8, 0x1D, 0xFD, False, False, 0x00, 0x7E),
+    "CRC_8_LTE": (8, 0x9B, 0x00, False, False, 0x00, 0xEA),
+    "CRC_8_MAXIM_DOW": (8, 0x31, 0x00, True, True, 0x00, 0xA1),
+    "CRC_8_MIFARE_MAD": (8, 0x1D, 0xC7, False, False, 0x00, 0x99),
+    "CRC_8_NRSC_5": (8, 0x31, 0xFF, False, False, 0x00, 0xF7),
+    "CRC_8_OPENSAFETY": (8, 0x2F, 0x00, False, False, 0x00, 0x3E),
+    "CRC_8_ROHC": (8, 0x07, 0xFF, True, True, 0x00, 0xD0),
+    "CRC_8_SAE_J1850": (8, 0x1D, 0xFF, False, False, 0xFF, 0x4B),
+    "CRC_8_SMBUS": (8, 0x07, 0x00, False, False, 0x00, 0xF4),
+    "CRC_8_TECH_3250": (8, 0x1D, 0xFF, True, True, 0x00, 0x97),
+    "CRC_8_WCDMA": (8, 0x9B, 0x00, True, True, 0x00, 0x25),
+    "CRC_10_ATM": (10, 0x233, 0x000, False, False, 0x000, 0x199),
+    "CRC_10_CDMA2000": (10, 0x3D9, 0x3FF, False, False, 0x000, 0x233),
+    "CRC_10_GSM": (10, 0x175, 0x000, False, False, 0x3FF, 0x12A),
+    "CRC_11_FLEXRAY": (11, 0x385, 0x01A, False, False, 0x000, 0x5A3),
+    "CRC_11_UMTS": (11, 0x307, 0x000, False, False, 0x000, 0x061),
+    "CRC_12_CDMA2000": (12, 0xF13, 0xFFF, False, False, 0x000, 0xD4D),
+    "CRC_12_DECT": (12, 0x80F, 0x000, False, False, 0x000, 0xF5B),
+    "CRC_12_GSM": (12, 0xD31, 0x000, False, False, 0xFFF, 0xB34),
+    "CRC_12_UMTS": (12, 0x80F, 0x000, False, True, 0x000, 0xDAF),
+    "CRC_13_BBC": (13, 0x1CF5, 0x0000, False, False, 0x0000, 0x04FA),
+    "CRC_14_DARC": (14, 0x0805, 0x0000, True, True, 0x0000, 0x082D),
+    "CRC_14_GSM": (14, 0x202D, 0x0000, False, False, 0x3FFF, 0x30AE),
+    "CRC_15_CAN": (15, 0x4599, 0x0000, False, False, 0x0000, 0x059E),
+    "CRC_15_MPT1327": (15, 0x6815, 0x0000, False, False, 0x0001, 0x2566),
+    "CRC_16_ARC": (16, 0x8005, 0x0000, True, True, 0x0000, 0xBB3D),
+    "CRC_16_CDMA2000": (16, 0xC867, 0xFFFF, False, False, 0x0000, 0x4C06),
+    "CRC_16_CMS": (16, 0x8005, 0xFFFF, False, False, 0x0000, 0xAEE7),
+    "CRC_16_DDS_110": (16, 0x8005, 0x800D, False, False, 0x0000, 0x9ECF),
+    "CRC_16_DECT_R": (16, 0x0589, 0x0000, False, False, 0x0001, 0x007E),
+    "CRC_16_DECT_X": (16, 0x0589, 0x0000, False, False, 0x0000, 0x007F),
+    "CRC_16_DNP": (16, 0x3D65, 0x0000, True, True, 0xFFFF, 0xEA82),
+    "CRC_16_EN_13757": (16, 0x3D65, 0x0000, False, False, 0xFFFF, 0xC2B7),
+    "CRC_16_GENIBUS": (16, 0x1021, 0xFFFF, False, False, 0xFFFF, 0xD64E),
+    "CRC_16_GSM": (16, 0x1021, 0x0000, False, False, 0xFFFF, 0xCE3C),
+    "CRC_16_IBM_3740": (16, 0x1021, 0xFFFF, False, False, 0x0000, 0x29B1),
+    "CRC_16_IBM_SDLC": (16, 0x1021, 0xFFFF, True, True, 0xFFFF, 0x906E),
+    "CRC_16_ISO_IEC_14443_3_A": (16, 0x1021, 0xC6C6, True, True, 0x0000,
+                                 0xBF05),
+    "CRC_16_KERMIT": (16, 0x1021, 0x0000, True, True, 0x0000, 0x2189),
+    "CRC_16_LJ1200": (16, 0x6F63, 0x0000, False, False, 0x0000, 0xBDF4),
+    "CRC_16_M17": (16, 0x5935, 0xFFFF, False, False, 0x0000, 0x772B),
+    "CRC_16_MAXIM_DOW": (16, 0x8005, 0x0000, True, True, 0xFFFF, 0x44C2),
+    "CRC_16_MCRF4XX": (16, 0x1021, 0xFFFF, True, True, 0x0000, 0x6F91),
+    "CRC_16_MODBUS": (16, 0x8005, 0xFFFF, True, True, 0x0000, 0x4B37),
+    "CRC_16_NRSC_5": (16, 0x080B, 0xFFFF, True, True, 0x0000, 0xA066),
+    "CRC_16_OPENSAFETY_A": (16, 0x5935, 0x0000, False, False, 0x0000,
+                            0x5D38),
+    "CRC_16_OPENSAFETY_B": (16, 0x755B, 0x0000, False, False, 0x0000,
+                            0x20FE),
+    "CRC_16_PROFIBUS": (16, 0x1DCF, 0xFFFF, False, False, 0xFFFF, 0xA819),
+    "CRC_16_RIELLO": (16, 0x1021, 0xB2AA, True, True, 0x0000, 0x63D0),
+    "CRC_16_SPI_FUJITSU": (16, 0x1021, 0x1D0F, False, False, 0x0000,
+                           0xE5CC),
+    "CRC_16_T10_DIF": (16, 0x8BB7, 0x0000, False, False, 0x0000, 0xD0DB),
+    "CRC_16_TELEDISK": (16, 0xA097, 0x0000, False, False, 0x0000, 0x0FB3),
+    "CRC_16_TMS37157": (16, 0x1021, 0x89EC, True, True, 0x0000, 0x26B1),
+    "CRC_16_UMTS": (16, 0x8005, 0x0000, False, False, 0x0000, 0xFEE8),
+    "CRC_16_USB": (16, 0x8005, 0xFFFF, True, True, 0xFFFF, 0xB4C8),
+    "CRC_16_XMODEM": (16, 0x1021, 0x0000, False, False, 0x0000, 0x31C3),
+    "CRC_17_CAN_FD": (17, 0x1685B, 0x00000, False, False, 0x00000,
+                      0x04F03),
+    "CRC_21_CAN_FD": (21, 0x102899, 0x000000, False, False, 0x000000,
+                      0x0ED841),
+    "CRC_24_BLE": (24, 0x00065B, 0x555555, True, True, 0x000000,
+                   0xC25A56),
+    "CRC_24_FLEXRAY_A": (24, 0x5D6DCB, 0xFEDCBA, False, False, 0x000000,
+                         0x7979BD),
+    "CRC_24_FLEXRAY_B": (24, 0x5D6DCB, 0xABCDEF, False, False, 0x000000,
+                         0x1F23B8),
+    "CRC_24_INTERLAKEN": (24, 0x328B63, 0xFFFFFF, False, False, 0xFFFFFF,
+                          0xB4F3E6),
+    "CRC_24_LTE_A": (24, 0x864CFB, 0x000000, False, False, 0x000000,
+                     0xCDE703),
+    "CRC_24_LTE_B": (24, 0x800063, 0x000000, False, False, 0x000000,
+                     0x23EF52),
+    "CRC_24_OPENPGP": (24, 0x864CFB, 0xB704CE, False, False, 0x000000,
+                       0x21CF02),
+    "CRC_24_OS_9": (24, 0x800063, 0xFFFFFF, False, False, 0xFFFFFF,
+                    0x200FA5),
+    "CRC_30_CDMA": (30, 0x2030B9C7, 0x3FFFFFFF, False, False, 0x3FFFFFFF,
+                    0x04C34ABF),
+    "CRC_31_PHILIPS": (31, 0x04C11DB7, 0x7FFFFFFF, False, False,
+                       0x7FFFFFFF, 0x0CE9E46C),
+    "CRC_32_AIXM": (32, 0x814141AB, 0x00000000, False, False, 0x00000000,
+                    0x3010BF7F),
+    "CRC_32_AUTOSAR": (32, 0xF4ACFB13, 0xFFFFFFFF, True, True, 0xFFFFFFFF,
+                       0x1697D06A),
+    "CRC_32_BASE91_D": (32, 0xA833982B, 0xFFFFFFFF, True, True,
+                        0xFFFFFFFF, 0x87315576),
+    "CRC_32_BZIP2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False, 0xFFFFFFFF,
+                     0xFC891918),
+    "CRC_32_CD_ROM_EDC": (32, 0x8001801B, 0x00000000, True, True,
+                          0x00000000, 0x6EC2EDC4),
+    "CRC_32_CKSUM": (32, 0x04C11DB7, 0x00000000, False, False, 0xFFFFFFFF,
+                     0x765E7680),
+    "CRC_32_ISCSI": (32, 0x1EDC6F41, 0xFFFFFFFF, True, True, 0xFFFFFFFF,
+                     0xE3069283),
+    "CRC_32_ISO_HDLC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True,
+                        0xFFFFFFFF, 0xCBF43926),
+    "CRC_32_JAMCRC": (32, 0x04C11DB7, 0xFFFFFFFF, True, True, 0x00000000,
+                      0x340BC6D9),
+    "CRC_32_MEF": (32, 0x741B8CD7, 0xFFFFFFFF, True, True, 0x00000000,
+                   0xD2C22F51),
+    "CRC_32_MPEG_2": (32, 0x04C11DB7, 0xFFFFFFFF, False, False,
+                      0x00000000, 0x0376E6E7),
+    "CRC_32_XFER": (32, 0x000000AF, 0x00000000, False, False, 0x00000000,
+                    0xBD0BE338),
+    "CRC_40_GSM": (40, 0x0004820009, 0x0000000000, False, False,
+                   0xFFFFFFFFFF, 0xD4164FC646),
+    "CRC_64_ECMA_182": (64, 0x42F0E1EBA9EA3693, 0x0, False, False, 0x0,
+                        0x6C40DF5F0B497347),
+    "CRC_64_GO_ISO": (64, 0x000000000000001B, 0xFFFFFFFFFFFFFFFF, True,
+                      True, 0xFFFFFFFFFFFFFFFF, 0xB90956C775A41001),
+    "CRC_64_MS": (64, 0x259C84CBA6426349, 0xFFFFFFFFFFFFFFFF, True, True,
+                  0x0000000000000000, 0x75D4B74F024ECEEA),
+    "CRC_64_REDIS": (64, 0xAD93D23594C935A9, 0x0000000000000000, True,
+                     True, 0x0000000000000000, 0xE9C6D914C4B8D9CA),
+    "CRC_64_WE": (64, 0x42F0E1EBA9EA3693, 0xFFFFFFFFFFFFFFFF, False,
+                  False, 0xFFFFFFFFFFFFFFFF, 0x62EC59E3F1A4F00A),
+    "CRC_64_XZ": (64, 0x42F0E1EBA9EA3693, 0xFFFFFFFFFFFFFFFF, True, True,
+                  0xFFFFFFFFFFFFFFFF, 0x995DC9BBDF1939FA),
+    "CRC_82_DARC": (82, 0x0308C0111011401440411, 0x0, True, True, 0x0,
+                    0x09EA83F625023801FD612),
 }
 
 
@@ -99,32 +229,38 @@ def _reflect(x: int, width: int) -> int:
     return r
 
 
-def _crc_generic(data: bytes, width, poly, init, refin, refout, xorout) -> int:
+def _crc_generic(data: bytes, width, poly, init, refin, refout,
+                 xorout) -> int:
+    """Bit-serial MSB-first CRC, valid for ANY width (3..82 in the
+    catalogue — sub-byte widths and >64-bit polys included, which a
+    byte-shifted register can't express)."""
     mask = (1 << width) - 1
     top = 1 << (width - 1)
-    crc_v = init
+    crc_v = init & mask
     for byte in data:
         if refin:
             byte = _reflect(byte, 8)
-        crc_v ^= byte << (width - 8)
-        for _ in range(8):
-            crc_v = ((crc_v << 1) ^ poly) if crc_v & top else (crc_v << 1)
-            crc_v &= mask
+        for i in range(7, -1, -1):
+            hi = 1 if crc_v & top else 0
+            crc_v = (crc_v << 1) & mask
+            if hi ^ ((byte >> i) & 1):
+                crc_v ^= poly
     if refout:
         crc_v = _reflect(crc_v, width)
     return (crc_v ^ xorout) & mask
 
 
 def crc(value: str, algorithm: str = "CRC_32_ISO_HDLC") -> str:
-    """crc.rs: parametric CRC over the RevEng catalogue (the subset of
-    the `crc` crate's algorithm list above); decimal-string digest."""
-    algorithm = algorithm.replace("-", "_").replace("/", "_")
-    if algorithm in ("CRC_32", "CRC_32_ISO_HDLC"):
+    """crc.rs:585-926: parametric CRC over the full RevEng catalogue
+    (112 algorithms, the `crc` crate's constant set); decimal-string
+    digest. Name matching is uppercase-only, as the reference's."""
+    algorithm = algorithm.upper()
+    if algorithm == "CRC_32_ISO_HDLC":
         return str(_zlib.crc32(_b(value)) & 0xFFFFFFFF)
     params = _CRC_PARAMS.get(algorithm)
     if params is None:
-        raise VrlError(f"unsupported crc algorithm: {algorithm}")
-    return str(_crc_generic(_b(value), *params))
+        raise VrlError(f"Invalid CRC algorithm: {algorithm}")
+    return str(_crc_generic(_b(value), *params[:6]))
 
 
 _HMAC_ALGOS = {

@@ -748,9 +748,9 @@ class _Infer:
     #: community_id.rs:238-240, format_timestamp.rs:120-122,
     #: from_unix_timestamp.rs:192-194, encode_lz4.rs:98-101,
     #: dns_lookup.rs:254-257, http_request.rs:315-318,
-    #: reverse_dns.rs:31-34. (hmac/xxhash/crc are CONDITIONAL —
-    #: infallible when the variant arg is a valid constant — which the
-    #: arg-verification rule already approximates.)
+    #: reverse_dns.rs:31-34. (hmac/xxhash/crc/chunks/random_*/mod/
+    #: encode_gzip/zlib are CONDITIONAL — see _CONDITIONAL_FALLIBILITY
+    #: below, exact constant resolution since r3.)
     _ALWAYS_FALLIBLE = frozenset({
         "slice", "join", "tally", "assert_eq", "community_id",
         "format_timestamp", "from_unix_timestamp", "encode_lz4",
@@ -802,8 +802,25 @@ class _Infer:
                 continue   # coarser-than-reference kind: don't force
             if k is None or not _kind_verified(k, declared):
                 fallible = True
+        ret_override = None
+        cond = _CONDITIONAL_FALLIBILITY.get(name)
+        if cond is not None:
+            # per-function type_def fallibility that depends on
+            # resolve_constant (the reference's conditional functions:
+            # crc/hmac/xxhash variant args, chunks/random_* sizes,
+            # encode_gzip/zlib level, mod) — exact constant resolution
+            # via the checker's constant-locals map, replacing the r2
+            # arg-kind approximation
+            supplied: dict[str, object] = {}
+            for idx, (aname, aexpr) in enumerate(args):
+                pname = aname or (params[idx][0]
+                                  if idx < len(params) else None)
+                if pname:
+                    supplied[pname] = self._const(aexpr)
+            extra, ret_override = cond(supplied)
+            fallible = fallible or extra
         ret = Kind.never()
-        for t in spec["ret"]:
+        for t in (ret_override or spec["ret"]):
             ret = ret.union(_kind_from_name(t))
         return ("call", name, bang, new_args, closure) + tuple(n[5:]), \
             ret.with_approx(), fallible and not bang
@@ -844,6 +861,108 @@ class _Infer:
 # reference coercion typedefs (to_int.rs:160-169, to_float.rs,
 # to_bool.rs:200-206, to_string.rs:144-150): result kind + the input
 # bits/containers that make the call fallible
+# --- conditional type_def fallibility (resolve_constant-dependent) ---
+# Mirrors the reference functions whose `fn type_def` consults
+# resolve_constant: crc.rs:1011-1026, hmac.rs:178-198,
+# xxhash.rs:145-158, chunks.rs:130-136, encode_gzip.rs:105-116 (zlib
+# identical), random_bytes.rs:94-101 + get_length, random_int.rs /
+# random_float.rs get_range, mod_func.rs type_def.
+# A rule takes {param_name: constant | _NO_CONST} — param absent from
+# the dict = argument omitted; _NO_CONST = supplied but not a
+# compile-time constant — and returns (extra_fallible, ret_override).
+
+_HMAC_ALGOS = frozenset(
+    ("SHA1", "SHA-224", "SHA-256", "SHA-384", "SHA-512"))
+_XXH_VARIANTS = frozenset(("XXH32", "XXH64", "XXH3-64", "XXH3-128"))
+
+
+def _crc_algos() -> frozenset:
+    from ..functions.checksum import _CRC_PARAMS
+    return frozenset(_CRC_PARAMS)
+
+
+def _cond_variant(pname, valid_fn):
+    """Infallible iff the variant arg is omitted or a recognized
+    constant string (uppercased compare, as the reference does)."""
+    def rule(supplied):
+        if pname not in supplied:
+            return False, None
+        c = supplied[pname]
+        ok = isinstance(c, str) and c.upper() in valid_fn()
+        return (not ok), None
+    return rule
+
+
+def _cond_chunks(supplied):
+    # chunks.rs:130-136: fallible iff chunk_size is not a constant
+    # (ANY constant makes it infallible — validity is not checked)
+    return supplied.get("chunk_size", _NO_CONST) is _NO_CONST, None
+
+
+def _cond_level(supplied):
+    # encode_gzip.rs:105-116: level omitted → infallible; supplied →
+    # must be a constant integer <= 10
+    if "compression_level" not in supplied:
+        return False, None
+    c = supplied["compression_level"]
+    ok = isinstance(c, int) and not isinstance(c, bool) and c <= 10
+    return (not ok), None
+
+
+def _cond_random_bytes(supplied):
+    # random_bytes.rs get_length: constant integer in [0, 64 KiB]
+    c = supplied.get("length", _NO_CONST)
+    ok = (isinstance(c, int) and not isinstance(c, bool)
+          and 0 <= c <= 1024 * 64)
+    return (not ok), None
+
+
+def _cond_random_range(want_float):
+    # random_int.rs / random_float.rs get_range: both bounds constant
+    # and max > min
+    def rule(supplied):
+        mn = supplied.get("min", _NO_CONST)
+        mx = supplied.get("max", _NO_CONST)
+
+        def num_ok(v):
+            if want_float:
+                return isinstance(v, float)
+            return isinstance(v, int) and not isinstance(v, bool)
+        ok = num_ok(mn) and num_ok(mx) and mx > mn
+        return (not ok), None
+    return rule
+
+
+def _cond_mod(supplied):
+    # mod_func.rs type_def: constant normal-float / nonzero-int
+    # modulus narrows the return kind and drops fallibility, unless
+    # the dividend is a constant infinity (NaN result)
+    import math
+    v = supplied.get("value", _NO_CONST)
+    value_inf = isinstance(v, float) and math.isinf(v)
+    m = supplied.get("modulus", _NO_CONST)
+    if isinstance(m, float):
+        normal = math.isfinite(m) and m != 0.0 and abs(m) >= 2.2250738585072014e-308
+        return (not normal) or value_inf, ("float",)
+    if isinstance(m, int) and not isinstance(m, bool):
+        return (m == 0) or value_inf, ("integer",)
+    return True, None
+
+
+_CONDITIONAL_FALLIBILITY = {
+    "crc": _cond_variant("algorithm", _crc_algos),
+    "hmac": _cond_variant("algorithm", lambda: _HMAC_ALGOS),
+    "xxhash": _cond_variant("variant", lambda: _XXH_VARIANTS),
+    "chunks": _cond_chunks,
+    "encode_gzip": _cond_level,
+    "encode_zlib": _cond_level,
+    "random_bytes": _cond_random_bytes,
+    "random_int": _cond_random_range(want_float=False),
+    "random_float": _cond_random_range(want_float=True),
+    "mod": _cond_mod,
+}
+
+
 _COERCE_CALLS = {
     "to_int": ("integer", frozenset(("bytes", "regex")), True),
     "to_float": ("float", frozenset(("bytes", "regex")), True),
