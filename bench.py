@@ -37,6 +37,23 @@ def _sf() -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _membw_probe() -> float:
+    """Single-threaded memcpy bandwidth in GB/s (256 MiB copy).
+
+    Box-state evidence recorded with every bench line: this sandbox
+    has a bursty co-tenant that consumes most of the machine's memory
+    bandwidth while leaving loadavg near zero — the SAME code swings
+    2-3× wall-clock with it active (BASELINE.md round-2/3 notes;
+    quiet-box reference is ~15 GB/s, observed as low as 0.02 GB/s).
+    A low value here means the numbers measure the neighbor."""
+    import numpy as np
+    a = np.zeros(1 << 28, dtype=np.uint8)
+    t = time.time()
+    a.copy()
+    dt = time.time() - t
+    return round(0.25 / dt, 2)
+
+
 def _bench_queries():
     """Representative operator queries (subset of __ray_entry__)."""
     import __ray_entry__ as E
@@ -119,6 +136,7 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": total_rows,
         "rows_per_sec": round(total_rows / headline, 1),
+        "membw_gbps": _membw_probe(),
     }
 
 
@@ -177,6 +195,8 @@ def run_scaling() -> dict:
         f"rows_per_sec_{n_lo}": lo["rows_per_sec"],
         f"rows_per_sec_{n_hi}": hi["rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"membw_gbps_{n_lo}": lo.get("membw_gbps"),
+        f"membw_gbps_{n_hi}": hi.get("membw_gbps"),
     }
 
 
@@ -208,7 +228,8 @@ def run_headline_only() -> dict:
     dt = time.time() - t0
     ray.shutdown()
     return {"value": round(dt, 3), "rows": total_rows,
-            "rows_per_sec": round(total_rows / dt, 1), "num_cpus": NUM_CPUS}
+            "rows_per_sec": round(total_rows / dt, 1),
+            "num_cpus": NUM_CPUS, "membw_gbps": _membw_probe()}
 
 
 if __name__ == "__main__":
