@@ -458,6 +458,28 @@ def events_vrl_remap(sf_dir: str):
     return out.select_columns(["event_id", "kind", "value_int", "is_big"])
 
 
+def events_vrl_kernels(sf_dir: str):
+    """A VRL program exercising the r3 column kernels end to end
+    through the language lane (strip_whitespace, truncate,
+    parse_regex lowered to a pc.extract_regex struct column + nested
+    field read, to_bool) — lang/vectorize.py compiles this to ONE
+    Arrow pass per batch, no per-row Python. Oracle: equivalent SQL."""
+    from vrl_ray.lang import remap
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    program = """
+    .et = strip_whitespace(.event_type)
+    .short = truncate(.et, 3)
+    .p, .pe = parse_regex(.event_type, r'(?P<head>[a-z]+)')
+    .head = .p.head
+    .vi, .e1 = to_int(round(.value))
+    .flag = to_bool(.vi)
+    """
+    out = remap(ds, program, concurrency=(1, 4))
+    return out.select_columns(
+        ["event_id", "et", "short", "head", "vi", "flag"])
+
+
 def events_logfmt_roundtrip(sf_dir: str):
     """encode_logfmt → parse_key_value round-trip per event, fully
     vectorized: the logfmt line is BUILT with Arrow kernels (quoting
@@ -996,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "events_vrl_remap": events_vrl_remap,
+        "events_vrl_kernels": events_vrl_kernels,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
         "events_declarative_pipeline": events_declarative_pipeline,
@@ -1202,6 +1225,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, lower(event_type) AS kind,
                    CAST(round(value, 0) AS BIGINT) AS value_int,
                    value >= 100.0 AS is_big
+            FROM events
+        """,
+        "events_vrl_kernels": """
+            SELECT event_id,
+                   trim(event_type) AS et,
+                   substr(trim(event_type), 1, 3) AS short,
+                   regexp_extract(event_type, '([a-z]+)', 1) AS head,
+                   CAST(round(value, 0) AS BIGINT) AS vi,
+                   (CAST(round(value, 0) AS BIGINT) <> 0) AS flag
             FROM events
         """,
         "events_logfmt_roundtrip": """

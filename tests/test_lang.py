@@ -83,6 +83,20 @@ class TestInterpreter:
         res, _, _ = run("match(\"foo\", r'^f')")
         assert res is True
 
+    def test_runtime_arg_kind_errors_are_catchable(self):
+        """r3: wrong-kind arguments at runtime are ordinary fallible-
+        call errors with the reference's ArgumentError text
+        (expressions/query/function_call_error.vrl — 'expected
+        string, got null'), NOT program aborts, even for functions
+        whose Python body raises a bare TypeError."""
+        from vrl_ray.lang import compile_program
+        p = compile_program(
+            r'''.o, .e = parse_regex(.t, r'(?P<c>\d)')''', strict=False)
+        _, ev, _ = p.resolve({"t": None})
+        assert ev["e"].endswith("expected string, got null"), ev["e"]
+        _, ev2, _ = p.resolve({"t": 42})
+        assert ev2["e"].endswith("expected string, got integer")
+
 
 class TestRemapStage:
     PROGRAM = """
@@ -308,6 +322,58 @@ class TestVectorize:
         out3 = VectorProgram(src3).run(b3).to_pylist()
         assert out3[0]["y"] == 5 and out3[0]["vrl_err"] is None
         assert out3[1]["y"] is None and out3[1]["vrl_err"] is not None
+
+    def test_new_string_kernels_parity(self):
+        """r3 kernels (parse_regex via pc.extract_regex, truncate,
+        strip_whitespace, to_bool): value AND positioned error-text
+        parity with the interpreter, including null inputs."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
+
+        cases = [
+            (r'''.p, .e = parse_regex(.t, '''
+             r'''r'(?P<verb>\w+) (?P<path>/\S*) (?P<code>\d+)')''',
+             {"t": ["GET /i 200", "garbage", None, "POST /a 404"]},
+             ("p", "e")),
+            ('.o, .e = truncate(.t, 5)',
+             {"t": ["hello world", "hi", None, "exact"]}, ("o", "e")),
+            ('.o, .e = truncate(.t, 3, "...")',
+             {"t": ["hello world", "hi", None]}, ("o", "e")),
+            ('.o, .e = strip_whitespace(.t)',
+             {"t": ["  pad  ", "x", None, "\t tab\n"]}, ("o", "e")),
+            ('.o, .e = to_bool(.t)',
+             {"t": ["true", "NO", " 1 ", "maybe", None, "Y"]},
+             ("o", "e")),
+            ('.o, .e = to_bool(.t)', {"t": [0, 3, None, -1]}, ("o", "e")),
+        ]
+        for src, data, fields in cases:
+            batch = pa.table(data)
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src, strict=False)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for fld in fields:
+                    assert out[i][fld] == ev.get(fld), \
+                        (src, i, fld, out[i][fld], ev.get(fld))
+
+        # struct field access on the lowered parse_regex result
+        src = (r'''.p = parse_regex!(.t, r'(?P<code>\d\d\d)')'''
+               + "\n.code = .p.code")
+        b = pa.table({"t": ["x 200 y", "z 404"]})
+        out = VectorProgram(src).run(b).to_pylist()
+        assert [r["code"] for r in out] == ["200", "404"]
+
+        # unsafe patterns refuse to lower (fall back, never diverge):
+        # optional group, alternation, dynamic pattern
+        import pytest
+        for bad in (r'''.p = parse_regex!(.t, r'(?P<a>\d)(?P<b>x)?')''',
+                    r'''.p = parse_regex!(.t, r'(?P<a>cat|dog)')''',
+                    '.p = parse_regex!(.t, .pat)'):
+            with pytest.raises(NotVectorizable):
+                VectorProgram(bad).run(
+                    pa.table({"t": ["1x"], "pat": ["x"]}))
 
     def test_ok_err_into_nested_paths(self):
         """r3: `ok, err =` where either target is a nested path."""

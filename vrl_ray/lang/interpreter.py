@@ -469,12 +469,49 @@ class _Ctx:
         except VrlError:
             raise
         except TypeError as e:
+            # runtime argument-kind mismatch: the reference surfaces
+            # these as CATCHABLE call errors with the parameter's
+            # declared kinds ("expected string, got null" —
+            # expressions/query/function_call_error.vrl), not a
+            # program abort
+            msg = _arg_kind_error(name, pos, kw)
+            if msg is not None:
+                raise VrlError(msg) from e
             raise VrlRuntimeError(f"bad arguments for {name}: {e}") from e
 
     def _path_exists(self, pnode) -> bool:
         from ..functions.object import exists as _exists
         base = self.root[0] if pnode[1] == "event" else self.meta[0]
         return _exists(base, pnode[2])
+
+
+def _arg_kind_error(name: str, pos, kw) -> "str | None":
+    """Reference-style runtime argument error: match actual values
+    against the declared parameter kinds (the generated type table)
+    and report the first mismatch as `expected <kinds>, got <kind>`
+    (ArgumentError display, e.g. 'expected string, got null')."""
+    from ..value import vrl_type
+    from ._stdlib_typedefs import STDLIB_TYPEDEFS
+
+    spec = STDLIB_TYPEDEFS.get(name)
+    if spec is None:
+        return None
+    params = spec["args"]
+    supplied = list(zip((p[0] for p in params), pos))
+    supplied += [(k, v) for k, v in kw.items()]
+    for pname, val in supplied:
+        declared = next((p[1] for p in params if p[0] == pname), None)
+        if declared is None or "any" in declared:
+            continue
+        try:
+            actual = vrl_type(val)
+        except TypeError:
+            continue
+        ok = actual in declared or (
+            actual == "integer" and "float" in declared)
+        if not ok:
+            return f"expected {' or '.join(declared)}, got {actual}"
+    return None
 
 
 def _adapt_closure(fname: str, fn, nparams: int):

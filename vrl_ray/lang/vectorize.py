@@ -21,12 +21,14 @@ Vectorizable subset (r3):
   i64, division errors by zero, null-falsy predicates), `!`,
   `if cond { a } else { b }` as `pc.if_else`, `map_values`/`filter`
   closures over list columns, and the kernel registry below
-- kernels: downcase upcase to_int to_float to_string round floor ceil
-  abs strlen contains starts_with ends_with replace match is_null
-  is_nullish split slice join md5 sha1 sha2 format_timestamp
-  parse_timestamp to_unix_timestamp — with interpreter-parity
-  positioned error text (masked per-error-row construction) and
-  null-input error rules (_NULL_RULES)
+- kernels: downcase upcase to_int to_float to_string to_bool round
+  floor ceil abs strlen contains starts_with ends_with replace match
+  is_null is_nullish split slice join md5 sha1 sha2 format_timestamp
+  parse_timestamp to_unix_timestamp parse_regex (struct column via
+  pc.extract_regex; all-named, non-optional groups) truncate
+  strip_whitespace — with interpreter-parity positioned error text
+  (masked per-error-row construction) and null-input error rules
+  (_NULL_RULES)
 
 Error-as-value: every compiled expression yields ``(values,
 errs|None)`` where ``errs`` is a per-row string array — the same
@@ -414,6 +416,109 @@ def _k_join(ctx, a):
     return pc.binary_join(v, sep), e
 
 
+def _regex_groups_total(pat: str) -> bool:
+    """True when every named group is guaranteed to participate in
+    any match, so the interpreter's omit-unmatched-groups semantics
+    (parse.py _regex_captures) equals a struct column: no
+    alternation, and no group made optional by a quantifier. A `\\)`
+    false-positive just means falling back — sound, never wrong."""
+    if "|" in pat:
+        return False
+    for i, ch in enumerate(pat):
+        if ch == ")" and i + 1 < len(pat) and pat[i + 1] in "?*{":
+            return False
+    return True
+
+
+def _k_parse_regex(ctx, a, nodes, span=None):
+    """parse_regex.rs vectorized: regex-literal pattern with all
+    groups named and none optional → one pc.extract_regex pass
+    returning a struct column (null = no match, with the
+    interpreter's positioned per-row error and null ok-default).
+    numeric_groups / dynamic patterns fall back."""
+    if len(a) != 2 or nodes[1][0] != "regex":
+        raise NotVectorizable("parse_regex args")
+    pat = a[1][0]
+    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    if not isinstance(pat, str) or not _regex_groups_total(pat):
+        raise NotVectorizable("parse_regex pattern shape")
+    v, e = a[0]
+    v = _as_array(v, ctx.n)
+    try:
+        out = pc.extract_regex(v, pattern=pat)
+    except pa.lib.ArrowInvalid:
+        # unnamed groups / RE2-incompatible syntax → interpreter
+        raise NotVectorizable("parse_regex pattern syntax")
+    bad = pc.and_(pc.is_valid(v), pc.is_null(out))
+    errs = None
+    if pc.any(bad).as_py():
+        msg = (_call_frame("parse_regex", span)
+               + "could not find any pattern matches")
+        errs = _err_where(bad, msg, ctx.n)
+    return out, _merge_errs(ctx.n, e, errs)
+
+
+def _k_truncate(ctx, a, nodes, span=None):
+    """truncate.rs: cut to a literal `limit` code points; literal
+    `suffix` appended only where truncation happened."""
+    v, e = a[0]
+    limit = a[1][0]
+    limit = limit.as_py() if isinstance(limit, pa.Scalar) else None
+    if not isinstance(limit, int) or isinstance(limit, bool) or limit < 0:
+        raise NotVectorizable("truncate limit")
+    suffix = ""
+    if len(a) > 2:
+        s = a[2][0]
+        suffix = s.as_py() if isinstance(s, pa.Scalar) else None
+        if not isinstance(suffix, str):
+            raise NotVectorizable("truncate suffix")
+    cut = pc.utf8_slice_codeunits(v, 0, stop=limit)
+    if suffix:
+        cut = pc.binary_join_element_wise(cut, pa.scalar(suffix), "")
+    fits = pc.less_equal(pc.utf8_length(v), pa.scalar(limit))
+    return pc.if_else(fits, v, cut), e
+
+
+def _k_strip_whitespace(ctx, a):
+    v, e = a[0]
+    return pc.utf8_trim_whitespace(v), e
+
+
+_BOOL_TRUE = pa.array(["true", "t", "yes", "y", "1"])
+_BOOL_FALSE = pa.array(["false", "f", "no", "n", "0"])
+
+
+def _k_to_bool(ctx, a, span=None):
+    """to_bool.rs coercion table: bool id; numeric != 0; null → false
+    (no error); recognized strings; other strings are per-row errors
+    with the interpreter's repr text and `false` handled-default."""
+    v, e = a[0]
+    v = _as_array(v, ctx.n)
+    t = _typ(v)
+    if pa.types.is_null(t):
+        return pa.array([False] * ctx.n), e
+    if pa.types.is_boolean(t):
+        return pc.fill_null(v, False), e
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pc.fill_null(pc.not_equal(v, pa.scalar(0, t)), False), e
+    if not pa.types.is_string(t) and not pa.types.is_large_string(t):
+        raise NotVectorizable("to_bool input type")
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(v))
+    is_t = pc.is_in(s, value_set=_BOOL_TRUE)
+    is_f = pc.is_in(s, value_set=_BOOL_FALSE)
+    bad = pc.and_(pc.is_valid(v),
+                  pc.invert(pc.or_(is_t, is_f)))
+    errs = None
+    if pc.any(bad).as_py():
+        prefix = _call_frame("to_bool", span)
+        errs = _masked_err_msgs(
+            bad,
+            lambda val: f"{prefix}unable to coerce {val!r} into boolean",
+            v, n=ctx.n)
+    out = pc.fill_null(pc.if_else(bad, False, is_t), False)
+    return out, _merge_errs(ctx.n, e, errs)
+
+
 _KERNELS: dict[str, Callable] = {
     "downcase": _k_downcase, "upcase": _k_upcase, "to_int": _k_to_int,
     "to_float": _k_to_float, "to_string": _k_to_string, "round": _k_round,
@@ -428,6 +533,7 @@ _KERNELS: dict[str, Callable] = {
     "md5": _hash_kernel("md5"), "sha1": _hash_kernel("sha1"),
     "sha2": _hash_kernel("sha512_256"),   # sha2.rs default SHA-512/256
     "join": _k_join,
+    "strip_whitespace": _k_strip_whitespace,
 }
 
 #: kernels that also need the raw argument AST (regex-vs-string
@@ -435,6 +541,8 @@ _KERNELS: dict[str, Callable] = {
 _KERNELS_NODES: dict[str, Callable] = {
     "split": _k_split,
     "slice": _k_slice,
+    "parse_regex": _k_parse_regex,
+    "truncate": _k_truncate,
 }
 
 #: kernels that build positioned per-row error text and therefore
@@ -443,6 +551,7 @@ _KERNELS_SPAN: dict[str, Callable] = {
     "to_int": _k_to_int,
     "to_float": _k_to_float,
     "parse_timestamp": _k_parse_timestamp,
+    "to_bool": _k_to_bool,
 }
 
 #: null-input semantics: the reference errors when a required typed
@@ -470,6 +579,9 @@ _NULL_RULES: dict[str, tuple[str, Any]] = {
     "to_unix_timestamp": ("expected timestamp", 0),
     "join": ("expected array", ""),
     "slice": ("expected string or array, got null", None),
+    "parse_regex": ("expected string, got null", None),
+    "truncate": ("expected string, got null", None),
+    "strip_whitespace": ("expected string, got null", None),
 }
 
 
