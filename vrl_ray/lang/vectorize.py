@@ -336,10 +336,19 @@ def _hash_kernel(algo: str):
         v, e = a[0]
         if isinstance(v, pa.Scalar):
             v = pa.repeat(v, ctx.n)
-        out = [hashlib.new(algo, s.encode()).hexdigest()
-               if s is not None else None
-               for s in v.to_pylist()]
-        return pa.array(out, pa.string()), e
+        # dictionary-encode first: digest cost scales with DISTINCT
+        # values, not rows — log batches hash low-cardinality columns
+        # (tool/role/level) far more often than free text
+        arr = (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+               else v)
+        dct = arr.dictionary_encode()
+        uniq = [hashlib.new(algo, s.encode()).hexdigest()
+                if s is not None else None
+                for s in dct.dictionary.to_pylist()]
+        out = pa.DictionaryArray.from_arrays(
+            dct.indices, pa.array(uniq, pa.string())) \
+            .cast(pa.string())
+        return out, e
     return k
 
 
