@@ -132,11 +132,17 @@ _bool_expr = st.one_of(
 
 _stmt = st.one_of(
     _num_expr.map(lambda e: f".o1 = {e}"),
-    st.tuples(_str_expr, st.sampled_from(["downcase", "upcase", "strlen"]))
+    st.tuples(_str_expr, st.sampled_from(["downcase", "upcase", "strlen",
+                                          "strip_whitespace"]))
       .map(lambda p: f".o2 = {p[1]}({p[0]})"),
     _bool_expr.map(lambda e: f".o3 = {e}"),
     st.tuples(_bool_expr, _num_expr, _num_expr)
       .map(lambda p: f"if {p[0]} {{ .o4 = {p[1]} }} else {{ .o4 = {p[2]} }}"),
+    # r3 kernels: handled forms so per-row errors stay comparable
+    st.tuples(_str_expr, st.integers(0, 5), st.sampled_from(['', '..']))
+      .map(lambda p: f'.o5, .e5 = truncate({p[0]}, {p[1]}, "{p[2]}")'),
+    st.one_of(_str_expr, _num_expr)
+      .map(lambda e: f".o6, .e6 = to_bool({e})"),
 )
 
 _program = st.lists(_stmt, min_size=1, max_size=4).map("\n".join)
@@ -168,7 +174,7 @@ def test_vector_plan_matches_interpreter(src, a, b):
             _, ev, _ = prog.resolve(dict(row))
         except (VrlError, Exception):
             continue  # row errors → vector path may produce anything defined
-        for f in ("o1", "o2", "o3", "o4"):
+        for f in ("o1", "o2", "o3", "o4", "o5", "e5", "o6", "e6"):
             if f in ev and f in out.column_names:
                 got = out[f][i].as_py()
                 want = ev[f]
