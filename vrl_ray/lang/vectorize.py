@@ -883,6 +883,7 @@ def _compile_expr(node) -> Callable:
         if name not in _KERNELS and name not in _KERNELS_NODES \
                 and name not in _KERNELS_SPAN:
             raise NotVectorizable(f"call {name}")
+        args = _canonicalize_named_args(name, args)
         argfs = []
         argnodes = []
         for aname, aexpr in args:
@@ -915,6 +916,42 @@ def _compile_expr(node) -> Callable:
         return _compile_expr(_unwrap_block(node))
 
     raise NotVectorizable(kind)
+
+
+def _canonicalize_named_args(name: str, args):
+    """Kernels index arguments positionally (the reference docs'
+    parameter order); named call arguments are rewritten into that
+    order so `truncate(.t, 3, suffix: "…")` lowers like the
+    positional form. A named arg that would leave a positional hole
+    (an unset optional before it) can't be represented — fall back."""
+    if all(an is None for an, _ in args):
+        return args
+    from ._stdlib_typedefs import STDLIB_TYPEDEFS
+    spec = STDLIB_TYPEDEFS.get(name)
+    if spec is None:
+        raise NotVectorizable("named args")
+    order = [p[0] for p in spec["args"]]
+    canon = []
+    named = {}
+    for an, ae in args:
+        if an is None:
+            if named:
+                raise NotVectorizable("positional after named")
+            canon.append((None, ae))
+        else:
+            if an in named:
+                raise NotVectorizable("duplicate named arg")
+            named[an] = ae
+    for pname in order[len(canon):]:
+        if pname in named:
+            canon.append((None, named.pop(pname)))
+        elif named:
+            raise NotVectorizable("named arg hole")
+        else:
+            break
+    if named:
+        raise NotVectorizable("unknown named arg")
+    return canon
 
 
 def _unwrap_block(node):
