@@ -365,9 +365,27 @@ class TestVectorize:
         out = VectorProgram(src).run(b).to_pylist()
         assert [r["code"] for r in out] == ["200", "404"]
 
+        # replace: regex-literal pattern and count must match the
+        # interpreter (both diverged before r3 — literal-substring
+        # replace of the regex SOURCE, and count ignored)
+        for src, vals in [
+                (r'''.o = replace(.t, r'o+', "0")''', ["foo", "o+o"]),
+                ('.o = replace(.t, "o", "0", count: 1)', ["foo", "o+o"]),
+                ('.o = replace(.t, "o", "0", 2)', ["fooo", "o"])]:
+            b = pa.table({"t": pa.array(vals, pa.string())})
+            out = [r["o"] for r in VectorProgram(src).run(b).to_pylist()]
+            p = Program(src)
+            exp = [p.resolve({"t": x})[1]["o"] for x in vals]
+            assert out == exp, (src, out, exp)
+        # replacement strings with $-group refs cannot lower (RE2
+        # rewrite syntax differs from the interpreter's)
+        import pytest
+        with pytest.raises(NotVectorizable):
+            VectorProgram(r'''.o = replace(.t, r'(o)', "$1$1")''').run(
+                pa.table({"t": ["o"]}))
+
         # unsafe patterns refuse to lower (fall back, never diverge):
         # optional group, alternation, dynamic pattern
-        import pytest
         for bad in (r'''.p = parse_regex!(.t, r'(?P<a>\d)(?P<b>x)?')''',
                     r'''.p = parse_regex!(.t, r'(?P<a>cat|dog)')''',
                     '.p = parse_regex!(.t, .pat)'):

@@ -224,12 +224,32 @@ def _k_ends_with(ctx, a):
                         else pat), e
 
 
-def _k_replace(ctx, a):
+def _k_replace(ctx, a, nodes, span=None):
+    """replace.rs: literal pattern → pc.replace_substring, regex
+    literal → pc.replace_substring_regex (replacement strings with
+    $-group refs / backslashes fall back — RE2 rewrite syntax
+    differs); literal `count` maps to max_replacements."""
     v, e = a[0]
     pat, rep = a[1][0], a[2][0]
-    return pc.replace_substring(
-        v, pat.as_py() if isinstance(pat, pa.Scalar) else pat,
-        rep.as_py() if isinstance(rep, pa.Scalar) else rep), e
+    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    rep = rep.as_py() if isinstance(rep, pa.Scalar) else None
+    if not isinstance(pat, str) or not isinstance(rep, str):
+        raise NotVectorizable("replace args")
+    count = None
+    if len(a) > 3:
+        c = a[3][0]
+        c = c.as_py() if isinstance(c, pa.Scalar) else None
+        if not isinstance(c, int) or isinstance(c, bool) or c < -1:
+            raise NotVectorizable("replace count")
+        count = None if c == -1 else c
+    if nodes[1][0] == "regex":
+        if "$" in rep or "\\" in rep:
+            raise NotVectorizable("replace rewrite refs")
+        out = pc.replace_substring_regex(
+            v, pat, rep, max_replacements=count)
+    else:
+        out = pc.replace_substring(v, pat, rep, max_replacements=count)
+    return out, e
 
 
 def _k_match(ctx, a):
@@ -534,7 +554,7 @@ _KERNELS: dict[str, Callable] = {
     "floor": _k_floor, "ceil": _k_ceil, "abs": _k_abs,
     "strlen": _k_strlen, "contains": _k_contains,
     "starts_with": _k_starts_with, "ends_with": _k_ends_with,
-    "replace": _k_replace, "match": _k_match, "is_null": _k_is_null,
+    "match": _k_match, "is_null": _k_is_null,
     "is_nullish": _k_is_nullish,
     "format_timestamp": _k_format_timestamp,
     "parse_timestamp": _k_parse_timestamp,
@@ -552,6 +572,7 @@ _KERNELS_NODES: dict[str, Callable] = {
     "slice": _k_slice,
     "parse_regex": _k_parse_regex,
     "truncate": _k_truncate,
+    "replace": _k_replace,
 }
 
 #: kernels that build positioned per-row error text and therefore
