@@ -143,6 +143,20 @@ _stmt = st.one_of(
       .map(lambda p: f'.o5, .e5 = truncate({p[0]}, {p[1]}, "{p[2]}")'),
     st.one_of(_str_expr, _num_expr)
       .map(lambda e: f".o6, .e6 = to_bool({e})"),
+    # optional-argument forms (case_sensitive / precision / count —
+    # each was a silent vector-lane divergence before r3)
+    st.tuples(_str_expr, st.sampled_from(["contains", "starts_with",
+                                          "ends_with"]),
+              st.sampled_from(['"o"', '"B"', '""']),
+              st.booleans())
+      .map(lambda p: f".o7, .e7 = {p[1]}({p[0]}, {p[2]}, "
+                     f"{str(p[3]).lower()})"),
+    st.tuples(_num_expr, st.sampled_from(["round", "floor", "ceil"]),
+              st.integers(0, 3))
+      .map(lambda p: f".o8, .e8 = {p[1]}({p[0]}, {p[2]})"),
+    st.tuples(_str_expr, st.sampled_from(['"o"', '"a b"']),
+              st.integers(-1, 3))
+      .map(lambda p: f'.o9, .e9 = replace({p[0]}, {p[1]}, "_", {p[2]})'),
 )
 
 _program = st.lists(_stmt, min_size=1, max_size=4).map("\n".join)
@@ -161,20 +175,22 @@ def test_vector_plan_matches_interpreter(src, a, b):
         "a": pa.array(a, pa.int64()),
         "b": pa.array(b, pa.float64()),
         "s": pa.array(["Ab", "", "zz Q"]),
-        "t": pa.array(["x", "Foo Bar", "y"]),
+        "t": pa.array(["x", None, " y "]),  # null + padded: concat identity, trim, null rules
     })
+    from vrl_ray.lang.vectorize import _RowFallback
     try:
         vp = VectorProgram(src)
-    except NotVectorizable:
-        return
-    out = vp.run(batch)
+        out = vp.run(batch)
+    except (NotVectorizable, _RowFallback):
+        return  # falls back to the row path in VectorRemapStage
     prog = Program(src)
     for i, row in enumerate(batch.to_pylist()):
         try:
             _, ev, _ = prog.resolve(dict(row))
         except (VrlError, Exception):
             continue  # row errors → vector path may produce anything defined
-        for f in ("o1", "o2", "o3", "o4", "o5", "e5", "o6", "e6"):
+        for f in ("o1", "o2", "o3", "o4", "o5", "e5", "o6", "e6",
+                  "o7", "e7", "o8", "e8", "o9", "e9"):
             if f in ev and f in out.column_names:
                 got = out[f][i].as_py()
                 want = ev[f]

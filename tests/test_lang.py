@@ -365,6 +365,41 @@ class TestVectorize:
         out = VectorProgram(src).run(b).to_pylist()
         assert [r["code"] for r in out] == ["200", "404"]
 
+        # optional args that silently diverged before r3:
+        # case_sensitive on the contains family, floor/ceil
+        # precision, and round's integer return at precision 0
+        for src, col, vals in [
+                ('.o = contains(.t, "O", case_sensitive: false)',
+                 "t", ["foo", "bar"]),
+                ('.o = starts_with(.t, "F", false)', "t", ["foo", "x"]),
+                ('.o = ends_with(.t, "O", false)', "t", ["foo", "baO"]),
+                ('.o = floor(.v, 2)', "v", [1.2345, -1.236]),
+                ('.o = ceil(.v, 1)', "v", [1.2345, -1.236]),
+                ('.o = round(.v)', "v", [1.5, -2.5])]:
+            b = pa.table({col: pa.array(vals)})
+            out = [r["o"] for r in VectorProgram(src).run(b).to_pylist()]
+            p = Program(src)
+            exp = [p.resolve({col: x})[1]["o"] for x in vals]
+            assert out == exp and all(
+                type(x) == type(y) for x, y in zip(out, exp)), \
+                (src, out, exp)
+
+        # to_unix_timestamp unit argument (ignored before r3) and
+        # non-UTC format_timestamp timezone (must fall back, the
+        # kernel renders UTC only)
+        from datetime import datetime, timezone as _tz
+        ts = [datetime(2021, 1, 2, 3, 4, 5, 123456, tzinfo=_tz.utc)]
+        bt = pa.table({"ts": pa.array(ts, pa.timestamp("us", tz="UTC"))})
+        for src in ('.o = to_unix_timestamp(.ts, unit: "milliseconds")',
+                    '.o = to_unix_timestamp(.ts, "nanoseconds")'):
+            out = [r["o"] for r in VectorProgram(src).run(bt).to_pylist()]
+            p = Program(src)
+            exp = [p.resolve({"ts": x})[1]["o"] for x in ts]
+            assert out == exp, (src, out, exp)
+        with pytest.raises(NotVectorizable):
+            VectorProgram('.o = format_timestamp!(.ts, "%F", '
+                          'timezone: "America/New_York")').run(bt)
+
         # replace: regex-literal pattern and count must match the
         # interpreter (both diverged before r3 — literal-substring
         # replace of the regex SOURCE, and count ignored)
@@ -379,7 +414,6 @@ class TestVectorize:
             assert out == exp, (src, out, exp)
         # replacement strings with $-group refs cannot lower (RE2
         # rewrite syntax differs from the interpreter's)
-        import pytest
         with pytest.raises(NotVectorizable):
             VectorProgram(r'''.o = replace(.t, r'(o)', "$1$1")''').run(
                 pa.table({"t": ["o"]}))

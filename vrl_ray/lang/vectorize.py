@@ -178,19 +178,42 @@ def _k_round(ctx, a):
     prec = 0
     if len(a) > 1:
         prec = a[1][0].as_py() if isinstance(a[1][0], pa.Scalar) else a[1][0]
+    if pa.types.is_integer(_typ(v)):
+        return v, e   # round.rs: integer input is identity
     # VRL round = half away from zero (round.rs via f64::round)
-    return pc.round(v, ndigits=int(prec),
-                    round_mode="half_towards_infinity"), e
+    out = pc.round(v, ndigits=int(prec),
+                   round_mode="half_towards_infinity")
+    if int(prec) == 0:
+        # round.rs returns an INTEGER at precision 0 (the interpreter
+        # does too); overflowing casts raise → whole-batch fallback
+        out = pc.cast(out, pa.int64())
+    return out, e
+
+
+def _precision(a) -> int:
+    if len(a) < 2:
+        return 0
+    p = a[1][0]
+    p = p.as_py() if isinstance(p, pa.Scalar) else None
+    if not isinstance(p, int) or isinstance(p, bool):
+        raise NotVectorizable("precision arg")
+    return p
 
 
 def _k_floor(ctx, a):
     v, e = a[0]
-    return pc.floor(v), e
+    prec = _precision(a)
+    if prec == 0:
+        return pc.floor(v), e
+    return pc.round(v, ndigits=prec, round_mode="down"), e
 
 
 def _k_ceil(ctx, a):
     v, e = a[0]
-    return pc.ceil(v), e
+    prec = _precision(a)
+    if prec == 0:
+        return pc.ceil(v), e
+    return pc.round(v, ndigits=prec, round_mode="up"), e
 
 
 def _k_abs(ctx, a):
@@ -203,25 +226,40 @@ def _k_strlen(ctx, a):
     return pc.cast(pc.utf8_length(v), pa.int64()), e
 
 
+def _case_insensitive(a) -> bool:
+    """Literal `case_sensitive` third arg of contains/starts_with/
+    ends_with → Arrow's ignore_case; non-literal falls back."""
+    if len(a) < 3:
+        return False
+    c = a[2][0]
+    c = c.as_py() if isinstance(c, pa.Scalar) else None
+    if not isinstance(c, bool):
+        raise NotVectorizable("case_sensitive arg")
+    return not c
+
+
 def _k_contains(ctx, a):
     v, e = a[0]
     pat = a[1][0]
-    return pc.match_substring(v, pat.as_py() if isinstance(pat, pa.Scalar)
-                              else pat), e
+    return pc.match_substring(
+        v, pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        ignore_case=_case_insensitive(a)), e
 
 
 def _k_starts_with(ctx, a):
     v, e = a[0]
     pat = a[1][0]
-    return pc.starts_with(v, pat.as_py() if isinstance(pat, pa.Scalar)
-                          else pat), e
+    return pc.starts_with(
+        v, pattern=pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        ignore_case=_case_insensitive(a)), e
 
 
 def _k_ends_with(ctx, a):
     v, e = a[0]
     pat = a[1][0]
-    return pc.ends_with(v, pat.as_py() if isinstance(pat, pa.Scalar)
-                        else pat), e
+    return pc.ends_with(
+        v, pattern=pat.as_py() if isinstance(pat, pa.Scalar) else pat,
+        ignore_case=_case_insensitive(a)), e
 
 
 def _k_replace(ctx, a, nodes, span=None):
@@ -278,6 +316,11 @@ def _k_format_timestamp(ctx, a):
     from ..functions.parse import _chrono_to_strptime
 
     v, e = a[0]
+    if len(a) > 2:
+        tz = a[2][0]
+        tz = tz.as_py() if isinstance(tz, pa.Scalar) else None
+        if tz not in ("UTC", "Etc/UTC"):
+            raise NotVectorizable("format_timestamp timezone")
     fmt = a[1][0]
     fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
     out = pc.strftime(v, format=_chrono_to_strptime(fmt))
@@ -296,6 +339,9 @@ def _k_parse_timestamp(ctx, a, span=None):
     from ..value import VrlError
 
     v, e = a[0]
+    if len(a) > 2:
+        # timezone argument: the scalar path owns those semantics
+        raise NotVectorizable("parse_timestamp timezone")
     fmt = a[1][0]
     fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
     out = pc.strptime(v, format=_chrono_to_strptime(fmt), unit="us",
@@ -345,8 +391,18 @@ def _k_parse_timestamp(ctx, a, span=None):
 
 def _k_to_unix_timestamp(ctx, a):
     v, e = a[0]
+    unit = "seconds"
+    if len(a) > 1:
+        u = a[1][0]
+        unit = u.as_py() if isinstance(u, pa.Scalar) else None
+        if unit not in ("seconds", "milliseconds", "nanoseconds"):
+            raise NotVectorizable("to_unix_timestamp unit")
     us = pc.cast(v, pa.int64())   # timestamp[us] → µs since epoch
-    return pc.divide(us, 1_000_000), e
+    if unit == "seconds":
+        return pc.divide(us, 1_000_000), e
+    if unit == "milliseconds":
+        return pc.divide(us, 1_000), e
+    return pc.multiply(us, 1_000), e
 
 
 def _hash_kernel(algo: str):
@@ -1002,8 +1058,18 @@ def _compile_binop(node) -> Callable:
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
             if op == "+" and (pa.types.is_string(_typ(lv)) or
                               pa.types.is_string(_typ(rv))):
-                # string + string concatenates (arithmetic.rs:125-133)
-                out = pc.binary_join_element_wise(lv, rv, "")
+                # string + string concatenates; a null side is the
+                # IDENTITY ("foo" + null == "foo" — reference corpus
+                # arithmetic/addition/string_null.vrl), hence
+                # null_handling="skip". Both sides null is a runtime
+                # error whose ok-default (integer 0) can't live in a
+                # string column — punt those batches to the row path.
+                la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+                both = pc.and_(pc.is_null(la), pc.is_null(ra))
+                if pc.any(both).as_py():
+                    raise _RowFallback("null + null concat")
+                out = pc.binary_join_element_wise(
+                    lv, rv, "", null_handling="skip")
                 return out, _merge_errs(ctx.n, le, re)
             return kernel(lv, rv), _merge_errs(ctx.n, le, re)
         return arith
@@ -1026,6 +1092,15 @@ def _compile_binop(node) -> Callable:
 
         def cmpf(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            if op in ("==", "!="):
+                # VRL equality compares null as a VALUE: null == null
+                # is true, null == x is false (Value PartialEq) —
+                # Arrow's kernels null-propagate instead
+                la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+                eq = pc.or_(pc.fill_null(pc.equal(la, ra), False),
+                            pc.and_(pc.is_null(la), pc.is_null(ra)))
+                out = eq if op == "==" else pc.invert(eq)
+                return out, _merge_errs(ctx.n, le, re)
             return kernel(lv, rv), _merge_errs(ctx.n, le, re)
         return cmpf
 
@@ -1404,7 +1479,13 @@ class VectorProgram:
                 ok = pc.is_null(e)
                 if active is not None:
                     ok = pc.and_(ok, active)
-                ctx.written[field] = pc.if_else(ok, v, old)
+                try:
+                    ctx.written[field] = pc.if_else(ok, v, old)
+                except pa.lib.ArrowNotImplementedError:
+                    # overwriting a field with an incompatible type
+                    # while error rows must keep the old value isn't a
+                    # column blend — the row path owns those batches
+                    raise _RowFallback("retyped overwrite under mask")
                 kill(e)
         out = batch
         for name, arr in ctx.written.items():
