@@ -172,7 +172,9 @@ def test_vector_plan_matches_interpreter(src, a, b):
     from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
     batch = pa.table({
-        "a": pa.array(a, pa.int64()),
+        # one null int row: null arithmetic/comparison must match the
+        # interpreter's per-row errors (r3 divergence class)
+        "a": pa.array(a[:2] + [None], pa.int64()),
         "b": pa.array(b, pa.float64()),
         "s": pa.array(["Ab", "", "zz Q"]),
         "t": pa.array(["x", None, " y "]),  # null + padded: concat identity, trim, null rules

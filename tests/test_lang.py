@@ -188,7 +188,9 @@ class TestVectorize:
         batch = pa.table({"a": pa.array([4.0, 1.0]),
                           "b": pa.array([2.0, 0.0])})
         out = VectorProgram(".q, .e = .a / .b").run(batch)
-        assert out["q"].to_pylist() == [2.0, None]
+        # ok target gets the TYPE DEFAULT 0.0 on error, like the
+        # interpreter (assignment.rs:522-549; was None before r3)
+        assert out["q"].to_pylist() == [2.0, 0.0]
         assert "zero" in out["e"].to_pylist()[1]
 
     def test_unvectorizable_falls_back(self):

@@ -927,7 +927,18 @@ def _compile_expr(node) -> Callable:
 
         def notf(ctx):
             v, e = inner(ctx)
-            return pc.invert(v), e
+            va = _as_array(v, ctx.n)
+            if not pa.types.is_boolean(va.type) and \
+                    not pa.types.is_null(va.type):
+                # `!` requires a boolean (not.rs); non-bool columns
+                # carry the per-row error text only the row path builds
+                raise _RowFallback("! on non-boolean column")
+            errs = None
+            if pc.any(pc.is_null(va)).as_py():
+                # null operand is a per-row error, not a null result
+                errs = _err_where(pc.is_null(va),
+                                  "expected boolean, got null", ctx.n)
+            return pc.invert(v), _merge_errs(ctx.n, e, errs)
         return notf
 
     if kind == "binop":
@@ -968,31 +979,53 @@ def _compile_expr(node) -> Callable:
                 raise NotVectorizable("named args")
             argfs.append(_compile_expr(aexpr))
             argnodes.append(aexpr)
+        span = node[5] if len(node) > 5 else None
+        frame = _call_frame(name, span)
+
+        def eval_args(ctx):
+            # an errored ARGUMENT expression is reported inside the
+            # outer call's positioned frame (interpreter _eval_call
+            # wraps raw VrlErrors; already-framed ones pass through)
+            return [(v, _frame_arg_errs(e, frame, ctx.n))
+                    for v, e in (f(ctx) for f in argfs)]
+
         if name in _KERNELS_NODES:
             fn = _KERNELS_NODES[name]
 
-            span = node[5] if len(node) > 5 else None
-
             def call_n(ctx):
-                return fn(ctx, [f(ctx) for f in argfs], argnodes, span)
+                return fn(ctx, eval_args(ctx), argnodes, span)
             return call_n
         if name in _KERNELS_SPAN:
             fn = _KERNELS_SPAN[name]
-            span = node[5] if len(node) > 5 else None
 
             def call_s(ctx):
-                return fn(ctx, [f(ctx) for f in argfs], span)
+                return fn(ctx, eval_args(ctx), span)
             return call_s
         fn = _KERNELS[name]
 
         def call(ctx):
-            return fn(ctx, [f(ctx) for f in argfs])
+            return fn(ctx, eval_args(ctx))
         return call
 
     if kind == "block":
         return _compile_expr(_unwrap_block(node))
 
     raise NotVectorizable(kind)
+
+
+def _frame_arg_errs(e, frame: str, n: int):
+    """Prefix RAW per-row errors with the outer call's positioned
+    frame; rows already carrying a `function call error for` frame
+    (from a nested call) pass through unchanged."""
+    if e is None:
+        return None
+    raw = pc.and_(pc.is_valid(e),
+                  pc.invert(pc.starts_with(
+                      e, pattern='function call error for ')))
+    if not pc.any(raw).as_py():
+        return e
+    prefixed = pc.binary_join_element_wise(pa.scalar(frame), e, "")
+    return pc.if_else(raw, prefixed, e)
 
 
 def _canonicalize_named_args(name: str, args):
@@ -1039,6 +1072,25 @@ def _unwrap_block(node):
     return node
 
 
+def _vrl_kind_name(t: pa.DataType) -> str:
+    """VRL kind name of an Arrow type (for comparison error text)."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t):
+        return "object"
+    return "null"
+
+
 _NUM_OPS = {"+": "add", "-": "subtract", "*": "multiply"}
 _CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
             "<=": "less_equal", "==": "equal", "!=": "not_equal"}
@@ -1071,7 +1123,31 @@ def _compile_binop(node) -> Callable:
                 out = pc.binary_join_element_wise(
                     lv, rv, "", null_handling="skip")
                 return out, _merge_errs(ctx.n, le, re)
-            return kernel(lv, rv), _merge_errs(ctx.n, le, re)
+            # numeric arithmetic: a null side is a per-row ERROR
+            # (value.py add/sub/mul templates), not a silent null
+            la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lnull, rnull = pc.is_null(la), pc.is_null(ra)
+            errs3 = None
+            out = kernel(lv, rv)
+            if pc.any(pc.or_(lnull, rnull)).as_py():
+                import numpy as np
+                lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
+                ln_np = lnull.to_numpy(zero_copy_only=False)
+                rn_np = rnull.to_numpy(zero_copy_only=False)
+                msgs = np.full(ctx.n, None, dtype=object)
+                for i in np.flatnonzero(ln_np | rn_np):
+                    l_ = "null" if ln_np[i] else lk
+                    r_ = "null" if rn_np[i] else rk
+                    if op == "+":
+                        msgs[i] = f"can't add type {r_} to {l_}"
+                    elif op == "-":
+                        msgs[i] = f"can't subtract type {r_} from {l_}"
+                    else:
+                        msgs[i] = f"can't multiply type {l_} by {r_}"
+                errs3 = pa.array(msgs, pa.string())
+                # handled ok-default for + - * is 0 (_type_default)
+                out = pc.fill_null(out, 0)
+            return out, _merge_errs(ctx.n, le, re, errs3)
         return arith
 
     if op == "/":
@@ -1082,9 +1158,28 @@ def _compile_binop(node) -> Callable:
             safe_r = pc.if_else(zmask, pa.scalar(1.0, pa.float64()),
                                 pc.cast(rv, pa.float64()))
             out = pc.divide(pc.cast(lv, pa.float64()), safe_r)
-            out = pc.if_else(zmask, _nulls(ctx.n, pa.float64()), out)
+            # `ok, err =` default for / is 0.0 (_type_default;
+            # assignment.rs:522-549 — corpus: 1/0 → ok == 0.0).
+            # Unhandled forms mask this write out anyway.
+            out = pc.if_else(zmask, pa.scalar(0.0, pa.float64()), out)
             errs = _err_where(zmask, "can't divide by zero", ctx.n)
-            return out, _merge_errs(ctx.n, le, re, errs)
+            # null operands error per row like the interpreter
+            la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lnull, rnull = pc.is_null(la), pc.is_null(ra)
+            errs2 = None
+            if pc.any(pc.or_(lnull, rnull)).as_py():
+                import numpy as np
+                lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
+                ln_np = lnull.to_numpy(zero_copy_only=False)
+                rn_np = rnull.to_numpy(zero_copy_only=False)
+                msgs = np.full(ctx.n, None, dtype=object)
+                for i in np.flatnonzero(ln_np | rn_np):
+                    l_ = "null" if ln_np[i] else lk
+                    r_ = "null" if rn_np[i] else rk
+                    msgs[i] = f"can't divide type {l_} by {r_}"
+                errs2 = pa.array(msgs, pa.string())
+                out = pc.fill_null(out, 0.0)
+            return out, _merge_errs(ctx.n, le, re, errs2, errs)
         return divf
 
     if op in _CMP_OPS:
@@ -1101,12 +1196,42 @@ def _compile_binop(node) -> Callable:
                             pc.and_(pc.is_null(la), pc.is_null(ra)))
                 out = eq if op == "==" else pc.invert(eq)
                 return out, _merge_errs(ctx.n, le, re)
-            return kernel(lv, rv), _merge_errs(ctx.n, le, re)
+            # ordering: a null side is a per-row ERROR in the
+            # reference ("can't compare null > integer", value.py
+            # compare), not a silent null result
+            la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lnull, rnull = pc.is_null(la), pc.is_null(ra)
+            errs = None
+            if pc.any(pc.or_(lnull, rnull)).as_py():
+                lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
+                import numpy as np
+                ln_np = lnull.to_numpy(zero_copy_only=False)
+                rn_np = rnull.to_numpy(zero_copy_only=False)
+                msgs = np.full(ctx.n, None, dtype=object)
+                for i in np.flatnonzero(ln_np | rn_np):
+                    l_ = "null" if ln_np[i] else lk
+                    r_ = "null" if rn_np[i] else rk
+                    msgs[i] = f"can't compare {l_} {op} {r_}"
+                errs = pa.array(msgs, pa.string())
+            out = kernel(lv, rv)
+            if errs is not None:
+                # `ok, err =` default for a comparison is False
+                # (_type_default); unhandled forms mask this write out
+                out = pc.fill_null(out, False)
+            return out, _merge_errs(ctx.n, le, re, errs)
         return cmpf
 
     if op in ("&&", "||"):
         def boolf(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            for side in (lv, rv):
+                t = _typ(side)
+                if not pa.types.is_boolean(t) and \
+                        not pa.types.is_null(t):
+                    # && / || accept boolean or null only
+                    # (arithmetic.rs and_/or_: non-bool is a per-row
+                    # "expected boolean, got <kind>" error)
+                    raise _RowFallback(f"{op} on non-boolean column")
             # null is falsy in predicates (arithmetic.rs:159-187)
             lb = pc.fill_null(pc.cast(lv, pa.bool_()), False)
             rb = pc.fill_null(pc.cast(rv, pa.bool_()), False)
