@@ -193,6 +193,44 @@ class TestVectorize:
         assert out["q"].to_pylist() == [2.0, 0.0]
         assert "zero" in out["e"].to_pylist()[1]
 
+    def test_handled_default_is_outermost_exprs(self):
+        """On a handled (`ok, err =`) error the ok target gets the
+        OUTERMOST expression's type default, no matter where inside
+        the expression the error originated — an inner binop error
+        under round() must yield round's default (null), not the
+        binop's 0 (interpreter._eval_assign; assignment.rs:522-549)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"a": pa.array([1.4, None, 2.6])})
+        out = VectorProgram(".o, .e = round((.a + .a), 0)").run(batch)
+        assert out["o"].to_pylist() == [3.0, None, 5.0]
+        assert out["e"].to_pylist()[1] is not None
+        # comparison default is false even when the error is inner
+        out = VectorProgram(".o, .e = (.a + .a) > 2").run(batch)
+        assert out["o"].to_pylist() == [True, False, True]
+
+    def test_if_predicate_null_errors_per_row(self):
+        """A null row in a boolean `if` predicate errors per row
+        ('if predicate must be boolean, got null'), it does not
+        silently take the else branch (if_statement.rs predicate
+        kind check; ADVICE r3 fuzz finding)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"a": pa.array([True, None, False]),
+                          "o": pa.array([9, 9, 9], pa.int64())})
+        # statement form: errored row keeps the prior value
+        out = VectorProgram(
+            "if .a { .o = 1 } else { .o = 2 }").run(batch)
+        assert out["o"].to_pylist() == [1, 9, 2]
+        assert "must be boolean" in out["vrl_err"].to_pylist()[1]
+        # expression form
+        out = VectorProgram(".o = if .a { 1 } else { 2 }").run(batch)
+        assert out["o"].to_pylist() == [1, 9, 2]
+
     def test_unvectorizable_falls_back(self):
         import pytest as _pytest
 

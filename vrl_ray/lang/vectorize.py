@@ -954,6 +954,7 @@ def _compile_expr(node) -> Callable:
 
         def iff(ctx):
             c, ce = condf(ctx)
+            ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
             c = pc.fill_null(pc.cast(c, pa.bool_()), False)
             tv, te = thenf(ctx)
             ev, ee = elsef(ctx)
@@ -1011,6 +1012,52 @@ def _compile_expr(node) -> Callable:
         return _compile_expr(_unwrap_block(node))
 
     raise NotVectorizable(kind)
+
+
+def _predicate_errs(c, n: int):
+    """`if` predicates must be boolean (interpreter: 'if predicate
+    must be boolean, got <kind>'): non-boolean columns punt to the
+    row path; null rows of a boolean column error per row."""
+    ca = _as_array(c, n)
+    if pa.types.is_null(ca.type):
+        return _err_where(pa.array([True] * n),
+                          "if predicate must be boolean, got null", n)
+    if not pa.types.is_boolean(ca.type):
+        raise _RowFallback("non-boolean if predicate")
+    nulls = pc.is_null(ca)
+    if not pc.any(nulls).as_py():
+        return None
+    return _err_where(nulls,
+                      "if predicate must be boolean, got null", n)
+
+
+def _with_handled_default(f, expr):
+    """Handled (`ok, err =`) capture: on error rows the ok target gets
+    the OUTERMOST expression's type default — 0 for int arith, 0.0 for
+    `/`, false for comparisons, the function's documented default for
+    calls, else null — no matter where inside the expression the error
+    originated (interpreter._eval_assign; assignment.rs:522-549)."""
+    from .interpreter import _type_default
+    default = _type_default(expr)
+
+    def g(ctx):
+        v, e = f(ctx)
+        if e is None or not pc.any(pc.is_valid(e)).as_py():
+            return v, e
+        bad = pc.is_valid(e)
+        va = _as_array(v, ctx.n)
+        if default is None:
+            if pa.types.is_null(va.type):
+                return va, e
+            return pc.if_else(bad, pa.scalar(None, va.type), va), e
+        try:
+            d = pa.scalar(default)
+            if pa.types.is_null(va.type):
+                va = _nulls(ctx.n, d.type)
+            return pc.if_else(bad, d, va), e
+        except pa.lib.ArrowError:
+            raise _RowFallback("handled default type blend")
+    return g
 
 
 def _frame_arg_errs(e, frame: str, n: int):
@@ -1306,7 +1353,12 @@ class VectorProgram:
             if len(fields) == 1:
                 return [(fields[0], None, f)]
             if len(fields) == 2:
-                return [(fields[0], fields[1], f)]
+                # handled capture: the ok target's value on error rows
+                # is the OUTERMOST expression's type default, wherever
+                # inside the expression the error originated
+                # (interpreter._eval_assign / assignment.rs:522-549)
+                return [(fields[0], fields[1],
+                         _with_handled_default(f, expr))]
             raise NotVectorizable("assignment arity")
         if s[0] == "if":
             return [self._compile_if_stmt(s)]
@@ -1407,6 +1459,7 @@ class VectorProgram:
             branch's vectorized errors are discarded — that branch
             never ran for the row)."""
             c, ce = condf(ctx)
+            ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
             c = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
             out = {}
             errs = ce
