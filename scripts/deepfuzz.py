@@ -1,0 +1,253 @@
+"""Deep fuzz: random typed VRL programs, vector lane vs interpreter.
+
+Generates seeded random programs over the full vectorizable grammar
+(arithmetic/string/bool kernels, if expressions and statements, `??`,
+`&&`/`||`, handled captures, variables, bang calls) and runs them over
+a null-bearing batch through BOTH the column plan and the row
+interpreter, comparing every output field and the error lanes exactly.
+This harness found the r3 lazy-evaluation divergence class (eager
+branch/short-circuit errors), the bang-capture class, and the
+replace(count=0)/to_string(-0.0)/ceil-int kernel bugs.
+
+Usage: python scripts/deepfuzz.py [seed] [n_programs]
+Prints each divergence (program, row, field, ref vs vec) and a summary
+line; exit status 1 if any divergence was found.
+"""
+import random
+import sys
+
+import pyarrow as pa
+
+from vrl_ray.lang.interpreter import Program
+from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram, _RowFallback
+
+R = random.Random(0)
+
+STR_LITS = ['"x"', '"Foo Bar"', '""', '" ab "', '"12"', '"-3.5"',
+            '"true"', '"NO"', '"ümlaut"', '"a,b,c"']
+
+
+def num(d=0):
+    opts = ['.a', '.b', 'ilit', 'flit']
+    if d < 2:
+        opts += ['binop', 'binop', 'call', 'iff', 'coalesce',
+                 'to_int', 'to_float', 'strlen']
+    c = R.choice(opts)
+    if c == 'ilit':
+        return str(R.randint(-20, 20))
+    if c == 'flit':
+        return f"{R.uniform(-20, 20):.2f}"
+    if c == 'binop':
+        return f"({num(d + 1)} {R.choice(['+', '-', '*', '/', '%'])} {num(d + 1)})"
+    if c == 'call':
+        f = R.choice(['round', 'floor', 'ceil', 'abs'])
+        if f == 'abs':
+            return f"abs({num(d + 1)})"
+        return f"{f}({num(d + 1)}, {R.randint(0, 3)})"
+    if c == 'iff':
+        return f"(if {boolex(d + 1)} {{ {num(d + 1)} }} else {{ {num(d + 1)} }})"
+    if c == 'coalesce':
+        return f"({num(d + 1)} ?? {num(d + 1)})"
+    if c == 'to_int':
+        return f"to_int({R.choice(['.s', '.t', num(d + 1)])})"
+    if c == 'to_float':
+        return f"to_float({R.choice(['.s', '.t', num(d + 1)])})"
+    if c == 'strlen':
+        return f"strlen({strx(d + 1)})"
+    return c
+
+
+def strx(d=0):
+    opts = ['.s', '.t', 'lit']
+    if d < 2:
+        opts += ['case', 'concat', 'to_string', 'trunc', 'slice',
+                 'replace', 'strip', 'joinsplit', 'iff', 'coalesce']
+    c = R.choice(opts)
+    if c == 'lit':
+        return R.choice(STR_LITS)
+    if c == 'case':
+        return f"{R.choice(['downcase', 'upcase'])}({strx(d + 1)})"
+    if c == 'concat':
+        return f"({strx(d + 1)} + {strx(d + 1)})"
+    if c == 'to_string':
+        return f"to_string({num(d + 1)})"
+    if c == 'trunc':
+        args = f"{strx(d + 1)}, {R.randint(0, 6)}"
+        if R.random() < 0.5:
+            args += f', "{R.choice(["", "...", ".."])}"'
+        return f"truncate({args})"
+    if c == 'slice':
+        start = R.randint(0, 4)
+        if R.random() < 0.5:
+            return f"slice!({strx(d + 1)}, {start})"
+        return f"slice!({strx(d + 1)}, {start}, {R.randint(start, start + 5)})"
+    if c == 'replace':
+        pat = R.choice(['"a"', '"o"', '" "', 'r\'[ab]+\'', 'r\'\\d\''])
+        args = f'{strx(d + 1)}, {pat}, "_"'
+        if R.random() < 0.5:
+            args += f", {R.randint(-1, 3)}"
+        return f"replace({args})"
+    if c == 'strip':
+        return f"strip_whitespace({strx(d + 1)})"
+    if c == 'joinsplit':
+        return f'join!(split({strx(d + 1)}, ","), "|")'
+    if c == 'iff':
+        return f"(if {boolex(d + 1)} {{ {strx(d + 1)} }} else {{ {strx(d + 1)} }})"
+    if c == 'coalesce':
+        return f"({strx(d + 1)} ?? {strx(d + 1)})"
+    return c
+
+
+def boolex(d=0):
+    opts = ['cmp', 'scmp', 'isnull']
+    if d < 2:
+        opts += ['contains', 'match', 'to_bool', 'not', 'and', 'or',
+                 'coalesce']
+    c = R.choice(opts)
+    if c == 'cmp':
+        op = R.choice(['>', '>=', '<', '<=', '==', '!='])
+        return f"({num(d + 1)} {op} {num(d + 1)})"
+    if c == 'scmp':
+        return f"({strx(d + 1)} {R.choice(['==', '!='])} {strx(d + 1)})"
+    if c == 'isnull':
+        return f"{R.choice(['is_null', 'is_nullish'])}({R.choice(['.a', '.s', '.t'])})"
+    if c == 'contains':
+        f = R.choice(['contains', 'starts_with', 'ends_with'])
+        args = f"{strx(d + 1)}, {R.choice(STR_LITS)}"
+        if R.random() < 0.5:
+            args += f", {R.choice(['true', 'false'])}"
+        return f"{f}({args})"
+    if c == 'match':
+        return f"match({strx(d + 1)}, r'{R.choice(['[ab]+', '^F', 'o.o', chr(92) + 'd+'])}')"
+    if c == 'to_bool':
+        return f"to_bool({R.choice(['.s', num(d + 1)])})"
+    if c == 'not':
+        return f"!({boolex(d + 1)})"
+    if c in ('and', 'or'):
+        op = '&&' if c == 'and' else '||'
+        return f"({boolex(d + 1)} {op} {boolex(d + 1)})"
+    if c == 'coalesce':
+        return f"({boolex(d + 1)} ?? {boolex(d + 1)})"
+    return c
+
+
+def anyexpr(d=0):
+    return R.choice([num, strx, boolex])(d)
+
+
+def gen_stmt(i):
+    kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
+                     'ifstmt'])
+    if kind == 'assign':
+        return f".o{i} = {anyexpr()}"
+    if kind == 'handled':
+        return f".o{i}, .e{i} = {anyexpr()}"
+    if kind == 'var':
+        return f"v{i} = {anyexpr()}\n.o{i} = v{i}"
+    if kind == 'ifstmt':
+        return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
+                f" else {{ .o{i} = {anyexpr(1)} }}")
+    raise AssertionError
+
+
+def gen_program():
+    return "\n".join(gen_stmt(i) for i in range(R.randint(1, 4)))
+
+
+def make_batch():
+    return pa.table({
+        "a": pa.array([3, None, -7, 0, 12], pa.int64()),
+        "b": pa.array([2.5, -1.0, None, 0.0, 9.75], pa.float64()),
+        "s": pa.array(["Foo Bar", "", None, "  x ", "42"]),
+        "t": pa.array(["true", None, "a,b", "-3", "ümlaut Z"]),
+    })
+
+
+def norm(s):
+    # KNOWN acceptable: int/float kind-name promotion in null-operand
+    # error text after a columnar int/float branch blend
+    return s.replace("integer", "float") \
+        if s.startswith("can't ") and "null" in s else s
+
+
+def close(x, y):
+    if isinstance(x, float) and isinstance(y, (int, float)):
+        if x != x and y != y:  # NaN
+            return True
+        return abs(x - y) < 1e-9 or (x != 0 and abs((x - y) / x) < 1e-9)
+    return x == y
+
+
+def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
+    """Returns the number of unique divergences found."""
+    global R
+    R = random.Random(seed)
+    batch = make_batch()
+    rows = batch.to_pylist()
+    n_div = n_vec = n_fall = 0
+    seen = set()
+    for pi in range(n_programs):
+        src = gen_program()
+        try:
+            prog = Program(src)
+        except Exception:
+            continue
+        try:
+            vp = VectorProgram(src)
+            out = vp.run(batch)
+        except (NotVectorizable, _RowFallback):
+            n_fall += 1
+            continue
+        except Exception as ex:
+            key = f"RAISE {type(ex).__name__} {str(ex)[:60]}"
+            if key not in seen:
+                seen.add(key)
+                if verbose:
+                    print(f"=== VECTOR RAISED ===\n{src}\n  {key}\n")
+            n_div += 1
+            continue
+        n_vec += 1
+        ocols = out.to_pylist()
+        for ri, row in enumerate(rows):
+            ev = dict(row)
+            rerr = None
+            try:
+                _, ev2, _ = prog.resolve(ev)
+            except Exception as ex:
+                rerr = str(ex)
+            verr = ocols[ri].get("vrl_err")
+            bad = []
+            if (rerr is None) != (verr is None):
+                bad.append(("vrl_err presence", rerr, verr))
+            elif rerr is not None and norm(rerr) != norm(verr):
+                bad.append(("vrl_err text", rerr, verr))
+            keys = set(ev) | set(ocols[ri])
+            keys.discard("vrl_err")
+            for k in keys:
+                rv, vv = ev.get(k), ocols[ri].get(k)
+                if isinstance(rv, str) and isinstance(vv, str) \
+                        and norm(rv) == norm(vv):
+                    continue
+                if not close(rv, vv) and not close(vv, rv):
+                    bad.append((k, rv, vv))
+            if bad:
+                key = (src.replace("\n", "; "), tuple(b[0] for b in bad))
+                if key not in seen:
+                    seen.add(key)
+                    if verbose:
+                        print(f"=== DIVERGE row {ri} ===\n{src}")
+                        for k, rv, vv in bad:
+                            print(f"  {k}: ref={rv!r}  vec={vv!r}")
+                        print()
+                n_div += 1
+    if verbose:
+        print(f"programs={n_programs} vectorized={n_vec} "
+              f"fallback={n_fall} divergent_rows={n_div} "
+              f"unique={len(seen)}")
+    return len(seen)
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    sys.exit(1 if run_fuzz(seed, n) else 0)

@@ -240,3 +240,19 @@ def test_annotate_preserves_runtime_semantics(src, a, b):
             except Exception as e:
                 return ("err", type(e).__name__)
         assert run(raw) == run(ann), src
+
+
+def test_deepfuzz_grammar_parity():
+    """scripts/deepfuzz.py: seeded random programs over the FULL
+    vectorizable grammar (if exprs/stmts, ??, &&/||, handled captures,
+    variables, bang calls, every kernel) — vector lane vs interpreter,
+    all fields + error lanes compared exactly. This generator found
+    the r3 lazy-evaluation and bang-capture divergence classes the
+    narrower hypothesis grammar above missed."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from deepfuzz import run_fuzz
+    assert run_fuzz(seed=1, n_programs=250, verbose=False) == 0
+    assert run_fuzz(seed=4, n_programs=250, verbose=False) == 0

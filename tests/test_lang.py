@@ -231,6 +231,47 @@ class TestVectorize:
         out = VectorProgram(".o = if .a { 1 } else { 2 }").run(batch)
         assert out["o"].to_pylist() == [1, 9, 2]
 
+    def test_lazy_branch_and_short_circuit_errors(self):
+        """The vector lane evaluates branches/operands EAGERLY; errors
+        from code the interpreter never runs must be masked out:
+        not-taken `if` branches, `??` right sides on rows whose left
+        side succeeded, and `&&`/`||` right sides where the left
+        short-circuits (r3 deep-fuzz class)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(["ok", None]),
+                          "t": pa.array([None, "x"])})
+        # not-taken branch errors (strlen(null)) are not errors
+        out = VectorProgram(
+            '.o = if is_null(.t) { 1 } else { strlen(.t) }').run(batch)
+        assert out["o"].to_pylist() == [1, 1]
+        assert out["vrl_err"].to_pylist() == [None, None]
+        # ?? only runs the RHS on rows whose LHS errored
+        out = VectorProgram('.o = downcase(.s) ?? upcase(.t)').run(batch)
+        assert out["o"].to_pylist() == ["ok", "X"]
+        assert out["vrl_err"].to_pylist() == [None, None]
+        # && short-circuits: a false LHS never evaluates the RHS
+        # (row 0 has .t null — match(null) would error if it ran)
+        out = VectorProgram(
+            ".o = !is_null(.t) && match(.t, r'x')").run(batch)
+        assert out["o"].to_pylist() == [False, True]
+        assert out["vrl_err"].to_pylist() == [None, None]
+
+    def test_bang_call_errors_abort_not_capture(self):
+        """`f!()` errors abort the row's program — `ok, err =` must
+        NOT capture them (the interpreter raises through the capture;
+        the vector lane reruns such batches per-row)."""
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from vrl_ray.lang.vectorize import VectorProgram, _RowFallback
+
+        batch = pa.table({"s": pa.array(["abcdef", "x"])})
+        with _pytest.raises(_RowFallback):
+            VectorProgram('.o, .e = slice!(.s, 3)').run(batch)
+
     def test_unvectorizable_falls_back(self):
         import pytest as _pytest
 

@@ -128,12 +128,13 @@ def replace(value: str, pattern, with_: str, count: int = -1) -> str:
     """replace.rs: pattern may be literal string or regex; count -1 =
     all. Regex replacement supports $name/$1 capture refs."""
     v = _s(value)
-    n = 0 if count == 0 else (count if count > 0 else 0)
+    if count == 0:
+        # replace.rs:33-51: count 0 = replace nothing, both pattern
+        # kinds (python sub's count=0 would mean ALL)
+        return v
     if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
         repl = _re.sub(r"\$(\w+|\{\w+\})", lambda m: "\\g<" + m.group(1).strip("{}") + ">", with_)
-        return pattern.sub(repl, v, count=n)
-    if count == 0:
-        return v
+        return pattern.sub(repl, v, count=count if count > 0 else 0)
     return v.replace(_s(pattern), with_, count if count > 0 else -1)
 
 

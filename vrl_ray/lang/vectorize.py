@@ -170,7 +170,12 @@ def _k_to_float(ctx, a, span=None):
 def _k_to_string(ctx, a):
     v, e = a[0]
     # null coerces to "" (to_string.rs:12)
-    return pc.fill_null(pc.cast(v, pa.string()), ""), e
+    out = pc.fill_null(pc.cast(v, pa.string()), "")
+    if pa.types.is_floating(_typ(v)):
+        # -0.0 prints as "0" (interpreter _fmt_float: integral floats
+        # go through int()); Arrow's cast yields "-0"
+        out = pc.if_else(pc.equal(out, "-0"), pa.scalar("0"), out)
+    return out, e
 
 
 def _k_round(ctx, a):
@@ -202,6 +207,8 @@ def _precision(a) -> int:
 
 def _k_floor(ctx, a):
     v, e = a[0]
+    if pa.types.is_integer(_typ(v)):
+        return v, e   # floor.rs: integer input is identity (stays int)
     prec = _precision(a)
     if prec == 0:
         return pc.floor(v), e
@@ -210,6 +217,8 @@ def _k_floor(ctx, a):
 
 def _k_ceil(ctx, a):
     v, e = a[0]
+    if pa.types.is_integer(_typ(v)):
+        return v, e   # ceil.rs: integer input is identity (stays int)
     prec = _precision(a)
     if prec == 0:
         return pc.ceil(v), e
@@ -955,10 +964,19 @@ def _compile_expr(node) -> Callable:
         def iff(ctx):
             c, ce = condf(ctx)
             ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
-            c = pc.fill_null(pc.cast(c, pa.bool_()), False)
+            cb = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False),
+                           ctx.n)
             tv, te = thenf(ctx)
             ev, ee = elsef(ctx)
-            return pc.if_else(c, tv, ev), _merge_errs(ctx.n, ce, te, ee)
+            # only the TAKEN branch's errors count per row — the other
+            # branch never ran for that row (eager-eval artifact;
+            # condition errors shadow both via first-wins merge)
+            taken = None
+            if te is not None or ee is not None:
+                tn = te if te is not None else _nulls(ctx.n)
+                en = ee if ee is not None else _nulls(ctx.n)
+                taken = pc.if_else(cb, tn, en)
+            return _blend(cb, tv, ev, ctx.n), _merge_errs(ctx.n, ce, taken)
         return iff
 
     if kind == "call":
@@ -986,32 +1004,67 @@ def _compile_expr(node) -> Callable:
         def eval_args(ctx):
             # an errored ARGUMENT expression is reported inside the
             # outer call's positioned frame (interpreter _eval_call
-            # wraps raw VrlErrors; already-framed ones pass through)
-            return [(v, _frame_arg_errs(e, frame, ctx.n))
-                    for v, e in (f(ctx) for f in argfs)]
+            # wraps raw VrlErrors; already-framed ones pass through).
+            # Constant-folded FIRST args broadcast to columns — the
+            # kernels' per-row error paths assume array input (later
+            # args stay scalar: literal bounds/patterns read .as_py()).
+            out = []
+            for i, f in enumerate(argfs):
+                v, e = f(ctx)
+                if i == 0 and isinstance(v, pa.Scalar):
+                    v = _as_array(v, ctx.n)
+                out.append((v, _frame_arg_errs(e, frame, ctx.n)))
+            return out
 
         if name in _KERNELS_NODES:
             fn = _KERNELS_NODES[name]
 
-            def call_n(ctx):
+            def basef(ctx):
                 return fn(ctx, eval_args(ctx), argnodes, span)
-            return call_n
-        if name in _KERNELS_SPAN:
+        elif name in _KERNELS_SPAN:
             fn = _KERNELS_SPAN[name]
 
-            def call_s(ctx):
+            def basef(ctx):
                 return fn(ctx, eval_args(ctx), span)
-            return call_s
-        fn = _KERNELS[name]
+        else:
+            fn = _KERNELS[name]
 
-        def call(ctx):
-            return fn(ctx, eval_args(ctx))
-        return call
+            def basef(ctx):
+                return fn(ctx, eval_args(ctx))
+        if not bang:
+            return basef
+
+        def bangf(ctx):
+            # `f!()` errors ABORT the row's program — they are not
+            # capturable by `ok, err =` / `??` (interpreter raises
+            # through both). The column error lane can't distinguish
+            # abort from capturable, so errored batches rerun per-row.
+            v, e = basef(ctx)
+            if e is not None and pc.any(pc.is_valid(e)).as_py():
+                raise _RowFallback("bang call error")
+            return v, None
+        return bangf
 
     if kind == "block":
         return _compile_expr(_unwrap_block(node))
 
     raise NotVectorizable(kind)
+
+
+def _blend(c, tv, ev, n: int):
+    """pc.if_else with null-type unification; branches whose Arrow
+    types can't blend (e.g. int64 vs bool — the interpreter allows
+    per-branch types) punt the batch to the row path."""
+    tva, eva = _as_array(tv, n), _as_array(ev, n)
+    if pa.types.is_null(tva.type) and not pa.types.is_null(eva.type):
+        tva = _nulls(n, eva.type)
+    elif pa.types.is_null(eva.type) and not pa.types.is_null(tva.type):
+        eva = _nulls(n, tva.type)
+    try:
+        return pc.if_else(c, tva, eva)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+            pa.ArrowTypeError):
+        raise _RowFallback("if branches of unblendable types")
 
 
 def _predicate_errs(c, n: int):
@@ -1055,7 +1108,8 @@ def _with_handled_default(f, expr):
             if pa.types.is_null(va.type):
                 va = _nulls(ctx.n, d.type)
             return pc.if_else(bad, d, va), e
-        except pa.lib.ArrowError:
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError, TypeError, ValueError):
             raise _RowFallback("handled default type blend")
     return g
 
@@ -1280,20 +1334,33 @@ def _compile_binop(node) -> Callable:
                     # "expected boolean, got <kind>" error)
                     raise _RowFallback(f"{op} on non-boolean column")
             # null is falsy in predicates (arithmetic.rs:159-187)
-            lb = pc.fill_null(pc.cast(lv, pa.bool_()), False)
+            lb = _as_array(pc.fill_null(pc.cast(lv, pa.bool_()), False),
+                           ctx.n)
             rb = pc.fill_null(pc.cast(rv, pa.bool_()), False)
             out = pc.and_(lb, rb) if op == "&&" else pc.or_(lb, rb)
+            # short-circuit: the RHS only runs where `&&` saw a true
+            # LHS / `||` a false one, and never after an LHS error
+            if re is not None:
+                ran = lb if op == "&&" else pc.invert(lb)
+                if le is not None:
+                    ran = pc.and_(ran, pc.is_null(le))
+                re = pc.if_else(ran, re, _nulls(ctx.n))
             return out, _merge_errs(ctx.n, le, re)
         return boolf
 
     if op == "??":
         def coalf(ctx):
             lv, le = lf(ctx)
-            rv, re = rf(ctx)
             if le is None:
+                # LHS never errored: the RHS never runs (lazy)
                 return lv, None
+            rv, re = rf(ctx)
             bad = pc.is_valid(le)
-            return pc.if_else(bad, rv, lv), re
+            # the RHS only ran on rows whose LHS errored — its errors
+            # elsewhere are eager-eval artifacts
+            if re is not None:
+                re = pc.if_else(bad, re, _nulls(ctx.n))
+            return _blend(bad, rv, lv, ctx.n), re
         return coalf
 
     raise NotVectorizable(f"op {op}")
@@ -1466,7 +1533,7 @@ class VectorProgram:
             for field in then_a:
                 tv, te = then_a[field](ctx)
                 ev, ee = else_a[field](ctx)
-                out[field] = _as_array(pc.if_else(c, tv, ev), ctx.n)
+                out[field] = _as_array(_blend(c, tv, ev, ctx.n), ctx.n)
                 taken_err = None
                 if te is not None or ee is not None:
                     tn = te if te is not None else _nulls(ctx.n)
