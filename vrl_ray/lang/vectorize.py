@@ -113,7 +113,6 @@ def _masked_err_msgs(bad, msg_fn, values, *, n):
     """Interpreter-parity error column built by a Python callback on
     ERROR rows only (masked-fallback idiom: errors are the rare case,
     so per-row text construction costs O(bad), not O(n))."""
-    import numpy as np
 
     bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
     if not bad_np.any():
@@ -341,7 +340,6 @@ def _k_format_timestamp(ctx, a):
 
 
 def _k_parse_timestamp(ctx, a, span=None):
-    import numpy as np
 
     from ..functions.parse import _chrono_to_strptime
     from ..functions.parse import parse_timestamp as _scalar_pt
@@ -784,7 +782,6 @@ def _compile_map_values(args, closure):
     bodyf = _compile_expr(_unwrap_block(body))
 
     def mv(ctx):
-        import numpy as np
 
         v, e = argf(ctx)
         if isinstance(v, pa.ChunkedArray):
@@ -821,7 +818,6 @@ def _compile_filter(args, closure):
     Both closure params are available: the index var binds to the
     element's position within its own list. Object inputs (key/value
     filtering) take the row fallback."""
-    import numpy as np
 
     params, body = closure
     if len(args) != 1 or args[0][0] is not None or len(params) != 2:
@@ -1214,16 +1210,44 @@ def _compile_binop(node) -> Callable:
                 # string + string concatenates; a null side is the
                 # IDENTITY ("foo" + null == "foo" — reference corpus
                 # arithmetic/addition/string_null.vrl), hence
-                # null_handling="skip". Both sides null is a runtime
-                # error whose ok-default (integer 0) can't live in a
-                # string column — punt those batches to the row path.
+                # null_handling="skip". Rows where a side is non-null
+                # and NOT a string (mixed-type columns), or both sides
+                # are null, are per-row ERRORS (value.py add order);
+                # their ok-default (integer 0) can't live in a string
+                # column, so error rows carry null — unhandled forms
+                # mask the write out, and a DIRECT handled capture
+                # falls back in _with_handled_default when the int
+                # default won't blend.
                 la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
-                both = pc.and_(pc.is_null(la), pc.is_null(ra))
-                if pc.any(both).as_py():
-                    raise _RowFallback("null + null concat")
+                lt, rt = la.type, ra.type
+                lnull = pc.is_null(la).to_numpy(zero_copy_only=False)
+                rnull = pc.is_null(ra).to_numpy(zero_copy_only=False)
+                l_str = pa.types.is_string(lt) or pa.types.is_large_string(lt)
+                r_str = pa.types.is_string(rt) or pa.types.is_large_string(rt)
+                bad = lnull & rnull
+                if not l_str and not pa.types.is_null(lt):
+                    bad = bad | ~lnull
+                if not r_str and not pa.types.is_null(rt):
+                    bad = bad | ~rnull
+                las = la if l_str else _nulls(ctx.n, pa.string())
+                ras = ra if r_str else _nulls(ctx.n, pa.string())
+                # fill nulls with "" instead of null_handling="skip":
+                # identical under the empty separator, and skip DROPS
+                # rows whose operands are all null (length-changing)
                 out = pc.binary_join_element_wise(
-                    lv, rv, "", null_handling="skip")
-                return out, _merge_errs(ctx.n, le, re)
+                    pc.fill_null(las, ""), pc.fill_null(ras, ""), "")
+                errs3 = None
+                if bad.any():
+                    lk, rk = _vrl_kind_name(lt), _vrl_kind_name(rt)
+                    msgs = np.full(ctx.n, None, dtype=object)
+                    for i in np.flatnonzero(bad):
+                        l_ = "null" if lnull[i] else lk
+                        r_ = "null" if rnull[i] else rk
+                        msgs[i] = f"can't add type {r_} to {l_}"
+                    errs3 = pa.array(msgs, pa.string())
+                    out = pc.if_else(pa.array(bad),
+                                     pa.scalar(None, pa.string()), out)
+                return out, _merge_errs(ctx.n, le, re, errs3)
             # numeric arithmetic: a null side is a per-row ERROR
             # (value.py add/sub/mul templates), not a silent null
             la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
@@ -1231,7 +1255,6 @@ def _compile_binop(node) -> Callable:
             errs3 = None
             out = kernel(lv, rv)
             if pc.any(pc.or_(lnull, rnull)).as_py():
-                import numpy as np
                 lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
                 ln_np = lnull.to_numpy(zero_copy_only=False)
                 rn_np = rnull.to_numpy(zero_copy_only=False)
@@ -1269,7 +1292,6 @@ def _compile_binop(node) -> Callable:
             lnull, rnull = pc.is_null(la), pc.is_null(ra)
             errs2 = None
             if pc.any(pc.or_(lnull, rnull)).as_py():
-                import numpy as np
                 lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
                 ln_np = lnull.to_numpy(zero_copy_only=False)
                 rn_np = rnull.to_numpy(zero_copy_only=False)
@@ -1282,6 +1304,63 @@ def _compile_binop(node) -> Callable:
                 out = pc.fill_null(out, 0.0)
             return out, _merge_errs(ctx.n, le, re, errs2, errs)
         return divf
+
+    if op == "%":
+        def remf(ctx):
+            """value.py rem: non-numeric (incl. null) operands error
+            per row; zero divisor errors; int%int is Rust's TRUNCATED
+            remainder via the interpreter's exact `a - int(a/b)*b`
+            formula; any float side goes through fmod (NaN → error)."""
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lt, rt = la.type, ra.type
+            for t in (lt, rt):
+                if not (_is_num_type(t) or pa.types.is_null(t)):
+                    raise _RowFallback("% on non-numeric column")
+            ln_np = pc.is_null(la).to_numpy(zero_copy_only=False)
+            rn_np = pc.is_null(ra).to_numpy(zero_copy_only=False)
+            a = (np.zeros(ctx.n) if pa.types.is_null(lt) else
+                 pc.fill_null(pc.cast(la, pa.float64()), 0.0)
+                 .to_numpy(zero_copy_only=False))
+            b = (np.zeros(ctx.n) if pa.types.is_null(rt) else
+                 pc.fill_null(pc.cast(ra, pa.float64()), 0.0)
+                 .to_numpy(zero_copy_only=False))
+            if np.any(np.abs(a) > 2.0 ** 53) or \
+                    np.any(np.abs(b) > 2.0 ** 53):
+                # the interpreter's int(a/b) is float-inexact past
+                # 2^53 — match it by rerunning those rows per-row
+                raise _RowFallback("% magnitude")
+            zero = (b == 0.0) & ~rn_np
+            bad = ln_np | rn_np | zero
+            bsafe = np.where(b == 0.0, 1.0, b)
+            int_case = pa.types.is_integer(lt) and pa.types.is_integer(rt)
+            nan_rows = np.zeros(ctx.n, dtype=bool)
+            if int_case:
+                ai = a.astype(np.int64)
+                bi = bsafe.astype(np.int64)
+                r = ai - np.trunc(a / bsafe).astype(np.int64) * bi
+                out = pa.array(np.where(bad, 0, r), pa.int64())
+            else:
+                r = np.fmod(a, bsafe)
+                nan_rows = np.isnan(r) & ~bad
+                bad = bad | nan_rows
+                out = pa.array(np.where(bad, 0.0, r), pa.float64())
+            errs = None
+            if bad.any():
+                lk, rk = _vrl_kind_name(lt), _vrl_kind_name(rt)
+                msgs = np.full(ctx.n, None, dtype=object)
+                for i in np.flatnonzero(ln_np | rn_np):
+                    l_ = "null" if ln_np[i] else lk
+                    r_ = "null" if rn_np[i] else rk
+                    msgs[i] = ("can't calculate remainder of type "
+                               f"{l_} and {r_}")
+                for i in np.flatnonzero(zero & ~(ln_np | rn_np)):
+                    msgs[i] = "can't divide by zero"
+                for i in np.flatnonzero(nan_rows):
+                    msgs[i] = "float operation produced NaN"
+                errs = pa.array(msgs, pa.string())
+            return out, _merge_errs(ctx.n, le, re, errs)
+        return remf
 
     if op in _CMP_OPS:
         kernel = getattr(pc, _CMP_OPS[op])
@@ -1305,7 +1384,6 @@ def _compile_binop(node) -> Callable:
             errs = None
             if pc.any(pc.or_(lnull, rnull)).as_py():
                 lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
-                import numpy as np
                 ln_np = lnull.to_numpy(zero_copy_only=False)
                 rn_np = rnull.to_numpy(zero_copy_only=False)
                 msgs = np.full(ctx.n, None, dtype=object)
