@@ -131,22 +131,49 @@ def boolex(d=0):
     return c
 
 
+def tsx(d=0):
+    c = R.choice(['col', 'parse'] if d < 2 else ['col'])
+    if c == 'parse':
+        return f'parse_timestamp({strx(d + 1)}, "%+")'
+    return '.ts'
+
+
 def anyexpr(d=0):
-    return R.choice([num, strx, boolex])(d)
+    gens = [num, strx, boolex, num, strx, boolex]
+    gens += [lambda dd: f"md5({strx(dd)})",
+             lambda dd: f"sha1({strx(dd)})",
+             lambda dd: f'format_timestamp{R.choice(["", "!"])}'
+                        f'({tsx(dd)}, "%Y-%m-%dT%H:%M")',
+             lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(
+                 ['', ', unit: "milliseconds"', ', unit: "seconds"',
+                  ', unit: "nanoseconds"']))]
+    return R.choice(gens)(d)
 
 
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
-                     'ifstmt'])
+                     'ifstmt', 'closure'])
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"
     if kind == 'handled':
         return f".o{i}, .e{i} = {anyexpr()}"
     if kind == 'var':
-        return f"v{i} = {anyexpr()}\n.o{i} = v{i}"
+        # variables feed later expressions, not just pass-throughs
+        use = R.choice([f".o{i} = v{i}",
+                        f".o{i} = (v{i} ?? {anyexpr(1)})",
+                        f".o{i}, .e{i} = v{i}"])
+        return f"v{i} = {anyexpr()}\n{use}"
     if kind == 'ifstmt':
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                 f" else {{ .o{i} = {anyexpr(1)} }}")
+    if kind == 'closure':
+        which = R.choice(['map', 'filter'])
+        if which == 'map':
+            return (f".o{i} = map_values(.arr) -> |v| "
+                    f"{{ v {R.choice(['+', '*', '-'])} "
+                    f"{R.randint(1, 5)} }}")
+        return (f".o{i} = filter(.arr) -> |i_, v| "
+                f"{{ v {R.choice(['>', '<', '!='])} {R.randint(-2, 4)} }}")
     raise AssertionError
 
 
@@ -160,6 +187,11 @@ def make_batch():
         "b": pa.array([2.5, -1.0, None, 0.0, 9.75], pa.float64()),
         "s": pa.array(["Foo Bar", "", None, "  x ", "42"]),
         "t": pa.array(["true", None, "a,b", "-3", "ümlaut Z"]),
+        "ts": pa.array([1700000000123456, 0, None, -86399876544,
+                        1234567890999999],
+                       pa.timestamp("us", tz="UTC")),
+        "arr": pa.array([[1, 2, 3], [], [5, -1], [0], [7]],
+                        pa.list_(pa.int64())),
     })
 
 

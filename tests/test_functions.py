@@ -3,7 +3,7 @@ reference's docs/generated/*.json examples and test_function! vectors
 (see tests/test_docs_examples.py for the mechanically generated set).
 """
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pytest
 
@@ -255,6 +255,20 @@ class TestNumberTimestamp:
         assert R["to_unix_timestamp"](ts) == 1612999920
         assert R["from_unix_timestamp"](1612999920) == ts
         assert R["to_unix_timestamp"](ts, "milliseconds") == 1612999920000
+
+    def test_to_unix_timestamp_exact_integer_math(self):
+        """chrono timestamp_*() parity: nanoseconds are EXACT past
+        2^53 (the float `.timestamp()*1e9` path rounded them), and
+        pre-epoch instants FLOOR rather than truncate toward zero
+        (to_unix_timestamp.rs:36-39; r3 deep-fuzz finding)."""
+        ts = datetime(1970, 1, 1, tzinfo=timezone.utc) \
+            + timedelta(microseconds=1234567890999999)
+        assert R["to_unix_timestamp"](ts, "nanoseconds") == 1234567890999999000
+        assert R["to_unix_timestamp"](ts, "microseconds") == 1234567890999999
+        pre = datetime(1970, 1, 1, tzinfo=timezone.utc) \
+            - timedelta(microseconds=500)   # 1969-12-31T23:59:59.9995
+        assert R["to_unix_timestamp"](pre) == -1            # floor, not 0
+        assert R["to_unix_timestamp"](pre, "milliseconds") == -1
 
     def test_syslog_mappings(self):
         assert R["to_syslog_severity"]("alert") == 1

@@ -9,7 +9,7 @@ pipelines stay replayable.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Optional
 
 from ..value import VrlError
@@ -91,14 +91,18 @@ def to_unix_timestamp(value: datetime, unit: str = "seconds") -> int:
     if unit not in _UNITS:
         raise VrlError(f"invalid unit: {unit}")
     dt = _ts(value)
-    epoch = dt.timestamp()
+    # exact integer math like chrono's timestamp_*() (FLOOR division;
+    # the float `.timestamp() * 1e9` path rounded nanoseconds off past
+    # ~2^53 and truncated toward zero for pre-epoch instants)
+    us = (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) \
+        // timedelta(microseconds=1)
     if unit == "seconds":
-        return int(epoch)
+        return us // 10 ** 6
     if unit == "milliseconds":
-        return int(epoch * 1e3)
+        return us // 10 ** 3
     if unit == "microseconds":
-        return int(epoch * 1e6)
-    return int(epoch * 1e9)
+        return us
+    return us * 1000
 
 
 # to_syslog_* (to_syslog_severity.rs etc.)

@@ -405,11 +405,17 @@ def _k_to_unix_timestamp(ctx, a):
         if unit not in ("seconds", "milliseconds", "nanoseconds"):
             raise NotVectorizable("to_unix_timestamp unit")
     us = pc.cast(v, pa.int64())   # timestamp[us] → µs since epoch
-    if unit == "seconds":
-        return pc.divide(us, 1_000_000), e
-    if unit == "milliseconds":
-        return pc.divide(us, 1_000), e
-    return pc.multiply(us, 1_000), e
+    if unit == "nanoseconds":
+        return pc.multiply(us, 1_000), e
+    # chrono timestamp()/timestamp_millis() FLOOR; Arrow's integer
+    # divide truncates toward zero (wrong for pre-epoch instants)
+    div = 1_000_000 if unit == "seconds" else 1_000
+    filled = pc.fill_null(us, 0).to_numpy(zero_copy_only=False)
+    out = pa.array(filled // div, pa.int64())
+    if us.null_count:
+        out = pc.if_else(pc.is_null(us), pa.scalar(None, pa.int64()),
+                         out)
+    return out, e
 
 
 def _hash_kernel(algo: str):
