@@ -28,7 +28,7 @@ STR_LITS = ['"x"', '"Foo Bar"', '""', '" ab "', '"12"', '"-3.5"',
 
 
 def num(d=0):
-    opts = ['.a', '.b', 'ilit', 'flit']
+    opts = ['.a', '.b', '.obj.x', 'ilit', 'flit']
     if d < 2:
         opts += ['binop', 'binop', 'call', 'iff', 'coalesce',
                  'to_int', 'to_float', 'strlen']
@@ -58,7 +58,7 @@ def num(d=0):
 
 
 def strx(d=0):
-    opts = ['.s', '.t', 'lit']
+    opts = ['.s', '.t', '.obj.y', 'lit']
     if d < 2:
         opts += ['case', 'concat', 'to_string', 'trunc', 'slice',
                  'replace', 'strip', 'joinsplit', 'iff', 'coalesce']
@@ -152,9 +152,11 @@ def anyexpr(d=0):
 
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
-                     'ifstmt', 'closure'])
+                     'ifstmt', 'closure', 'nested'])
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"
+    if kind == 'nested':
+        return f".nest{i}.f = {anyexpr()}"
     if kind == 'handled':
         return f".o{i}, .e{i} = {anyexpr()}"
     if kind == 'var':
@@ -192,6 +194,10 @@ def make_batch():
                        pa.timestamp("us", tz="UTC")),
         "arr": pa.array([[1, 2, 3], [], [5, -1], [0], [7]],
                         pa.list_(pa.int64())),
+        "obj": pa.array([{"x": 1, "y": "hey"}, {"x": None, "y": "B c"},
+                         None, {"x": -4, "y": None}, {"x": 9, "y": ""}],
+                        pa.struct([("x", pa.int64()),
+                                   ("y", pa.string())])),
     })
 
 

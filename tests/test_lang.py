@@ -272,6 +272,34 @@ class TestVectorize:
         with _pytest.raises(_RowFallback):
             VectorProgram('.o, .e = slice!(.s, 3)').run(batch)
 
+    def test_nested_write_gated_on_error_rows(self):
+        """Nested (.a.b) writes after a row died (or erroring
+        themselves) keep the prior value per row instead of punting
+        the whole batch to the row path: leaf-level blend + top-level
+        validity restore (r3; was _RowFallback)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "s": pa.array(["5", "xx", None]),
+            "obj": pa.array(
+                [{"f": 0, "g": "keep"}, None, {"f": 7, "g": "z"}],
+                pa.struct([("f", pa.int64()), ("g", pa.string())])),
+        })
+        # row 1 dies at to_int; its obj must stay EXACTLY null
+        out = VectorProgram(".n = to_int(.s)\n.obj.f = 99").run(batch)
+        assert out["obj"].to_pylist() == [
+            {"f": 99, "g": "keep"}, None, {"f": 99, "g": "z"}]
+        assert out["vrl_err"].to_pylist()[1] is not None
+        # the erroring expression IS the nested write
+        out = VectorProgram(".obj.f = to_int(.s)").run(batch)
+        assert out["obj"].to_pylist() == [
+            {"f": 5, "g": "keep"}, None, {"f": 0, "g": "z"}]
+        # fresh nested target after a death stays null on dead rows
+        out = VectorProgram('.n = to_int(.s)\n.nest.k = "v"').run(batch)
+        assert out["nest"].to_pylist() == [{"k": "v"}, None, {"k": "v"}]
+
     def test_unvectorizable_falls_back(self):
         import pytest as _pytest
 

@@ -775,6 +775,35 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
     return build(ctx.col(segs[0]), list(segs[1:]))
 
 
+def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
+    """Per-row-gated nested write: `dead` rows keep the field's PRIOR
+    value. Expressible as a column blend for 2-segment paths — blend
+    the LEAF against the old leaf, rebuild the struct, then restore
+    top-level validity (a dead row whose struct was null stays null;
+    pc.if_else supports struct types since Arrow 12). Deeper paths and
+    non-struct prior columns rerun per-row."""
+    if len(segs) != 2:
+        raise _RowFallback("deep nested write on error rows")
+    old = ctx.col(segs[0])
+    if isinstance(old, pa.ChunkedArray):
+        old = old.combine_chunks()
+    old_struct = pa.types.is_struct(old.type)
+    if not old_struct and not pa.types.is_null(old.type):
+        # a dead row's prior scalar value can't live in a struct column
+        raise _RowFallback("nested write over non-struct prior")
+    ok = pc.invert(dead)
+    if old_struct and old.type.get_field_index(segs[1]) >= 0:
+        old_leaf = pc.struct_field(old, segs[1])
+    else:
+        old_leaf = _nulls(ctx.n, pa.null())
+    gated = _as_array(_blend(ok, values, old_leaf, ctx.n), ctx.n)
+    new = _struct_set(ctx, segs, gated)
+    mask = pc.and_(dead, pc.is_null(old))
+    if pc.any(mask).as_py():
+        new = pc.if_else(pc.invert(mask), new, pa.scalar(None, new.type))
+    return new
+
+
 def _compile_map_values(args, closure):
     """Closure lowering: ``map_values(.list_col) -> |v| { expr }``
     computes the body ONCE over the flattened element array and
@@ -1751,18 +1780,24 @@ class VectorProgram:
                         kill(errs)
                     continue
                 if isinstance(field, tuple):
-                    # nested (.a.b) struct write — per-row error
-                    # gating over struct columns isn't expressible as
-                    # a column blend, so batches with dead rows (or a
-                    # new unhandled error here) rerun per-row
+                    # nested (.a.b) struct write; rows that must keep
+                    # their prior value (dead rows / new unhandled
+                    # errors) gate at the leaf via _struct_set_gated
                     v, e = f(ctx)
                     has_err = e is not None and \
                         pc.any(pc.is_valid(e)).as_py()
-                    if active is not None or \
-                            (errfield is None and has_err):
-                        raise _RowFallback("nested write on error rows")
-                    ctx.written[field[0]] = _struct_set(
-                        ctx, field, _as_array(v, ctx.n))
+                    dead = pc.invert(active) if active is not None \
+                        else None
+                    if errfield is None and has_err:
+                        bad = pc.is_valid(e)
+                        dead = bad if dead is None else pc.or_(dead, bad)
+                    va = _as_array(v, ctx.n)
+                    if dead is not None and pc.any(dead).as_py():
+                        ctx.written[field[0]] = _struct_set_gated(
+                            ctx, field, va, dead)
+                    else:
+                        ctx.written[field[0]] = _struct_set(
+                            ctx, field, va)
                     if errfield is not None:
                         err_col = e if e is not None else _nulls(ctx.n)
                         if isinstance(errfield, tuple) and \
@@ -1770,10 +1805,19 @@ class VectorProgram:
                             ctx.vars[errfield[1]] = _as_array(err_col,
                                                               ctx.n)
                         elif isinstance(errfield, tuple):
-                            ctx.written[errfield[0]] = _struct_set(
-                                ctx, errfield, err_col)
+                            ec = _as_array(err_col, ctx.n)
+                            if active is not None:
+                                ctx.written[errfield[0]] = \
+                                    _struct_set_gated(ctx, errfield, ec,
+                                                      pc.invert(active))
+                            else:
+                                ctx.written[errfield[0]] = _struct_set(
+                                    ctx, errfield, ec)
                         else:
-                            ctx.written[errfield] = err_col
+                            ctx.written[errfield] = gate_write(
+                                errfield, err_col)
+                    elif has_err:
+                        kill(e)
                     continue
                 v, e = f(ctx)
                 if errfield is not None:
@@ -1786,11 +1830,13 @@ class VectorProgram:
                         ctx.vars[errfield[1]] = _as_array(err_col, ctx.n)
                     elif isinstance(errfield, tuple):
                         # flat ok + nested err (.x, .meta.err = ...)
+                        ec = _as_array(err_col, ctx.n)
                         if active is not None:
-                            raise _RowFallback(
-                                "nested err write on error rows")
-                        ctx.written[errfield[0]] = _struct_set(
-                            ctx, errfield, _as_array(err_col, ctx.n))
+                            ctx.written[errfield[0]] = _struct_set_gated(
+                                ctx, errfield, ec, pc.invert(active))
+                        else:
+                            ctx.written[errfield[0]] = _struct_set(
+                                ctx, errfield, ec)
                     else:
                         ctx.written[errfield] = gate_write(
                             errfield, err_col)
