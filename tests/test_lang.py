@@ -261,16 +261,37 @@ class TestVectorize:
 
     def test_bang_call_errors_abort_not_capture(self):
         """`f!()` errors abort the row's program — `ok, err =` must
-        NOT capture them (the interpreter raises through the capture;
-        the vector lane reruns such batches per-row)."""
+        NOT capture them (the interpreter raises VrlRuntimeError
+        through the capture). The vector lane carries them in the
+        error lane tagged as aborts (vectorize._ABORT): the errored
+        row's targets keep their prior values, later statements skip
+        it, and the plain text lands in vrl_err."""
         import pyarrow as pa
-        import pytest as _pytest
 
-        from vrl_ray.lang.vectorize import VectorProgram, _RowFallback
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
 
         batch = pa.table({"s": pa.array(["abcdef", "x"])})
-        with _pytest.raises(_RowFallback):
-            VectorProgram('.o, .e = slice!(.s, 3)').run(batch)
+        src = '.o, .e = slice!(.s, 3)\n.post = "ran"'
+        out = VectorProgram(src).run(batch).to_pylist()
+        prog = Program(src)
+        for ri, row in enumerate(batch.to_pylist()):
+            ev = dict(row)
+            rerr = None
+            try:
+                _, ev, _ = prog.resolve(ev)
+            except Exception as ex:
+                rerr = str(ex)
+            assert out[ri].get("vrl_err") == rerr
+            for k in ("o", "e", "post"):
+                assert out[ri].get(k) == ev.get(k), (ri, k)
+        # concrete pin: row 1 aborted — nothing captured, no .post
+        assert out[0]["o"] == "def" and out[0]["vrl_err"] is None
+        assert out[0]["post"] == "ran"
+        assert out[1]["o"] is None and out[1]["e"] is None
+        assert out[1]["post"] is None
+        assert "slice" in out[1]["vrl_err"]
+        assert "\x00" not in out[1]["vrl_err"]
 
     def test_nested_write_gated_on_error_rows(self):
         """Nested (.a.b) writes after a row died (or erroring

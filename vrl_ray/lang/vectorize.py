@@ -89,6 +89,41 @@ def _err_where(mask, message: str, n: int):
                       _nulls(n))
 
 
+#: in-band abort channel: `f!()` errors are UNCATCHABLE — the
+#: interpreter raises VrlRuntimeError straight through `ok, err =`
+#: (_eval_assign catches VrlError only), `??` (value.coalesce) and
+#: outer-call framing (_eval_call). The column error lane carries
+#: them tagged with a prefix no real message can contain (NULs);
+#: capture sites skip tagged rows and run() strips the tag before
+#: the text lands in `vrl_err`.
+_ABORT = "\x00vrl:abort\x00"
+
+
+def _abort_mask(e):
+    """Boolean mask of abort-tagged rows, or None when none are."""
+    if e is None:
+        return None
+    m = pc.fill_null(pc.starts_with(e, pattern=_ABORT), False)
+    return m if pc.any(m).as_py() else None
+
+
+def _tag_abort(e):
+    """Tag every valid, not-yet-tagged error row as an abort."""
+    already = pc.fill_null(pc.starts_with(e, pattern=_ABORT), False)
+    tagged = pc.binary_join_element_wise(
+        pa.scalar(_ABORT, pa.string()), e, "")
+    return pc.if_else(already, e, tagged)
+
+
+def _strip_abort(e):
+    """Remove the abort tag (final `vrl_err` text is the plain
+    message, same as the interpreter's VrlRuntimeError str)."""
+    if e is None:
+        return None
+    return pc.replace_substring(e, pattern=_ABORT, replacement="",
+                                max_replacements=1)
+
+
 # ---------------------------------------------------------------------------
 # kernel registry: name -> (fn(ctx, args) -> (values, errs), default)
 
@@ -1066,14 +1101,17 @@ def _compile_expr(node) -> Callable:
             return basef
 
         def bangf(ctx):
-            # `f!()` errors ABORT the row's program — they are not
-            # capturable by `ok, err =` / `??` (interpreter raises
-            # through both). The column error lane can't distinguish
-            # abort from capturable, so errored batches rerun per-row.
+            # `f!()` errors ABORT the row's program — not capturable
+            # by `ok, err =` / `??` (interpreter raises
+            # VrlRuntimeError through both). Tag them in the error
+            # lane; capture sites skip tagged rows, run() kills them.
+            # Argument errors abort too (interpreter: the arg's
+            # VrlCallError reaches _eval_call's bang re-raise), and
+            # an already-tagged inner abort keeps its single tag.
             v, e = basef(ctx)
-            if e is not None and pc.any(pc.is_valid(e)).as_py():
-                raise _RowFallback("bang call error")
-            return v, None
+            if e is None or not pc.any(pc.is_valid(e)).as_py():
+                return v, None
+            return v, _tag_abort(e)
         return bangf
 
     if kind == "block":
@@ -1129,6 +1167,13 @@ def _with_handled_default(f, expr):
         if e is None or not pc.any(pc.is_valid(e)).as_py():
             return v, e
         bad = pc.is_valid(e)
+        ab = _abort_mask(e)
+        if ab is not None:
+            # abort rows never reach the capture — no default; their
+            # writes are masked out and the row dies in run()
+            bad = pc.and_(bad, pc.invert(ab))
+            if not pc.any(bad).as_py():
+                return v, e
         va = _as_array(v, ctx.n)
         if default is None:
             if pa.types.is_null(va.type):
@@ -1148,12 +1193,15 @@ def _with_handled_default(f, expr):
 def _frame_arg_errs(e, frame: str, n: int):
     """Prefix RAW per-row errors with the outer call's positioned
     frame; rows already carrying a `function call error for` frame
-    (from a nested call) pass through unchanged."""
+    (from a nested call) pass through unchanged, and abort-tagged
+    rows too (VrlRuntimeError skips _eval_call's framing)."""
     if e is None:
         return None
     raw = pc.and_(pc.is_valid(e),
-                  pc.invert(pc.starts_with(
-                      e, pattern='function call error for ')))
+                  pc.invert(pc.or_(
+                      pc.starts_with(
+                          e, pattern='function call error for '),
+                      pc.starts_with(e, pattern=_ABORT))))
     if not pc.any(raw).as_py():
         return e
     prefixed = pc.binary_join_element_wise(pa.scalar(frame), e, "")
@@ -1467,13 +1515,27 @@ def _compile_binop(node) -> Callable:
             if le is None:
                 # LHS never errored: the RHS never runs (lazy)
                 return lv, None
-            rv, re = rf(ctx)
             bad = pc.is_valid(le)
-            # the RHS only ran on rows whose LHS errored — its errors
-            # elsewhere are eager-eval artifacts
+            ab = _abort_mask(le)
+            if ab is not None:
+                # abort rows fall THROUGH `??` uncaught (interpreter:
+                # VrlRuntimeError skips value.coalesce's except)
+                bad = pc.and_(bad, pc.invert(ab))
+            if not pc.any(bad).as_py():
+                # nothing catchable: the RHS never runs; only the
+                # abort errors (if any) propagate
+                aborts = pc.if_else(ab, le, _nulls(ctx.n)) \
+                    if ab is not None else None
+                return lv, aborts
+            rv, re = rf(ctx)
+            # the RHS only ran on rows whose LHS errored catchably —
+            # its errors elsewhere are eager-eval artifacts
             if re is not None:
                 re = pc.if_else(bad, re, _nulls(ctx.n))
-            return _blend(bad, rv, lv, ctx.n), re
+            aborts = pc.if_else(ab, le, _nulls(ctx.n)) \
+                if ab is not None else None
+            return _blend(bad, rv, lv, ctx.n), \
+                _merge_errs(ctx.n, aborts, re)
         return coalf
 
     raise NotVectorizable(f"op {op}")
@@ -1729,6 +1791,34 @@ class VectorProgram:
                               if not pa.types.is_null(v.type)
                               else _nulls(ctx.n))
                     if errfield is not None:
+                        ab = _abort_mask(e)
+                        if ab is not None:
+                            # abort falls through the capture: neither
+                            # target written on abort rows; row dies
+                            live = pc.invert(ab)
+                            if active is not None:
+                                live = pc.and_(live, active)
+                            ctx.vars[vname] = pc.if_else(live, v, old)
+                            catch_err = pc.if_else(ab, _nulls(ctx.n), e)
+                            if isinstance(errfield, tuple) and \
+                                    errfield[0] == "__var__":
+                                olde = ctx.vars.get(errfield[1])
+                                olde = _as_array(olde, ctx.n) \
+                                    if olde is not None else _nulls(ctx.n)
+                                if pa.types.is_null(olde.type):
+                                    olde = _nulls(ctx.n)
+                                ctx.vars[errfield[1]] = pc.if_else(
+                                    live, catch_err, olde)
+                            elif isinstance(errfield, tuple):
+                                raise _RowFallback("var ok + nested err")
+                            else:
+                                old_err = ctx.col(errfield)
+                                if pa.types.is_null(old_err.type):
+                                    old_err = _nulls(ctx.n)
+                                ctx.written[errfield] = pc.if_else(
+                                    live, catch_err, old_err)
+                            kill(pc.if_else(ab, e, _nulls(ctx.n)))
+                            continue
                         # handled: error-as-value, row lives on
                         if active is None:
                             ctx.vars[vname] = v
@@ -1786,6 +1876,12 @@ class VectorProgram:
                     v, e = f(ctx)
                     has_err = e is not None and \
                         pc.any(pc.is_valid(e)).as_py()
+                    if errfield is not None and has_err and \
+                            _abort_mask(e) is not None:
+                        # abort through a nested-target capture: the
+                        # leaf-gated struct write + kill combination
+                        # isn't worth the complexity here
+                        raise _RowFallback("abort under nested capture")
                     dead = pc.invert(active) if active is not None \
                         else None
                     if errfield is None and has_err:
@@ -1821,6 +1917,32 @@ class VectorProgram:
                     continue
                 v, e = f(ctx)
                 if errfield is not None:
+                    ab = _abort_mask(e)
+                    if ab is not None:
+                        # `f!()` inside a handled capture: the abort
+                        # falls THROUGH the capture (interpreter
+                        # catches VrlError only) — neither target is
+                        # written on abort rows, which then die
+                        if isinstance(errfield, tuple):
+                            raise _RowFallback(
+                                "abort under tuple-target capture")
+                        live = pc.invert(ab)
+                        if active is not None:
+                            live = pc.and_(live, active)
+                        va = _as_array(v, ctx.n)
+                        old = ctx.col(field)
+                        if pa.types.is_null(old.type) and not \
+                                pa.types.is_null(va.type):
+                            old = _nulls(ctx.n, va.type)
+                        ctx.written[field] = pc.if_else(live, va, old)
+                        old_err = ctx.col(errfield)
+                        if pa.types.is_null(old_err.type):
+                            old_err = _nulls(ctx.n)
+                        ctx.written[errfield] = pc.if_else(
+                            live, pc.if_else(ab, _nulls(ctx.n), e),
+                            old_err)
+                        kill(pc.if_else(ab, e, _nulls(ctx.n)))
+                        continue
                     # handled (.ok, .err =): error-as-value, row lives on
                     ctx.written[field] = gate_write(field, v)
                     err_col = e if e is not None else _nulls(ctx.n)
@@ -1872,6 +1994,6 @@ class VectorProgram:
                 out = out.append_column(name, arr)
         if "vrl_err" not in out.column_names:
             out = out.append_column(
-                "vrl_err", err_acc if err_acc is not None
+                "vrl_err", _strip_abort(err_acc) if err_acc is not None
                 else _nulls(ctx.n))
         return out
