@@ -90,7 +90,8 @@ def strx(d=0):
     if c == 'strip':
         return f"strip_whitespace({strx(d + 1)})"
     if c == 'joinsplit':
-        return f'join!(split({strx(d + 1)}, ","), "|")'
+        sep = R.choice(['"|"', '"|"', '""', '.t'])
+        return f'join!(split({strx(d + 1)}, ","), {sep})'
     if c == 'iff':
         return f"(if {boolex(d + 1)} {{ {strx(d + 1)} }} else {{ {strx(d + 1)} }})"
     if c == 'coalesce':
@@ -142,6 +143,15 @@ def anyexpr(d=0):
     gens = [num, strx, boolex, num, strx, boolex]
     gens += [lambda dd: f"md5({strx(dd)})",
              lambda dd: f"sha1({strx(dd)})",
+             lambda dd: "sha2(%s%s)" % (strx(dd), R.choice(
+                 ['', ', "SHA-224"', ', "SHA-256"', ', "SHA-384"',
+                  ', "SHA-512/224"', ', variant: "SHA-512"'])),
+             lambda dd: "parse_regex%s(%s, r'%s')" % (
+                 R.choice(['', '!']), strx(dd), R.choice(
+                     [r'(?P<m>\d+)', '(?P<a>[a-z]+)', '^(?P<h>.)',
+                      '(?P<x>o+) (?P<y>.*)'])),
+             lambda dd: f"slice!({strx(dd)}, {R.randint(0, 3)})",
+             lambda dd: f"to_int!({R.choice(['.s', '.t', '.a'])})",
              lambda dd: f'format_timestamp{R.choice(["", "!"])}'
                         f'({tsx(dd)}, "%Y-%m-%dT%H:%M")',
              lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(

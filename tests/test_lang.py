@@ -259,6 +259,28 @@ class TestVectorize:
         assert out["o"].to_pylist() == [False, True]
         assert out["vrl_err"].to_pylist() == [None, None]
 
+    def test_sha2_variant_argument(self):
+        """sha2's variant argument selects the digest (sha2.rs); the
+        vector kernel must not silently compute the SHA-512/256
+        default (r3 fuzz catch — the ignored-optional-arg class)."""
+        import hashlib
+
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(["", "abc"])})
+        out = VectorProgram(
+            '.d = sha2(.s, "SHA-256")\n'
+            '.n = sha2(.s, variant: "SHA-384")\n'
+            '.o = sha2(.s)').run(batch)
+        for i, s in enumerate(["", "abc"]):
+            b = s.encode()
+            assert out["d"][i].as_py() == hashlib.sha256(b).hexdigest()
+            assert out["n"][i].as_py() == hashlib.sha384(b).hexdigest()
+            assert out["o"][i].as_py() == \
+                hashlib.new("sha512_256", b).hexdigest()
+
     def test_bang_call_errors_abort_not_capture(self):
         """`f!()` errors abort the row's program — `ok, err =` must
         NOT capture them (the interpreter raises VrlRuntimeError

@@ -365,7 +365,9 @@ def _k_format_timestamp(ctx, a):
         if tz not in ("UTC", "Etc/UTC"):
             raise NotVectorizable("format_timestamp timezone")
     fmt = a[1][0]
-    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
+    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else None
+    if not isinstance(fmt, str):
+        raise NotVectorizable("format_timestamp format")
     out = pc.strftime(v, format=_chrono_to_strptime(fmt))
     if "%f" not in fmt and "%.f" not in fmt:
         # Arrow's %S always renders fractional seconds; chrono's only
@@ -385,7 +387,9 @@ def _k_parse_timestamp(ctx, a, span=None):
         # timezone argument: the scalar path owns those semantics
         raise NotVectorizable("parse_timestamp timezone")
     fmt = a[1][0]
-    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else fmt
+    fmt = fmt.as_py() if isinstance(fmt, pa.Scalar) else None
+    if not isinstance(fmt, str):
+        raise NotVectorizable("parse_timestamp format")
     out = pc.strptime(v, format=_chrono_to_strptime(fmt), unit="us",
                       error_is_null=True)
     if out.type.tz is None:      # VRL timestamps are UTC; %z formats
@@ -453,27 +457,55 @@ def _k_to_unix_timestamp(ctx, a):
     return out, e
 
 
-def _hash_kernel(algo: str):
+def _hash_impl(algo: str, ctx, v, e):
     import hashlib
 
+    if isinstance(v, pa.Scalar):
+        v = pa.repeat(v, ctx.n)
+    # dictionary-encode first: digest cost scales with DISTINCT
+    # values, not rows — log batches hash low-cardinality columns
+    # (tool/role/level) far more often than free text
+    arr = (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+           else v)
+    dct = arr.dictionary_encode()
+    uniq = [hashlib.new(algo, s.encode()).hexdigest()
+            if s is not None else None
+            for s in dct.dictionary.to_pylist()]
+    out = pa.DictionaryArray.from_arrays(
+        dct.indices, pa.array(uniq, pa.string())) \
+        .cast(pa.string())
+    return out, e
+
+
+def _hash_kernel(algo: str):
     def k(ctx, a):
         v, e = a[0]
-        if isinstance(v, pa.Scalar):
-            v = pa.repeat(v, ctx.n)
-        # dictionary-encode first: digest cost scales with DISTINCT
-        # values, not rows — log batches hash low-cardinality columns
-        # (tool/role/level) far more often than free text
-        arr = (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
-               else v)
-        dct = arr.dictionary_encode()
-        uniq = [hashlib.new(algo, s.encode()).hexdigest()
-                if s is not None else None
-                for s in dct.dictionary.to_pylist()]
-        out = pa.DictionaryArray.from_arrays(
-            dct.indices, pa.array(uniq, pa.string())) \
-            .cast(pa.string())
-        return out, e
+        return _hash_impl(algo, ctx, v, e)
     return k
+
+
+#: sha2.rs variant → hashlib algo (checksum.py _SHA2 keys)
+_SHA2_ALGOS = {"SHA-224": "sha224", "SHA-256": "sha256",
+               "SHA-384": "sha384", "SHA-512": "sha512",
+               "SHA-512/224": "sha512_224",
+               "SHA-512/256": "sha512_256"}
+
+
+def _k_sha2(ctx, a):
+    """sha2(value, variant) — the variant argument selects the
+    digest (default SHA-512/256, sha2.rs); a non-constant or unknown
+    variant takes the row path (exact framed error text there)."""
+    v, e = a[0]
+    variant = "SHA-512/256"
+    if len(a) > 1:
+        vv, _ = a[1]
+        if not isinstance(vv, pa.Scalar):
+            raise _RowFallback("sha2 non-constant variant")
+        variant = vv.as_py()
+    algo = _SHA2_ALGOS.get(variant)
+    if algo is None:
+        raise _RowFallback("sha2 unknown variant")
+    return _hash_impl(algo, ctx, v, e)
 
 
 def _k_split(ctx, a, nodes, span=None):
@@ -545,7 +577,13 @@ def _k_join(ctx, a):
     sep = ""
     if len(a) > 1:
         s = a[1][0]
-        sep = s.as_py() if isinstance(s, pa.Scalar) else ""
+        if not isinstance(s, pa.Scalar):
+            # per-row separators: the row path owns those semantics
+            # (a silent "" here would diverge quietly)
+            raise NotVectorizable("join non-constant separator")
+        sep = s.as_py()
+        if not isinstance(sep, str):
+            raise NotVectorizable("join non-string separator")
     return pc.binary_join(v, sep), e
 
 
@@ -664,7 +702,7 @@ _KERNELS: dict[str, Callable] = {
     "parse_timestamp": _k_parse_timestamp,
     "to_unix_timestamp": _k_to_unix_timestamp,
     "md5": _hash_kernel("md5"), "sha1": _hash_kernel("sha1"),
-    "sha2": _hash_kernel("sha512_256"),   # sha2.rs default SHA-512/256
+    "sha2": _k_sha2,
     "join": _k_join,
     "strip_whitespace": _k_strip_whitespace,
 }
