@@ -45,6 +45,13 @@ def num(d=0):
             return f"abs({num(d + 1)})"
         return f"{f}({num(d + 1)}, {R.randint(0, 3)})"
     if c == 'iff':
+        r = R.random()
+        if r < 0.2:
+            return f"(if {boolex(d + 1)} {{ {num(d + 1)} }})"
+        if r < 0.4:
+            return (f"(if {boolex(d + 1)} {{ {num(d + 1)} }} "
+                    f"else if {boolex(d + 1)} {{ {num(d + 1)} }} "
+                    f"else {{ {num(d + 1)} }})")
         return f"(if {boolex(d + 1)} {{ {num(d + 1)} }} else {{ {num(d + 1)} }})"
     if c == 'coalesce':
         return f"({num(d + 1)} ?? {num(d + 1)})"
@@ -93,6 +100,13 @@ def strx(d=0):
         sep = R.choice(['"|"', '"|"', '""', '.t'])
         return f'join!(split({strx(d + 1)}, ","), {sep})'
     if c == 'iff':
+        r = R.random()
+        if r < 0.2:
+            return f"(if {boolex(d + 1)} {{ {strx(d + 1)} }})"
+        if r < 0.4:
+            return (f"(if {boolex(d + 1)} {{ {strx(d + 1)} }} "
+                    f"else if {boolex(d + 1)} {{ {strx(d + 1)} }} "
+                    f"else {{ {strx(d + 1)} }})")
         return f"(if {boolex(d + 1)} {{ {strx(d + 1)} }} else {{ {strx(d + 1)} }})"
     if c == 'coalesce':
         return f"({strx(d + 1)} ?? {strx(d + 1)})"
@@ -176,6 +190,27 @@ def gen_stmt(i):
                         f".o{i}, .e{i} = v{i}"])
         return f"v{i} = {anyexpr()}\n{use}"
     if kind == 'ifstmt':
+        shape = R.choice(['plain', 'noelse', 'chain', 'asym', 'multi'])
+        if shape == 'noelse':
+            return f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
+        if shape == 'chain':
+            els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
+            return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
+                    f" else if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
+                    f"{els}")
+        if shape == 'asym':
+            # branches assign DIFFERENT fields: the untaken field
+            # keeps its prior value per row
+            return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
+                    f" else {{ .p{i} = {anyexpr(1)} }}")
+        if shape == 'multi':
+            # second statement may read the first's target (the
+            # read-your-own-writes guard must punt those to the
+            # interpreter, not silently read stale columns)
+            rd = R.choice([f".o{i}", anyexpr(1)])
+            return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n"
+                    f".p{i} = ({rd} ?? {num(2)}) }}"
+                    f" else {{ .o{i} = {anyexpr(1)} }}")
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                 f" else {{ .o{i} = {anyexpr(1)} }}")
     if kind == 'closure':

@@ -259,6 +259,47 @@ class TestVectorize:
         assert out["o"].to_pylist() == [False, True]
         assert out["vrl_err"].to_pylist() == [None, None]
 
+    def test_if_statement_general_shapes(self):
+        """Vectorized if statements support else-if chains, missing
+        else, asymmetric branch fields, and multi-statement branches
+        with statement-order error gating (a write BEFORE the row's
+        first error sticks; the erroring statement's own write and
+        everything after do not) — r3, previously NotVectorizable."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "a": pa.array([1, 5, None, 9], pa.int64()),
+            "s": pa.array(["3", "x", "7", None]),
+        })
+        progs = [
+            # chain + no else: untaken rows keep prior (absent)
+            'if .a == 1 { .o = "one" } else if .a == 5 { .o = "five" }',
+            # asymmetric fields
+            'if .a == 1 { .o = "one" } else { .p = "other" }',
+            # if EXPRESSION without else → null when untaken
+            '.o = if .a == 1 { "one" }',
+            # multi-statement branch: .o assigned, then to_int!(.s)
+            # aborts row 1 — .o must keep the already-written value
+            'if .a != 1 { .o = "set"\n.p = to_int!(.s) } '
+            'else { .o = "else" }',
+        ]
+        for src in progs:
+            out = VectorProgram(src).run(batch).to_pylist()
+            prog = Program(src)
+            for ri, row in enumerate(batch.to_pylist()):
+                ev = dict(row)
+                rerr = None
+                try:
+                    _, ev, _ = prog.resolve(ev)
+                except Exception as ex:
+                    rerr = str(ex)
+                assert out[ri].get("vrl_err") == rerr, (src, ri)
+                for k in ("o", "p"):
+                    assert out[ri].get(k) == ev.get(k), (src, ri, k)
+
     def test_sha2_variant_argument(self):
         """sha2's variant argument selects the digest (sha2.rs); the
         vector kernel must not silently compute the SHA-512/256

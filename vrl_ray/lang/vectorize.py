@@ -1059,28 +1059,53 @@ def _compile_expr(node) -> Callable:
 
     if kind == "if":
         arms, els = node[1], node[2]
-        if els is None or len(arms) != 1:
-            raise NotVectorizable("if shape")
-        condf = _compile_expr(arms[0][0])
-        thenf = _compile_expr(_unwrap_block(arms[0][1]))
-        elsef = _compile_expr(_unwrap_block(els))
+        condfs = [_compile_expr(c) for c, _ in arms]
+        thenfs = [_compile_expr(_unwrap_block(b)) for _, b in arms]
+        elsef = _compile_expr(_unwrap_block(els)) if els is not None \
+            else None
 
         def iff(ctx):
-            c, ce = condf(ctx)
-            ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
-            cb = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False),
-                           ctx.n)
-            tv, te = thenf(ctx)
-            ev, ee = elsef(ctx)
-            # only the TAKEN branch's errors count per row — the other
-            # branch never ran for that row (eager-eval artifact;
-            # condition errors shadow both via first-wins merge)
-            taken = None
-            if te is not None or ee is not None:
-                tn = te if te is not None else _nulls(ctx.n)
-                en = ee if ee is not None else _nulls(ctx.n)
-                taken = pc.if_else(cb, tn, en)
-            return _blend(cb, tv, ev, ctx.n), _merge_errs(ctx.n, ce, taken)
+            # else-if chain: each condition only RUNS on rows every
+            # earlier arm left (mask its errors to `remaining` —
+            # lazy-eval parity), and each arm's value/errors only
+            # count on the rows that arm takes. Condition errors
+            # shadow branch errors via first-wins merge order.
+            errs = None
+            conds = []
+            remaining = None
+            for cf in condfs:
+                c, ce = cf(ctx)
+                ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
+                if ce is not None and remaining is not None:
+                    ce = pc.if_else(remaining, ce, _nulls(ctx.n))
+                errs = _merge_errs(ctx.n, errs, ce)
+                cb = _as_array(
+                    pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
+                if remaining is not None:
+                    cb = pc.and_(cb, remaining)
+                conds.append(cb)
+                inv = pc.invert(cb)
+                remaining = inv if remaining is None \
+                    else pc.and_(remaining, inv)
+            if elsef is not None:
+                acc, ee = elsef(ctx)
+                if ee is not None:
+                    errs = _merge_errs(
+                        ctx.n, errs,
+                        pc.if_else(remaining, ee, _nulls(ctx.n)))
+            else:
+                # `if` without `else` evaluates to null on untaken
+                # rows (if.rs: Block::Empty resolves to Value::Null)
+                acc = _nulls(ctx.n, pa.null())
+            acc = _as_array(acc, ctx.n)
+            for i in range(len(arms) - 1, -1, -1):
+                tv, te = thenfs[i](ctx)
+                if te is not None:
+                    errs = _merge_errs(
+                        ctx.n, errs,
+                        pc.if_else(conds[i], te, _nulls(ctx.n)))
+                acc = _blend(conds[i], tv, acc, ctx.n)
+            return acc, errs
         return iff
 
     if kind == "call":
@@ -1280,6 +1305,22 @@ def _canonicalize_named_args(name: str, args):
     if named:
         raise NotVectorizable("unknown named arg")
     return canon
+
+
+def _reads_fields(node, out: set):
+    """Collect top-level event fields read anywhere in an AST node."""
+    if isinstance(node, list):
+        for x in node:
+            _reads_fields(x, out)
+        return
+    if not isinstance(node, tuple):
+        return
+    if node and node[0] == "path" and len(node) > 2 and \
+            node[1] == "event" and node[2] and \
+            isinstance(node[2][0], str):
+        out.add(node[2][0])
+    for x in node[1:]:
+        _reads_fields(x, out)
 
 
 def _unwrap_block(node):
@@ -1724,35 +1765,78 @@ class VectorProgram:
 
     def _compile_if_stmt(self, s):
         arms, els = s[1], s[2]
-        if len(arms) != 1 or els is None:
-            raise NotVectorizable("if/else-if statement")
-        condf = _compile_expr(arms[0][0])
-        then_a = self._branch_assigns(arms[0][1])
-        else_a = self._branch_assigns(els)
-        if set(then_a) != set(else_a):
-            raise NotVectorizable("branches assign different fields")
-        self._if_fields.append(list(then_a))
+        condfs = [_compile_expr(c) for c, _ in arms]
+        arm_assigns = [self._branch_assigns(b) for _, b in arms]
+        else_assigns = self._branch_assigns(els) if els is not None \
+            else {}
+        fields: list[str] = []
+        for d in arm_assigns + [else_assigns]:
+            for f_ in d:
+                if f_ not in fields:
+                    fields.append(f_)
+        self._if_fields.append(fields)
 
         def run(ctx):
-            """Returns ({field: values}, errs|None): per-row errors
-            from the condition or the TAKEN branch only (the other
-            branch's vectorized errors are discarded — that branch
-            never ran for the row)."""
-            c, ce = condf(ctx)
-            ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
-            c = _as_array(pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
+            """Returns ({field: values}, errs|None). Else-if chain:
+            each condition only RUNS on rows every earlier arm left
+            (its errors are masked to `remaining` — lazy parity); a
+            branch's errors only count on the rows it takes, and a
+            branch that doesn't assign some field leaves that field's
+            prior value on its rows (covers `if` without `else` and
+            asymmetric branches)."""
+            errs = None
+            conds = []
+            remaining = None
+            for cf in condfs:
+                c, ce = cf(ctx)
+                ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
+                if ce is not None and remaining is not None:
+                    ce = pc.if_else(remaining, ce, _nulls(ctx.n))
+                errs = _merge_errs(ctx.n, errs, ce)
+                cb = _as_array(
+                    pc.fill_null(pc.cast(c, pa.bool_()), False), ctx.n)
+                if remaining is not None:
+                    cb = pc.and_(cb, remaining)
+                conds.append(cb)
+                inv = pc.invert(cb)
+                remaining = inv if remaining is None \
+                    else pc.and_(remaining, inv)
+            regions = list(zip(conds, arm_assigns))
+            if else_assigns:
+                regions.append((remaining, else_assigns))
             out = {}
-            errs = ce
-            for field in then_a:
-                tv, te = then_a[field](ctx)
-                ev, ee = else_a[field](ctx)
-                out[field] = _as_array(_blend(c, tv, ev, ctx.n), ctx.n)
-                taken_err = None
-                if te is not None or ee is not None:
-                    tn = te if te is not None else _nulls(ctx.n)
-                    en = ee if ee is not None else _nulls(ctx.n)
-                    taken_err = pc.if_else(c, tn, en)
-                errs = _merge_errs(ctx.n, errs, taken_err)
+            # statement-order gating: a row's write happens iff its
+            # region took the row AND no error preceded the write
+            # (condition errors, or an earlier statement of the SAME
+            # branch — interpreter runs branch statements in order,
+            # so writes before the row's first error stick)
+            for mask, assigns in regions:
+                region_err = None
+                for field, fexpr in assigns.items():
+                    av, ae = fexpr(ctx)
+                    if ae is not None:
+                        ae = pc.if_else(mask, ae, _nulls(ctx.n))
+                    ok = mask
+                    if errs is not None:
+                        ok = pc.and_(ok, pc.is_null(errs))
+                    if region_err is not None:
+                        ok = pc.and_(ok, pc.is_null(region_err))
+                    if ae is not None:
+                        # a statement whose own expression errored
+                        # never assigns (interpreter order)
+                        ok = pc.and_(ok, pc.is_null(ae))
+                    acc = out.get(field)
+                    if acc is None:
+                        acc = ctx.col(field)
+                    out[field] = _as_array(
+                        _blend(ok, av, acc, ctx.n), ctx.n)
+                    if ae is not None:
+                        region_err = _merge_errs(ctx.n, region_err, ae)
+                if region_err is not None:
+                    errs = _merge_errs(ctx.n, errs, region_err)
+            for field in fields:
+                if field not in out:
+                    out[field] = _as_array(ctx.col(field), ctx.n)
             return out, errs
         return ("__if__", None, run)
 
@@ -1766,6 +1850,13 @@ class VectorProgram:
             t = st[1][0]
             if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
                 raise NotVectorizable("if branch target")
+            # branch expressions all read PRE-statement columns: a
+            # later statement reading a field this branch assigned
+            # earlier would see the stale value — row path owns it
+            reads: set = set()
+            _reads_fields(st[3], reads)
+            if reads & set(out):
+                raise NotVectorizable("branch reads its own writes")
             out[t[2][0]] = _compile_expr(st[3])
         return out
 
@@ -1884,26 +1975,13 @@ class VectorProgram:
                     continue
                 if field == "__if__":
                     out_fields, errs = f(ctx)
-                    # Interpreter parity: a row whose condition (or
-                    # taken branch) raised an unhandled error keeps the
-                    # field's PRIOR value — mask writes with the error
-                    # lane before killing (same as the scalar
-                    # unhandled-fallible path below; ADVICE r2).
-                    ok = None
-                    if errs is not None:
-                        ok = pc.is_null(errs)
-                        if active is not None:
-                            ok = pc.and_(ok, active)
+                    # per-row error gating happened INSIDE the if
+                    # compiler (statement order within a branch:
+                    # writes preceding a row's first error stick) —
+                    # only dead-row gating remains here, then the
+                    # statement's unhandled errors kill their rows
                     for k, arr in out_fields.items():
-                        if ok is None:
-                            ctx.written[k] = gate_write(k, arr)
-                            continue
-                        arr = _as_array(arr, ctx.n)
-                        old = ctx.col(k)
-                        if pa.types.is_null(old.type) and not \
-                                pa.types.is_null(arr.type):
-                            old = _nulls(ctx.n, arr.type)
-                        ctx.written[k] = pc.if_else(ok, arr, old)
+                        ctx.written[k] = gate_write(k, arr)
                     if errs is not None:
                         kill(errs)
                     continue
