@@ -204,12 +204,13 @@ def gen_stmt(i):
             return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                     f" else {{ .p{i} = {anyexpr(1)} }}")
         if shape == 'multi':
-            # second statement may read the first's target (the
-            # read-your-own-writes guard must punt those to the
-            # interpreter, not silently read stale columns)
+            # second statement may read (or reassign) the first's
+            # target — the written-overlay must give it the branch's
+            # own value on taken rows, prior elsewhere
             rd = R.choice([f".o{i}", anyexpr(1)])
+            tgt = R.choice([f".p{i}", f".o{i}"])
             return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n"
-                    f".p{i} = ({rd} ?? {num(2)}) }}"
+                    f"{tgt} = ({rd} ?? {num(2)}) }}"
                     f" else {{ .o{i} = {anyexpr(1)} }}")
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                 f" else {{ .o{i} = {anyexpr(1)} }}")

@@ -1307,22 +1307,6 @@ def _canonicalize_named_args(name: str, args):
     return canon
 
 
-def _reads_fields(node, out: set):
-    """Collect top-level event fields read anywhere in an AST node."""
-    if isinstance(node, list):
-        for x in node:
-            _reads_fields(x, out)
-        return
-    if not isinstance(node, tuple):
-        return
-    if node and node[0] == "path" and len(node) > 2 and \
-            node[1] == "event" and node[2] and \
-            isinstance(node[2][0], str):
-        out.add(node[2][0])
-    for x in node[1:]:
-        _reads_fields(x, out)
-
-
 def _unwrap_block(node):
     if node[0] == "block":
         if len(node[1]) != 1:
@@ -1768,10 +1752,10 @@ class VectorProgram:
         condfs = [_compile_expr(c) for c, _ in arms]
         arm_assigns = [self._branch_assigns(b) for _, b in arms]
         else_assigns = self._branch_assigns(els) if els is not None \
-            else {}
+            else []
         fields: list[str] = []
-        for d in arm_assigns + [else_assigns]:
-            for f_ in d:
+        for pairs in arm_assigns + [else_assigns]:
+            for f_, _ in pairs:
                 if f_ not in fields:
                     fields.append(f_)
         self._if_fields.append(fields)
@@ -1810,54 +1794,60 @@ class VectorProgram:
             # (condition errors, or an earlier statement of the SAME
             # branch — interpreter runs branch statements in order,
             # so writes before the row's first error stick)
-            for mask, assigns in regions:
-                region_err = None
-                for field, fexpr in assigns.items():
-                    av, ae = fexpr(ctx)
-                    if ae is not None:
-                        ae = pc.if_else(mask, ae, _nulls(ctx.n))
-                    ok = mask
-                    if errs is not None:
-                        ok = pc.and_(ok, pc.is_null(errs))
+            # later statements read earlier writes through a
+            # ctx.written overlay: the blended column is exactly the
+            # right per-row view (new value on rows the region took
+            # and the statement succeeded, prior value elsewhere)
+            saved = dict(ctx.written)
+            try:
+                for mask, assigns in regions:
+                    region_err = None
+                    for field, fexpr in assigns:
+                        av, ae = fexpr(ctx)
+                        if ae is not None:
+                            ae = pc.if_else(mask, ae, _nulls(ctx.n))
+                        ok = mask
+                        if errs is not None:
+                            ok = pc.and_(ok, pc.is_null(errs))
+                        if region_err is not None:
+                            ok = pc.and_(ok, pc.is_null(region_err))
+                        if ae is not None:
+                            # a statement whose own expression errored
+                            # never assigns (interpreter order)
+                            ok = pc.and_(ok, pc.is_null(ae))
+                        acc = out.get(field)
+                        if acc is None:
+                            acc = ctx.col(field)
+                        out[field] = _as_array(
+                            _blend(ok, av, acc, ctx.n), ctx.n)
+                        ctx.written[field] = out[field]
+                        if ae is not None:
+                            region_err = _merge_errs(
+                                ctx.n, region_err, ae)
                     if region_err is not None:
-                        ok = pc.and_(ok, pc.is_null(region_err))
-                    if ae is not None:
-                        # a statement whose own expression errored
-                        # never assigns (interpreter order)
-                        ok = pc.and_(ok, pc.is_null(ae))
-                    acc = out.get(field)
-                    if acc is None:
-                        acc = ctx.col(field)
-                    out[field] = _as_array(
-                        _blend(ok, av, acc, ctx.n), ctx.n)
-                    if ae is not None:
-                        region_err = _merge_errs(ctx.n, region_err, ae)
-                if region_err is not None:
-                    errs = _merge_errs(ctx.n, errs, region_err)
+                        errs = _merge_errs(ctx.n, errs, region_err)
+            finally:
+                ctx.written.clear()
+                ctx.written.update(saved)
             for field in fields:
                 if field not in out:
                     out[field] = _as_array(ctx.col(field), ctx.n)
             return out, errs
         return ("__if__", None, run)
 
-    def _branch_assigns(self, block) -> dict:
+    def _branch_assigns(self, block) -> list:
+        """Ordered (field, exprfn) pairs — duplicates preserved so
+        sequential reassignment semantics survive compilation."""
         if block[0] != "block":
             raise NotVectorizable("if branch")
-        out = {}
+        out = []
         for st in block[1]:
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
             t = st[1][0]
             if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
                 raise NotVectorizable("if branch target")
-            # branch expressions all read PRE-statement columns: a
-            # later statement reading a field this branch assigned
-            # earlier would see the stale value — row path owns it
-            reads: set = set()
-            _reads_fields(st[3], reads)
-            if reads & set(out):
-                raise NotVectorizable("branch reads its own writes")
-            out[t[2][0]] = _compile_expr(st[3])
+            out.append((t[2][0], _compile_expr(st[3])))
         return out
 
     def run(self, batch: pa.Table) -> pa.Table:
