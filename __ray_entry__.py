@@ -480,6 +480,44 @@ def events_vrl_kernels(sf_dir: str):
         ["event_id", "et", "short", "head", "vi", "flag"])
 
 
+def events_vrl_routing(sf_dir: str):
+    """Route-style VRL through the language lane: an else-if ladder,
+    asymmetric branch fields, and an uncatchable `slice!()` abort —
+    the r3 vector-plan additions (general if shapes + the in-band
+    abort channel, lang/vectorize.py) end to end. Rows whose
+    event_type is shorter than 6 chars abort mid-program: fields
+    assigned BEFORE the abort stick (.sev), later ones stay null
+    (.tail/.alert/.note), and the abort text lands in vrl_err
+    (surfaced as the boolean `failed`). Oracle: equivalent SQL CASE
+    ladder with the row-kill semantics spelled out per column."""
+    from vrl_ray.lang import remap
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    program = """
+    .sev = if .value >= 100.0 { "high" } else if .value >= 10.0 { "mid" } else { "low" }
+    .tail = slice!(.event_type, 6)
+    if .sev == "high" { .alert = true } else { .note = "ok" }
+    """
+    out = remap(ds, program, concurrency=(1, 4))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "sev": b["sev"],
+            "tail": b["tail"],
+            # boolean NULLs stringify differently in DuckDB (NaN) vs
+            # Arrow (None) — compare as false; the null-vs-assigned
+            # distinction stays visible through tail/note
+            "alert": pc.fill_null(
+                pc.cast(b["alert"].combine_chunks(), pa.bool_()),
+                False),
+            "note": b["note"],
+            "failed": pc.is_valid(b["vrl_err"].combine_chunks()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def events_logfmt_roundtrip(sf_dir: str):
     """encode_logfmt → parse_key_value round-trip per event, fully
     vectorized: the logfmt line is BUILT with Arrow kernels (quoting
@@ -1019,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "events_vrl_remap": events_vrl_remap,
         "events_vrl_kernels": events_vrl_kernels,
+        "events_vrl_routing": events_vrl_routing,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
         "events_declarative_pipeline": events_declarative_pipeline,
@@ -1234,6 +1273,20 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(event_type, '([a-z]+)', 1) AS head,
                    CAST(round(value, 0) AS BIGINT) AS vi,
                    (CAST(round(value, 0) AS BIGINT) <> 0) AS flag
+            FROM events
+        """,
+        "events_vrl_routing": """
+            SELECT event_id,
+                   CASE WHEN value >= 100.0 THEN 'high'
+                        WHEN value >= 10.0 THEN 'mid'
+                        ELSE 'low' END AS sev,
+                   CASE WHEN length(event_type) >= 6
+                        THEN substr(event_type, 7) END AS tail,
+                   (length(event_type) >= 6 AND value >= 100.0)
+                       AS alert,
+                   CASE WHEN length(event_type) >= 6 AND value < 100.0
+                        THEN 'ok' END AS note,
+                   length(event_type) < 6 AS failed
             FROM events
         """,
         "events_logfmt_roundtrip": """
