@@ -176,7 +176,15 @@ def anyexpr(d=0):
 
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
-                     'ifstmt', 'closure', 'nested'])
+                     'ifstmt', 'closure', 'nested', 'abort'])
+    if kind == 'abort':
+        # conditional abort: later statements must skip aborted rows,
+        # mutations before the abort stick, `aborted` comes out true
+        msg = R.choice(['', '', ' "dropped"', f' {strx(1)}'])
+        after = R.choice(['', f"\n.q{i} = {anyexpr(1)}"])
+        els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
+        return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\nabort{msg} }}"
+                f"{els}{after}")
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"
     if kind == 'nested':
@@ -295,18 +303,24 @@ def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
         for ri, row in enumerate(rows):
             ev = dict(row)
             rerr = None
+            rab = False
             try:
-                _, ev2, _ = prog.resolve(ev)
+                _, ev2, ra = prog.resolve(ev)
+                rab = ra is not None
             except Exception as ex:
                 rerr = str(ex)
             verr = ocols[ri].get("vrl_err")
+            vab = bool(ocols[ri].get("aborted") or False)
             bad = []
             if (rerr is None) != (verr is None):
                 bad.append(("vrl_err presence", rerr, verr))
             elif rerr is not None and norm(rerr) != norm(verr):
                 bad.append(("vrl_err text", rerr, verr))
+            if rab != vab:
+                bad.append(("aborted", rab, vab))
             keys = set(ev) | set(ocols[ri])
             keys.discard("vrl_err")
+            keys.discard("aborted")   # compared above as a flag
             for k in keys:
                 rv, vv = ev.get(k), ocols[ri].get(k)
                 if isinstance(rv, str) and isinstance(vv, str) \

@@ -259,6 +259,24 @@ class TestVectorize:
         assert out["o"].to_pylist() == [False, True]
         assert out["vrl_err"].to_pylist() == [None, None]
 
+    def test_abort_vectorized(self):
+        """`abort` compiles into the column plan (r3): aborted rows
+        keep mutations made BEFORE the abort, skip later statements,
+        carry no error, and come out with aborted=true — previously
+        any program containing abort fell back to the row path."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"a": pa.array([1, 5, None], pa.int64())})
+        out = VectorProgram(
+            '.o = "pre"\nif .a == 1 { abort "bye" }\n.q = "post"'
+        ).run(batch).to_pylist()
+        assert [r["aborted"] for r in out] == [True, False, False]
+        assert [r["o"] for r in out] == ["pre", "pre", "pre"]
+        assert [r["q"] for r in out] == [None, "post", "post"]
+        assert all(r["vrl_err"] is None for r in out)
+
     def test_if_statement_general_shapes(self):
         """Vectorized if statements support else-if chains, missing
         else, asymmetric branch fields, and multi-statement branches

@@ -102,11 +102,12 @@ class VectorRemapStage:
     fields; `aborted`/`vrl_err`/`extra` companions are added for
     drop-in parity with RemapStage."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, drop_aborted: bool = False):
         from .vectorize import VectorProgram
 
         self.program = VectorProgram(source)   # compile once per actor
         self.source = source
+        self.drop_aborted = drop_aborted
         self._fallback: Optional[RemapStage] = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -118,7 +119,8 @@ class VectorRemapStage:
             # degrade to the per-row error lane, never crash the stage
             # (repo invariant: data errors NEVER raise; ADVICE r1).
             if self._fallback is None:
-                self._fallback = RemapStage(self.source)
+                self._fallback = RemapStage(
+                    self.source, drop_aborted=self.drop_aborted)
             out = self._fallback(batch)
             # align to the vector path's output schema (column set +
             # order) so mixed vector/fallback blocks stay consistent
@@ -142,6 +144,12 @@ class VectorRemapStage:
                 "aborted", pa.array([False] * n, pa.bool_()))
         if "vrl_err" not in out.column_names:
             out = out.append_column("vrl_err", pa.nulls(n, pa.string()))
+        if self.drop_aborted:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.fill_null(
+                pc.cast(out["aborted"], pa.bool_()), False))
+            out = out.filter(keep)
         return out
 
 
@@ -163,10 +171,11 @@ def remap(ds, source: str, *, concurrency=(1, 8), batch_size: int = 8192,
         except (NotVectorizable, ParseError):
             use_vector = False
 
-    if use_vector and not drop_aborted:
+    if use_vector:
         return ds.map_batches(
             VectorRemapStage,
-            fn_constructor_kwargs=dict(source=source),
+            fn_constructor_kwargs=dict(source=source,
+                                       drop_aborted=drop_aborted),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,

@@ -1616,6 +1616,7 @@ class VectorProgram:
         self.source = source
         stmts = parse(source)
         self._if_fields: list[list[str]] = []
+        self._has_abort = False
         self.plan: list = [self._compile_stmt(s) for s in stmts]
         # target fields in execution order (for fallback schema parity)
         self.target_fields: list[str] = []
@@ -1625,8 +1626,8 @@ class VectorProgram:
                 if field == "__if__":
                     fs = self._if_fields[if_i]
                     if_i += 1
-                elif field == "__foreach__":
-                    continue     # mutates variables, no output column
+                elif field in ("__foreach__", "__abort__"):
+                    continue     # no output column of their own
                 else:
                     fs = [f_ for f_ in
                           [field] + ([errfield] if errfield else [])
@@ -1669,6 +1670,12 @@ class VectorProgram:
             return [self._compile_if_stmt(s)]
         if s[0] == "call" and s[1] == "for_each" and s[4] is not None:
             return [self._compile_for_each(s)]
+        if s[0] == "abort":
+            # abort drops the event (Terminate::Abort): mutations so
+            # far kept, later statements skip, `aborted` column true
+            self._has_abort = True
+            msgf = _compile_expr(s[1]) if s[1] is not None else None
+            return [("__abort__", None, msgf)]
         raise NotVectorizable(s[0])
 
     def _compile_for_each(self, s):
@@ -1756,7 +1763,7 @@ class VectorProgram:
         fields: list[str] = []
         for pairs in arm_assigns + [else_assigns]:
             for f_, _ in pairs:
-                if f_ not in fields:
+                if f_ != "__abort__" and f_ not in fields:
                     fields.append(f_)
         self._if_fields.append(fields)
 
@@ -1799,19 +1806,37 @@ class VectorProgram:
             # right per-row view (new value on rows the region took
             # and the statement succeeded, prior value elsewhere)
             saved = dict(ctx.written)
+            aborted = None
             try:
                 for mask, assigns in regions:
                     region_err = None
+                    region_abort = None
                     for field, fexpr in assigns:
-                        av, ae = fexpr(ctx)
-                        if ae is not None:
-                            ae = pc.if_else(mask, ae, _nulls(ctx.n))
                         ok = mask
                         if errs is not None:
                             ok = pc.and_(ok, pc.is_null(errs))
                         if region_err is not None:
                             ok = pc.and_(ok, pc.is_null(region_err))
+                        if region_abort is not None:
+                            ok = pc.and_(ok, pc.invert(region_abort))
+                        if field == "__abort__":
+                            # rows reaching the abort drop here; a
+                            # message expression that ERRORS kills the
+                            # row as an error instead
+                            if fexpr is not None:
+                                _, me = fexpr(ctx)
+                                if me is not None:
+                                    me = pc.if_else(ok, me,
+                                                    _nulls(ctx.n))
+                                    ok = pc.and_(ok, pc.is_null(me))
+                                    region_err = _merge_errs(
+                                        ctx.n, region_err, me)
+                            region_abort = ok if region_abort is None \
+                                else pc.or_(region_abort, ok)
+                            continue
+                        av, ae = fexpr(ctx)
                         if ae is not None:
+                            ae = pc.if_else(mask, ae, _nulls(ctx.n))
                             # a statement whose own expression errored
                             # never assigns (interpreter order)
                             ok = pc.and_(ok, pc.is_null(ae))
@@ -1826,13 +1851,16 @@ class VectorProgram:
                                 ctx.n, region_err, ae)
                     if region_err is not None:
                         errs = _merge_errs(ctx.n, errs, region_err)
+                    if region_abort is not None:
+                        aborted = region_abort if aborted is None \
+                            else pc.or_(aborted, region_abort)
             finally:
                 ctx.written.clear()
                 ctx.written.update(saved)
             for field in fields:
                 if field not in out:
                     out[field] = _as_array(ctx.col(field), ctx.n)
-            return out, errs
+            return out, errs, aborted
         return ("__if__", None, run)
 
     def _branch_assigns(self, block) -> list:
@@ -1842,6 +1870,12 @@ class VectorProgram:
             raise NotVectorizable("if branch")
         out = []
         for st in block[1]:
+            if st[0] == "abort":
+                self._has_abort = True
+                out.append((
+                    "__abort__",
+                    _compile_expr(st[1]) if st[1] is not None else None))
+                continue
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
             t = st[1][0]
@@ -1886,6 +1920,19 @@ class VectorProgram:
                        if err_acc is not None
                        else pc.if_else(bad, rows_err, _nulls(ctx.n)))
             live = pc.invert(bad)
+            active = live if active is None else pc.and_(active, live)
+
+        aborted_acc = None
+
+        def mark_aborted(mask):
+            """Drop rows via `abort`: no error — mutations so far
+            kept, later statements skip, `aborted` comes out true."""
+            nonlocal active, aborted_acc
+            if active is not None:
+                mask = pc.and_(mask, active)
+            aborted_acc = mask if aborted_acc is None \
+                else pc.or_(aborted_acc, mask)
+            live = pc.invert(mask)
             active = live if active is None else pc.and_(active, live)
 
         for stmt in self.plan:
@@ -1963,17 +2010,33 @@ class VectorProgram:
                     ctx.vars[vname] = pc.if_else(ok, v, old)
                     kill(e)
                     continue
+                if field == "__abort__":
+                    rows = active if active is not None \
+                        else pa.array([True] * ctx.n)
+                    if f is not None:
+                        _, me = f(ctx)
+                        if me is not None:
+                            # an erroring message expression kills the
+                            # row as an ERROR, not an abort
+                            me = pc.if_else(rows, me, _nulls(ctx.n))
+                            kill(me)
+                            rows = pc.and_(rows, pc.is_null(me))
+                    mark_aborted(rows)
+                    continue
                 if field == "__if__":
-                    out_fields, errs = f(ctx)
+                    out_fields, errs, ab_mask = f(ctx)
                     # per-row error gating happened INSIDE the if
                     # compiler (statement order within a branch:
                     # writes preceding a row's first error stick) —
                     # only dead-row gating remains here, then the
                     # statement's unhandled errors kill their rows
+                    # and its abort rows drop
                     for k, arr in out_fields.items():
                         ctx.written[k] = gate_write(k, arr)
                     if errs is not None:
                         kill(errs)
+                    if ab_mask is not None:
+                        mark_aborted(ab_mask)
                     continue
                 if isinstance(field, tuple):
                     # nested (.a.b) struct write; rows that must keep
@@ -2102,4 +2165,14 @@ class VectorProgram:
             out = out.append_column(
                 "vrl_err", _strip_abort(err_acc) if err_acc is not None
                 else _nulls(ctx.n))
+        if self._has_abort:
+            ab = pc.fill_null(aborted_acc, False) \
+                if aborted_acc is not None \
+                else pa.array([False] * ctx.n)
+            if "aborted" in out.column_names:
+                out = out.set_column(
+                    out.column_names.index("aborted"), "aborted",
+                    _as_array(ab, ctx.n))
+            else:
+                out = out.append_column("aborted", _as_array(ab, ctx.n))
         return out
