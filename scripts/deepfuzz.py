@@ -178,12 +178,17 @@ def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort'])
     if kind == 'abort':
-        # conditional abort: later statements must skip aborted rows,
-        # mutations before the abort stick, `aborted` comes out true
-        msg = R.choice(['', '', ' "dropped"', f' {strx(1)}'])
+        # conditional abort/return: later statements must skip
+        # stopped rows, mutations before the stop stick; abort also
+        # flips the `aborted` column
+        if R.random() < 0.4:
+            stop = f"return {anyexpr(1)}"
+        else:
+            stop = "abort" + R.choice(['', '', ' "dropped"',
+                                       f' {strx(1)}'])
         after = R.choice(['', f"\n.q{i} = {anyexpr(1)}"])
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
-        return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\nabort{msg} }}"
+        return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"

@@ -1626,7 +1626,8 @@ class VectorProgram:
                 if field == "__if__":
                     fs = self._if_fields[if_i]
                     if_i += 1
-                elif field in ("__foreach__", "__abort__"):
+                elif field in ("__foreach__", "__abort__",
+                               "__return__"):
                     continue     # no output column of their own
                 else:
                     fs = [f_ for f_ in
@@ -1676,6 +1677,11 @@ class VectorProgram:
             self._has_abort = True
             msgf = _compile_expr(s[1]) if s[1] is not None else None
             return [("__abort__", None, msgf)]
+        if s[0] == "return":
+            # return = early exit keeping mutations (runtime.rs:
+            # Terminate::Return caught as Ok): later statements skip,
+            # NOT aborted; an erroring return expression kills the row
+            return [("__return__", None, _compile_expr(s[1]))]
         raise NotVectorizable(s[0])
 
     def _compile_for_each(self, s):
@@ -1763,7 +1769,8 @@ class VectorProgram:
         fields: list[str] = []
         for pairs in arm_assigns + [else_assigns]:
             for f_, _ in pairs:
-                if f_ != "__abort__" and f_ not in fields:
+                if f_ not in ("__abort__", "__return__") and \
+                        f_ not in fields:
                     fields.append(f_)
         self._if_fields.append(fields)
 
@@ -1807,22 +1814,23 @@ class VectorProgram:
             # and the statement succeeded, prior value elsewhere)
             saved = dict(ctx.written)
             aborted = None
+            returned = None
             try:
                 for mask, assigns in regions:
                     region_err = None
-                    region_abort = None
+                    region_stop = None   # abort OR return rows
                     for field, fexpr in assigns:
                         ok = mask
                         if errs is not None:
                             ok = pc.and_(ok, pc.is_null(errs))
                         if region_err is not None:
                             ok = pc.and_(ok, pc.is_null(region_err))
-                        if region_abort is not None:
-                            ok = pc.and_(ok, pc.invert(region_abort))
-                        if field == "__abort__":
-                            # rows reaching the abort drop here; a
-                            # message expression that ERRORS kills the
-                            # row as an error instead
+                        if region_stop is not None:
+                            ok = pc.and_(ok, pc.invert(region_stop))
+                        if field in ("__abort__", "__return__"):
+                            # rows reaching the abort/return stop
+                            # here; an erroring message/return
+                            # expression kills the row as an error
                             if fexpr is not None:
                                 _, me = fexpr(ctx)
                                 if me is not None:
@@ -1831,8 +1839,14 @@ class VectorProgram:
                                     ok = pc.and_(ok, pc.is_null(me))
                                     region_err = _merge_errs(
                                         ctx.n, region_err, me)
-                            region_abort = ok if region_abort is None \
-                                else pc.or_(region_abort, ok)
+                            if field == "__abort__":
+                                aborted = ok if aborted is None \
+                                    else pc.or_(aborted, ok)
+                            else:
+                                returned = ok if returned is None \
+                                    else pc.or_(returned, ok)
+                            region_stop = ok if region_stop is None \
+                                else pc.or_(region_stop, ok)
                             continue
                         av, ae = fexpr(ctx)
                         if ae is not None:
@@ -1851,16 +1865,13 @@ class VectorProgram:
                                 ctx.n, region_err, ae)
                     if region_err is not None:
                         errs = _merge_errs(ctx.n, errs, region_err)
-                    if region_abort is not None:
-                        aborted = region_abort if aborted is None \
-                            else pc.or_(aborted, region_abort)
             finally:
                 ctx.written.clear()
                 ctx.written.update(saved)
             for field in fields:
                 if field not in out:
                     out[field] = _as_array(ctx.col(field), ctx.n)
-            return out, errs, aborted
+            return out, errs, aborted, returned
         return ("__if__", None, run)
 
     def _branch_assigns(self, block) -> list:
@@ -1875,6 +1886,9 @@ class VectorProgram:
                 out.append((
                     "__abort__",
                     _compile_expr(st[1]) if st[1] is not None else None))
+                continue
+            if st[0] == "return":
+                out.append(("__return__", _compile_expr(st[1])))
                 continue
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
@@ -1924,16 +1938,23 @@ class VectorProgram:
 
         aborted_acc = None
 
-        def mark_aborted(mask):
-            """Drop rows via `abort`: no error — mutations so far
-            kept, later statements skip, `aborted` comes out true."""
-            nonlocal active, aborted_acc
+        def deactivate(mask):
+            """Stop rows without an error (`return`): mutations so
+            far kept, later statements skip."""
+            nonlocal active
             if active is not None:
                 mask = pc.and_(mask, active)
-            aborted_acc = mask if aborted_acc is None \
-                else pc.or_(aborted_acc, mask)
             live = pc.invert(mask)
             active = live if active is None else pc.and_(active, live)
+            return mask
+
+        def mark_aborted(mask):
+            """Drop rows via `abort`: like `return` but `aborted`
+            comes out true."""
+            nonlocal aborted_acc
+            mask = deactivate(mask)
+            aborted_acc = mask if aborted_acc is None \
+                else pc.or_(aborted_acc, mask)
 
         for stmt in self.plan:
             for field, errfield, f in stmt:
@@ -2010,21 +2031,24 @@ class VectorProgram:
                     ctx.vars[vname] = pc.if_else(ok, v, old)
                     kill(e)
                     continue
-                if field == "__abort__":
+                if field in ("__abort__", "__return__"):
                     rows = active if active is not None \
                         else pa.array([True] * ctx.n)
                     if f is not None:
                         _, me = f(ctx)
                         if me is not None:
-                            # an erroring message expression kills the
-                            # row as an ERROR, not an abort
+                            # an erroring message/return expression
+                            # kills the row as an ERROR instead
                             me = pc.if_else(rows, me, _nulls(ctx.n))
                             kill(me)
                             rows = pc.and_(rows, pc.is_null(me))
-                    mark_aborted(rows)
+                    if field == "__abort__":
+                        mark_aborted(rows)
+                    else:
+                        deactivate(rows)
                     continue
                 if field == "__if__":
-                    out_fields, errs, ab_mask = f(ctx)
+                    out_fields, errs, ab_mask, ret_mask = f(ctx)
                     # per-row error gating happened INSIDE the if
                     # compiler (statement order within a branch:
                     # writes preceding a row's first error stick) —
@@ -2037,6 +2061,8 @@ class VectorProgram:
                         kill(errs)
                     if ab_mask is not None:
                         mark_aborted(ab_mask)
+                    if ret_mask is not None:
+                        deactivate(ret_mask)
                     continue
                 if isinstance(field, tuple):
                     # nested (.a.b) struct write; rows that must keep
