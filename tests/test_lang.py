@@ -132,6 +132,21 @@ class TestRemapStage:
         rows = ds.take_all()
         assert rows[0]["vrl_err"] is not None
 
+    def test_drop_aborted_vector_path(self, ray_session):
+        """drop_aborted rides the COLUMN plan (r3): the route-guard
+        program vectorizes, aborted rows are filtered in-batch, and
+        the output matches the per-row interpreter path exactly."""
+        import ray.data as rd
+        src = 'if .value >= 100.0 { abort }\n.kind = downcase(.event_type)'
+        for vectorize in (None, False):
+            ds = remap(rd.from_arrow(self.batch()), src,
+                       concurrency=1, drop_aborted=True,
+                       vectorize=vectorize)
+            rows = ds.take_all()
+            assert [r["event_id"] for r in rows] == [1]
+            assert rows[0]["kind"] == "click"
+            assert rows[0]["aborted"] is False
+
 
 class TestVectorize:
     """lang/vectorize.py: the column-plan fast path must match the
