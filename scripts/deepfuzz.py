@@ -166,6 +166,10 @@ def anyexpr(d=0):
                       '(?P<x>o+) (?P<y>.*)'])),
              lambda dd: f"slice!({strx(dd)}, {R.randint(0, 3)})",
              lambda dd: f"to_int!({R.choice(['.s', '.t', '.a'])})",
+             lambda dd: R.choice(
+                 ['[1, 2, 3]', '["a", "b"]', '[]', '[null]',
+                  '{"k": 1, "s": "x"}', '{"n": {"a": true}, "l": [2]}',
+                  '["a", 1]', f'[{num(2)}, 2]']),
              lambda dd: f'format_timestamp{R.choice(["", "!"])}'
                         f'({tsx(dd)}, "%Y-%m-%dT%H:%M")',
              lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(

@@ -424,7 +424,9 @@ class TestVectorize:
 
         for src in (".x = parse_json(.t)",
                     "del(.x)",
-                    ".x = {\"k\": 1}",
+                    ".x = {\"k\": .t}",     # computed element (r3:
+                    # CONSTANT containers now fold to Arrow scalars)
+                    ".x = [\"mixed\", 1]",  # no single Arrow type
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)

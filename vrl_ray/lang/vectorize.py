@@ -997,6 +997,22 @@ def _compile_expr(node) -> Callable:
             return pa.scalar(src), None
         return rx
 
+    if kind in ("array", "object"):
+        # constant containers fold to one Arrow scalar (list/struct),
+        # broadcast at use sites — `.tags = ["a", "b"]` is a common
+        # remap idiom. Non-constant elements and heterogeneous arrays
+        # (no single Arrow type) stay on the row path.
+        v = _const_container(node)
+        try:
+            s = pa.scalar(v)
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError, TypeError):
+            raise NotVectorizable(f"heterogeneous {kind} literal")
+
+        def container(ctx):
+            return s, None
+        return container
+
     if kind == "path":
         if node[1] != "event" or not node[2] or \
                 not all(isinstance(s, str) for s in node[2]):
@@ -1305,6 +1321,19 @@ def _canonicalize_named_args(name: str, args):
     if named:
         raise NotVectorizable("unknown named arg")
     return canon
+
+
+def _const_container(node):
+    """Compile-time Python value of a literal array/object node;
+    NotVectorizable when any element is computed."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "array":
+        return [_const_container(x) for x in node[1]]
+    if kind == "object":
+        return {k: _const_container(v) for k, v in node[1]}
+    raise NotVectorizable("non-constant container literal")
 
 
 def _unwrap_block(node):
