@@ -317,19 +317,15 @@ def events_sliding(sf_dir: str):
 
 def events_p95(sf_dir: str):
     """Exact per-group p95 (linear interpolation, matching DuckDB's
-    quantile_cont) via groupby().map_groups."""
-    import pandas as pd
+    quantile_cont) via the distributed two-phase rank-math quantile —
+    sort splits a hot event_type across blocks by value range; only
+    run-length metadata and the two target order statistics per key
+    ever leave the blocks (stages/aggregate.grouped_quantile)."""
+    from vrl_ray.stages.aggregate import grouped_quantile
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def p95(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "p95_value": [round(float(
-                g["value"].quantile(0.95, interpolation="linear")), 4)],
-        })
-
-    return ds.groupby("event_type").map_groups(p95, batch_format="pandas")
+    return grouped_quantile(ds, key="event_type", value="value",
+                            q=0.95, out="p95_value", round_to=4)
 
 
 def events_sessionize(sf_dir: str):

@@ -45,13 +45,23 @@ def _membw_probe() -> float:
     bandwidth while leaving loadavg near zero — the SAME code swings
     2-3× wall-clock with it active (BASELINE.md round-2/3 notes;
     quiet-box reference is ~15 GB/s, observed as low as 0.02 GB/s).
-    A low value here means the numbers measure the neighbor."""
+    A low value here means the numbers measure the neighbor.
+
+    Buffers are touched BEFORE timing and the copy repeats 3×
+    (best-of): a cold ``np.zeros`` is lazily allocated, so an untimed
+    warm-up is required or the probe measures page-fault cost and
+    reads ~0.05 GB/s even on an idle box."""
     import numpy as np
-    a = np.zeros(1 << 28, dtype=np.uint8)
-    t = time.time()
-    a.copy()
-    dt = time.time() - t
-    return round(0.25 / dt, 2)
+    a = np.empty(1 << 28, dtype=np.uint8)
+    a[:] = 1  # touch pages
+    b = np.empty(1 << 28, dtype=np.uint8)
+    b[:] = 0
+    best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        np.copyto(b, a)
+        best = min(best, time.time() - t)
+    return round(0.5 / best, 2)  # 256 MiB read + 256 MiB write
 
 
 def _bench_queries():

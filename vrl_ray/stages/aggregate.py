@@ -218,3 +218,137 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
         frame["n"] = sub["n"].values
         out[which] = frame.reset_index(drop=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed EXACT grouped quantile (no per-key materialization)
+# ---------------------------------------------------------------------------
+
+def _run_lengths(arr: pa.Array):
+    """Vectorized run-length encoding of a (sorted) key column: returns
+    (run_keys: pa.Array, run_lengths: np.ndarray). Null keys form their
+    own run. No Python per row."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n == 0:
+        return arr.slice(0, 0), np.array([], np.int64)
+    d = pc.dictionary_encode(arr)
+    codes = d.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    return arr.take(pa.array(starts)), lens
+
+
+def grouped_quantile(ds, *, key: str, value: str, q: float,
+                     out: str = "q_value", round_to: int | None = 4):
+    """Exact per-key quantile with linear interpolation (matches SQL
+    ``quantile_cont`` / pandas ``quantile(interpolation='linear')``)
+    WITHOUT ever materializing a full group anywhere.
+
+    Scale design (replaces the banned ``groupby(key).map_groups``
+    full-group pull — a hot key at 100 TB is a multi-TB group):
+
+    1. distributed range sort by ``(key, value)`` — a hot key's rows
+       are SPLIT ACROSS BLOCKS by value range, so no single task holds
+       a whole group;
+    2. pass A (per sorted block, parallel): run-length metadata
+       ``(run_keys, run_lens)`` — O(runs) per block, runs ≤ keys+1;
+    3. driver: cumulative rank math over the tiny metadata gives, for
+       each key, the exact blocks + local indices of the two order
+       statistics ``floor(q*(n-1))`` / ``+1``;
+    4. pass B (only the blocks that hold a target row): ``take`` of
+       the named indices — ≤ 2 rows per key move to the driver.
+
+    Driver memory is O(#keys + #block-key-runs), i.e. proportional to
+    the RESULT, never the data. Null values are ignored (SQL
+    semantics); null keys form their own group.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    def drop_null_values(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b[value]))
+
+    mat = (ds.map_batches(drop_null_values, batch_format="pyarrow")
+             .sort([key, value])
+             .materialize())
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def pass_a(t: pa.Table):
+        rk, rl = _run_lengths(
+            t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray)
+            else t[key])
+        return rk.to_pylist(), rl
+
+    @ray.remote
+    def pass_b(t: pa.Table, idxs):
+        col = t[value]
+        return col.take(pa.array(idxs, pa.int64())).to_pylist()
+
+    metas = ray.get([pass_a.remote(r) for r in refs])
+
+    # Walk blocks in sorted order: global per-key counts + the global
+    # rank offset at which each (block, run) begins within its key.
+    counts: dict = {}
+    runs = []  # (key_val, block_idx, start_in_block, global_key_offset, len)
+    for bi, (rkeys, rlens) in enumerate(metas):
+        start = 0
+        for kv, ln in zip(rkeys, rlens):
+            ln = int(ln)
+            off = counts.get(kv, 0)
+            runs.append((kv, bi, start, off, ln))
+            counts[kv] = off + ln
+            start += ln
+
+    # Target ranks per key (pandas/numpy 'linear': pos = q*(n-1)).
+    targets: dict = {}
+    for kv, n in counts.items():
+        if n == 0:
+            continue
+        pos = q * (n - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, n - 1)
+        targets[kv] = (lo, hi, pos - lo)
+
+    # Map each needed global rank to (block, local index).
+    need: dict = {}  # block_idx -> list[(key_val, which, local_idx)]
+    for kv, bi, start, off, ln in runs:
+        t = targets.get(kv)
+        if t is None:
+            continue
+        lo, hi, _ = t
+        for which, rank in (("lo", lo), ("hi", hi)):
+            if off <= rank < off + ln:
+                need.setdefault(bi, []).append(
+                    (kv, which, start + (rank - off)))
+
+    picked: dict = {}  # (key_val, which) -> value
+    fetches = []
+    for bi, items in need.items():
+        idxs = [ix for (_, _, ix) in items]
+        fetches.append((items, pass_b.remote(refs[bi], idxs)))
+    for items, ref in fetches:
+        vals = ray.get(ref)
+        for (kv, which, _), v in zip(items, vals):
+            picked[(kv, which)] = v
+
+    out_keys, out_vals = [], []
+    for kv, (lo, hi, frac) in targets.items():
+        v_lo = float(picked[(kv, "lo")])
+        v_hi = float(picked[(kv, "hi")])
+        res = v_lo + (v_hi - v_lo) * frac
+        if round_to is not None:
+            res = round(res, round_to)
+        out_keys.append(kv)
+        out_vals.append(res)
+    return pd.DataFrame({key: out_keys, out: out_vals})
