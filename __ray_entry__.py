@@ -887,6 +887,36 @@ def embeddings_knn_ivf(sf_dir: str):
     return out[["query_idx", "vec_id"]]
 
 
+def embeddings_knn_ivf_recall(sf_dir: str):
+    """Quality gate for the approximate IVF path (VERDICT r3 item 3,
+    the simhash-gate pattern): recall@10 of knn_ivf (nprobe < nlist)
+    against the exact brute-force top-10, computed inside the query
+    and returned as a boolean DuckDB re-asserts. The oracle recomputes
+    the exact top-10 row count (the ground-truth size) in SQL and pins
+    ``recall_pass`` TRUE, so an IVF regression hash-mismatches.
+
+    Bar: probing HALF the lists (nprobe=8/nlist=16) must recover
+    ≥ 70% of the exact top-10. The synthetic embeddings are
+    near-isotropic (mean pairwise cos ≈ 0) — IVF's worst case — where
+    a correct implementation measures 0.80–0.88 across sfs; an
+    assignment/probe bug collapses recall toward the probe fraction.
+    On clustered data the unit test holds the stronger ≥0.9 bar
+    (tests/test_scale_paths.py)."""
+    from vrl_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    q = _query_vecs(sf_dir, 5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_ivf(ds, q, k=10, nlist=16, nprobe=8).to_pandas()
+    e = set(zip(exact["query_idx"], exact["vec_id"]))
+    a = set(zip(approx["query_idx"], approx["vec_id"]))
+    recall = len(e & a) / len(e) if e else 1.0
+    return pa.table({
+        "n_exact_rows": pa.array([len(e)], pa.int64()),
+        "recall_pass": pa.array([recall >= 0.7], pa.bool_()),
+    })
+
+
 def embeddings_knn_full_probe(sf_dir: str):
     """The IVF machinery at nprobe == nlist (probe everything) must be
     EXACT — oracle-checked against the same DuckDB cosine top-k as
@@ -944,19 +974,98 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+#: fixed path the flagship oracle SQL reads — the query (re)writes the
+#: deterministic synthetic input here before running, so the DuckDB
+#: oracle replays parse→enrich→route over the IDENTICAL parquet bytes
+FLAGSHIP_ORACLE_INPUT = "/tmp/vrl_ray_oracle/flagship_input"
+
+
 def transcript_flagship(sf_dir: str):
     """parse → enrich → route → two-phase aggregate over the
     deterministic synthetic transcript table (input_hint schema;
-    scaled by sf). Rows-only check — the correctness gate for this
-    pipeline is tests/test_pipeline.py's oracle equality."""
-    from vrl_ray.sources.transcripts import transcript_dataset
-    from vrl_ray.pipelines.transcript import transform, AGG_KEYS
+    scaled by sf), read from Parquet. Hash-oracled since r4: the
+    input is materialized to FLAGSHIP_ORACLE_INPUT and oracle_sql()
+    re-derives the routed counts in DuckDB (regex classify + grok
+    full-pattern + kv/json extracts + enrich CASE + route priority)."""
+    import ray.data as rd
+
+    from vrl_ray.sources.transcripts import ensure_transcripts_parquet
+    from vrl_ray.pipelines.transcript import transform, AGG_KEYS, INPUT_COLUMNS
     from vrl_ray.stages.aggregate import count_by
 
     n_convs = max(50, int(20000 * _sf_of(sf_dir)))
-    ds = transcript_dataset(n_convs, seed=42)
+    ensure_transcripts_parquet(FLAGSHIP_ORACLE_INPUT, n_convs, 42)
+    ds = rd.read_parquet(FLAGSHIP_ORACLE_INPUT, columns=INPUT_COLUMNS)
     routed = transform(ds)
-    return count_by(routed, AGG_KEYS)
+    out = count_by(routed, AGG_KEYS).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _flagship_oracle_sql() -> str:
+    """DuckDB replay of the flagship per-row program over the parquet
+    input transcript_flagship wrote: classifier regexes, the FULL
+    expanded grok pattern (built from the repo's own grok table so SQL
+    and kernel can never drift), VectorKV's quoted/bare extraction,
+    JSON typed extracts, the enrichment CASE and first-match routing."""
+    from vrl_ray.stages.parse import FLAGSHIP_GROK
+    from vrl_ray.grok import GrokPattern
+    from vrl_ray.functions.vectorized import re2_compatible
+    from vrl_ray.stages.enrich import TOOL_TABLE
+
+    grok_rx = re2_compatible(GrokPattern(FLAGSHIP_GROK).regex.pattern)
+    if not grok_rx.startswith("^"):
+        grok_rx = "^" + grok_rx
+    risk_cases = " ".join(f"WHEN '{k}' THEN {v[1]}"
+                          for k, v in TOOL_TABLE.items())
+    known_tools = ",".join(f"'{k}'" for k in TOOL_TABLE)
+
+    def kv_num(key, typ):
+        return f"""TRY_CAST(coalesce(
+        nullif(regexp_extract(text, '(?:^|\\s){key}\\s*=\\s*"([^"]*)"', 1), ''),
+        nullif(regexp_extract(text, '(?:^|\\s){key}\\s*=\\s*([^\\s"]+)', 1), '')
+      ) AS {typ})"""
+
+    return f"""
+WITH c AS (
+  SELECT role, tool, text,
+    starts_with(text, '{{') AS is_json,
+    NOT starts_with(text, '{{')
+      AND regexp_matches(text, '^\\d{{4}}-\\d{{2}}-\\d{{2}}[T ]') AS is_grok,
+    NOT starts_with(text, '{{')
+      AND NOT regexp_matches(text, '^\\d{{4}}-\\d{{2}}-\\d{{2}}[T ]')
+      AND regexp_matches(text, '^[A-Za-z_@#.][A-Za-z0-9_@#.-]*\\s*=') AS is_kv
+  FROM read_parquet('{FLAGSHIP_ORACLE_INPUT}/*.parquet')
+), p AS (
+  SELECT role, tool,
+    CASE WHEN is_json THEN NOT json_valid(text)
+         WHEN is_grok THEN NOT regexp_matches(text, '{grok_rx}')
+         WHEN is_kv THEN FALSE
+         ELSE TRUE END AS parse_err,
+    CASE WHEN is_json AND json_valid(text)
+           THEN TRY_CAST(json_extract_string(text, '$.status') AS BIGINT)
+         WHEN is_kv THEN {kv_num('status', 'BIGINT')}
+         ELSE NULL END AS status,
+    CASE WHEN is_json AND json_valid(text)
+           THEN TRY_CAST(json_extract_string(text, '$.duration') AS DOUBLE)
+         WHEN is_kv THEN {kv_num('duration', 'DOUBLE')}
+         ELSE NULL END AS duration,
+    CASE WHEN tool = '' OR tool IS NULL THEN 0
+         ELSE CASE tool {risk_cases} ELSE 2 END END AS tool_risk,
+    (tool <> '' AND tool IS NOT NULL AND tool NOT IN ({known_tools}))
+      AS enrich_err
+  FROM c
+), r AS (
+  SELECT tool,
+    CASE WHEN parse_err OR enrich_err THEN 'errors'
+         WHEN role = 'tool' AND tool_risk >= 3 THEN 'high_risk'
+         WHEN coalesce(status, 0) >= 500 THEN 'server_errors'
+         WHEN coalesce(duration, 0.0) > 5.0 THEN 'slow'
+         ELSE 'default' END AS sink
+  FROM p
+)
+SELECT sink, tool, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY sink, tool
+"""
 
 
 def docs_grok_parse(sf_dir: str):
@@ -1077,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": docs_sample_per_lang,
         "embeddings_knn": embeddings_knn,
         "embeddings_knn_ivf": embeddings_knn_ivf,
+        "embeddings_knn_ivf_recall": embeddings_knn_ivf_recall,
         "embeddings_knn_full_probe": embeddings_knn_full_probe,
         "embeddings_knn_store_full": embeddings_knn_store_full,
         "embeddings_near_dups": embeddings_near_dups,
@@ -1090,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "transcript_flagship": _flagship_oracle_sql(),
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1478,6 +1589,21 @@ def oracle_sql() -> dict[str, str]:
                                                      CAST(q.qe AS DOUBLE[])) AS sim
                        FROM embeddings e CROSS JOIN q)
             SELECT CAST(qid AS INTEGER) AS query_idx, vec_id
+            FROM (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sim DESC, vec_id) AS rn
+                  FROM s)
+            WHERE rn <= 10
+        """,
+        "embeddings_knn_ivf_recall": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(q.qe AS DOUBLE[])) AS sim
+                       FROM embeddings e CROSS JOIN q)
+            SELECT count(*) AS n_exact_rows,
+                   CAST(1 AS BOOLEAN) AS recall_pass
             FROM (SELECT qid, vec_id,
                          row_number() OVER (PARTITION BY qid
                                             ORDER BY sim DESC, vec_id) AS rn

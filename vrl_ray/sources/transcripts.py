@@ -191,11 +191,19 @@ def ensure_transcripts_parquet(
     import ray.data as rd
 
     marker = os.path.join(out_dir, "_COMPLETE")
+    stamp = f"n_convs={n_convs} seed={seed}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+        # same dir, different params (e.g. the fixed oracle-input dir
+        # across sf changes): wipe and regenerate
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds = transcript_dataset(n_convs, seed, override_num_blocks=num_shards)
     ds.write_parquet(out_dir)
     with open(marker, "w") as f:
-        f.write(f"n_convs={n_convs} seed={seed}\n")
+        f.write(stamp)
     return out_dir
