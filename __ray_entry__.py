@@ -154,20 +154,32 @@ def q3_revenue_join(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    from vrl_ray.stages.join import join_partitions
-    joined = li.join(orders, join_type="inner",
-                     num_partitions=join_partitions(),
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def rev(b: pa.Table) -> pa.Table:
-        # the hash join coalesces the key pair into the left column name
+    # aggregation pushed BELOW the join (r4): sum revenue per order
+    # first (map-side partial inside each batch, then a skinny
+    # distributed groupby), so the hash join moves ONE row per order
+    # instead of every lineitem — at 10^12-row scale the join's
+    # exchange shrinks ~4×
+    def rev_partial(b: pa.Table) -> pa.Table:
         r = pc.multiply(b["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+        t = pa.table({"o_orderkey": b["l_orderkey"], "rev": r})
+        return t.group_by(["o_orderkey"]).aggregate([("rev", "sum")]) \
+                .rename_columns(["o_orderkey", "rev"])
 
-    out = (joined.map_batches(rev, batch_format="pyarrow")
-           .groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue"))
-           .sort("revenue", descending=True).limit(10).to_pandas())
+    per_order = (li.map_batches(rev_partial, batch_format="pyarrow")
+                 .groupby("o_orderkey")
+                 .aggregate(Sum("rev", alias_name="revenue")))
+
+    from vrl_ray.stages.join import join_partitions
+    # orders is a pruned read → count() is metadata-only; sizing the
+    # join by rows avoids the per-partition fixed cost (join.py r4)
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    joined = per_order.join(orders.select_columns(["o_orderkey"]),
+                            join_type="inner",
+                            num_partitions=join_partitions(rows=n_orders),
+                            on=("o_orderkey",))
+
+    out = joined.sort("revenue", descending=True).limit(10).to_pandas()
     return _round(out, ["revenue"], 2)
 
 
@@ -199,10 +211,10 @@ def parts_never_ordered(sf_dir: str):
             .drop_columns(["_c"]))
     # native distributed anti-join: both sides hash-partitioned on the
     # key — no driver key-set, works when the key side outgrows memory
-    return _read(sf_dir, "part", ["p_partkey", "p_name"]) \
-        .join(used, join_type="left_anti",
-              num_partitions=join_partitions(),
-              on=("p_partkey",), right_on=("l_partkey",))
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return part.join(used, join_type="left_anti",
+                     num_partitions=join_partitions(rows=part.count()),
+                     on=("p_partkey",), right_on=("l_partkey",))
 
 
 def keys_union_distinct(sf_dir: str):

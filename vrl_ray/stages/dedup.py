@@ -264,7 +264,8 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     # driver combine while the banded table is small; distributed
     # two-phase groupby beyond that (bucket keys are ~one per doc, so
     # the partials are NOT bounded-cardinality at 10^9-doc scale)
-    if banded.count() <= 5_000_000:
+    banded_rows = banded.count()
+    if banded_rows <= 5_000_000:
         counts = count_by_small(banded, ["band", "band_hash"])
         hot = counts[counts["n"] > max_bucket]
     else:
@@ -294,7 +295,8 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
 
         banded = banded.map_batches(drop_hot,
                                     batch_format="pyarrow").materialize()
-        if banded.count() == 0:
+        banded_rows = banded.count()
+        if banded_rows == 0:
             # everything was boilerplate: no candidates (the hash join
             # cannot take a fully-empty side)
             import ray.data as rd
@@ -311,7 +313,7 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     left = banded.rename_columns({id_column: "id_a"})
     right = banded.rename_columns({id_column: "id_b"})
     joined = left.join(right, join_type="inner",
-                       num_partitions=join_partitions(),
+                       num_partitions=join_partitions(rows=banded_rows),
                        on=("band", "band_hash"))
 
     def upper_triangle(b: pa.Table) -> pa.Table:
@@ -354,8 +356,6 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
     from .join import drop_empty_blocks, join_partitions
 
     import ray
-
-    num_partitions = join_partitions(num_partitions)
 
     def _empty_result():
         import ray.data as rd
@@ -416,7 +416,9 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
                                     batch_format="pyarrow",
                                     concurrency=(1, 8))
 
-    # large candidate set → distributed double join
+    # large candidate set → distributed double join (partitions sized
+    # by the candidate count — the side we just materialized)
+    num_partitions = join_partitions(num_partitions, rows=n_pairs)
     texts = docs_ds.select_columns([id_column, text_column])
     side_a = texts.rename_columns({id_column: "id_a", text_column: "_text_a"})
     side_b = texts.rename_columns({id_column: "id_b", text_column: "_text_b"})
@@ -510,7 +512,9 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
                          "band_key": pa.array(oh, pa.int64()),
                          "fp": pa.array(of, pa.uint64())})
 
-    banded = ds.map_batches(explode, batch_format="pyarrow")
+    # materialized: consumed by both join sides, and its count sizes
+    # the join's partitions (rows-aware — r4)
+    banded = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
     # bucket self-join on the band key (same idiom as MinHash-LSH),
     # then vectorized hamming verify: XOR + popcount over numpy
@@ -519,7 +523,7 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
     left = banded.rename_columns({id_column: "id_a", "fp": "fp_a"})
     right = banded.rename_columns({id_column: "id_b", "fp": "fp_b"})
     joined = left.join(right, join_type="inner",
-                       num_partitions=join_partitions(),
+                       num_partitions=join_partitions(rows=banded.count()),
                        on=("band", "band_key"))
 
     _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -696,7 +700,8 @@ def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
     from .join import join_partitions
     from .similarity import IvfIndex, _sample_vectors
 
-    num_partitions = join_partitions(num_partitions)
+    if num_partitions is not None:
+        num_partitions = join_partitions(num_partitions)
     train = _sample_vectors(ds, vec_column, train_sample, seed)
     index = IvfIndex(train, nlist=nlist, seed=seed)
     import ray
@@ -725,8 +730,12 @@ def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
                 "_v": _pack_vecs(ov),
             })
 
+    # materialized: both join sides consume it, and its count sizes
+    # the join's partitions (rows-aware — r4)
     assigned = ds.select_columns([id_column, vec_column]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 8))
+        Assign, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+    if num_partitions is None:
+        num_partitions = join_partitions(rows=assigned.count())
 
     left = assigned.rename_columns({id_column: "id_a", "_v": "_va"})
     right = assigned.rename_columns({id_column: "id_b", "_v": "_vb"})
