@@ -405,3 +405,110 @@ class TestXxh3LongPaths:
             assert xxh3_64(data) == lib.XXH3_64bits(data, len(data))
             ref = lib.XXH3_128bits(data, len(data))
             assert xxh3_128(data) == (ref.low64, ref.high64)
+
+
+class TestParseUserAgentFullDb:
+    """r4: reliable/enriched modes run the FULL uap-core table (1270
+    matchers generated from the reference's vendored regexes.yaml —
+    reference parse_user_agent.rs:12-15, 198-229). Expectations below
+    are the uap-core project's own test fixtures for these UAs."""
+
+    def _p(self, ua, mode="fast"):
+        from vrl_ray.functions.parse import parse_user_agent
+        return parse_user_agent(ua, mode)
+
+    def test_reference_unit_fast(self):
+        # parse_user_agent.rs:662-666
+        assert self._p(
+            "Mozilla/4.0 (compatible; MSIE 7.66; Windows NT 5.1; SV1)") == {
+            "browser": {"family": "Internet Explorer", "version": "7.66"},
+            "device": {"category": "pc"},
+            "os": {"family": "Windows XP", "version": "NT 5.1"}}
+
+    def test_reference_unit_unknown_enriched_all_null(self):
+        # parse_user_agent.rs:668-672: no parser matches w3m -> every
+        # field null (the rust Extractor returns Option, not "Other")
+        out = self._p("w3m/0.3", mode="enriched")
+        assert out == {
+            "browser": dict.fromkeys(
+                ("family", "version", "major", "minor", "patch")),
+            "device": dict.fromkeys(
+                ("family", "category", "brand", "model")),
+            "os": dict.fromkeys(
+                ("family", "version", "major", "minor", "patch",
+                 "patch_minor"))}
+
+    def test_enriched_device_db_samsung(self):
+        out = self._p(
+            "Mozilla/5.0 (Linux; Android 10; SM-G973F) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/88.0.4324.181 Mobile Safari/537.36",
+            mode="enriched")
+        assert out["device"] == {"family": "Samsung SM-G973F",
+                                 "category": "smartphone",
+                                 "brand": "Samsung", "model": "SM-G973F"}
+        assert out["browser"]["family"] == "Chrome Mobile"
+        assert out["browser"]["major"] == "88"
+        assert out["os"] == {"family": "Android", "version": "10",
+                             "major": "10", "minor": None, "patch": None,
+                             "patch_minor": None}
+
+    def test_enriched_device_db_kindle(self):
+        out = self._p(
+            "Mozilla/5.0 (Linux; U; Android 4.0.3; en-us; Kindle Fire "
+            "Build/IML74K) AppleWebKit/534.30", mode="enriched")
+        assert out["device"]["brand"] == "Amazon"
+        assert out["device"]["family"] == "Kindle Fire"
+
+    def test_enriched_device_db_playstation(self):
+        out = self._p("Mozilla/5.0 (PlayStation 4 3.11) AppleWebKit/537.73 "
+                      "(KHTML, like Gecko)", mode="enriched")
+        assert out["device"] == {"family": "PlayStation 4",
+                                 "category": None,
+                                 "brand": "Sony", "model": "PlayStation 4"}
+
+    def test_enriched_spider(self):
+        out = self._p("Mozilla/5.0 (compatible; Googlebot/2.1; "
+                      "+http://www.google.com/bot.html)", mode="enriched")
+        assert out["browser"]["family"] == "Googlebot"
+        assert out["device"]["brand"] == "Spider"
+
+    def test_enriched_family_replacement_substitution(self):
+        # '$1 for ArcGIS'-style family_replacement with $N substitution
+        out = self._p("ArcGIS Pro 2.9.3", mode="enriched")
+        assert out["browser"] == {"family": "ArcGIS Pro", "version": None,
+                                  "major": "2", "minor": "9", "patch": "3"}
+
+    def test_reliable_uap_fallback(self):
+        # woothee-subset misses UC Browser; reliable mode must fall
+        # through to the uap table for browser AND os
+        # (parse_user_agent.rs:204-218: better_ua.or(ua))
+        out = self._p(
+            "UCWEB/2.0 (Java; U; MIDP-2.0; en-US; MicromaxQ5) "
+            "U2/1.0.0 UCBrowser/9.4.0.342 U2/1.0.0 Mobile", mode="reliable")
+        assert out["browser"]["family"] == "UC Browser"
+        # partial schema: only family/version keys
+        assert set(out["browser"]) == {"family", "version"}
+        assert set(out["os"]) == {"family", "version"}
+        assert set(out["device"]) == {"category"}
+
+    def test_reliable_no_fallback_when_fast_complete(self):
+        # both families resolved by the fast parser -> uap not consulted
+        # (same output as fast mode)
+        ua = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+              "AppleWebKit/537.36 (KHTML, like Gecko) "
+              "Chrome/91.0.4472.124 Safari/537.36")
+        assert self._p(ua, mode="reliable") == self._p(ua, mode="fast")
+
+    def test_enriched_opera_mini_doc_example(self):
+        # parse_user_agent.rs examples: the enriched doc example
+        out = self._p(
+            "Opera/9.80 (J2ME/MIDP; Opera Mini/4.3.24214; iPhone; CPU "
+            "iPhone OS 4_2_1 like Mac OS X; AppleWebKit/24.783; U; en) "
+            "Presto/2.5.25 Version/10.54", mode="enriched")
+        assert out == {
+            "browser": {"family": "Opera Mini", "major": "4", "minor": "3",
+                        "patch": "24214", "version": "10.54"},
+            "device": {"brand": "Apple", "category": "smartphone",
+                       "family": "iPhone", "model": "iPhone"},
+            "os": {"family": "iOS", "major": "4", "minor": "2",
+                   "patch": "1", "patch_minor": None, "version": "4.2.1"}}

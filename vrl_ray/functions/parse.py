@@ -645,14 +645,26 @@ def parse_syslog(value: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# parse_user_agent (parse_user_agent.rs) — "fast" mode heuristic subset
+# parse_user_agent (parse_user_agent.rs:198-229)
+#
+# The reference composes two parsers: woothee ("fast") and the full
+# uap-core table ("slow", baked from data/user_agent_regexes.yaml).
+#   fast     = woothee only, partial schema
+#   reliable = woothee; if browser.family or os.family missing, uap
+#              result field-wise `.or(woothee)`; partial schema
+#   enriched = uap `.or(woothee)`, full schema
+# Our "fast" side is a documented woothee-subset heuristic (the
+# woothee dataset is not vendored by the reference); the uap side is
+# the FULL 1270-entry table (functions/ua.py + generated _ua_db.py).
 
 _UA_BROWSERS = [
     ("Firefox", _re.compile(r"Firefox/(?P<v>[\d.]+)")),
     ("Edge", _re.compile(r"Edge?/(?P<v>[\d.]+)")),
     ("Chrome", _re.compile(r"Chrome/(?P<v>[\d.]+)")),
     ("Safari", _re.compile(r"Version/(?P<v>[\d.]+).*Safari")),
-    ("Opera", _re.compile(r"Opera[/ ](?P<v>[\d.]+)")),
+    # woothee resolves Opera's version from the trailing Version/x.y
+    # token when present (Presto-era UAs), else Opera/x.y
+    ("Opera", _re.compile(r"Opera.*?Version/(?P<v>[\d.]+)|Opera[/ ](?P<v2>[\d.]+)")),
     ("Internet Explorer", _re.compile(r"MSIE (?P<v>[\d.]+)")),
     ("curl", _re.compile(r"curl/(?P<v>[\d.]+)")),
 ]
@@ -664,62 +676,95 @@ _UA_OS = [
     ("Linux", _re.compile(r"Linux")),
 ]
 
+_B_KEYS = ("family", "version", "major", "minor", "patch")
+_O_KEYS = ("family", "version", "major", "minor", "patch", "patch_minor")
+_D_KEYS = ("family", "category", "brand", "model")
 
-def parse_user_agent(value: str, mode: str = "fast") -> dict:
-    browser: dict = {"family": None, "version": None}
-    os: dict = {"family": None, "version": None}
-    device: dict = {"category": "other"}
+
+def _woothee_ua(value: str) -> tuple:
+    """Fast-parser stand-in -> (browser, os, device) full-field dicts
+    (woothee sets only family/version/category; the rest stay None,
+    matching reference UserAgent::Default, parse_user_agent.rs:577-605)."""
+    browser = dict.fromkeys(_B_KEYS)
+    os = dict.fromkeys(_O_KEYS)
+    device = dict.fromkeys(_D_KEYS)
     for fam, rx in _UA_BROWSERS:
         m = rx.search(value)
         if m:
-            browser = {"family": fam, "version": m.groupdict().get("v")}
+            gd = m.groupdict()
+            browser["family"] = fam
+            browser["version"] = gd.get("v") or gd.get("v2")
             break
     for fam, rx in _UA_OS:
         m = rx.search(value)
         if m:
             v = m.groupdict().get("v")
-            os = {"family": fam, "version": v.replace("_", ".") if v else None}
+            os["family"] = fam
+            os["version"] = v.replace("_", ".") if v else None
             break
-    if "Mobile" in value or "iPhone" in value or "Android" in value:
-        device = {"category": "smartphone"}
-    elif browser["family"]:
-        device = {"category": "pc"}
     if os["family"] == "Windows":
         nt = {"5.1": "Windows XP", "6.1": "Windows 7", "6.2": "Windows 8",
               "6.3": "Windows 8.1", "10.0": "Windows 10"}
         fam = nt.get(os["version"] or "")
         if fam:
-            os = {"family": fam, "version": f"NT {os['version']}"}
-    if mode == "enriched":
-        # ua-parser enriched shape: split versions into components,
-        # resolve embedded-browser tokens (Opera Mini) and device
-        # brand/family/model (parse_user_agent.rs enriched mode)
-        mini = _re.search(r"Opera Mini/(\d+)(?:\.(\d+))?(?:\.(\d+))?",
-                          value)
-        if mini:
-            ver = _re.search(r"Version/([\d.]+)", value)
-            browser = {"family": "Opera Mini", "major": mini.group(1),
-                       "minor": mini.group(2), "patch": mini.group(3),
-                       "version": ver.group(1) if ver
-                       else ".".join(g for g in mini.groups() if g)}
+            os["family"] = fam
+            os["version"] = f"NT {os['version']}"
+    if "Mobile" in value or "iPhone" in value or "Android" in value:
+        device["category"] = "smartphone"
+    elif browser["family"] == "curl":
+        device["category"] = "misc"
+    elif browser["family"]:
+        device["category"] = "pc"
+    return browser, os, device
+
+
+def _uap_ua(value: str) -> tuple:
+    """Full uap-core extraction (reference parse_user_agent.rs:608-652)."""
+    from .ua import extract_browser, extract_device, extract_os
+
+    browser = dict.fromkeys(_B_KEYS)
+    os = dict.fromkeys(_O_KEYS)
+    device = dict.fromkeys(_D_KEYS)
+    b = extract_browser(value)
+    if b:
+        browser["family"], browser["major"], browser["minor"], \
+            browser["patch"] = b
+    o = extract_os(value)
+    if o:
+        os["family"], os["major"], os["minor"], os["patch"], \
+            os["patch_minor"] = o
+    d = extract_device(value)
+    if d:
+        device["family"], device["brand"], device["model"] = d
+    return browser, os, device
+
+
+def _ua_or(pref: dict, fb: dict) -> dict:
+    """Field-wise Option::or (parse_user_agent.rs:459-467)."""
+    return {k: pref[k] if pref[k] is not None else fb[k] for k in pref}
+
+
+def parse_user_agent(value: str, mode: str = "fast") -> dict:
+    wb, wo, wd = _woothee_ua(value)
+    if mode == "fast":
+        b, o, d = wb, wo, wd
+    elif mode == "reliable":
+        if wb["family"] is None or wo["family"] is None:
+            ub, uo, ud = _uap_ua(value)
+            b, o, d = _ua_or(ub, wb), _ua_or(uo, wo), _ua_or(ud, wd)
         else:
-            parts = ((browser.get("version") or "").split(".") + [None] * 3)
-            browser = {"family": browser.get("family"),
-                       "major": parts[0] or None, "minor": parts[1],
-                       "patch": parts[2],
-                       "version": browser.get("version")}
-        oparts = ((os.get("version") or "").replace("NT ", "")
-                  .split(".") + [None] * 4)
-        os = {"family": os.get("family"), "major": oparts[0] or None,
-              "minor": oparts[1], "patch": oparts[2],
-              "patch_minor": oparts[3], "version": os.get("version")}
-        if "iPhone" in value:
-            device = {"brand": "Apple", "category": device["category"],
-                      "family": "iPhone", "model": "iPhone"}
-        elif "iPad" in value:
-            device = {"brand": "Apple", "category": device["category"],
-                      "family": "iPad", "model": "iPad"}
-        else:
-            device = {"brand": None, "category": device["category"],
-                      "family": "Other", "model": None}
-    return {"browser": browser, "os": os, "device": device}
+            b, o, d = wb, wo, wd
+    else:  # enriched
+        ub, uo, ud = _uap_ua(value)
+        b, o, d = _ua_or(ub, wb), _ua_or(uo, wo), _ua_or(ud, wd)
+        return {
+            "browser": {k: b[k] for k in _B_KEYS},
+            "os": {k: o[k] for k in _O_KEYS},
+            "device": {k: d[k] for k in _D_KEYS},
+        }
+    # partial schema (parse_user_agent.rs:382-396)
+    return {
+        "browser": {"family": b["family"], "version": b["version"]},
+        "os": {"family": o["family"], "version": o["version"]},
+        "device": {"category": d["category"]},
+    }
