@@ -1109,8 +1109,10 @@ def docs_grok_parse(sf_dir: str):
 
 
 def multimodal_frames(sf_dir: str):
-    """Video frame sampling (one-to-many explode over media rows) —
-    rows-only check."""
+    """Video frame sampling (one-to-many explode over media rows) with
+    REAL Y4M decode — per-frame rgb_mean from actual pixels (r4; the
+    synthetic generator emits valid YUV4MPEG2 streams) — rows-only
+    check (binary input is not SQL-expressible)."""
     import ray.data as rd
     from vrl_ray.stages.multimodal import synthetic_media_table, SampleFrames
 

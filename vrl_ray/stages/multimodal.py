@@ -83,6 +83,94 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video codec — pure Python/numpy, REAL decode.
+#
+# Y4M is the uncompressed interchange format of the ffmpeg/x264
+# toolchain: a one-line ASCII stream header, then per frame a "FRAME"
+# marker followed by planar YCbCr. With C444 (no chroma subsampling)
+# both directions are exact plane reshapes plus the JPEG full-range
+# color transform, so a container with no codec libraries can still
+# decode real video bytes end-to-end.
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """(…, 3) uint8 RGB → uint8 YCbCr (JPEG full-range)."""
+    f = px.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1).round().clip(0, 255) \
+        .astype(np.uint8)
+
+
+def _ycbcr_to_rgb(yc: np.ndarray) -> np.ndarray:
+    f = yc.astype(np.float32)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1).round().clip(0, 255) \
+        .astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 4) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → YUV4MPEG2 C444 bytes."""
+    n, h, w, _ = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for i in range(n):
+        yc = _rgb_to_ycbcr(frames[i])
+        out.append(b"FRAME\n")
+        # planar: all Y, then all Cb, then all Cr
+        out.append(np.ascontiguousarray(
+            yc.transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """YUV4MPEG2 bytes → ((n, h, w, 3) uint8 RGB, fps_num, fps_den).
+
+    Raises ValueError on anything that is not a C444 Y4M stream."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = fn = fd = None
+    colorspace = "C420"  # Y4M default when the C tag is absent
+    for tok in payload[:nl].split()[1:]:
+        tag, val = chr(tok[0]), tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fn, fd = (int(x) for x in val.split(b":"))
+        elif tag == "C":
+            colorspace = tok.decode()
+    if not (w and h and fn):
+        raise ValueError("incomplete Y4M stream header")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace} "
+                         "(only C444 in pure Python)")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        mark = payload.index(b"\n", pos)
+        if not payload[pos:mark].startswith(b"FRAME"):
+            raise ValueError("corrupt Y4M frame marker")
+        start = mark + 1
+        data = payload[start:start + frame_bytes]
+        if len(data) < frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        yc = np.frombuffer(data, np.uint8).reshape(3, h, w) \
+            .transpose(1, 2, 0)
+        frames.append(_ycbcr_to_rgb(yc))
+        pos = start + frame_bytes
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), fn, (fd or 1)
+
+
 def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
     """Deterministic media rows with REAL payload bytes: P6 PPM images
     and PCM16 WAV audio (both stdlib-decodable); video payloads stay
@@ -107,11 +195,14 @@ def synthetic_media_table(n: int, seed: int = 5) -> pa.Table:
             w = h = -1
             dur = int(n_samp / 8.0)        # 8 kHz
         else:
-            payload, mime = rng.bytes(int(rng.integers(256, 4096))), \
-                "video/mp4"
-            w = int(rng.integers(16, 512))
-            h = int(rng.integers(16, 512))
-            dur = int(rng.integers(100, 60000))
+            w = int(rng.integers(8, 33))
+            h = int(rng.integers(8, 33))
+            fps = 4
+            dur = int(rng.integers(400, 8000))
+            n_frames = max(1, -(-dur * fps // 1000))
+            fr = rng.integers(0, 256, size=(n_frames, h, w, 3),
+                              dtype=np.uint8)
+            payload, mime = encode_y4m(fr, fps), "video/x-yuv4mpeg"
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
@@ -209,35 +300,70 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Video frame-sampling stage (decode STUB, real plumbing): emits
-    one row per sampled frame (one-to-many, like unnest). Real video
-    decode needs ffmpeg bindings — not in this container; frame
-    TIMESTAMPS derive from the real duration metadata."""
+    """Video frame-sampling stage: emits one row per sampled frame
+    (one-to-many, like unnest) with per-frame features from REAL
+    decoded pixels.
 
-    def __init__(self, every_ms: int = 1000, deterministic_fake: bool = True):
+    Decode is real for Y4M/YUV4MPEG2 payloads (pure-numpy plane
+    reshape + color transform, ``decode_y4m``) — the synthetic
+    generator emits valid Y4M. Compressed containers (MP4/H.264 …)
+    need ffmpeg bindings, absent from this container: those payloads
+    keep metadata-derived timestamps with null ``rgb_mean`` and a
+    ``decode_err`` (or are dropped-to-error with
+    ``fallback_meta=False``), exactly where an ffmpeg actor would
+    plug in on a real cluster."""
+
+    def __init__(self, every_ms: int = 1000, fallback_meta: bool = True):
         self.every_ms = every_ms
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "real video decoding requires ffmpeg bindings (not in "
-                "this container)")
+        self.fallback_meta = fallback_meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mid, fidx, fts = [], [], []
+        mid, fidx, fts, means, errs = [], [], [], [], []
         ids = batch["media_id"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
         kinds = batch["kind"].to_pylist()
-        for i, dur, kind in zip(ids, durs, kinds):
+        payloads = batch["payload"].to_pylist() \
+            if "payload" in batch.column_names else [None] * len(ids)
+        for i, dur, kind, payload in zip(ids, durs, kinds, payloads):
             if kind != "video" or dur is None or dur <= 0:
                 continue
+            frames = fps = None
+            err = None
+            if payload is not None:
+                try:
+                    frames, fn, fd = decode_y4m(payload)
+                    fps = fn / fd
+                    # vectorized per-frame mean once per video, indexed
+                    # per sample below
+                    fmeans = frames.reshape(len(frames), -1, 3) \
+                        .mean(axis=1).astype(np.float32)
+                except ValueError as e:
+                    if not self.fallback_meta:
+                        mid.append(i); fidx.append(-1); fts.append(-1)
+                        means.append(None); errs.append(str(e))
+                        continue
+                    err = str(e)
             t = 0
             j = 0
             while t < dur:
-                mid.append(i); fidx.append(j); fts.append(t)
+                mid.append(i)
+                fidx.append(j)
+                fts.append(t)
+                if frames is not None:
+                    k = min(int(t * fps / 1000.0), len(frames) - 1)
+                    means.append(fmeans[k].tolist())
+                    errs.append(None)
+                else:
+                    means.append(None)
+                    errs.append(err or "no payload column")
                 t += self.every_ms
                 j += 1
         return pa.table({"media_id": pa.array(mid, pa.int64()),
                          "frame_idx": pa.array(fidx, pa.int32()),
-                         "frame_ts_ms": pa.array(fts, pa.int32())})
+                         "frame_ts_ms": pa.array(fts, pa.int32()),
+                         "rgb_mean": pa.array(means,
+                                              pa.list_(pa.float32(), 3)),
+                         "decode_err": pa.array(errs, pa.string())})
 
 
 def media_pipeline(ds, *, batch_size: int = 64, concurrency=(1, 4)):
