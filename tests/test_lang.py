@@ -424,9 +424,9 @@ class TestVectorize:
 
         for src in (".x = parse_json(.t)",
                     "del(.x)",
-                    ".x = {\"k\": .t}",     # computed element (r3:
-                    # CONSTANT containers now fold to Arrow scalars)
-                    ".x = [\"mixed\", 1]",  # no single Arrow type
+                    ".x = [\"mixed\", 1]",  # heterogeneous CONSTANT:
+                    # no single Arrow type (r4: computed containers
+                    # now build List/Struct columns at runtime)
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
@@ -769,3 +769,85 @@ class TestVectorFallbackInRay:
         ds = rd.from_arrow(pa.table({"event_type": pa.array(["A", "b"])}))
         rows = remap(ds, ".meta.kind = downcase(.event_type)").take_all()
         assert [r["meta"] for r in rows] == [{"kind": "a"}, {"kind": "b"}]
+
+
+class TestUnionLane:
+    """r4: per-row dynamic-type branch blends vectorize via tagged
+    union lanes (vectorize._Union) instead of falling back — values,
+    error texts and capture defaults must match the interpreter."""
+
+    def _both(self, src, batch):
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        ref = []
+        for row in batch.to_pylist():
+            try:
+                _, ev, _ = p.resolve(dict(row))
+                ref.append(ev)
+            except Exception as ex:
+                ref.append({"__err__": str(ex)})
+        return out, ref
+
+    def test_mixed_branch_types_blend(self):
+        import pyarrow as pa
+
+        b = pa.table({"a": pa.array([1, 2, None], pa.int64())})
+        out, ref = self._both('.o = if .a == 1 { "one" } else { 99 }', b)
+        assert [r["o"] for r in out] == ["one", 99, 99]
+        assert [r["o"] for r in ref] == ["one", 99, 99]
+
+    def test_union_through_kernel_and_binop(self):
+        import pyarrow as pa
+
+        b = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+        src = ('.u = if .a == 1 { "x" } else { .a }\n'
+               '.s = to_string(.u)\n'
+               '.p, .e = .u + 1')
+        out, ref = self._both(src, b)
+        for o, r in zip(out, ref):
+            assert o["s"] == r["s"], (o, r)
+            assert o["p"] == r["p"], (o, r)
+            assert (o["e"] or None) == (r.get("e") or None), (o, r)
+
+    def test_union_equality_cross_type_false(self):
+        import pyarrow as pa
+
+        b = pa.table({"a": pa.array([1, 2], pa.int64())})
+        out, ref = self._both(
+            '.q = (if .a == 1 { "1" } else { .a }) == 2', b)
+        assert [r["q"] for r in out] == [False, True]
+        assert [r["q"] for r in ref] == [False, True]
+
+    def test_retyped_overwrite_under_mask_unions(self):
+        import pyarrow as pa
+
+        # .s starts string; errored rows keep the string while ok
+        # rows get an int — per-row types in one column
+        b = pa.table({"s": pa.array(["5", "x", "7"])})
+        out, ref = self._both('.s = to_int!(.s)', b)
+        assert [r["s"] for r in out] == [5, "x", 7]
+        assert out[1]["vrl_err"] is not None
+
+    def test_join_per_row_separator(self):
+        import pyarrow as pa
+
+        b = pa.table({"s": pa.array(["a,b", "c,d", "e,f"]),
+                      "t": pa.array(["-", None, "+"])})
+        out, ref = self._both('.o, .e = join(split(.s, ","), .t)', b)
+        for o, r in zip(out, ref):
+            assert o["o"] == r["o"], (o, r)
+            assert (o["e"] or None) == (r.get("e") or None), (o, r)
+
+    def test_computed_containers(self):
+        import pyarrow as pa
+
+        b = pa.table({"a": pa.array([1, None], pa.int64()),
+                      "s": pa.array(["x", "y"])})
+        out, ref = self._both(
+            '.arr = [.a, 7]\n.obj = {"k": .s, "n": .a}', b)
+        for o, r in zip(out, ref):
+            assert o["arr"] == r["arr"], (o, r)
+            assert o["obj"] == r["obj"], (o, r)

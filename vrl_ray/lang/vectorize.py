@@ -66,6 +66,109 @@ def _as_array(v, n: int):
     return v
 
 
+class _Union:
+    """Per-row dynamic-type column (r4): parallel full-length lanes +
+    an int8 numpy tag saying which lane owns each row (every row is
+    owned by exactly one lane; a lane's values on foreign rows are
+    meaningless). Created by :func:`_blend` when an `if` expression's
+    branches produce Arrow-incompatible types (the interpreter allows
+    per-row types, e.g. ``if c { 1 } else { "x" }``) — previously a
+    whole-batch row fallback.
+
+    Consumers dispatch LANE-WISE (:func:`_u_args` for kernels,
+    :func:`_u_binop` for binops): run the operation once per lane,
+    mask each lane's values/errors to its owned rows, and blend —
+    which may itself produce a (possibly deeper) union. Sites that
+    don't support unions degrade via the poison ``type`` property to
+    the row path, never to a crash."""
+
+    __slots__ = ("tag", "lanes", "n")
+
+    def __init__(self, tag: np.ndarray, lanes: list, n: int):
+        self.tag = tag          # np.int8, len n
+        self.lanes = lanes      # list[pa.Array], each len n
+        self.n = n
+
+    @property
+    def type(self):
+        # poison: any site that reads .type to pick a kernel cannot
+        # handle a per-row-typed column — degrade to the row path
+        raise _RowFallback("union column type probe")
+
+    def __iter__(self):
+        raise _RowFallback("union column iterated")
+
+    def __len__(self):
+        return self.n
+
+    def iter_lanes(self):
+        """Yield (np-bool owned-rows mask, lane array) for non-empty
+        lanes."""
+        for code, lane in enumerate(self.lanes):
+            mask = self.tag == code
+            if mask.any():
+                yield mask, lane
+
+    def mask_null(self, bad) -> "_Union":
+        """Null out the owned values on `bad` rows (boolean Arrow
+        array), keeping the tags."""
+        lanes = []
+        for code, lane in enumerate(self.lanes):
+            if pa.types.is_null(lane.type):
+                lanes.append(lane)
+            else:
+                lanes.append(pc.if_else(bad, pa.scalar(None, lane.type),
+                                        lane))
+        return _Union(self.tag, lanes, self.n)
+
+    def to_arrow(self) -> pa.UnionArray:
+        """Materialize as a sparse Arrow union (to_pylist / filter /
+        take all work on it in Arrow ≥ 16)."""
+        children = []
+        for lane in self.lanes:
+            if isinstance(lane, pa.ChunkedArray):
+                lane = lane.combine_chunks()
+            children.append(lane)
+        return pa.UnionArray.from_sparse(
+            pa.array(self.tag, pa.int8()), children)
+
+
+def _to_union(v, n: int) -> _Union:
+    if isinstance(v, _Union):
+        return v
+    return _Union(np.zeros(n, np.int8), [_as_array(v, n)], n)
+
+
+def _mask_np(c, n: int) -> np.ndarray:
+    ca = _as_array(c, n)
+    return pc.fill_null(ca, False).to_numpy(zero_copy_only=False)
+
+
+def _union_blend(c, tv, ev, n: int) -> _Union:
+    """if_else over at least one incompatible side: merge into a
+    union — rows where `c` take tv's lane, the rest keep ev's."""
+    tu, eu = _to_union(tv, n), _to_union(ev, n)
+    m = _mask_np(c, n)
+    tag = np.where(m, tu.tag, eu.tag + np.int8(len(tu.lanes))) \
+        .astype(np.int8)
+    out = _Union(tag, list(tu.lanes) + list(eu.lanes), n)
+    # compact: drop lanes that own no rows (keeps lane count bounded
+    # across long else-if chains)
+    live = [(code, lane) for code, lane in enumerate(out.lanes)
+            if (out.tag == code).any()]
+    if len(live) == 1:
+        # one side fully shadowed: back to a plain column
+        return live[0][1]
+    if len(live) == len(out.lanes):
+        return out
+    remap = np.zeros(len(out.lanes), np.int8)
+    lanes = []
+    for new_code, (code, lane) in enumerate(live):
+        remap[code] = new_code
+        lanes.append(lane)
+    return _Union(remap[out.tag], lanes, n)
+
+
 def _merge_errs(n: int, *errs):
     out = None
     for e in errs:
@@ -572,19 +675,43 @@ def _k_slice(ctx, a, nodes, span=None):
     return out, e
 
 
-def _k_join(ctx, a):
+def _k_join(ctx, a, span=None):
     v, e = a[0]
-    sep = ""
-    if len(a) > 1:
-        s = a[1][0]
-        if not isinstance(s, pa.Scalar):
-            # per-row separators: the row path owns those semantics
-            # (a silent "" here would diverge quietly)
-            raise NotVectorizable("join non-constant separator")
+    if len(a) <= 1:
+        return pc.binary_join(v, ""), e
+    s = a[1][0]
+    if isinstance(s, pa.Scalar):
         sep = s.as_py()
         if not isinstance(sep, str):
+            # constant non-string separator: every row errors — rare
+            # enough that the row path owns it
             raise NotVectorizable("join non-string separator")
-    return pc.binary_join(v, sep), e
+        return pc.binary_join(v, sep), e
+    # per-row separator column (r4): non-string / null separators
+    # error per row with the interpreter's exact text (the stdlib
+    # wrapper surfaces Python's AttributeError — functions/string.py
+    # join, interpreter "invalid argument" framing)
+    sa = _as_array(s, ctx.n)
+    st = sa.type
+    is_str = pa.types.is_string(st) or pa.types.is_large_string(st)
+    bad = pc.is_null(sa) if is_str or pa.types.is_null(st) \
+        else pa.array(np.ones(ctx.n, bool))
+    errs = None
+    if pc.any(bad).as_py():
+        frame = _call_frame("join", span)
+        errs = _masked_err_msgs(
+            bad,
+            lambda val: (f'{frame}invalid argument to "join": '
+                         f"AttributeError: '{type(val).__name__}' "
+                         "object has no attribute 'join'"),
+            sa, n=ctx.n)
+    safe = pc.fill_null(sa, "") if is_str \
+        else pa.repeat(pa.scalar("", pa.string()), ctx.n)
+    out = pc.binary_join(v, safe)
+    if errs is not None:
+        # handled-ok default for join is "" (string type_def)
+        out = pc.if_else(bad, pa.scalar("", pa.string()), out)
+    return out, _merge_errs(ctx.n, e, errs)
 
 
 def _regex_groups_total(pat: str) -> bool:
@@ -703,7 +830,6 @@ _KERNELS: dict[str, Callable] = {
     "to_unix_timestamp": _k_to_unix_timestamp,
     "md5": _hash_kernel("md5"), "sha1": _hash_kernel("sha1"),
     "sha2": _k_sha2,
-    "join": _k_join,
     "strip_whitespace": _k_strip_whitespace,
 }
 
@@ -720,6 +846,7 @@ _KERNELS_NODES: dict[str, Callable] = {
 #: kernels that build positioned per-row error text and therefore
 #: need the call-expression span
 _KERNELS_SPAN: dict[str, Callable] = {
+    "join": _k_join,
     "to_int": _k_to_int,
     "to_float": _k_to_float,
     "parse_timestamp": _k_parse_timestamp,
@@ -792,6 +919,9 @@ for _n, (_m, _d) in _NULL_RULES.items():
     elif _n in _KERNELS:
         _KERNELS_SPAN[_n] = _wrap_null_rule(_n, _drop_rest(_KERNELS[_n]),
                                             _m, _d)
+    elif _n in _KERNELS_SPAN:
+        _KERNELS_SPAN[_n] = _wrap_null_rule(_n, _KERNELS_SPAN[_n],
+                                            _m, _d)
 
 
 # ---------------------------------------------------------------------------
@@ -828,6 +958,9 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
     Non-struct/absent intermediates become fresh structs (runtime
     path_insert semantics)."""
     values = _as_array(values, ctx.n)
+    if isinstance(values, _Union):
+        # a per-row-typed leaf can't live in one struct column
+        raise _RowFallback("union value into nested write")
 
     def build(arr, rest):
         if not rest:
@@ -1000,9 +1133,80 @@ def _compile_expr(node) -> Callable:
     if kind in ("array", "object"):
         # constant containers fold to one Arrow scalar (list/struct),
         # broadcast at use sites — `.tags = ["a", "b"]` is a common
-        # remap idiom. Non-constant elements and heterogeneous arrays
-        # (no single Arrow type) stay on the row path.
-        v = _const_container(node)
+        # remap idiom. Heterogeneous CONSTANT arrays (no single Arrow
+        # type) stay on the row path.
+        try:
+            v = _const_container(node)
+        except NotVectorizable:
+            # computed elements (r4): build the container column at
+            # runtime — ListArray from interleaved element columns
+            # (same-type elements), StructArray from field columns
+            # (any per-field types). Element errors become the
+            # container expression's per-row errors (interpreter:
+            # the first erroring element propagates).
+            if kind == "object":
+                names = [k for k, _ in node[1]]
+                fieldfs = [_compile_expr(x) for _, x in node[1]]
+
+                def objf(ctx):
+                    errs = None
+                    cols = []
+                    for ff in fieldfs:
+                        fv, fe = ff(ctx)
+                        errs = _merge_errs(ctx.n, errs, fe)
+                        fva = _as_array(fv, ctx.n)
+                        if isinstance(fva, _Union):
+                            raise _RowFallback(
+                                "union value in object literal")
+                        cols.append(fva.combine_chunks()
+                                    if isinstance(fva, pa.ChunkedArray)
+                                    else fva)
+                    return pa.StructArray.from_arrays(cols, names=names), \
+                        errs
+                return objf
+
+            elemfs = [_compile_expr(x) for x in node[1]]
+            k = len(elemfs)
+
+            def arrf(ctx):
+                if k == 0:
+                    empty = pa.ListArray.from_arrays(
+                        pa.array(np.zeros(ctx.n + 1, np.int32)),
+                        pa.array([], pa.null()))
+                    return empty, None
+                errs = None
+                cols = []
+                for ef in elemfs:
+                    ev_, ee = ef(ctx)
+                    errs = _merge_errs(ctx.n, errs, ee)
+                    eva = _as_array(ev_, ctx.n)
+                    if isinstance(eva, _Union):
+                        raise _RowFallback("union value in array literal")
+                    cols.append(eva.combine_chunks()
+                                if isinstance(eva, pa.ChunkedArray)
+                                else eva)
+                # unify null-typed elements to the common type; other
+                # type mixes would change element values (e.g. int
+                # elements stringified) — per-row containers belong to
+                # the row path
+                types = {str(c.type) for c in cols
+                         if not pa.types.is_null(c.type)}
+                if len(types) > 1:
+                    raise _RowFallback("mixed-type array literal")
+                common = next((c.type for c in cols
+                               if not pa.types.is_null(c.type)),
+                              pa.null())
+                cols = [c if c.type == common else _nulls(ctx.n, common)
+                        for c in cols]
+                flat = pa.concat_arrays(cols)
+                # row-major interleave: row i = [c0[i], c1[i], ...]
+                idx = (np.arange(ctx.n)[:, None]
+                       + np.arange(k)[None, :] * ctx.n).ravel()
+                values = flat.take(pa.array(idx, pa.int64()))
+                offsets = pa.array(np.arange(ctx.n + 1, dtype=np.int32)
+                                   * k)
+                return pa.ListArray.from_arrays(offsets, values), errs
+            return arrf
         try:
             s = pa.scalar(v)
         except (pa.ArrowInvalid, pa.ArrowTypeError,
@@ -1165,17 +1369,17 @@ def _compile_expr(node) -> Callable:
             fn = _KERNELS_NODES[name]
 
             def basef(ctx):
-                return fn(ctx, eval_args(ctx), argnodes, span)
+                return _u_args(fn, ctx, eval_args(ctx), argnodes, span)
         elif name in _KERNELS_SPAN:
             fn = _KERNELS_SPAN[name]
 
             def basef(ctx):
-                return fn(ctx, eval_args(ctx), span)
+                return _u_args(fn, ctx, eval_args(ctx), span)
         else:
             fn = _KERNELS[name]
 
             def basef(ctx):
-                return fn(ctx, eval_args(ctx))
+                return _u_args(fn, ctx, eval_args(ctx))
         if not bang:
             return basef
 
@@ -1201,8 +1405,11 @@ def _compile_expr(node) -> Callable:
 
 def _blend(c, tv, ev, n: int):
     """pc.if_else with null-type unification; branches whose Arrow
-    types can't blend (e.g. int64 vs bool — the interpreter allows
-    per-branch types) punt the batch to the row path."""
+    types can't blend (e.g. int64 vs string — the interpreter allows
+    per-branch types) produce a :class:`_Union` tagged-lane value
+    (r4; previously a whole-batch row fallback)."""
+    if isinstance(tv, _Union) or isinstance(ev, _Union):
+        return _union_blend(c, tv, ev, n)
     tva, eva = _as_array(tv, n), _as_array(ev, n)
     if pa.types.is_null(tva.type) and not pa.types.is_null(eva.type):
         tva = _nulls(n, eva.type)
@@ -1212,7 +1419,65 @@ def _blend(c, tv, ev, n: int):
         return pc.if_else(c, tva, eva)
     except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
             pa.ArrowTypeError):
-        raise _RowFallback("if branches of unblendable types")
+        return _union_blend(c, tva, eva, n)
+
+
+def _sel(mask, a, b, n: int):
+    """pc.if_else that tolerates union operands (write-gating sites)."""
+    if isinstance(a, _Union) or isinstance(b, _Union):
+        return _blend(mask, a, b, n)
+    return pc.if_else(mask, a, b)
+
+
+_LANE_ERRS = (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+              pa.ArrowTypeError, TypeError, AttributeError)
+
+
+def _u_lanes(ctx, union: _Union, run_lane):
+    """Shared lane-wise dispatch: `run_lane(lane_array)` computes
+    (values, errs) with the union operand replaced by one lane; each
+    lane's result only counts on its owned rows. Arrow type errors
+    from a lane (operand combinations no kernel covers) degrade to
+    the row path."""
+    acc_v = acc_e = None
+    for mask, lane in union.iter_lanes():
+        m = pa.array(mask)
+        try:
+            v2, e2 = run_lane(lane)
+        except _RowFallback:
+            raise
+        except _LANE_ERRS:
+            raise _RowFallback("union lane op")
+        v2 = _as_array(v2, ctx.n)
+        if e2 is not None:
+            e2 = pc.if_else(m, e2, _nulls(ctx.n))
+        acc_v = v2 if acc_v is None else _blend(m, v2, acc_v, ctx.n)
+        acc_e = e2 if acc_e is None else _merge_errs(ctx.n, acc_e, e2)
+    return acc_v, acc_e
+
+
+def _u_args(fn, ctx, a, *rest):
+    """Kernel-call dispatch: lane-split the first union argument
+    (recursing covers several union args)."""
+    for i, (v, _e) in enumerate(a):
+        if isinstance(v, _Union):
+            def run_lane(lane, _i=i):
+                a2 = list(a)
+                a2[_i] = (lane, a[_i][1])
+                return _u_args(fn, ctx, a2, *rest)
+            return _u_lanes(ctx, v, run_lane)
+    return fn(ctx, a, *rest)
+
+
+def _u_binop(core, ctx, lv, le, rv, re):
+    """Binop dispatch: lane-split a union operand (left first)."""
+    if isinstance(lv, _Union):
+        return _u_lanes(ctx, lv,
+                        lambda lane: _u_binop(core, ctx, lane, le, rv, re))
+    if isinstance(rv, _Union):
+        return _u_lanes(ctx, rv,
+                        lambda lane: _u_binop(core, ctx, lv, le, lane, re))
+    return core(ctx, lv, le, rv, re)
 
 
 def _predicate_errs(c, n: int):
@@ -1254,6 +1519,15 @@ def _with_handled_default(f, expr):
             if not pc.any(bad).as_py():
                 return v, e
         va = _as_array(v, ctx.n)
+        if isinstance(va, _Union):
+            if default is None:
+                return va.mask_null(bad), e
+            try:
+                d = pa.scalar(default)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError, TypeError, ValueError):
+                raise _RowFallback("handled default type blend")
+            return _blend(bad, d, va, ctx.n), e
         if default is None:
             if pa.types.is_null(va.type):
                 return va, e
@@ -1380,6 +1654,9 @@ def _compile_binop(node) -> Callable:
 
         def arith(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return _u_binop(arith_core, ctx, lv, le, rv, re)
+
+        def arith_core(ctx, lv, le, rv, re):
             if op == "+" and (pa.types.is_string(_typ(lv)) or
                               pa.types.is_string(_typ(rv))):
                 # string + string concatenates; a null side is the
@@ -1452,6 +1729,9 @@ def _compile_binop(node) -> Callable:
     if op == "/":
         def divf(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return _u_binop(div_core, ctx, lv, le, rv, re)
+
+        def div_core(ctx, lv, le, rv, re):
             zero = pc.equal(pc.cast(rv, pa.float64()), 0.0)
             zmask = pc.fill_null(zero, False)
             safe_r = pc.if_else(zmask, pa.scalar(1.0, pa.float64()),
@@ -1487,6 +1767,9 @@ def _compile_binop(node) -> Callable:
             remainder via the interpreter's exact `a - int(a/b)*b`
             formula; any float side goes through fmod (NaN → error)."""
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return _u_binop(rem_core, ctx, lv, le, rv, re)
+
+        def rem_core(ctx, lv, le, rv, re):
             la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
             lt, rt = la.type, ra.type
             for t in (lt, rt):
@@ -1542,12 +1825,23 @@ def _compile_binop(node) -> Callable:
 
         def cmpf(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return _u_binop(cmp_core, ctx, lv, le, rv, re)
+
+        def cmp_core(ctx, lv, le, rv, re):
             if op in ("==", "!="):
                 # VRL equality compares null as a VALUE: null == null
                 # is true, null == x is false (Value PartialEq) —
                 # Arrow's kernels null-propagate instead
                 la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
-                eq = pc.or_(pc.fill_null(pc.equal(la, ra), False),
+                try:
+                    valeq = pc.fill_null(pc.equal(la, ra), False)
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                        pa.ArrowTypeError):
+                    # Arrow has no kernel for the type pair — VRL
+                    # compares cross-type values as simply unequal
+                    # (Value PartialEq derives false, value.py eq)
+                    valeq = pa.array(np.zeros(ctx.n, bool))
+                eq = pc.or_(valeq,
                             pc.and_(pc.is_null(la), pc.is_null(ra)))
                 out = eq if op == "==" else pc.invert(eq)
                 return out, _merge_errs(ctx.n, le, re)
@@ -1947,6 +2241,8 @@ class VectorProgram:
             if active is None:
                 return values
             old = ctx.col(field)
+            if isinstance(values, _Union) or isinstance(old, _Union):
+                return _blend(active, values, old, ctx.n)
             if pa.types.is_null(old.type):
                 old = _nulls(ctx.n, values.type) if not \
                     pa.types.is_null(values.type) else old
@@ -2002,10 +2298,14 @@ class VectorProgram:
                     v, e = f(ctx)
                     v = _as_array(v, ctx.n)
                     old = ctx.vars.get(vname)
-                    old = _as_array(old, ctx.n) if old is not None \
-                        else (_nulls(ctx.n, v.type)
-                              if not pa.types.is_null(v.type)
-                              else _nulls(ctx.n))
+                    if old is not None:
+                        old = _as_array(old, ctx.n)
+                    elif isinstance(v, _Union):
+                        old = _nulls(ctx.n, pa.null())
+                    else:
+                        old = (_nulls(ctx.n, v.type)
+                               if not pa.types.is_null(v.type)
+                               else _nulls(ctx.n))
                     if errfield is not None:
                         ab = _abort_mask(e)
                         if ab is not None:
@@ -2014,7 +2314,7 @@ class VectorProgram:
                             live = pc.invert(ab)
                             if active is not None:
                                 live = pc.and_(live, active)
-                            ctx.vars[vname] = pc.if_else(live, v, old)
+                            ctx.vars[vname] = _sel(live, v, old, ctx.n)
                             catch_err = pc.if_else(ab, _nulls(ctx.n), e)
                             if isinstance(errfield, tuple) and \
                                     errfield[0] == "__var__":
@@ -2039,7 +2339,7 @@ class VectorProgram:
                         if active is None:
                             ctx.vars[vname] = v
                         else:
-                            ctx.vars[vname] = pc.if_else(active, v, old)
+                            ctx.vars[vname] = _sel(active, v, old, ctx.n)
                         err_col = e if e is not None else _nulls(ctx.n)
                         if isinstance(errfield, tuple) and \
                                 errfield[0] == "__var__":
@@ -2052,12 +2352,12 @@ class VectorProgram:
                         continue
                     if e is None:
                         ctx.vars[vname] = v if active is None \
-                            else pc.if_else(active, v, old)
+                            else _sel(active, v, old, ctx.n)
                         continue
                     ok = pc.is_null(e)
                     if active is not None:
                         ok = pc.and_(ok, active)
-                    ctx.vars[vname] = pc.if_else(ok, v, old)
+                    ctx.vars[vname] = _sel(ok, v, old, ctx.n)
                     kill(e)
                     continue
                 if field in ("__abort__", "__return__"):
@@ -2155,10 +2455,8 @@ class VectorProgram:
                             live = pc.and_(live, active)
                         va = _as_array(v, ctx.n)
                         old = ctx.col(field)
-                        if pa.types.is_null(old.type) and not \
-                                pa.types.is_null(va.type):
-                            old = _nulls(ctx.n, va.type)
-                        ctx.written[field] = pc.if_else(live, va, old)
+                        ctx.written[field] = _as_array(
+                            _blend(live, va, old, ctx.n), ctx.n)
                         old_err = ctx.col(errfield)
                         if pa.types.is_null(old_err.type):
                             old_err = _nulls(ctx.n)
@@ -2191,25 +2489,24 @@ class VectorProgram:
                     ctx.written[field] = gate_write(field, v)
                     continue
                 # unhandled fallible: write only where no error, then
-                # stop errored rows for the rest of the program
+                # stop errored rows for the rest of the program.
+                # _blend unifies null types and produces a _Union for
+                # retyped overwrites (r4 — previously a row fallback)
                 v = _as_array(v, ctx.n)
                 old = ctx.col(field)
-                if pa.types.is_null(old.type) and not \
-                        pa.types.is_null(v.type):
-                    old = _nulls(ctx.n, v.type)
                 ok = pc.is_null(e)
                 if active is not None:
                     ok = pc.and_(ok, active)
-                try:
-                    ctx.written[field] = pc.if_else(ok, v, old)
-                except pa.lib.ArrowNotImplementedError:
-                    # overwriting a field with an incompatible type
-                    # while error rows must keep the old value isn't a
-                    # column blend — the row path owns those batches
-                    raise _RowFallback("retyped overwrite under mask")
+                ctx.written[field] = _as_array(
+                    _blend(ok, v, old, ctx.n), ctx.n)
                 kill(e)
         out = batch
         for name, arr in ctx.written.items():
+            if isinstance(arr, _Union):
+                # per-row-typed result → sparse Arrow union column
+                # (to_pylist/filter/take all work; parquet sinks and
+                # joins reject unions, same as any mixed-type column)
+                arr = arr.to_arrow()
             if name in out.column_names:
                 out = out.set_column(
                     out.column_names.index(name),
