@@ -168,10 +168,25 @@ class TestMisc:
     def test_split_path_relative(self):
         assert R["split_path"]("a/b/c") == ["a", "b", "c"]
 
-    def test_network_stubs_raise(self):
-        for f in ("dns_lookup", "reverse_dns", "http_request"):
-            with pytest.raises(VrlError):
-                R[f]("example.com")
+    def test_network_functions_error_as_value_never_crash(self):
+        """r4: network fns are REAL (tests/test_net.py has the wire
+        and backend coverage); environment-dependent results must
+        surface as VrlError, never any other exception type."""
+        # not an IP → parse error regardless of environment
+        with pytest.raises(VrlError):
+            R["reverse_dns"]("example.com")
+        # system DNS: either a decoded answer object (this sandbox has
+        # an NXDOMAIN sinkhole resolver) or a query-failed VrlError
+        try:
+            out = R["dns_lookup"]("example.com",
+                                  options={"timeout": 1, "attempts": 1})
+            assert {"fullRcode", "rcodeName", "header", "question",
+                    "answers"} <= set(out)
+        except VrlError:
+            pass
+        # no HTTP route out of the sandbox → transport VrlError
+        with pytest.raises(VrlError):
+            R["http_request"]("http://192.0.2.9:81/x")
 
 
 class TestGroks:

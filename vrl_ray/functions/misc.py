@@ -360,23 +360,13 @@ def decode_charset(value: bytes, from_charset: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# network I/O ([X] — no network in pipeline scope; dns_lookup.rs,
-# reverse_dns.rs, http_request.rs)
+# network I/O — REAL since r4 (pure-Python RFC 1035 stub resolver +
+# stdlib urllib transport, pluggable backends for air-gapped runs;
+# vrl_ray/functions/net.py; dns_lookup.rs, reverse_dns.rs,
+# http_request.rs). In a sandbox without network the system backends
+# surface transport failures as the reference's error-as-value texts.
 
-def dns_lookup(value: str, qtype: str = "A", qclass: str = "IN",
-               options: Optional[dict] = None) -> dict:
-    raise VrlError("dns_lookup is not available in this environment "
-                   "(network I/O is out of the pipeline scope)")
-
-
-def reverse_dns(value: str) -> str:
-    raise VrlError("reverse_dns is not available in this environment "
-                   "(network I/O is out of the pipeline scope)")
-
-
-def http_request(url: str, *args: Any, **kwargs: Any) -> Any:
-    raise VrlError("http_request is not available in this environment "
-                   "(network I/O is out of the pipeline scope)")
+from .net import dns_lookup, http_request, reverse_dns  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------
