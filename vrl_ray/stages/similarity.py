@@ -53,10 +53,13 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
             nq = sims.shape[0]
             kk = min(k, sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qi, vi, sv = [], [], []
-            for r in range(nq):
-                for c in part[r]:
-                    qi.append(r); vi.append(int(ids[c])); sv.append(float(sims[r, c]))
+            # fully vectorized assembly (r4 — was a Python loop over
+            # nq×k results): row indices repeat, columns gather
+            qi = np.repeat(np.arange(nq, dtype=np.int32), kk)
+            cols = part.ravel()
+            vi = ids[cols].astype(np.int64)
+            sv = np.take_along_axis(sims, part, axis=1).ravel() \
+                .astype(np.float64)
             return pa.table({"query_idx": pa.array(qi, pa.int32()),
                              id_column: pa.array(vi, pa.int64()),
                              "sim": pa.array(sv, pa.float64())})
