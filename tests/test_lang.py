@@ -424,12 +424,16 @@ class TestVectorize:
 
         for src in (".x = parse_json(.t)",
                     "del(.x)",
-                    ".x = [\"mixed\", 1]",  # heterogeneous CONSTANT:
-                    # no single Arrow type (r4: computed containers
-                    # now build List/Struct columns at runtime)
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
+        # r4: containers vectorize in every shape — constant (scalar
+        # fold), computed elements, and heterogeneous (list<union>)
+        import pyarrow as pa
+
+        b = pa.table({"t": pa.array(["a"])})
+        out = VectorProgram('.x = ["mixed", 1]').run(b)
+        assert out["x"].to_pylist() == [["mixed", 1]]
 
     def test_nested_and_closure_now_vectorize(self):
         """r2 widening: nested struct targets, split/slice/sha2

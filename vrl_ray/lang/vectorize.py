@@ -1006,7 +1006,14 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
     new = _struct_set(ctx, segs, gated)
     mask = pc.and_(dead, pc.is_null(old))
     if pc.any(mask).as_py():
-        new = pc.if_else(pc.invert(mask), new, pa.scalar(None, new.type))
+        try:
+            new = pc.if_else(pc.invert(mask), new,
+                             pa.scalar(None, new.type))
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                pa.ArrowTypeError):
+            # e.g. a struct carrying a union-typed leaf: Arrow can't
+            # build a typed null scalar for it — per-row path instead
+            raise _RowFallback("nested write over untyped-null rows")
     return new
 
 
@@ -1133,17 +1140,32 @@ def _compile_expr(node) -> Callable:
     if kind in ("array", "object"):
         # constant containers fold to one Arrow scalar (list/struct),
         # broadcast at use sites — `.tags = ["a", "b"]` is a common
-        # remap idiom. Heterogeneous CONSTANT arrays (no single Arrow
-        # type) stay on the row path.
+        # remap idiom.
+        fold_failed = False
         try:
             v = _const_container(node)
         except NotVectorizable:
+            fold_failed = True
+        if not fold_failed:
+            try:
+                s = pa.scalar(v)
+
+                def container(ctx):
+                    return s, None
+                return container
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError, TypeError):
+                # heterogeneous constant (e.g. ["x", 1]): no single
+                # Arrow element type — the runtime builder below emits
+                # a list<sparse union> column instead (r4)
+                pass
+        if True:
             # computed elements (r4): build the container column at
             # runtime — ListArray from interleaved element columns
-            # (same-type elements), StructArray from field columns
-            # (any per-field types). Element errors become the
-            # container expression's per-row errors (interpreter:
-            # the first erroring element propagates).
+            # (list<union> when element types mix), StructArray from
+            # field columns (any per-field types). Element errors
+            # become the container expression's per-row errors
+            # (interpreter: the first erroring element propagates).
             if kind == "object":
                 names = [k for k, _ in node[1]]
                 fieldfs = [_compile_expr(x) for _, x in node[1]]
@@ -1185,37 +1207,42 @@ def _compile_expr(node) -> Callable:
                     cols.append(eva.combine_chunks()
                                 if isinstance(eva, pa.ChunkedArray)
                                 else eva)
-                # unify null-typed elements to the common type; other
-                # type mixes would change element values (e.g. int
-                # elements stringified) — per-row containers belong to
-                # the row path
-                types = {str(c.type) for c in cols
-                         if not pa.types.is_null(c.type)}
-                if len(types) > 1:
-                    raise _RowFallback("mixed-type array literal")
-                common = next((c.type for c in cols
-                               if not pa.types.is_null(c.type)),
-                              pa.null())
-                cols = [c if c.type == common else _nulls(ctx.n, common)
-                        for c in cols]
-                flat = pa.concat_arrays(cols)
                 # row-major interleave: row i = [c0[i], c1[i], ...]
-                idx = (np.arange(ctx.n)[:, None]
-                       + np.arange(k)[None, :] * ctx.n).ravel()
-                values = flat.take(pa.array(idx, pa.int64()))
+                idx = pa.array((np.arange(ctx.n)[:, None]
+                                + np.arange(k)[None, :] * ctx.n).ravel(),
+                               pa.int64())
                 offsets = pa.array(np.arange(ctx.n + 1, dtype=np.int32)
                                    * k)
+                # unify null-typed elements into the common type when
+                # exactly one non-null type exists; otherwise emit
+                # list<sparse union> (per-element types — matches the
+                # interpreter's mixed Python lists)
+                types = []
+                codes = []
+                for c in cols:
+                    t = c.type
+                    code = next((i for i, lt in enumerate(types)
+                                 if lt == t), None)
+                    if code is None:
+                        types.append(t)
+                        code = len(types) - 1
+                    codes.append(code)
+                non_null = [t for t in types if not pa.types.is_null(t)]
+                if len(non_null) <= 1:
+                    common = non_null[0] if non_null else pa.null()
+                    cols = [c if c.type == common
+                            else _nulls(ctx.n, common) for c in cols]
+                    values = pa.concat_arrays(cols).take(idx)
+                    return pa.ListArray.from_arrays(offsets, values), errs
+                children = []
+                for lane, t in enumerate(types):
+                    padded = [c if codes[j] == lane else _nulls(ctx.n, t)
+                              for j, c in enumerate(cols)]
+                    children.append(pa.concat_arrays(padded).take(idx))
+                tags = pa.array(np.tile(np.array(codes, np.int8), ctx.n))
+                values = pa.UnionArray.from_sparse(tags, children)
                 return pa.ListArray.from_arrays(offsets, values), errs
             return arrf
-        try:
-            s = pa.scalar(v)
-        except (pa.ArrowInvalid, pa.ArrowTypeError,
-                pa.ArrowNotImplementedError, TypeError):
-            raise NotVectorizable(f"heterogeneous {kind} literal")
-
-        def container(ctx):
-            return s, None
-        return container
 
     if kind == "path":
         if node[1] != "event" or not node[2] or \
@@ -1534,12 +1561,14 @@ def _with_handled_default(f, expr):
             return pc.if_else(bad, pa.scalar(None, va.type), va), e
         try:
             d = pa.scalar(default)
-            if pa.types.is_null(va.type):
-                va = _nulls(ctx.n, d.type)
-            return pc.if_else(bad, d, va), e
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                 pa.ArrowTypeError, TypeError, ValueError):
             raise _RowFallback("handled default type blend")
+        if pa.types.is_null(va.type):
+            va = _nulls(ctx.n, d.type)
+        # a default whose type differs from the value column (int 0
+        # into a string expression) becomes a union blend (r4)
+        return _blend(bad, d, va, ctx.n), e
     return g
 
 
