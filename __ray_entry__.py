@@ -1108,6 +1108,64 @@ def docs_grok_parse(sf_dir: str):
     return ds.map_batches(Grok, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def events_dns_enrich(sf_dir: str):
+    """DNS enrichment through the real RFC 1035 stub-resolver stdlib
+    function (r4, functions/net.py — reference src/stdlib/
+    dns_lookup.rs) with a deterministic zone backend injected once per
+    ACTOR in ``__init__`` — exactly where a networked deployment
+    installs its resolver. Lookups run per DISTINCT host, not per row
+    (hosts are derived user_id % 50, so a 10^12-row table costs ≤50
+    queries per actor per batch), then scatter back via numpy take.
+    Hash-oracled: the zone is arithmetic (svc-N.internal → 10.0.N.1,
+    every 7th N absent → NXDOMAIN), so DuckDB reproduces it in SQL."""
+    import numpy as np
+
+    from vrl_ray.stages.aggregate import count_by_small
+
+    class DnsEnrich:
+        def __init__(self):
+            from vrl_ray.functions.net import (StaticDnsBackend,
+                                               dns_lookup)
+
+            zones = {(f"svc-{n}.internal", "A"): [(300, f"10.0.{n}.1")]
+                     for n in range(50) if n % 7 != 0}
+            self._lookup = dns_lookup
+            self._backend = StaticDnsBackend(zones)
+            self._cache: dict = {}
+
+        def _resolve(self, host: str):
+            hit = self._cache.get(host)
+            if hit is None:
+                r = self._backend.query(host, 1, 1, {})
+                hit = (r["rcodeName"],
+                       r["answers"][0]["rData"] if r["answers"] else None)
+                self._cache[host] = hit
+            return hit
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            uid = b["user_id"].to_numpy(zero_copy_only=False)
+            n = (uid % 50).astype(np.int64)
+            codes, inv = np.unique(n, return_inverse=True)
+            resolved = [self._resolve(f"svc-{c}.internal") for c in codes]
+            rcodes = np.array([r[0] for r in resolved], dtype=object)
+            ips = np.array([r[1] for r in resolved], dtype=object)
+            return pa.table({
+                "rcode_name": pa.array(rcodes[inv], pa.string()),
+                "ip": pa.array(ips[inv], pa.string()),
+            })
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    enriched = ds.map_batches(DnsEnrich, batch_format="pyarrow",
+                              concurrency=(1, 4))
+    out = count_by_small(enriched, ["rcode_name", "ip"])
+    out["n"] = out["n"].astype("int64")
+    # pandas' dropna=False groupby renders the null ip as NaN; the
+    # driver hash compares str(), so restore None (DuckDB NULL parity)
+    out["ip"] = out["ip"].where(out["ip"].notna(), None)
+    return out.sort_values(["rcode_name", "ip"],
+                           na_position="first").reset_index(drop=True)
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame sampling (one-to-many explode over media rows) with
     REAL Y4M decode — per-frame rgb_mean from actual pixels (r4; the
@@ -1208,6 +1266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_flagship": transcript_flagship,
         "multimodal_decode": multimodal_decode,
         "multimodal_frames": multimodal_frames,
+        "events_dns_enrich": events_dns_enrich,
         "multimodal_audio": multimodal_audio,
     }
 
@@ -1529,6 +1588,24 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                   / len(list_distinct(a.ws || b.ws)) >= 0.5
+        """,
+        "events_dns_enrich": """
+            -- the injected zone is arithmetic: svc-N.internal (N =
+            -- user_id % 50) resolves to 10.0.N.1 with every 7th N
+            -- absent (NXDOMAIN), so SQL reproduces the resolver
+            SELECT rcode_name, ip, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT CASE WHEN (user_id % 50) % 7 = 0
+                            THEN 'NXDOMAIN' ELSE 'NOERROR'
+                       END AS rcode_name,
+                       CASE WHEN (user_id % 50) % 7 = 0 THEN NULL
+                            ELSE '10.0.' || CAST(user_id % 50 AS VARCHAR)
+                                 || '.1'
+                       END AS ip
+                FROM events
+            )
+            GROUP BY rcode_name, ip
+            ORDER BY rcode_name, ip
         """,
         "docs_simhash_recall": """
             WITH t AS (SELECT doc_id,
