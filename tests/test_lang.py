@@ -855,3 +855,19 @@ class TestUnionLane:
         for o, r in zip(out, ref):
             assert o["arr"] == r["arr"], (o, r)
             assert o["obj"] == r["obj"], (o, r)
+
+    def test_row_path_mixed_type_output_never_raises(self):
+        """r4: a program whose output column holds per-row dynamic
+        types must not crash EITHER path (repo invariant: data never
+        raises from a stage). Both materialize a sparse union with
+        identical values."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage, VectorRemapStage
+
+        src = '.o = if .a == 1 { "one" } else { 99 }'
+        b = pa.table({"a": pa.array([1, 2, None], pa.int64())})
+        row = RemapStage(src)(b)
+        vec = VectorRemapStage(src)(b)
+        assert row["o"].to_pylist() == ["one", 99, 99]
+        assert row["o"].to_pylist() == vec["o"].to_pylist()

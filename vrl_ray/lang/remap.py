@@ -92,7 +92,39 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
         cols["extra"].append(encode_json(extra) if extra else None)
         cols["aborted"].append(r["aborted"])
         cols["vrl_err"].append(r["vrl_err"])
-    return pa.table({k: pa.array(v) for k, v in cols.items()})
+    return pa.table({k: _py_array(v) for k, v in cols.items()})
+
+
+def _py_array(vals: list) -> pa.Array:
+    """pa.array with per-row dynamic-type tolerance: a column holding
+    e.g. both ints and strings (``.o = if c { 1 } else { "x" }``)
+    becomes a sparse Arrow union — the same representation the vector
+    lane's _Union materializes, so mixed row-path/vector-path blocks
+    stay consistent and the stage never raises on data (repo
+    invariant)."""
+    try:
+        return pa.array(vals)
+    except (pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError):
+        import numpy as np
+
+        lane_of: dict[type, int] = {}
+        lanes: list[list] = []
+        tags = np.zeros(len(vals), np.int8)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue        # null rows stay in lane 0
+            t = type(v)
+            code = lane_of.get(t)
+            if code is None:
+                code = lane_of[t] = len(lanes)
+                lanes.append([None] * len(vals))
+            lanes[code][i] = v
+            tags[i] = code
+        if not lanes:
+            return pa.nulls(len(vals))
+        children = [pa.array(lane) for lane in lanes]
+        return pa.UnionArray.from_sparse(pa.array(tags), children)
 
 
 class VectorRemapStage:
