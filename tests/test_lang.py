@@ -871,3 +871,35 @@ class TestUnionLane:
         vec = VectorRemapStage(src)(b)
         assert row["o"].to_pylist() == ["one", 99, 99]
         assert row["o"].to_pylist() == vec["o"].to_pylist()
+
+    def test_union_columns_survive_block_slicing(self):
+        """r4: union columns are DENSE — pyarrow 16 mishandles sliced
+        sparse unions (children ignore the slice offset) and Ray
+        blocks slice tables constantly."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage, VectorRemapStage
+
+        b = pa.table({"c": pa.array([True, False, True]),
+                      "s": pa.array(["x", "y", "z"]),
+                      "a": pa.array([1, 2, 3], pa.int64())})
+        v = VectorRemapStage('.o = if .a == 1 { "one" } else { 99 }')(b)
+        assert v.slice(1, 2)["o"].to_pylist() == [99, 99]
+        v2 = VectorRemapStage('.x = [.a, "t"]')(b)
+        assert v2.slice(2, 1)["x"].to_pylist() == [[3, "t"]]
+        r = RemapStage('.s = if .c { [1, 2] } else { ["a"] }')(b)
+        assert r.slice(1, 1)["s"].to_pylist() == [["a"]]
+
+    def test_row_path_nested_heterogeneous_never_raises(self):
+        """r4 review fix: per-row heterogeneity NESTED inside lists /
+        dicts written to an input column must not crash the stage."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage
+
+        b = pa.table({"c": pa.array([True, False]),
+                      "s": pa.array(["x", "y"])})
+        out = RemapStage('.s = if .c { [1, 2] } else { ["a"] }')(b)
+        assert out["s"].to_pylist() == [[1, 2], ["a"]]
+        out2 = RemapStage('.s = if .c { 5 } else { ["a", 1] }')(b)
+        assert out2["s"].to_pylist() == [5, ["a", 1]]

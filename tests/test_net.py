@@ -161,3 +161,41 @@ class TestStaticBackends:
             '.ip = .res.answers[0].rData')
         _, ev, _ = p.resolve({"host": "svc.internal"})
         assert ev["ip"] == "10.0.0.5" and ev["err"] is None
+
+
+class TestMalformedResponses:
+    """r4 review fixes: malformed wire bytes surface as VrlError only
+    (never struct.error), and stray datagrams with a wrong query id
+    are discarded, not attributed to the query."""
+
+    def test_truncated_record_is_vrl_error(self):
+        q = encode_query("x.com", 1, 1, qid=3)
+        bad = q[:2] + struct.pack(">HHHHH", 0x8180, 1, 3, 0, 0) \
+            + q[12:] + b"\xc0\x0c\x00\x01"
+        with pytest.raises(VrlError, match="truncated"):
+            decode_response(bad)
+
+    def test_udp_discards_wrong_qid(self):
+        srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        srv.bind(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def serve():
+            data, addr = srv.recvfrom(4096)
+            # first a stray datagram with a mismatched id...
+            stray = _canned_response(b"\xde\xad" + data[2:])
+            srv.sendto(stray, addr)
+            # ...then the real answer
+            srv.sendto(_canned_response(data), addr)
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        try:
+            r = dns_lookup("example.com",
+                           options={"servers": [f"127.0.0.1:{port}"],
+                                    "timeout": 5})
+        finally:
+            t.join(timeout=5)
+            srv.close()
+        assert r["rcodeName"] == "NOERROR"
+        assert r["answers"][0]["rData"] == "93.184.216.34"

@@ -713,3 +713,21 @@ class TestGroupedQuantile:
         df = pd.DataFrame({"k": ["g"] * 10 + ["h"] * 3,
                            "v": list(range(10)) + [7, 1, 9]})
         self._check(df, 0.95, ray_session, round_to=10)
+
+
+def test_grouped_quantile_emits_all_null_groups(ray_session):
+    """r4 review fix: a key whose values are ALL null still comes out
+    (SQL quantile_cont emits the group with a NULL result)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vrl_ray.stages.aggregate import grouped_quantile
+
+    t = pa.table({"k": pa.array(["a", "a", "b", "b", "c"]),
+                  "v": pa.array([1.0, 3.0, None, None, 2.0])})
+    out = grouped_quantile(rd.from_arrow(t), key="k", value="v", q=0.5)
+    got = dict(zip(out["k"], out["q_value"]))
+    assert got["a"] == 2.0 and got["c"] == 2.0
+    assert "b" in got and math.isnan(got["b"])

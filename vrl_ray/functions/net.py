@@ -164,7 +164,19 @@ def _render_rdata(rtype: int, data: bytes, rd_start: int, rd_len: int,
 
 def decode_response(data: bytes) -> dict:
     """Wire response → the reference's answer object
-    (dns_lookup.rs parse_answer:158-215 / parse_record_section)."""
+    (dns_lookup.rs parse_answer:158-215 / parse_record_section).
+    Malformed bytes raise VrlError ONLY (error-as-value contract)."""
+    try:
+        return _decode_response(data)
+    except struct.error:
+        raise VrlError(
+            "parsing response sections failed: truncated record")
+    except IndexError:
+        raise VrlError(
+            "parsing response sections failed: truncated response")
+
+
+def _decode_response(data: bytes) -> dict:
     if len(data) < 12:
         raise VrlError("query failed: truncated response")
     (qid, flags, qd, an, ns, ar) = struct.unpack(">HHHHHH", data[:12])
@@ -262,7 +274,7 @@ class SystemDnsBackend:
                     if use_tcp:
                         data = self._tcp(msg, server, timeout)
                     else:
-                        data = self._udp(msg, server, timeout)
+                        data = self._udp(msg, server, timeout, qid)
                         if len(data) >= 4 and (data[2] & 0x02):  # TC
                             data = self._tcp(msg, server, timeout)
                     return decode_response(data)
@@ -271,12 +283,28 @@ class SystemDnsBackend:
         raise VrlError(f"query failed: {last_err or 'no nameservers'}")
 
     @staticmethod
-    def _udp(msg: bytes, server: tuple[str, int], timeout: float) -> bytes:
+    def _udp(msg: bytes, server: tuple[str, int], timeout: float,
+             qid: int) -> bytes:
+        import time as _time
+
         fam = socket.AF_INET6 if ":" in server[0] else socket.AF_INET
         with socket.socket(fam, socket.SOCK_DGRAM) as s:
             s.settimeout(timeout)
             s.sendto(msg, server)
-            return s.recv(4096)
+            # discard datagrams whose id doesn't match the query —
+            # late answers from a previous timed-out attempt (or stray
+            # packets on the ephemeral port) must not be attributed to
+            # this name (the reference's resolver does the same check)
+            deadline = _time.monotonic() + timeout
+            while True:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    raise socket.timeout("timed out")
+                s.settimeout(remaining)
+                data = s.recv(4096)
+                if len(data) >= 2 and \
+                        int.from_bytes(data[:2], "big") == qid:
+                    return data
 
     @staticmethod
     def _tcp(msg: bytes, server: tuple[str, int], timeout: float) -> bytes:
@@ -285,7 +313,10 @@ class SystemDnsBackend:
             s.settimeout(timeout)
             s.connect(server)
             s.sendall(struct.pack(">H", len(msg)) + msg)
-            ln = struct.unpack(">H", s.recv(2))[0]
+            hdr = s.recv(2)
+            if len(hdr) < 2:
+                raise OSError("connection closed before length prefix")
+            ln = struct.unpack(">H", hdr)[0]
             buf = b""
             while len(buf) < ln:
                 chunk = s.recv(ln - len(buf))

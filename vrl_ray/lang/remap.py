@@ -95,36 +95,94 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
     return pa.table({k: _py_array(v) for k, v in cols.items()})
 
 
+_PA_ERRS = (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError)
+
+
 def _py_array(vals: list) -> pa.Array:
     """pa.array with per-row dynamic-type tolerance: a column holding
     e.g. both ints and strings (``.o = if c { 1 } else { "x" }``)
     becomes a sparse Arrow union — the same representation the vector
     lane's _Union materializes, so mixed row-path/vector-path blocks
     stay consistent and the stage never raises on data (repo
-    invariant)."""
+    invariant). Recursion covers heterogeneity NESTED inside lists
+    (``[1, 2]`` vs ``["a"]`` → list<union>) and objects (per-field
+    recursion)."""
     try:
         return pa.array(vals)
-    except (pa.ArrowInvalid, pa.ArrowTypeError,
-            pa.ArrowNotImplementedError):
-        import numpy as np
+    except _PA_ERRS:
+        pass
+    import numpy as np
 
-        lane_of: dict[type, int] = {}
-        lanes: list[list] = []
-        tags = np.zeros(len(vals), np.int8)
-        for i, v in enumerate(vals):
+    lane_of: dict[type, int] = {}
+    lanes: list[list] = []
+    tags = np.zeros(len(vals), np.int8)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue            # null rows stay in lane 0
+        t = type(v)
+        code = lane_of.get(t)
+        if code is None:
+            code = lane_of[t] = len(lanes)
+            lanes.append([None] * len(vals))
+        lanes[code][i] = v
+        tags[i] = code
+    if not lanes:
+        return pa.nulls(len(vals))
+    full = [_py_lane(lane) for lane in lanes]
+    if len(full) == 1:
+        return full[0]
+    # DENSE union (pyarrow 16 mishandles sliced sparse unions, and
+    # Ray blocks slice tables): compact each lane to its owned rows
+    from .vectorize import _dense_union
+    return _dense_union(tags, full, len(vals))
+
+
+def _py_lane(vals: list) -> pa.Array:
+    """Arrow array for values that share one Python type but may be
+    heterogeneous INSIDE (mixed-element lists, field-type-conflicting
+    dicts)."""
+    try:
+        return pa.array(vals)
+    except _PA_ERRS:
+        pass
+    sample = next(v for v in vals if v is not None)
+    if isinstance(sample, list):
+        offsets: list = []
+        flat: list = []
+        pos = 0
+        for v in vals:
             if v is None:
-                continue        # null rows stay in lane 0
-            t = type(v)
-            code = lane_of.get(t)
-            if code is None:
-                code = lane_of[t] = len(lanes)
-                lanes.append([None] * len(vals))
-            lanes[code][i] = v
-            tags[i] = code
-        if not lanes:
-            return pa.nulls(len(vals))
-        children = [pa.array(lane) for lane in lanes]
-        return pa.UnionArray.from_sparse(pa.array(tags), children)
+                offsets.append(None)
+                continue
+            offsets.append(pos)
+            flat.extend(v)
+            pos += len(v)
+        offsets.append(pos)
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        _py_array(flat))
+    if isinstance(sample, dict):
+        names: list = []
+        for v in vals:
+            if v is not None:
+                for k in v:
+                    if k not in names:
+                        names.append(k)
+        children = [_py_array([None if v is None else v.get(k)
+                               for v in vals]) for k in names]
+        struct = pa.StructArray.from_arrays(children, names=names)
+        null_mask = pa.array([v is None for v in vals])
+        import pyarrow.compute as _pc
+        if _pc.any(null_mask).as_py():
+            try:
+                struct = _pc.if_else(_pc.invert(null_mask), struct,
+                                     pa.scalar(None, struct.type))
+            except _PA_ERRS:
+                pass    # union-bearing struct: unowned rows are
+                # masked by the parent's tag anyway
+        return struct
+    # same python type yet unconvertible (exotic): last resort —
+    # stringified repr keeps the stage alive (invariant over fidelity)
+    return pa.array([None if v is None else str(v) for v in vals])
 
 
 class VectorRemapStage:

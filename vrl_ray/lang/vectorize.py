@@ -122,15 +122,29 @@ class _Union:
         return _Union(self.tag, lanes, self.n)
 
     def to_arrow(self) -> pa.UnionArray:
-        """Materialize as a sparse Arrow union (to_pylist / filter /
-        take all work on it in Arrow ≥ 16)."""
-        children = []
-        for lane in self.lanes:
-            if isinstance(lane, pa.ChunkedArray):
-                lane = lane.combine_chunks()
-            children.append(lane)
-        return pa.UnionArray.from_sparse(
-            pa.array(self.tag, pa.int8()), children)
+        """Materialize as a DENSE Arrow union. Dense, not sparse:
+        pyarrow 16 mishandles sliced sparse unions (children ignore
+        the slice offset — ``u.slice(2,1)`` reads child index 0), and
+        Ray blocks slice tables constantly; dense unions slice /
+        take / filter correctly."""
+        return _dense_union(self.tag, self.lanes, self.n)
+
+
+def _dense_union(tag: np.ndarray, lanes: list, n: int) -> pa.UnionArray:
+    """Full-length lanes + ownership tag → dense Arrow union (each
+    child compacted to its owned rows, value_offsets = per-lane
+    running index)."""
+    offsets = np.zeros(n, np.int32)
+    children = []
+    for code, lane in enumerate(lanes):
+        mask = tag == code
+        offsets[mask] = np.arange(int(mask.sum()), dtype=np.int32)
+        if isinstance(lane, pa.ChunkedArray):
+            lane = lane.combine_chunks()
+        children.append(lane.filter(pa.array(mask)))
+    return pa.UnionArray.from_dense(
+        pa.array(tag, pa.int8()), pa.array(offsets, pa.int32()),
+        children)
 
 
 def _to_union(v, n: int) -> _Union:
@@ -1159,90 +1173,89 @@ def _compile_expr(node) -> Callable:
                 # Arrow element type — the runtime builder below emits
                 # a list<sparse union> column instead (r4)
                 pass
-        if True:
-            # computed elements (r4): build the container column at
-            # runtime — ListArray from interleaved element columns
-            # (list<union> when element types mix), StructArray from
-            # field columns (any per-field types). Element errors
-            # become the container expression's per-row errors
-            # (interpreter: the first erroring element propagates).
-            if kind == "object":
-                names = [k for k, _ in node[1]]
-                fieldfs = [_compile_expr(x) for _, x in node[1]]
+        # computed elements (r4): build the container column at
+        # runtime — ListArray from interleaved element columns
+        # (list<union> when element types mix), StructArray from
+        # field columns (any per-field types). Element errors
+        # become the container expression's per-row errors
+        # (interpreter: the first erroring element propagates).
+        if kind == "object":
+            names = [k for k, _ in node[1]]
+            fieldfs = [_compile_expr(x) for _, x in node[1]]
 
-                def objf(ctx):
-                    errs = None
-                    cols = []
-                    for ff in fieldfs:
-                        fv, fe = ff(ctx)
-                        errs = _merge_errs(ctx.n, errs, fe)
-                        fva = _as_array(fv, ctx.n)
-                        if isinstance(fva, _Union):
-                            raise _RowFallback(
-                                "union value in object literal")
-                        cols.append(fva.combine_chunks()
-                                    if isinstance(fva, pa.ChunkedArray)
-                                    else fva)
-                    return pa.StructArray.from_arrays(cols, names=names), \
-                        errs
-                return objf
-
-            elemfs = [_compile_expr(x) for x in node[1]]
-            k = len(elemfs)
-
-            def arrf(ctx):
-                if k == 0:
-                    empty = pa.ListArray.from_arrays(
-                        pa.array(np.zeros(ctx.n + 1, np.int32)),
-                        pa.array([], pa.null()))
-                    return empty, None
+            def objf(ctx):
                 errs = None
                 cols = []
-                for ef in elemfs:
-                    ev_, ee = ef(ctx)
-                    errs = _merge_errs(ctx.n, errs, ee)
-                    eva = _as_array(ev_, ctx.n)
-                    if isinstance(eva, _Union):
-                        raise _RowFallback("union value in array literal")
-                    cols.append(eva.combine_chunks()
-                                if isinstance(eva, pa.ChunkedArray)
-                                else eva)
-                # row-major interleave: row i = [c0[i], c1[i], ...]
-                idx = pa.array((np.arange(ctx.n)[:, None]
-                                + np.arange(k)[None, :] * ctx.n).ravel(),
-                               pa.int64())
-                offsets = pa.array(np.arange(ctx.n + 1, dtype=np.int32)
-                                   * k)
-                # unify null-typed elements into the common type when
-                # exactly one non-null type exists; otherwise emit
-                # list<sparse union> (per-element types — matches the
-                # interpreter's mixed Python lists)
-                types = []
-                codes = []
-                for c in cols:
-                    t = c.type
-                    code = next((i for i, lt in enumerate(types)
-                                 if lt == t), None)
-                    if code is None:
-                        types.append(t)
-                        code = len(types) - 1
-                    codes.append(code)
-                non_null = [t for t in types if not pa.types.is_null(t)]
-                if len(non_null) <= 1:
-                    common = non_null[0] if non_null else pa.null()
-                    cols = [c if c.type == common
-                            else _nulls(ctx.n, common) for c in cols]
-                    values = pa.concat_arrays(cols).take(idx)
-                    return pa.ListArray.from_arrays(offsets, values), errs
-                children = []
-                for lane, t in enumerate(types):
-                    padded = [c if codes[j] == lane else _nulls(ctx.n, t)
-                              for j, c in enumerate(cols)]
-                    children.append(pa.concat_arrays(padded).take(idx))
-                tags = pa.array(np.tile(np.array(codes, np.int8), ctx.n))
-                values = pa.UnionArray.from_sparse(tags, children)
+                for ff in fieldfs:
+                    fv, fe = ff(ctx)
+                    errs = _merge_errs(ctx.n, errs, fe)
+                    fva = _as_array(fv, ctx.n)
+                    if isinstance(fva, _Union):
+                        raise _RowFallback(
+                            "union value in object literal")
+                    cols.append(fva.combine_chunks()
+                                if isinstance(fva, pa.ChunkedArray)
+                                else fva)
+                return pa.StructArray.from_arrays(cols, names=names), \
+                    errs
+            return objf
+
+        elemfs = [_compile_expr(x) for x in node[1]]
+        k = len(elemfs)
+
+        def arrf(ctx):
+            if k == 0:
+                empty = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(ctx.n + 1, np.int32)),
+                    pa.array([], pa.null()))
+                return empty, None
+            errs = None
+            cols = []
+            for ef in elemfs:
+                ev_, ee = ef(ctx)
+                errs = _merge_errs(ctx.n, errs, ee)
+                eva = _as_array(ev_, ctx.n)
+                if isinstance(eva, _Union):
+                    raise _RowFallback("union value in array literal")
+                cols.append(eva.combine_chunks()
+                            if isinstance(eva, pa.ChunkedArray)
+                            else eva)
+            # row-major interleave: row i = [c0[i], c1[i], ...]
+            idx = pa.array((np.arange(ctx.n)[:, None]
+                            + np.arange(k)[None, :] * ctx.n).ravel(),
+                           pa.int64())
+            offsets = pa.array(np.arange(ctx.n + 1, dtype=np.int32)
+                               * k)
+            # unify null-typed elements into the common type when
+            # exactly one non-null type exists; otherwise emit
+            # list<sparse union> (per-element types — matches the
+            # interpreter's mixed Python lists)
+            types = []
+            codes = []
+            for c in cols:
+                t = c.type
+                code = next((i for i, lt in enumerate(types)
+                             if lt == t), None)
+                if code is None:
+                    types.append(t)
+                    code = len(types) - 1
+                codes.append(code)
+            non_null = [t for t in types if not pa.types.is_null(t)]
+            if len(non_null) <= 1:
+                common = non_null[0] if non_null else pa.null()
+                cols = [c if c.type == common
+                        else _nulls(ctx.n, common) for c in cols]
+                values = pa.concat_arrays(cols).take(idx)
                 return pa.ListArray.from_arrays(offsets, values), errs
-            return arrf
+            children = []
+            for lane, t in enumerate(types):
+                padded = [c if codes[j] == lane else _nulls(ctx.n, t)
+                          for j, c in enumerate(cols)]
+                children.append(pa.concat_arrays(padded).take(idx))
+            tags = np.tile(np.array(codes, np.int8), ctx.n)
+            values = _dense_union(tags, children, ctx.n * k)
+            return pa.ListArray.from_arrays(offsets, values), errs
+        return arrf
 
     if kind == "path":
         if node[1] != "event" or not node[2] or \

@@ -278,6 +278,21 @@ def grouped_quantile(ds, *, key: str, value: str, q: float,
     def drop_null_values(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_valid(b[value]))
 
+    # keys whose values are ALL null must still come out (SQL emits
+    # the group with a NULL quantile; r4 review finding) — collect the
+    # distinct keys of null-valued rows map-side (tiny: one row per
+    # such key per batch) before those rows are dropped
+    def null_value_keys(b: pa.Table) -> pa.Table:
+        nb = b.filter(pc.is_null(b[value])).select([key])
+        if len(nb) == 0:
+            return nb
+        return nb.group_by([key]).aggregate([])
+
+    null_keys = set()
+    for part in (ds.map_batches(null_value_keys, batch_format="pyarrow")
+                   .take_all()):
+        null_keys.add(part[key])
+
     mat = (ds.map_batches(drop_null_values, batch_format="pyarrow")
              .sort([key, value])
              .materialize())
@@ -351,4 +366,8 @@ def grouped_quantile(ds, *, key: str, value: str, q: float,
             res = round(res, round_to)
         out_keys.append(kv)
         out_vals.append(res)
+    for kv in null_keys:
+        if kv not in counts:      # every value was null → NULL result
+            out_keys.append(kv)
+            out_vals.append(float("nan"))
     return pd.DataFrame({key: out_keys, out: out_vals})

@@ -416,9 +416,13 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
                                     batch_format="pyarrow",
                                     concurrency=(1, 8))
 
-    # large candidate set → distributed double join (partitions sized
-    # by the candidate count — the side we just materialized)
-    num_partitions = join_partitions(num_partitions, rows=n_pairs)
+    # large candidate set → distributed double join. Partition count
+    # uses the unknown-size fallback (ncpu/2), NOT the candidate count:
+    # the LARGER join side is the full docs corpus (lazy, size
+    # unknown), and sizing by the just-over-broadcast-limit candidate
+    # count would collapse to 2 partitions each holding half the
+    # corpus's id+text rows (r4 review finding).
+    num_partitions = join_partitions(num_partitions)
     texts = docs_ds.select_columns([id_column, text_column])
     side_a = texts.rename_columns({id_column: "id_a", text_column: "_text_a"})
     side_b = texts.rename_columns({id_column: "id_b", text_column: "_text_b"})
