@@ -265,10 +265,9 @@ def make_batch():
 
 
 def norm(s):
-    # KNOWN acceptable: int/float kind-name promotion in null-operand
-    # error text after a columnar int/float branch blend
-    return s.replace("integer", "float") \
-        if s.startswith("can't ") and "null" in s else s
+    # (r4: int/float branch blends keep per-row kinds via union
+    # lanes, so error texts match exactly — no masking needed)
+    return s
 
 
 def close(x, y):

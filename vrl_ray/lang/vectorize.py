@@ -1455,6 +1455,14 @@ def _blend(c, tv, ev, n: int):
         tva = _nulls(n, eva.type)
     elif pa.types.is_null(eva.type) and not pa.types.is_null(tva.type):
         eva = _nulls(n, tva.type)
+    if (pa.types.is_integer(tva.type) and pa.types.is_floating(eva.type)) \
+            or (pa.types.is_floating(tva.type)
+                and pa.types.is_integer(eva.type)):
+        # int/float branches keep per-row KINDS (the interpreter's
+        # later error texts name the row's branch kind, and
+        # to_string/encode_json render 0 vs 0.0) — Arrow's implicit
+        # promotion to float64 would erase that per row.
+        return _union_blend(c, tva, eva, n)
     try:
         return pc.if_else(c, tva, eva)
     except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
