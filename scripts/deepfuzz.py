@@ -13,6 +13,7 @@ Usage: python scripts/deepfuzz.py [seed] [n_programs]
 Prints each divergence (program, row, field, ref vs vec) and a summary
 line; exit status 1 if any divergence was found.
 """
+import copy
 import random
 import sys
 
@@ -197,7 +198,15 @@ def gen_stmt(i):
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"
     if kind == 'nested':
-        return f".nest{i}.f = {anyexpr()}"
+        tgt = R.choice([f".nest{i}.f", f".nest{i}.f",
+                        # writes into the EXISTING typed struct column
+                        # (row 2 is null: the fresh object must carry
+                        # ONLY the written field, not null siblings)
+                        ".obj.x", ".obj.y", ".obj.z"])
+        stmt = f"{tgt} = {anyexpr()}"
+        if tgt.startswith(".obj") and R.random() < 0.5:
+            stmt += f"\n.r{i} = {R.choice(['.obj.x', '.obj.y', '.obj.z'])}"
+        return stmt
     if kind == 'handled':
         return f".o{i}, .e{i} = {anyexpr()}"
     if kind == 'var':
@@ -309,7 +318,9 @@ def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
         n_vec += 1
         ocols = out.to_pylist()
         for ri, row in enumerate(rows):
-            ev = dict(row)
+            # deep copy: programs that write nested paths (.obj.x)
+            # must not mutate the shared row dicts across programs
+            ev = copy.deepcopy(row)
             rerr = None
             rab = False
             try:

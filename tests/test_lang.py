@@ -903,3 +903,98 @@ class TestUnionLane:
         assert out["s"].to_pylist() == [[1, 2], ["a"]]
         out2 = RemapStage('.s = if .c { 5 } else { ["a", 1] }')(b)
         assert out2["s"].to_pylist() == [5, ["a", 1]]
+
+
+class TestStructShapeParity:
+    """r4: nested writes into a TYPED struct column preserve each
+    row's true object shape — a write into a null row creates a fresh
+    object with ONLY the written path (no null siblings), dead rows
+    (errors/aborts) keep their prior shape, and int/float branch
+    blends keep per-row kinds (union lanes, not Arrow float
+    promotion). Interpreter = ground truth for all of these."""
+
+    BATCH = None
+
+    @staticmethod
+    def _batch():
+        import pyarrow as pa
+
+        return pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "hey"}, None, {"x": 9, "y": ""}],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            "s": pa.array(["7", "", "z"]),
+        })
+
+    @staticmethod
+    def _both(src, batch):
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        ref = []
+        for row in batch.to_pylist():
+            ev = {k: (dict(v) if isinstance(v, dict) else v)
+                  for k, v in row.items()}
+            try:
+                _, ev2, _ = p.resolve(ev)
+                ref.append(ev2)
+            except Exception as ex:
+                ref.append({"__err__": str(ex), **ev})
+        return out, ref
+
+    def test_null_row_write_creates_fresh_shape(self):
+        out, ref = self._both('.obj.x = 5', self._batch())
+        assert out[1]["obj"] == {"x": 5}          # no null 'y' sibling
+        assert [r["obj"] for r in out] == [r["obj"] for r in ref]
+
+    def test_chained_writes_accrete_on_fresh_shape(self):
+        out, ref = self._both('.obj.x = 5\n.obj.z = 7', self._batch())
+        assert out[1]["obj"] == {"x": 5, "z": 7}
+        assert [r["obj"] for r in out] == [r["obj"] for r in ref]
+
+    def test_reads_from_union_shaped_struct(self):
+        out, ref = self._both('.obj.x = 5\n.r = .obj.y', self._batch())
+        assert [r["r"] for r in out] == ["hey", None, ""]
+        assert [r["r"] for r in out] == [r.get("r") for r in ref]
+
+    def test_dead_rows_keep_prior_shape_on_added_field(self):
+        # slice!("", 1) aborts row 2: its obj must NOT grow a null z
+        out, ref = self._both('.obj.z = slice!(.s, 1)', self._batch())
+        assert out[1]["obj"] is None               # prior null stays null
+        assert out[1]["vrl_err"] is not None
+        assert [r["obj"] for r in out] == [r["obj"] for r in ref]
+
+    def test_int_float_blend_keeps_per_row_kind(self):
+        import pyarrow as pa
+
+        b = pa.table({"c": pa.array([True, False]),
+                      "f": pa.array([1.5, 2.5], pa.float64()),
+                      "q": pa.array([None, None], pa.int64())})
+        out, ref = self._both(
+            '.o = if .c { 0 } else { .f }\n.p = .o + .q', b)
+        assert [r["o"] for r in out] == [0, 2.5]
+        assert out[0]["vrl_err"] == "can't add type null to integer"
+        assert out[1]["vrl_err"] == "can't add type null to float"
+        assert [r["vrl_err"] for r in out] == \
+            [r["__err__"] for r in ref]
+
+    def test_same_type_union_list_equality(self):
+        import pyarrow as pa
+
+        b = pa.table({"a": pa.array([1], pa.int64())})
+        out, _ = self._both(
+            '.u = ["a", 1]\n.eq = (.u == .u)\n.ne = (.u != .u)', b)
+        assert out[0]["eq"] is True and out[0]["ne"] is False
+
+    def test_hash_on_non_string_degrades_per_row(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage, VectorRemapStage
+
+        b = pa.table({"a": pa.array([1, 2], pa.int64())})
+        src = '.obj.y = .a\n.h, .e = md5(.obj.y)'
+        row, vec = RemapStage(src)(b), VectorRemapStage(src)(b)
+        assert vec["e"].to_pylist() == row["e"].to_pylist()
+        assert row["e"].to_pylist()[0] is not None

@@ -584,6 +584,11 @@ def _hash_impl(algo: str, ctx, v, e):
     # (tool/role/level) far more often than free text
     arr = (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
            else v)
+    if not (pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)):
+        # md5/sha* take bytes only — non-string columns carry the
+        # per-row "expected string" error the interpreter builds
+        raise _RowFallback("hash on non-string column")
     dct = arr.dictionary_encode()
     uniq = [hashlib.new(algo, s.encode()).hexdigest()
             if s is not None else None
@@ -970,7 +975,10 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
     """Nested-path write: rebuild the top-level struct column with the
     leaf replaced (.a.b = v → struct column 'a' with field b = v).
     Non-struct/absent intermediates become fresh structs (runtime
-    path_insert semantics)."""
+    path_insert semantics). Rows whose PRIOR top-level struct is null
+    get a fresh object holding ONLY the written path (interpreter
+    path_insert creates no siblings) — packed as a second union lane
+    so encode_json/row-path consumers see the row's true shape."""
     values = _as_array(values, ctx.n)
     if isinstance(values, _Union):
         # a per-row-typed leaf can't live in one struct column
@@ -992,7 +1000,26 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
         arrs = [_as_array(a, ctx.n) for a in fields.values()]
         return pa.StructArray.from_arrays(arrs, names=list(fields))
 
-    return build(ctx.col(segs[0]), list(segs[1:]))
+    top = ctx.col(segs[0])
+    rest = list(segs[1:])
+    if isinstance(top, _Union):
+        # per-lane rebuild keeps each row's own prior shape
+        return _Union(top.tag, [build(lane, rest) for lane in top.lanes],
+                      ctx.n)
+    if isinstance(top, pa.ChunkedArray):
+        top = top.combine_chunks()
+    if pa.types.is_struct(top.type) and \
+            pc.any(pc.is_null(top)).as_py():
+        full = build(top, rest)
+        fresh = build(None, rest)
+        if full.type != fresh.type:
+            # prior struct carries siblings the fresh object must NOT
+            # have: split null-prior rows into their own lane
+            nullmask = pc.is_null(top).to_numpy(zero_copy_only=False)
+            tag = nullmask.astype(np.int8)
+            return _Union(tag, [full, fresh], ctx.n)
+        return full
+    return build(top, rest)
 
 
 def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
@@ -1012,14 +1039,25 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
         # a dead row's prior scalar value can't live in a struct column
         raise _RowFallback("nested write over non-struct prior")
     ok = pc.invert(dead)
-    if old_struct and old.type.get_field_index(segs[1]) >= 0:
-        old_leaf = pc.struct_field(old, segs[1])
-    else:
-        old_leaf = _nulls(ctx.n, pa.null())
+    if not (old_struct and old.type.get_field_index(segs[1]) >= 0):
+        # the write ADDS a field: dead rows keep their prior struct —
+        # shape included (materializing the new field as null would
+        # invent a sibling the row never had)
+        if isinstance(values, _Union):
+            raise _RowFallback("union value into nested write")
+        new = _struct_set(ctx, segs, _as_array(values, ctx.n))
+        return _blend(ok, new, old, ctx.n)
+    old_leaf = pc.struct_field(old, segs[1])
     gated = _as_array(_blend(ok, values, old_leaf, ctx.n), ctx.n)
+    if isinstance(gated, _Union):
+        raise _RowFallback("union leaf in gated nested write")
     new = _struct_set(ctx, segs, gated)
     mask = pc.and_(dead, pc.is_null(old))
     if pc.any(mask).as_py():
+        if isinstance(new, _Union):
+            # dead rows whose struct was null stay null (tags kept,
+            # owned values nulled)
+            return new.mask_null(mask)
         try:
             new = pc.if_else(pc.invert(mask), new,
                              pa.scalar(None, new.type))
@@ -1270,9 +1308,21 @@ def _compile_expr(node) -> Callable:
             return path
 
         def nested_path(ctx):
-            # nested read: struct columns (.a.b → struct_field)
+            # nested read: struct columns (.a.b → struct_field);
+            # union columns (mixed row shapes) read lane-wise — a
+            # lane without the field contributes nulls
             arr = ctx.col(segs[0])
             for s in segs[1:]:
+                if isinstance(arr, _Union):
+                    def rd(lane, _s=s):
+                        if isinstance(lane, pa.ChunkedArray):
+                            lane = lane.combine_chunks()
+                        if not pa.types.is_struct(lane.type) or \
+                                lane.type.get_field_index(_s) < 0:
+                            return _nulls(ctx.n, pa.null()), None
+                        return pc.struct_field(lane, _s), None
+                    arr, _ = _u_lanes(ctx, arr, rd)
+                    continue
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 if not pa.types.is_struct(arr.type) or \
@@ -1887,10 +1937,23 @@ def _compile_binop(node) -> Callable:
                     valeq = pc.fill_null(pc.equal(la, ra), False)
                 except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
                         pa.ArrowTypeError):
-                    # Arrow has no kernel for the type pair — VRL
-                    # compares cross-type values as simply unequal
-                    # (Value PartialEq derives false, value.py eq)
-                    valeq = pa.array(np.zeros(ctx.n, bool))
+                    if la.type == ra.type:
+                        # same complex type Arrow can't compare (e.g.
+                        # list<union> from a heterogeneous literal):
+                        # structural compare, value.py eq semantics —
+                        # cold path, union-bearing columns only
+                        from ..value import eq as _veq
+                        valeq = pa.array(
+                            [x is not None and y is not None
+                             and _veq(x, y)
+                             for x, y in zip(la.to_pylist(),
+                                             ra.to_pylist())],
+                            pa.bool_())
+                    else:
+                        # Arrow has no kernel for the type pair — VRL
+                        # compares cross-type values as simply unequal
+                        # (Value PartialEq derives false, value.py eq)
+                        valeq = pa.array(np.zeros(ctx.n, bool))
                 eq = pc.or_(valeq,
                             pc.and_(pc.is_null(la), pc.is_null(ra)))
                 out = eq if op == "==" else pc.invert(eq)
@@ -2272,14 +2335,27 @@ class VectorProgram:
         return out
 
     def run(self, batch: pa.Table) -> pa.Table:
-        """Execute the column plan with interpreter-parity error
-        semantics: an UNHANDLED fallible expression (no ``.ok, .err =``
-        capture, no ``??``) that errors on a row stops that row's
-        program — the target field keeps its prior value, later
-        statements skip the row, and the error lands in a ``vrl_err``
-        column (always appended; null where no error) — matching
-        RemapStage's per-row error lane instead of silently writing
-        type defaults (ADVICE r1)."""
+        """Execute the column plan; data-dependent Arrow kernel
+        errors (a retyped field feeding a kernel with no matching
+        signature, e.g. ``.obj.y = 1`` then ``upcase(.obj.y)``)
+        surface as :class:`_RowFallback` so callers degrade to the
+        per-row interpreter — the repo invariant is that data errors
+        NEVER raise from a stage."""
+        try:
+            return self._run_impl(batch)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                pa.ArrowTypeError, TypeError) as ex:
+            raise _RowFallback(f"data-dependent kernel error: {ex}") \
+                from ex
+
+    def _run_impl(self, batch: pa.Table) -> pa.Table:
+        """Interpreter-parity error semantics: an UNHANDLED fallible
+        expression (no ``.ok, .err =`` capture, no ``??``) that errors
+        on a row stops that row's program — the target field keeps its
+        prior value, later statements skip the row, and the error
+        lands in a ``vrl_err`` column (always appended; null where no
+        error) — matching RemapStage's per-row error lane instead of
+        silently writing type defaults (ADVICE r1)."""
         ctx = _Ctx(batch)
         active = None            # None ⇒ all rows live (fast path)
         err_acc = None
