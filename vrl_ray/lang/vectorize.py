@@ -117,8 +117,7 @@ class _Union:
             if pa.types.is_null(lane.type):
                 lanes.append(lane)
             else:
-                lanes.append(pc.if_else(bad, pa.scalar(None, lane.type),
-                                        lane))
+                lanes.append(_null_rows(lane, bad, self.n))
         return _Union(self.tag, lanes, self.n)
 
     def to_arrow(self) -> pa.UnionArray:
@@ -128,6 +127,50 @@ class _Union:
         Ray blocks slice tables constantly; dense unions slice /
         take / filter correctly."""
         return _dense_union(self.tag, self.lanes, self.n)
+
+
+def _null_rows(arr, bad, n: int):
+    """`arr` with `bad` rows nulled. pc.if_else with a typed null
+    scalar where Arrow supports it; union-bearing types (no if_else
+    kernel, and unions may NOT carry a validity bitmap — take with a
+    null index hard-aborts Arrow) rebuild structurally: structs get a
+    widened null mask, dense unions null their children's owned
+    positions."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        return pc.if_else(bad, pa.scalar(None, arr.type), arr)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+            pa.ArrowTypeError, TypeError):
+        pass
+    t = arr.type
+    if pa.types.is_struct(t):
+        mask = pc.or_(pc.is_null(arr), pc.fill_null(bad, False))
+        children = [arr.field(i) for i in range(t.num_fields)]
+        return pa.StructArray.from_arrays(
+            children, names=[t.field(i).name
+                             for i in range(t.num_fields)],
+            mask=mask)
+    if pa.types.is_union(t):
+        # a union has no top-level validity: null each child's owned
+        # positions instead (the row reads back as a null value)
+        bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
+        tags = np.asarray(arr.type_codes)
+        offs = np.asarray(arr.offsets)
+        children = []
+        for i in range(t.num_fields):
+            code = t.type_codes[i]
+            child = arr.field(i)
+            sel = bad_np & (tags == code)
+            if sel.any() and not pa.types.is_null(child.type):
+                cb = np.zeros(len(child), bool)
+                cb[offs[sel]] = True
+                child = _null_rows(child, pa.array(cb), len(child))
+            children.append(child)
+        return pa.UnionArray.from_dense(
+            pa.array(tags, pa.int8()), pa.array(offs, pa.int32()),
+            children, [t.field(i).name for i in range(t.num_fields)])
+    raise _RowFallback(f"cannot null rows of {t}")
 
 
 def _dense_union(tag: np.ndarray, lanes: list, n: int) -> pa.UnionArray:
@@ -971,18 +1014,33 @@ class _Ctx:
         return _nulls(self.n, pa.null())
 
 
-def _struct_set(ctx: "_Ctx", segs: tuple, values):
+_UNSET = object()
+
+
+def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
     """Nested-path write: rebuild the top-level struct column with the
     leaf replaced (.a.b = v → struct column 'a' with field b = v).
     Non-struct/absent intermediates become fresh structs (runtime
     path_insert semantics). Rows whose PRIOR top-level struct is null
     get a fresh object holding ONLY the written path (interpreter
     path_insert creates no siblings) — packed as a second union lane
-    so encode_json/row-path consumers see the row's true shape."""
+    so encode_json/row-path consumers see the row's true shape.
+    `top` overrides the prior column (lane dispatch)."""
+    if top is _UNSET:
+        top = ctx.col(segs[0])
     values = _as_array(values, ctx.n)
     if isinstance(values, _Union):
-        # a per-row-typed leaf can't live in one struct column
-        raise _RowFallback("union value into nested write")
+        # a per-row-typed leaf: build one struct variant per leaf
+        # lane and merge them as STRUCT-level union lanes. A union
+        # must never nest INSIDE a struct child — pc.struct_field
+        # merges parent validity into the child, and Arrow CHECK-
+        # aborts the process on a union with a validity bitmap.
+        acc = None
+        for mask, lane in values.iter_lanes():
+            sub = _struct_set(ctx, segs, lane, top=top)
+            m = pa.array(mask)
+            acc = sub if acc is None else _blend(m, sub, acc, ctx.n)
+        return acc
 
     def build(arr, rest):
         if not rest:
@@ -1000,7 +1058,6 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
         arrs = [_as_array(a, ctx.n) for a in fields.values()]
         return pa.StructArray.from_arrays(arrs, names=list(fields))
 
-    top = ctx.col(segs[0])
     rest = list(segs[1:])
     if isinstance(top, _Union):
         # per-lane rebuild keeps each row's own prior shape
@@ -1022,7 +1079,8 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values):
     return build(top, rest)
 
 
-def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
+def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead,
+                      top=_UNSET):
     """Per-row-gated nested write: `dead` rows keep the field's PRIOR
     value. Expressible as a column blend for 2-segment paths — blend
     the LEAF against the old leaf, rebuild the struct, then restore
@@ -1031,7 +1089,16 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
     non-struct prior columns rerun per-row."""
     if len(segs) != 2:
         raise _RowFallback("deep nested write on error rows")
-    old = ctx.col(segs[0])
+    old = ctx.col(segs[0]) if top is _UNSET else top
+    if isinstance(old, _Union):
+        # mixed prior shapes (an earlier shape-splitting write):
+        # run the gated write against each shape lane and re-merge
+        acc = None
+        for mask, lane in old.iter_lanes():
+            sub = _struct_set_gated(ctx, segs, values, dead, top=lane)
+            m = pa.array(mask)
+            acc = sub if acc is None else _blend(m, sub, acc, ctx.n)
+        return acc
     if isinstance(old, pa.ChunkedArray):
         old = old.combine_chunks()
     old_struct = pa.types.is_struct(old.type)
@@ -1043,29 +1110,23 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead):
         # the write ADDS a field: dead rows keep their prior struct —
         # shape included (materializing the new field as null would
         # invent a sibling the row never had)
-        if isinstance(values, _Union):
-            raise _RowFallback("union value into nested write")
-        new = _struct_set(ctx, segs, _as_array(values, ctx.n))
+        new = _struct_set(ctx, segs, _as_array(values, ctx.n), top=old)
         return _blend(ok, new, old, ctx.n)
     old_leaf = pc.struct_field(old, segs[1])
-    gated = _as_array(_blend(ok, values, old_leaf, ctx.n), ctx.n)
-    if isinstance(gated, _Union):
-        raise _RowFallback("union leaf in gated nested write")
-    new = _struct_set(ctx, segs, gated)
+    gated = _blend(ok, values, old_leaf, ctx.n)
+    if not isinstance(gated, _Union):
+        gated = _as_array(gated, ctx.n)
+    # a retyping gated write (e.g. `.obj.x = to_float(.s)` over an
+    # int leaf with error rows) yields a union leaf — _struct_set
+    # splits it into per-type struct lanes
+    new = _struct_set(ctx, segs, gated, top=old)
     mask = pc.and_(dead, pc.is_null(old))
     if pc.any(mask).as_py():
         if isinstance(new, _Union):
             # dead rows whose struct was null stay null (tags kept,
             # owned values nulled)
             return new.mask_null(mask)
-        try:
-            new = pc.if_else(pc.invert(mask), new,
-                             pa.scalar(None, new.type))
-        except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
-                pa.ArrowTypeError):
-            # e.g. a struct carrying a union-typed leaf: Arrow can't
-            # build a typed null scalar for it — per-row path instead
-            raise _RowFallback("nested write over untyped-null rows")
+        new = _null_rows(new, mask, ctx.n)
     return new
 
 
@@ -1737,6 +1798,27 @@ def _vrl_kind_name(t: pa.DataType) -> str:
     return "null"
 
 
+def _type_pair_errs(ctx, tmpl: str, la, ra) -> pa.Array:
+    """Uniformly-invalid operand types (e.g. a boolean column in
+    arithmetic): EVERY row errors with its null-aware kind pair —
+    vectorized, no batch fallback."""
+    lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
+    ln = pc.is_null(la).to_numpy(zero_copy_only=False)
+    rn = pc.is_null(ra).to_numpy(zero_copy_only=False)
+    msgs = [tmpl.format(l="null" if ln[i] else lk,
+                        r="null" if rn[i] else rk)
+            for i in range(ctx.n)]
+    return pa.array(msgs, pa.string())
+
+
+def _num_or_null(t: pa.DataType) -> bool:
+    return _is_num_type(t) or pa.types.is_null(t)
+
+
+def _is_str_type(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
 _NUM_OPS = {"+": "add", "-": "subtract", "*": "multiply"}
 _CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
             "<=": "less_equal", "==": "equal", "!=": "not_equal"}
@@ -1803,6 +1885,21 @@ def _compile_binop(node) -> Callable:
             # numeric arithmetic: a null side is a per-row ERROR
             # (value.py add/sub/mul templates), not a silent null
             la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lt, rt = la.type, ra.type
+            if op == "*" and (_is_str_type(lt) or _is_str_type(rt)):
+                # string * int repetition (arithmetic.rs:68-95) —
+                # per-row semantics the interpreter owns
+                raise _RowFallback("string repetition")
+            if not (_num_or_null(lt) and _num_or_null(rt)):
+                # e.g. a boolean operand: every row errors (Arrow
+                # would otherwise cast bool→1 and compute silently)
+                tmpl = {"+": "can't add type {r} to {l}",
+                        "-": "can't subtract type {r} from {l}",
+                        "*": "can't multiply type {l} by {r}"}[op]
+                errs3 = _type_pair_errs(ctx, tmpl, la, ra)
+                # handled ok-default for + - * is integer 0
+                out = pa.array(np.zeros(ctx.n, np.int64))
+                return out, _merge_errs(ctx.n, le, re, errs3)
             lnull, rnull = pc.is_null(la), pc.is_null(ra)
             errs3 = None
             out = kernel(lv, rv)
@@ -1832,6 +1929,14 @@ def _compile_binop(node) -> Callable:
             return _u_binop(div_core, ctx, lv, le, rv, re)
 
         def div_core(ctx, lv, le, rv, re):
+            la0, ra0 = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            if not (_num_or_null(la0.type) and _num_or_null(ra0.type)):
+                # e.g. "3.5" / 2 or 9 / true: the casts below would
+                # silently compute — the interpreter errors per row
+                errs = _type_pair_errs(
+                    ctx, "can't divide type {l} by {r}", la0, ra0)
+                out = pa.array(np.zeros(ctx.n, np.float64))
+                return out, _merge_errs(ctx.n, le, re, errs)
             zero = pc.equal(pc.cast(rv, pa.float64()), 0.0)
             zmask = pc.fill_null(zero, False)
             safe_r = pc.if_else(zmask, pa.scalar(1.0, pa.float64()),
@@ -1962,6 +2067,18 @@ def _compile_binop(node) -> Callable:
             # reference ("can't compare null > integer", value.py
             # compare), not a silent null result
             la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            lt, rt = la.type, ra.type
+            pair_ok = ((_is_str_type(lt) and _is_str_type(rt))
+                       or (pa.types.is_timestamp(lt)
+                           and pa.types.is_timestamp(rt))
+                       or (_num_or_null(lt) and _num_or_null(rt)))
+            if not pair_ok:
+                # e.g. boolean > boolean: Arrow would compare —
+                # value.py _cmp_ok errors per row
+                errs = _type_pair_errs(
+                    ctx, f"can't compare {{l}} {op} {{r}}", la, ra)
+                out = pa.array(np.zeros(ctx.n, bool))
+                return out, _merge_errs(ctx.n, le, re, errs)
             lnull, rnull = pc.is_null(la), pc.is_null(ra)
             errs = None
             if pc.any(pc.or_(lnull, rnull)).as_py():
