@@ -173,6 +173,10 @@ def anyexpr(d=0):
                   '["a", 1]', f'[{num(2)}, 2]']),
              lambda dd: f'format_timestamp{R.choice(["", "!"])}'
                         f'({tsx(dd)}, "%Y-%m-%dT%H:%M")',
+             lambda dd: "encode_json(%s)" % R.choice(
+                 ['.obj', '.arr', '.a', '.b', '.s', '.ts',
+                  '{"k": [1, "x"], "n": null}', '[.a, .s]',
+                  strx(dd), num(dd)]),
              lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(
                  ['', ', unit: "milliseconds"', ', unit: "seconds"',
                   ', unit: "nanoseconds"']))]

@@ -998,3 +998,78 @@ class TestStructShapeParity:
         row, vec = RemapStage(src)(b), VectorRemapStage(src)(b)
         assert vec["e"].to_pylist() == row["e"].to_pylist()
         assert row["e"].to_pylist()[0] is not None
+
+
+class TestEncodeJsonKernel:
+    """r4: encode_json lowers to the column plan (leaves render via
+    the row encoder per DISTINCT value; structs/lists/unions
+    assemble with Arrow join kernels). Output must be byte-identical
+    to value.encode_json."""
+
+    def _both(self, src, batch):
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        ref = []
+        for row in batch.to_pylist():
+            _, ev, _ = p.resolve(dict(row))
+            ref.append(ev)
+        return out, ref
+
+    def test_all_shapes_exact(self):
+        import pyarrow as pa
+
+        batch = pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "q\"uo\nte"}, None, {"x": 9, "y": ""}],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            "arr": pa.array([[1, 2], [], None], pa.list_(pa.int64())),
+            "f": pa.array([1.0, -0.5, None], pa.float64()),
+            "ts": pa.array([1700000000123456, 0, None],
+                           pa.timestamp("us", tz="UTC")),
+        })
+        src = ('.a1 = encode_json(.obj)\n.a2 = encode_json(.arr)\n'
+               '.a3 = encode_json(.f)\n.a4 = encode_json(.ts)')
+        out, ref = self._both(src, batch)
+        for o, r in zip(out, ref):
+            for k in ("a1", "a2", "a3", "a4"):
+                assert o[k] == r[k], (k, o[k], r[k])
+        assert out[0]["a1"] == '{"x":1,"y":"q\\"uo\\nte"}'
+        assert out[1]["a1"] == "null"
+        assert out[2]["a2"] == "null"
+        assert out[0]["a3"] == "1.0"
+
+    def test_union_shaped_struct_renders_true_shape(self):
+        import pyarrow as pa
+
+        batch = pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "hey"}, None],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        })
+        out, ref = self._both('.obj.x = 5\n.j = encode_json(.obj)',
+                              batch)
+        assert out[1]["j"] == '{"x":5}'
+        assert [r["j"] for r in out] == [r["j"] for r in ref]
+
+    def test_sorted_keys_and_heterogeneous_literal(self):
+        import pyarrow as pa
+
+        batch = pa.table({"a": pa.array([1, None], pa.int64())})
+        out, ref = self._both(
+            '.j = encode_json({"z": [.a, "t"], "a": null})', batch)
+        assert out[0]["j"] == '{"a":null,"z":[1,"t"]}'
+        assert [r["j"] for r in out] == [r["j"] for r in ref]
+
+    def test_pretty_falls_back_to_row_path(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage, VectorRemapStage
+
+        b = pa.table({"obj": pa.array(
+            [{"x": 1}], pa.struct([("x", pa.int64())]))})
+        src = '.j = encode_json(.obj, pretty: true)'
+        row, vec = RemapStage(src)(b), VectorRemapStage(src)(b)
+        assert vec["j"].to_pylist() == row["j"].to_pylist()

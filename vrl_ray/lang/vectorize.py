@@ -879,7 +879,95 @@ def _k_to_bool(ctx, a, span=None):
     return out, _merge_errs(ctx.n, e, errs)
 
 
+def _render_json(arr, n: int) -> pa.Array:
+    """Arrow column → per-row JSON text (value.encode_json parity:
+    sorted keys, compact separators, RFC3339 timestamps). Leaves
+    dictionary-encode through the ROW encoder — exact float /
+    escape / timestamp formatting for the cost of O(distinct);
+    structs assemble sorted-key fragments with
+    binary_join_element_wise; lists re-join their flattened child
+    render with pc.binary_join; dense unions scatter per-lane
+    renders by tag."""
+    from ..value import encode_json as _ej
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_null(t):
+        return pa.array(["null"] * n, pa.string())
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if pa.types.is_struct(t):
+        if t.num_fields == 0:
+            out = pa.array(["{}"] * n, pa.string())
+        else:
+            names = sorted(t.field(i).name for i in range(t.num_fields))
+            idx = {t.field(i).name: i for i in range(t.num_fields)}
+            pieces = []
+            for j, name in enumerate(names):
+                prefix = ("{" if j == 0 else ",") + _ej(name) + ":"
+                pieces.append(pa.scalar(prefix))
+                # raw child (no parent-validity merge — parent-null
+                # rows are masked to "null" below, and struct_field
+                # would abort on union children)
+                pieces.append(_render_json(arr.field(idx[name]), n))
+            out = pc.binary_join_element_wise(
+                *pieces, pa.scalar("}"), "")
+        if arr.null_count:
+            out = pc.if_else(pc.is_null(arr), pa.scalar("null"), out)
+        return out
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        values = arr.values
+        rendered = _render_json(values, len(values))
+        relist = (pa.LargeListArray if pa.types.is_large_list(t)
+                  else pa.ListArray).from_arrays(arr.offsets, rendered)
+        joined = pc.binary_join(relist, ",")
+        out = pc.binary_join_element_wise(
+            pa.scalar("["), joined, pa.scalar("]"), "")
+        if arr.null_count:
+            out = pc.if_else(pc.is_null(arr), pa.scalar("null"), out)
+        return out
+    if pa.types.is_union(t):
+        tags = np.asarray(arr.type_codes)
+        dense = t.mode == "dense"
+        offs = np.asarray(arr.offsets) if dense else None
+        out = np.empty(n, object)
+        for i in range(t.num_fields):
+            code = t.type_codes[i]
+            m = tags == code
+            if not m.any():
+                continue
+            child = arr.field(i)
+            r = _render_json(child, len(child)) \
+                .to_numpy(zero_copy_only=False)
+            out[m] = r[offs[m]] if dense else r[m]
+        return pa.array(out, pa.string())
+    # leaf: exact row-encoder formatting per DISTINCT value
+    try:
+        dct = arr.dictionary_encode()
+        uniq = [None if u is None else _ej(u)
+                for u in dct.dictionary.to_pylist()]
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, TypeError):
+        raise _RowFallback(f"encode_json leaf {t}")
+    out = pa.DictionaryArray.from_arrays(
+        dct.indices, pa.array(uniq, pa.string())).cast(pa.string())
+    return pc.fill_null(out, "null")
+
+
+def _k_encode_json(ctx, a):
+    """encode_json.rs vectorized (sorted keys, compact separators);
+    `pretty: true` keeps the row path (rare, indentation layout)."""
+    v, e = a[0]
+    if len(a) > 1:
+        pv, _ = a[1]
+        if not isinstance(pv, pa.Scalar) or pv.as_py():
+            raise _RowFallback("encode_json pretty")
+    return _render_json(_as_array(v, ctx.n), ctx.n), e
+
+
 _KERNELS: dict[str, Callable] = {
+    "encode_json": _k_encode_json,
     "downcase": _k_downcase, "upcase": _k_upcase, "to_int": _k_to_int,
     "to_float": _k_to_float, "to_string": _k_to_string, "round": _k_round,
     "floor": _k_floor, "ceil": _k_ceil, "abs": _k_abs,
