@@ -115,7 +115,7 @@ def strx(d=0):
 
 
 def boolex(d=0):
-    opts = ['cmp', 'scmp', 'isnull']
+    opts = ['cmp', 'scmp', 'isnull', 'exists']
     if d < 2:
         opts += ['contains', 'match', 'to_bool', 'not', 'and', 'or',
                  'coalesce']
@@ -127,6 +127,10 @@ def boolex(d=0):
         return f"({strx(d + 1)} {R.choice(['==', '!='])} {strx(d + 1)})"
     if c == 'isnull':
         return f"{R.choice(['is_null', 'is_nullish'])}({R.choice(['.a', '.s', '.t'])})"
+    if c == 'exists':
+        return "exists(%s)" % R.choice(
+            ['.a', '.s', '.missing', '.obj.x', '.obj.zz', '.obj.y',
+             '.arr', '.nest0.f', '.o1'])
     if c == 'contains':
         f = R.choice(['contains', 'starts_with', 'ends_with'])
         args = f"{strx(d + 1)}, {R.choice(STR_LITS)}"
@@ -185,7 +189,7 @@ def anyexpr(d=0):
 
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
-                     'ifstmt', 'closure', 'nested', 'abort'])
+                     'ifstmt', 'closure', 'nested', 'abort', 'del'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -199,6 +203,16 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'del':
+        # del as statement or expression; dead rows must keep fields
+        tgt = R.choice(['.a', '.s', '.obj.x', '.obj.y', '.missing',
+                        '.obj.zz', f'.o{i}'])
+        form = R.choice(['stmt', 'stmt', 'expr', 'then_read'])
+        if form == 'stmt':
+            return f"del({tgt})"
+        if form == 'expr':
+            return f".d{i} = del({tgt})"
+        return f"del({tgt})\n.d{i} = {tgt}\n.x{i} = exists({tgt})"
     if kind == 'assign':
         return f".o{i} = {anyexpr()}"
     if kind == 'nested':

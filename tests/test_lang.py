@@ -423,7 +423,7 @@ class TestVectorize:
         from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
         for src in (".x = parse_json(.t)",
-                    "del(.x)",
+                    "del(%meta.x)",      # metadata paths stay per-row
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
@@ -1073,3 +1073,60 @@ class TestEncodeJsonKernel:
         src = '.j = encode_json(.obj, pretty: true)'
         row, vec = RemapStage(src)(b), VectorRemapStage(src)(b)
         assert vec["j"].to_pylist() == row["j"].to_pylist()
+
+
+class TestDelExistsKernels:
+    """r4: del/exists over event paths lower to the column plan;
+    conservative fallbacks where per-row presence can't live in a
+    column (written fields, partially-stopped batches)."""
+
+    @staticmethod
+    def _batch():
+        import pyarrow as pa
+
+        return pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "hey"}, None, {"x": 9, "y": ""}],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            "a": pa.array([1, None, 3], pa.int64()),
+        })
+
+    def test_exists_shapes(self):
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        src = ('.e1 = exists(.a)\n.e2 = exists(.missing)\n'
+               '.e3 = exists(.obj.x)\n.e4 = exists(.obj.zz)')
+        out = VectorProgram(src).run(self._batch()).to_pylist()
+        assert [r["e1"] for r in out] == [True, True, True]
+        assert [r["e2"] for r in out] == [False, False, False]
+        # null struct row has no keys
+        assert [r["e3"] for r in out] == [True, False, True]
+        assert [r["e4"] for r in out] == [False, False, False]
+
+    def test_del_nested_removes_field_per_shape(self):
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        out = VectorProgram('del(.obj.x)\ndel(.obj.y)') \
+            .run(self._batch()).to_pylist()
+        assert [r["obj"] for r in out] == [{}, None, {}]
+
+    def test_del_expression_returns_old(self):
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        out = VectorProgram('.old = del(.a)').run(self._batch()) \
+            .to_pylist()
+        assert [r["old"] for r in out] == [1, None, 3]
+        assert [r["a"] for r in out] == [None, None, None]
+
+    def test_del_on_partially_stopped_batch_matches_row_path(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.remap import RemapStage, VectorRemapStage
+
+        b = pa.table({"s": pa.array(["7", "bad"]),
+                      "a": pa.array([1, 2], pa.int64())})
+        src = '.n = to_int(.s)\ndel(.a)'
+        row, vec = RemapStage(src)(b), VectorRemapStage(src)(b)
+        # error row KEEPS .a; both lanes agree
+        assert row["a"].to_pylist() == vec["a"].to_pylist()
+        assert row["a"].to_pylist()[1] == 2

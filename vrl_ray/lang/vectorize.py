@@ -1092,6 +1092,9 @@ class _Ctx:
         self.closure_vars: dict[str, pa.Array] = {}
         # per-event variables as columns (one value per row)
         self.vars: dict[str, pa.Array] = {}
+        # live-row mask while the plan runs (None ⇒ all rows live);
+        # del consults it — dead rows must keep their fields
+        self.active_mask = None
 
     def col(self, name: str):
         if name in self.written:
@@ -1218,6 +1221,90 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead,
     return new
 
 
+def _compile_del_exists(name: str, args) -> Callable:
+    """del.rs / exists.rs over EVENT paths as column ops.
+
+    ``exists(.a)`` is column presence (a materialized row dict always
+    carries the key, null-valued or not); ``exists(.a.b)`` is parent
+    validity chained down to the field (a null struct row has no
+    keys). Fields the program already WROTE re-run per row — an
+    asymmetric if-branch write means per-row presence the column
+    can't represent.
+
+    ``del`` returns the old value and leaves a null-typed column (the
+    schema-stable analogue of a removed key: the row path's _py_array
+    null-fills missing keys the same way); a partially-stopped batch
+    re-runs per row, because dead rows must KEEP the field."""
+    if not args or args[0][0] is not None:
+        raise NotVectorizable(f"{name} args")
+    anode = args[0][1]
+    if not (anode[0] == "path" and anode[1] == "event" and anode[2]
+            and all(isinstance(sg, str) for sg in anode[2])):
+        raise NotVectorizable(f"{name} target")
+    if len(args) > 1:
+        raise NotVectorizable(f"{name} extra args")
+    segs = tuple(anode[2])
+
+    if name == "exists":
+        def existsf(ctx):
+            if segs[0] in ctx.written:
+                raise _RowFallback("exists on written field")
+            if segs[0] not in ctx.batch.column_names:
+                return pa.array(np.zeros(ctx.n, bool)), None
+            cur = ctx.col(segs[0])
+            valid = None
+            for sg in segs[1:]:
+                if isinstance(cur, pa.ChunkedArray):
+                    cur = cur.combine_chunks()
+                t = cur.type
+                if not pa.types.is_struct(t) or \
+                        t.get_field_index(sg) < 0:
+                    return pa.array(np.zeros(ctx.n, bool)), None
+                v = pc.is_valid(cur)
+                valid = v if valid is None else pc.and_(valid, v)
+                cur = cur.field(t.get_field_index(sg))
+            if valid is None:
+                return pa.array(np.ones(ctx.n, bool)), None
+            return valid, None
+        return existsf
+
+    def delf(ctx):
+        if ctx.active_mask is not None:
+            raise _RowFallback("del on partially-stopped batch")
+        if len(segs) == 1:
+            old = ctx.col(segs[0])
+            ctx.written[segs[0]] = _nulls(ctx.n, pa.null())
+            return old, None
+        if len(segs) != 2:
+            raise _RowFallback("deep del")
+        top = ctx.col(segs[0])
+        if isinstance(top, _Union):
+            raise _RowFallback("del on mixed-shape column")
+        if isinstance(top, pa.ChunkedArray):
+            top = top.combine_chunks()
+        t = top.type
+        if not pa.types.is_struct(t) or t.get_field_index(segs[1]) < 0:
+            return _nulls(ctx.n, pa.null()), None      # no-op
+        if any(pa.types.is_union(t.field(j).type)
+               for j in range(t.num_fields)):
+            raise _RowFallback("del near union child")
+        i = t.get_field_index(segs[1])
+        old = pc.struct_field(top, i)
+        rest = [(t.field(j).name, top.field(j))
+                for j in range(t.num_fields) if j != i]
+        if rest:
+            new = pa.StructArray.from_arrays(
+                [a for _, a in rest], names=[nm for nm, _ in rest],
+                mask=pc.is_null(top))
+        else:
+            nulls_np = pc.is_null(top).to_numpy(zero_copy_only=False)
+            new = pa.array([None if b else {} for b in nulls_np],
+                           pa.struct([]))
+        ctx.written[segs[0]] = new
+        return old, None
+    return delf
+
+
 def _compile_map_values(args, closure):
     """Closure lowering: ``map_values(.list_col) -> |v| { expr }``
     computes the body ONCE over the flattened element array and
@@ -1244,6 +1331,7 @@ def _compile_map_values(args, closure):
         sub.written = {}
         sub.closure_vars = dict(ctx.closure_vars)
         sub.vars = {}          # outer vars are row-length, not element-length
+        sub.active_mask = None
         sub.closure_vars[pname] = flat
         bv, be = bodyf(sub)
         if be is not None and pc.any(pc.is_valid(be)).as_py():
@@ -1294,6 +1382,7 @@ def _compile_filter(args, closure):
         sub.written = {}
         sub.closure_vars = dict(ctx.closure_vars)
         sub.vars = {}          # outer vars are row-length, not element-length
+        sub.active_mask = None
         sub.closure_vars[vname] = flat
         sub.closure_vars[iname] = pa.array(within, pa.int64())
         bv, be = bodyf(sub)
@@ -1575,6 +1664,8 @@ def _compile_expr(node) -> Callable:
             if name == "filter":
                 return _compile_filter(args, closure)
             raise NotVectorizable(f"closure call {name}")
+        if name in ("del", "exists"):
+            return _compile_del_exists(name, args)
         if name not in _KERNELS and name not in _KERNELS_NODES \
                 and name not in _KERNELS_SPAN:
             raise NotVectorizable(f"call {name}")
@@ -2268,7 +2359,7 @@ class VectorProgram:
                     fs = self._if_fields[if_i]
                     if_i += 1
                 elif field in ("__foreach__", "__abort__",
-                               "__return__"):
+                               "__return__", "__expr__"):
                     continue     # no output column of their own
                 else:
                     fs = [f_ for f_ in
@@ -2312,6 +2403,10 @@ class VectorProgram:
             return [self._compile_if_stmt(s)]
         if s[0] == "call" and s[1] == "for_each" and s[4] is not None:
             return [self._compile_for_each(s)]
+        if s[0] == "call":
+            # bare call statement: side effects (del) / error checks
+            # only, value discarded
+            return [("__expr__", None, _compile_expr(s))]
         if s[0] == "abort":
             # abort drops the event (Terminate::Abort): mutations so
             # far kept, later statements skip, `aborted` column true
@@ -2377,6 +2472,7 @@ class VectorProgram:
             sub.n = len(flat)
             sub.written = {}
             sub.vars = {}
+            sub.active_mask = None
             sub.closure_vars = dict(ctx.closure_vars)
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
@@ -2614,6 +2710,16 @@ class VectorProgram:
 
         for stmt in self.plan:
             for field, errfield, f in stmt:
+                ctx.active_mask = active
+                if field == "__expr__":
+                    # bare call statement (del(.a), to_int(.s), …):
+                    # value discarded; an unhandled error stops the
+                    # row exactly like an unhandled assignment
+                    v, e = f(ctx)
+                    if e is not None and \
+                            pc.any(pc.is_valid(e)).as_py():
+                        kill(e)
+                    continue
                 if field == "__foreach__":
                     updates = f(ctx)
                     for vn, arr in updates.items():
