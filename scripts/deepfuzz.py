@@ -177,6 +177,11 @@ def anyexpr(d=0):
                   '["a", 1]', f'[{num(2)}, 2]']),
              lambda dd: f'format_timestamp{R.choice(["", "!"])}'
                         f'({tsx(dd)}, "%Y-%m-%dT%H:%M")',
+             lambda dd: "(%s | %s)" % (
+                 R.choice(['.obj', '{"w": 1, "y": 2}', '.a', '.missing',
+                           '{"n": {"i": 1}}']),
+                 R.choice(['.obj', '{"y": "over", "z": true}', '.s',
+                           '.missing', '{}'])),
              lambda dd: "encode_json(%s)" % R.choice(
                  ['.obj', '.arr', '.a', '.b', '.s', '.ts',
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',

@@ -1130,3 +1130,49 @@ class TestDelExistsKernels:
         # error row KEEPS .a; both lanes agree
         assert row["a"].to_pylist() == vec["a"].to_pylist()
         assert row["a"].to_pylist()[1] == 2
+
+
+class TestMergeOpKernel:
+    """r4: the `|` shallow object merge lowers to a struct-column
+    rebuild (right fields overwrite, left-then-right field order);
+    null/non-object sides error per row with the interpreter's
+    template and a null ok-default."""
+
+    def test_merge_matrix(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "hey"}, None, {"x": 9, "y": ""}],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            "o2": pa.array(
+                [{"y": "R", "z": 5}, {"y": "r2", "z": 6}, None],
+                pa.struct([("y", pa.string()), ("z", pa.int64())])),
+            "a": pa.array([1, 2, 3], pa.int64()),
+        })
+        for src in ('.m, .e = (.obj | .o2)',
+                    '.m, .e = (.obj | {"w": true})',
+                    '.m, .e = (.obj | .a)',
+                    '.m, .e = (.obj | .missing)'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                ev = {k: (dict(v) if isinstance(v, dict) else v)
+                      for k, v in row.items()}
+                _, ref, _ = p.resolve(ev)
+                assert out[i]["m"] == ref["m"], (src, i)
+                assert out[i]["e"] == ref.get("e"), (src, i)
+
+    def test_merge_field_order_feeds_encode_json(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({"a": pa.array([1], pa.int64())})
+        out = VectorProgram(
+            '.m = ({"b": 1} | {"a": 2})\n.j = encode_json(.m)'
+        ).run(b).to_pylist()
+        assert out[0]["j"] == '{"a":2,"b":1}'

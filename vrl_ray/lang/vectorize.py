@@ -2278,6 +2278,65 @@ def _compile_binop(node) -> Callable:
             return out, _merge_errs(ctx.n, le, re, errs)
         return cmpf
 
+    if op == "|":
+        def mgf(ctx):
+            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            return _u_binop(merge_core, ctx, lv, le, rv, re)
+
+        def merge_core(ctx, lv, le, rv, re):
+            """Shallow object merge (merge.rs / value.py merge):
+            right's fields overwrite, field order = left's then
+            right-only; a non-object or null side errors per row
+            with the interpreter's template, handled default null."""
+            la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            if isinstance(ra, pa.ChunkedArray):
+                ra = ra.combine_chunks()
+            lt, rt = la.type, ra.type
+            tmpl = "can't merge type {r} into {l}"
+            l_ok = pa.types.is_struct(lt)
+            r_ok = pa.types.is_struct(rt)
+            if not (l_ok and r_ok):
+                # a wholly non-object (or null-typed) side: every
+                # row errors — null-typed sides render "null"
+                errs = _type_pair_errs(ctx, tmpl, la, ra)
+                return _nulls(ctx.n, pa.null()), \
+                    _merge_errs(ctx.n, le, re, errs)
+            for t_, arr_ in ((lt, la), (rt, ra)):
+                if any(pa.types.is_union(t_.field(j).type)
+                       for j in range(t_.num_fields)):
+                    raise _RowFallback("merge near union child")
+            lnull = pc.is_null(la)
+            rnull = pc.is_null(ra)
+            bad = pc.or_(lnull, rnull)
+            fields: dict = {}
+            for j in range(lt.num_fields):
+                fields[lt.field(j).name] = la.field(j)
+            for j in range(rt.num_fields):
+                fields[rt.field(j).name] = ra.field(j)
+            if fields:
+                out = pa.StructArray.from_arrays(
+                    list(fields.values()), names=list(fields),
+                    mask=bad)
+            else:
+                bad_np = pc.fill_null(bad, False) \
+                    .to_numpy(zero_copy_only=False)
+                out = pa.array([None if b else {} for b in bad_np],
+                               pa.struct([]))
+            errs = None
+            if pc.any(bad).as_py():
+                ln = lnull.to_numpy(zero_copy_only=False)
+                rn = rnull.to_numpy(zero_copy_only=False)
+                msgs = np.full(ctx.n, None, dtype=object)
+                for i in np.flatnonzero(ln | rn):
+                    msgs[i] = tmpl.format(
+                        l="null" if ln[i] else "object",
+                        r="null" if rn[i] else "object")
+                errs = pa.array(msgs, pa.string())
+            return out, _merge_errs(ctx.n, le, re, errs)
+        return mgf
+
     if op in ("&&", "||"):
         def boolf(ctx):
             (lv, le), (rv, re) = lf(ctx), rf(ctx)
