@@ -182,6 +182,12 @@ def anyexpr(d=0):
                            '{"n": {"i": 1}}']),
                  R.choice(['.obj', '{"y": "over", "z": true}', '.s',
                            '.missing', '{}'])),
+             lambda dd: "%s%s(%s)" % (
+                 R.choice(['string', 'int', 'float', 'bool', 'array',
+                           'object', 'timestamp']),
+                 R.choice(['', '!']),
+                 R.choice(['.a', '.b', '.s', '.obj', '.arr', '.ts',
+                           '.missing'])),
              lambda dd: "encode_json(%s)" % R.choice(
                  ['.obj', '.arr', '.a', '.b', '.s', '.ts',
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',
@@ -194,7 +200,8 @@ def anyexpr(d=0):
 
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
-                     'ifstmt', 'closure', 'nested', 'abort', 'del'])
+                     'ifstmt', 'closure', 'nested', 'abort', 'del',
+                     'merge'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -208,6 +215,11 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'merge':
+        tgt = R.choice(['.obj', '.missing', '.a', f'.o{i}', '.nest0'])
+        rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
+                        '.missing', '{}'])
+        return f"{tgt} |= {rhs}"
     if kind == 'del':
         # del as statement or expression; dead rows must keep fields
         tgt = R.choice(['.a', '.s', '.obj.x', '.obj.y', '.missing',

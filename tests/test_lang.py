@@ -1176,3 +1176,59 @@ class TestMergeOpKernel:
             '.m = ({"b": 1} | {"a": 2})\n.j = encode_json(.m)'
         ).run(b).to_pylist()
         assert out[0]["j"] == '{"a":2,"b":1}'
+
+
+class TestTypeAssertAndMergeAssign:
+    """r4: string()/int()/float()/bool()/array()/object()/timestamp()
+    type asserts and the |= merge-assign lower to the column plan."""
+
+    def test_type_assert_family(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "a": pa.array([5, None], pa.int64()),
+            "s": pa.array(["x", None]),
+        })
+        for src in ('.o, .e = string(.s)', '.o, .e = string(.a)',
+                    '.o, .e = int(.a)', '.o, .e = bool(.s)',
+                    '.o, .e = timestamp(.missing)'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                assert out[i]["o"] == ev["o"], (src, i)
+                assert (out[i]["e"] or None) == (ev.get("e") or None), \
+                    (src, i, ev.get("e"), out[i]["e"])
+
+    def test_merge_assign_matrix(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "x": pa.array([{"b": 2}, None, {"b": 3}],
+                          pa.struct([("b", pa.int64())])),
+            "n": pa.array([5, None, 7], pa.int64()),
+            "r": pa.array([{"a": 10}, {"a": 11}, None],
+                          pa.struct([("a", pa.int64())])),
+        })
+        for src in ('.x |= {"a": 1}', '.n |= {"a": 1}',
+                    '.miss |= {"a": 1}', '.x |= .r', '.x |= .n'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                ev0 = {k: (dict(v) if isinstance(v, dict) else v)
+                       for k, v in row.items()}
+                try:
+                    _, ev, _ = p.resolve(ev0)
+                    rerr = None
+                except Exception as ex:
+                    rerr = str(ex); ev = ev0
+                assert (out[i]["vrl_err"] or None) == rerr, (src, i)
+                for k in ("x", "n", "r", "miss"):
+                    if k in ev or k in out[i]:
+                        assert out[i].get(k) == ev.get(k), (src, i, k)

@@ -239,6 +239,46 @@ def _is_num_type(t: pa.DataType) -> bool:
     return pa.types.is_integer(t) or pa.types.is_floating(t)
 
 
+def _vrl_kind_name(t: pa.DataType) -> str:
+    """VRL kind name of an Arrow type (for comparison error text)."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t):
+        return "object"
+    return "null"
+
+
+def _type_pair_errs(ctx, tmpl: str, la, ra) -> pa.Array:
+    """Uniformly-invalid operand types (e.g. a boolean column in
+    arithmetic): EVERY row errors with its null-aware kind pair —
+    vectorized, no batch fallback."""
+    lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
+    ln = pc.is_null(la).to_numpy(zero_copy_only=False)
+    rn = pc.is_null(ra).to_numpy(zero_copy_only=False)
+    msgs = [tmpl.format(l="null" if ln[i] else lk,
+                        r="null" if rn[i] else rk)
+            for i in range(ctx.n)]
+    return pa.array(msgs, pa.string())
+
+
+def _num_or_null(t: pa.DataType) -> bool:
+    return _is_num_type(t) or pa.types.is_null(t)
+
+
+def _is_str_type(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
 def _typ(v) -> pa.DataType:
     return v.type
 
@@ -993,9 +1033,58 @@ _KERNELS_NODES: dict[str, Callable] = {
     "replace": _k_replace,
 }
 
+def _type_assert_kernel(fname: str, kind: str, pred) -> Callable:
+    """string()/int()/float()/bool()/array()/object()/timestamp():
+    identity when the column's type matches, positioned per-row
+    'expected {kind}, got {actual}' otherwise (null rows always
+    render 'got null'); handled ok-default is null (the capture
+    machinery applies it)."""
+
+    def k(ctx, a, span=None):
+        v, e = a[0]
+        va = _as_array(v, ctx.n)
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        prefix = _call_frame(fname, span)
+        t = va.type
+        if pred(t):
+            nulls = pc.is_null(va)
+            if not pc.any(nulls).as_py():
+                return va, e
+            errs = _err_where(nulls,
+                              prefix + f"expected {kind}, got null",
+                              ctx.n)
+            return va, _merge_errs(ctx.n, e, errs)
+        actual = "null" if pa.types.is_null(t) else _vrl_kind_name(t)
+        if pa.types.is_null(t) or not va.null_count:
+            errs = _err_where(
+                pa.array([True] * ctx.n),
+                prefix + f"expected {kind}, got {actual}", ctx.n)
+        else:
+            nn = pc.is_null(va).to_numpy(zero_copy_only=False)
+            msgs = [prefix + f"expected {kind}, got "
+                    + ("null" if b else actual) for b in nn]
+            errs = pa.array(msgs, pa.string())
+        return _nulls(ctx.n, pa.null()), _merge_errs(ctx.n, e, errs)
+    return k
+
+
+def _is_list_type(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t)
+
+
 #: kernels that build positioned per-row error text and therefore
 #: need the call-expression span
 _KERNELS_SPAN: dict[str, Callable] = {
+    "string": _type_assert_kernel("string", "string", _is_str_type),
+    "int": _type_assert_kernel("int", "integer", pa.types.is_integer),
+    "float": _type_assert_kernel("float", "float", pa.types.is_floating),
+    "bool": _type_assert_kernel("bool", "boolean", pa.types.is_boolean),
+    "array": _type_assert_kernel("array", "array", _is_list_type),
+    "object": _type_assert_kernel("object", "object",
+                                  pa.types.is_struct),
+    "timestamp": _type_assert_kernel("timestamp", "timestamp",
+                                     pa.types.is_timestamp),
     "join": _k_join,
     "to_int": _k_to_int,
     "to_float": _k_to_float,
@@ -1303,6 +1392,80 @@ def _compile_del_exists(name: str, args) -> Callable:
         ctx.written[segs[0]] = new
         return old, None
     return delf
+
+
+def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
+    """``target |= rhs`` (merge.rs ObjectMerge): per row the target
+    coerces to ``{}`` unless it is an object, then rhs's fields merge
+    in (rhs must be an object — a null/non-object rhs errors per row
+    with "can't merge type {kind} into object"). A struct target with
+    null rows splits shapes: those rows get ONLY rhs's fields."""
+
+    def f(ctx):
+        rv, re = rf(ctx)
+        if isinstance(rv, _Union):
+            raise _RowFallback("|= union rhs")
+        ra = _as_array(rv, ctx.n)
+        if isinstance(ra, pa.ChunkedArray):
+            ra = ra.combine_chunks()
+        rt = ra.type
+        tmpl = "can't merge type {r} into object"
+        if not pa.types.is_struct(rt):
+            rn = pc.is_null(ra).to_numpy(zero_copy_only=False)
+            rk = _vrl_kind_name(rt)
+            msgs = [tmpl.format(r="null" if b else rk) for b in rn]
+            return _nulls(ctx.n, pa.null()), \
+                _merge_errs(ctx.n, re, pa.array(msgs, pa.string()))
+        if any(pa.types.is_union(rt.field(j).type)
+               for j in range(rt.num_fields)):
+            raise _RowFallback("|= near union child")
+        # current target value
+        cur = ctx.col(segs[0])
+        for sg in segs[1:]:
+            if isinstance(cur, _Union):
+                raise _RowFallback("|= over mixed shapes")
+            if isinstance(cur, pa.ChunkedArray):
+                cur = cur.combine_chunks()
+            if not pa.types.is_struct(cur.type) or \
+                    cur.type.get_field_index(sg) < 0:
+                cur = _nulls(ctx.n, pa.null())
+                break
+            if any(pa.types.is_union(cur.type.field(j).type)
+                   for j in range(cur.type.num_fields)):
+                raise _RowFallback("|= near union child")
+            cur = pc.struct_field(cur, sg)
+        if isinstance(cur, _Union):
+            raise _RowFallback("|= over mixed shapes")
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        lt = cur.type
+        rnull = pc.is_null(ra)
+        errs = None
+        if pc.any(rnull).as_py():
+            errs = _err_where(rnull, tmpl.format(r="null"), ctx.n)
+        if pa.types.is_struct(lt):
+            if any(pa.types.is_union(lt.field(j).type)
+                   for j in range(lt.num_fields)):
+                raise _RowFallback("|= near union child")
+            fields: dict = {}
+            for j in range(lt.num_fields):
+                fields[lt.field(j).name] = cur.field(j)
+            for j in range(rt.num_fields):
+                fields[rt.field(j).name] = ra.field(j)
+            merged = pa.StructArray.from_arrays(
+                list(fields.values()), names=list(fields),
+                mask=pc.fill_null(rnull, False))
+            if cur.null_count:
+                # null-target rows coerce to {}: they carry ONLY
+                # rhs's fields — a second shape lane
+                if merged.type != ra.type:
+                    tag = pc.is_null(cur) \
+                        .to_numpy(zero_copy_only=False).astype(np.int8)
+                    return _Union(tag, [merged, ra], ctx.n), errs
+            return merged, errs
+        # wholly non-object target (int column / missing): rhs as-is
+        return ra, errs
+    return f
 
 
 def _compile_map_values(args, closure):
@@ -1958,46 +2121,6 @@ def _unwrap_block(node):
     return node
 
 
-def _vrl_kind_name(t: pa.DataType) -> str:
-    """VRL kind name of an Arrow type (for comparison error text)."""
-    if pa.types.is_boolean(t):
-        return "boolean"
-    if pa.types.is_integer(t):
-        return "integer"
-    if pa.types.is_floating(t):
-        return "float"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "string"
-    if pa.types.is_timestamp(t):
-        return "timestamp"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return "array"
-    if pa.types.is_struct(t):
-        return "object"
-    return "null"
-
-
-def _type_pair_errs(ctx, tmpl: str, la, ra) -> pa.Array:
-    """Uniformly-invalid operand types (e.g. a boolean column in
-    arithmetic): EVERY row errors with its null-aware kind pair —
-    vectorized, no batch fallback."""
-    lk, rk = _vrl_kind_name(la.type), _vrl_kind_name(ra.type)
-    ln = pc.is_null(la).to_numpy(zero_copy_only=False)
-    rn = pc.is_null(ra).to_numpy(zero_copy_only=False)
-    msgs = [tmpl.format(l="null" if ln[i] else lk,
-                        r="null" if rn[i] else rk)
-            for i in range(ctx.n)]
-    return pa.array(msgs, pa.string())
-
-
-def _num_or_null(t: pa.DataType) -> bool:
-    return _is_num_type(t) or pa.types.is_null(t)
-
-
-def _is_str_type(t: pa.DataType) -> bool:
-    return pa.types.is_string(t) or pa.types.is_large_string(t)
-
-
 _NUM_OPS = {"+": "add", "-": "subtract", "*": "multiply"}
 _CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
             "<=": "less_equal", "==": "equal", "!=": "not_equal"}
@@ -2434,6 +2557,16 @@ class VectorProgram:
     def _compile_stmt(self, s):
         if s[0] == "assign":
             targets, op, expr = s[1], s[2], s[3]
+            if op == "|=" and len(targets) == 1:
+                t = targets[0]
+                if t[0] == "path" and t[1] == "event" and t[2] and \
+                        all(isinstance(sg, str) for sg in t[2]):
+                    f = _compile_merge_assign(tuple(t[2]),
+                                              _compile_expr(expr))
+                    field = t[2][0] if len(t[2]) == 1 \
+                        else tuple(t[2])
+                    return [(field, None, f)]
+                raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
             fields = []
