@@ -251,7 +251,8 @@ def gen_stmt(i):
                         f".o{i}, .e{i} = v{i}"])
         return f"v{i} = {anyexpr()}\n{use}"
     if kind == 'ifstmt':
-        shape = R.choice(['plain', 'noelse', 'chain', 'asym', 'multi'])
+        shape = R.choice(['plain', 'noelse', 'chain', 'asym', 'multi',
+                          'nested'])
         if shape == 'noelse':
             return f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
         if shape == 'chain':
@@ -264,6 +265,12 @@ def gen_stmt(i):
             # keeps its prior value per row
             return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                     f" else {{ .p{i} = {anyexpr(1)} }}")
+        if shape == 'nested':
+            # nested branch targets: untaken rows keep prior value
+            # AND shape (incl. the null-struct row)
+            t1 = R.choice(['.obj.x', '.obj.y', '.obj.z', f'.nest{i}.f'])
+            els = R.choice(['', f" else {{ {R.choice(['.obj.x', '.obj.w', f'.q{i}'])} = {anyexpr(1)} }}"])
+            return f"if {boolex()} {{ {t1} = {anyexpr(1)} }}{els}" 
         if shape == 'multi':
             # second statement may read (or reassign) the first's
             # target — the written-overlay must give it the branch's

@@ -1232,3 +1232,34 @@ class TestTypeAssertAndMergeAssign:
                 for k in ("x", "n", "r", "miss"):
                     if k in ev or k in out[i]:
                         assert out[i].get(k) == ev.get(k), (src, i, k)
+
+
+class TestNestedBranchTargets:
+    """r4: if-branches may write NESTED paths; untaken/errored rows
+    keep the prior value and shape (incl. null struct rows)."""
+
+    def test_nested_if_targets(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "obj": pa.array(
+                [{"x": 1, "y": "hey"}, None, {"x": 9, "y": ""}],
+                pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            "c": pa.array([True, False, True]),
+            "s": pa.array(["7", "bad", "9"]),
+        })
+        for src in ('if .c { .obj.x = 100 }',
+                    'if .c { .obj.z = 1 } else { .obj.x = -1 }',
+                    'if .c { .obj.x = to_int(.s) }',
+                    'if .c { .obj.x = 5\n.obj.y = "set" } '
+                    'else { .r = 0 }'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                ev0 = {k: (dict(v) if isinstance(v, dict) else v)
+                       for k, v in row.items()}
+                _, ev, _ = p.resolve(ev0)
+                assert out[i]["obj"] == ev["obj"], (src, i)

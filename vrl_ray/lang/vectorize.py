@@ -2698,9 +2698,11 @@ class VectorProgram:
         fields: list[str] = []
         for pairs in arm_assigns + [else_assigns]:
             for f_, _ in pairs:
-                if f_ not in ("__abort__", "__return__") and \
-                        f_ not in fields:
-                    fields.append(f_)
+                if f_ in ("__abort__", "__return__"):
+                    continue
+                name = f_[0] if isinstance(f_, tuple) else f_
+                if name not in fields:
+                    fields.append(name)
         self._if_fields.append(fields)
 
         def run(ctx):
@@ -2783,12 +2785,24 @@ class VectorProgram:
                             # a statement whose own expression errored
                             # never assigns (interpreter order)
                             ok = pc.and_(ok, pc.is_null(ae))
-                        acc = out.get(field)
-                        if acc is None:
-                            acc = ctx.col(field)
-                        out[field] = _as_array(
-                            _blend(ok, av, acc, ctx.n), ctx.n)
-                        ctx.written[field] = out[field]
+                        if isinstance(field, tuple):
+                            # nested (.a.b) branch target: gate at
+                            # the leaf — untaken/errored rows keep
+                            # their prior value AND shape
+                            top = field[0]
+                            if not isinstance(av, _Union):
+                                av = _as_array(av, ctx.n)
+                            new = _struct_set_gated(
+                                ctx, field, av, pc.invert(ok))
+                            out[top] = new
+                            ctx.written[top] = new
+                        else:
+                            acc = out.get(field)
+                            if acc is None:
+                                acc = ctx.col(field)
+                            out[field] = _as_array(
+                                _blend(ok, av, acc, ctx.n), ctx.n)
+                            ctx.written[field] = out[field]
                         if ae is not None:
                             region_err = _merge_errs(
                                 ctx.n, region_err, ae)
@@ -2822,9 +2836,11 @@ class VectorProgram:
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
             t = st[1][0]
-            if t[0] != "path" or t[1] != "event" or len(t[2]) != 1:
+            if t[0] != "path" or t[1] != "event" or not t[2] or \
+                    not all(isinstance(sg, str) for sg in t[2]):
                 raise NotVectorizable("if branch target")
-            out.append((t[2][0], _compile_expr(st[3])))
+            out.append((t[2][0] if len(t[2]) == 1 else tuple(t[2]),
+                        _compile_expr(st[3])))
         return out
 
     def run(self, batch: pa.Table) -> pa.Table:
