@@ -188,6 +188,17 @@ def anyexpr(d=0):
                  R.choice(['', '!']),
                  R.choice(['.a', '.b', '.s', '.obj', '.arr', '.ts',
                            '.missing'])),
+             lambda dd: "length(%s)" % R.choice(
+                 ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
+             lambda dd: "push(%s, %s)" % (
+                 R.choice(['.arr', '.a', '.missing', '[1, 2]']),
+                 R.choice(['9', 'null', '.a', '-1'])),
+             lambda dd: "append(%s, %s)" % (
+                 R.choice(['.arr', '.a', '[1]', '.missing']),
+                 R.choice(['.arr', '[7, 8]', '[]', '.s'])),
+             lambda dd: "includes(%s, %s)" % (
+                 R.choice(['.arr', '.a', '.missing', '[1, 2, 3]']),
+                 R.choice(['2', '2.0', '"x"', 'null', '.a'])),
              lambda dd: "encode_json(%s)" % R.choice(
                  ['.obj', '.arr', '.a', '.b', '.s', '.ts',
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',

@@ -1263,3 +1263,55 @@ class TestNestedBranchTargets:
                        for k, v in row.items()}
                 _, ev, _ = p.resolve(ev0)
                 assert out[i]["obj"] == ev["obj"], (src, i)
+
+
+class TestArrayKernels:
+    """r4: length/push/append/includes lower to the column plan
+    (numpy offset interleave for per-row list concat)."""
+
+    @staticmethod
+    def _batch():
+        import pyarrow as pa
+
+        return pa.table({
+            "arr": pa.array([[1, 2], [], None, [5]],
+                            pa.list_(pa.int64())),
+            "arr2": pa.array([[7], [8, 9], [10], None],
+                             pa.list_(pa.int64())),
+            "s": pa.array(["héllo", None, "x", ""]),
+            "a": pa.array([5, 2, None, 1], pa.int64()),
+        })
+
+    def _check(self, src):
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = self._batch()
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            assert out[i]["o"] == ev["o"], (src, i, ev["o"], out[i]["o"])
+            assert (out[i]["e"] or None) == (ev.get("e") or None), \
+                (src, i, ev.get("e"), out[i]["e"])
+
+    def test_length(self):
+        for src in ('.o, .e = length(.arr)', '.o, .e = length(.s)',
+                    '.o, .e = length(.a)', '.o, .e = length(.miss)'):
+            self._check(src)
+
+    def test_push_append(self):
+        for src in ('.o, .e = push(.arr, 9)', '.o, .e = push(.arr, .a)',
+                    '.o, .e = push(.a, 9)', '.o, .e = push(.arr, null)',
+                    '.o, .e = append(.arr, .arr2)',
+                    '.o, .e = append(.arr, [7, 8])',
+                    '.o, .e = append(.a, .arr)'):
+            self._check(src)
+
+    def test_includes(self):
+        for src in ('.o, .e = includes(.arr, 2)',
+                    '.o, .e = includes(.arr, .a)',
+                    '.o, .e = includes(.arr, 2.0)',
+                    '.o, .e = includes(.arr, "x")',
+                    '.o, .e = includes(.a, 2)'):
+            self._check(src)

@@ -854,8 +854,8 @@ class _Infer:
             out = Kind(arr=coll)
             fallible = bool(k0.bits) or k0.obj is not None or k0.arr is None
         new_args = [(args[0][0], na0), (args[1][0], na1)]
-        return ("call", name, bang, new_args, None), out, \
-            (f0 or f1 or fallible) and not bang
+        return ("call", name, bang, new_args, None) + tuple(n[5:]), \
+            out, (f0 or f1 or fallible) and not bang
 
 
 # reference coercion typedefs (to_int.rs:160-169, to_float.rs,

@@ -1033,6 +1033,230 @@ _KERNELS_NODES: dict[str, Callable] = {
     "replace": _k_replace,
 }
 
+def _k_length(ctx, a, span=None):
+    """length.rs: array → element count, object → key count, string →
+    BYTE length; anything else (incl. null) errors per row with
+    'expected object, array or string, got {kind}' (default 0)."""
+    v, e = a[0]
+    va = _as_array(v, ctx.n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    t = va.type
+    prefix = _call_frame("length", span)
+
+    def _null_errs(out):
+        nulls = pc.is_null(va)
+        if not pc.any(nulls).as_py():
+            return out, e
+        errs = _err_where(
+            nulls, prefix + "expected object, array or string, "
+            "got null", ctx.n)
+        return out, _merge_errs(ctx.n, e, errs)
+
+    if _is_str_type(t):
+        return _null_errs(pc.cast(pc.binary_length(va), pa.int64()))
+    if _is_list_type(t):
+        return _null_errs(pc.cast(pc.list_value_length(va),
+                                  pa.int64()))
+    if pa.types.is_struct(t):
+        return _null_errs(pa.array([t.num_fields] * ctx.n, pa.int64()))
+    kind = "null" if pa.types.is_null(t) else _vrl_kind_name(t)
+    if pa.types.is_null(t) or not va.null_count:
+        errs = _err_where(pa.array([True] * ctx.n),
+                          prefix + "expected object, array or string, "
+                          f"got {kind}", ctx.n)
+    else:
+        nn = pc.is_null(va).to_numpy(zero_copy_only=False)
+        errs = pa.array(
+            [prefix + "expected object, array or string, got "
+             + ("null" if b else kind) for b in nn], pa.string())
+    return pa.array(np.zeros(ctx.n, np.int64)), \
+        _merge_errs(ctx.n, e, errs)
+
+
+def _list_concat_rows(la, lb, n: int):
+    """Per-row list concatenation of two equal-length list columns
+    with the SAME value type: combined = values_a ++ values_b, take
+    indices interleave each row's a-run then b-run."""
+    off_a = np.asarray(la.offsets, np.int64)
+    off_b = np.asarray(lb.offsets, np.int64)
+    len_a = np.diff(off_a)
+    len_b = np.diff(off_b)
+    va, vb = la.values, lb.values
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(len_a + len_b, out=new_off[1:])
+    total = int(new_off[-1])
+    out_idx = np.empty(total, np.int64)
+    # a-values: each row's run starts at new_off[row]
+    row_of_a = np.repeat(np.arange(n), len_a)
+    pos_a = np.arange(len(row_of_a))
+    out_idx[(new_off[row_of_a] + (pos_a - off_a[row_of_a]))] = \
+        off_a[row_of_a] + (pos_a - off_a[row_of_a])
+    # b-values follow row's a-run; indices offset by len(values_a)
+    row_of_b = np.repeat(np.arange(n), len_b)
+    pos_b = np.arange(len(row_of_b))
+    out_idx[(new_off[row_of_b] + len_a[row_of_b]
+             + (pos_b - off_b[row_of_b]))] = \
+        len(va) + off_b[row_of_b] + (pos_b - off_b[row_of_b])
+    combined = pa.concat_arrays([va.combine_chunks()
+                                 if isinstance(va, pa.ChunkedArray)
+                                 else va,
+                                 vb.combine_chunks()
+                                 if isinstance(vb, pa.ChunkedArray)
+                                 else vb])
+    if total >= 2**31:
+        raise _RowFallback("list concat overflow")
+    taken = combined.take(pa.array(out_idx))
+    return pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                    taken)
+
+
+def _as_plain_list(arr, n: int, what: str):
+    """Normalize a list column for the concat kernels (offsets stay
+    absolute into .values, so slices need no rebaseline)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    return arr
+
+
+def _k_push(ctx, a, span=None):
+    """push.rs: copy of the array with the item appended. Non-array
+    input errors per row; a mixed-type item (int item into a string
+    list) defers to the row path."""
+    v, e = a[0]
+    item = a[1][0] if len(a) > 1 else pa.scalar(None)
+    va = _as_array(v, ctx.n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    msg = _call_frame("push", span) + "expected array"
+    if not _is_list_type(va.type):
+        errs = _err_where(pa.array([True] * ctx.n), msg, ctx.n)
+        return pa.array([[]] * ctx.n, pa.list_(pa.null())), \
+            _merge_errs(ctx.n, e, errs)
+    va = _as_plain_list(va, ctx.n, "push")
+    item_arr = _as_array(item, ctx.n)
+    if isinstance(item_arr, _Union):
+        raise _RowFallback("push union item")
+    vt, it = va.type.value_type, item_arr.type
+    if pa.types.is_null(it) and not pa.types.is_null(vt):
+        item_arr = _nulls(ctx.n, vt)
+    elif pa.types.is_null(vt) and not pa.types.is_null(it):
+        va = va.cast(pa.list_(it))
+        vt = it
+    elif vt != it:
+        raise _RowFallback("push mixed item type")
+    single = pa.ListArray.from_arrays(
+        pa.array(np.arange(ctx.n + 1, dtype=np.int32)), item_arr)
+    out = _list_concat_rows(va, single, ctx.n)
+    errs = None
+    if va.null_count:
+        errs = _err_where(pc.is_null(va), msg, ctx.n)
+    return out, _merge_errs(ctx.n, e, errs)
+
+
+def _k_append(ctx, a, span=None):
+    """append.rs: per-row concatenation of two arrays."""
+    v, e = a[0]
+    w, e2 = a[1]
+    va, wa = _as_array(v, ctx.n), _as_array(w, ctx.n)
+    if isinstance(va, _Union) or isinstance(wa, _Union):
+        raise _RowFallback("append union operand")
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    if isinstance(wa, pa.ChunkedArray):
+        wa = wa.combine_chunks()
+    msg = _call_frame("append", span) + "expected arrays"
+    if not _is_list_type(va.type) or not _is_list_type(wa.type):
+        errs = _err_where(pa.array([True] * ctx.n), msg, ctx.n)
+        return pa.array([[]] * ctx.n, pa.list_(pa.null())), \
+            _merge_errs(ctx.n, e, e2, errs)
+    va = _as_plain_list(va, ctx.n, "append")
+    wa = _as_plain_list(wa, ctx.n, "append")
+    vt, wt = va.type.value_type, wa.type.value_type
+    if pa.types.is_null(vt) and not pa.types.is_null(wt):
+        va = va.cast(pa.list_(wt))
+    elif pa.types.is_null(wt) and not pa.types.is_null(vt):
+        wa = wa.cast(pa.list_(vt))
+    elif vt != wt:
+        raise _RowFallback("append mixed value types")
+    out = _list_concat_rows(va, wa, ctx.n)
+    errs = None
+    bad = pc.or_(pc.is_null(va), pc.is_null(wa))
+    if pc.any(bad).as_py():
+        errs = _err_where(bad, msg, ctx.n)
+    return out, _merge_errs(ctx.n, e, e2, errs)
+
+
+def _k_includes(ctx, a, span=None):
+    """includes.rs: array membership with VRL equality (lossy across
+    int/float, kind-strict otherwise)."""
+    v, e = a[0]
+    needle = a[1][0] if len(a) > 1 else pa.scalar(None)
+    ne = a[1][1] if len(a) > 1 else None
+    va = _as_array(v, ctx.n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    prefix = _call_frame("includes", span)
+    if not _is_list_type(va.type):
+        errs = _err_where(pa.array([True] * ctx.n),
+                          prefix + "expected array", ctx.n)
+        return _nulls(ctx.n, pa.null()), _merge_errs(ctx.n, e, ne, errs)
+    va = _as_plain_list(va, ctx.n, "includes")
+    if isinstance(needle, _Union):
+        raise _RowFallback("includes union needle")
+    flat = va.values
+    off = np.asarray(va.offsets, np.int64)
+    lens = np.diff(off)
+    needle_arr = _as_array(needle, ctx.n)
+    ft, nt = flat.type, needle_arr.type
+
+    def _kindclass(t):
+        if pa.types.is_boolean(t):
+            return "bool"
+        if _is_num_type(t):
+            return "num"
+        if _is_str_type(t):
+            return "str"
+        if pa.types.is_timestamp(t):
+            return "ts"
+        return "other"
+
+    if pa.types.is_null(ft) or pa.types.is_null(nt) or \
+            _kindclass(ft) != _kindclass(nt) or \
+            _kindclass(ft) == "other":
+        # null needle matches null elements; cross-kind never matches
+        if pa.types.is_null(nt) and not pa.types.is_null(ft):
+            eq_flat = pc.is_null(flat)
+        elif pa.types.is_null(ft) and pa.types.is_null(nt):
+            eq_flat = pa.array([True] * len(flat))
+        elif _kindclass(ft) == "other" or _kindclass(nt) == "other":
+            raise _RowFallback("includes non-scalar elements")
+        else:
+            eq_flat = pa.array(np.zeros(len(flat), bool))
+    else:
+        # row-aligned needle: repeat per element run
+        needle_flat = needle_arr.take(
+            pa.array(np.repeat(np.arange(ctx.n), lens)))
+        both_null = pc.and_(pc.is_null(flat), pc.is_null(needle_flat))
+        eq_flat = pc.or_(
+            pc.fill_null(pc.equal(flat, needle_flat), False),
+            both_null)
+    eq_np = pc.fill_null(eq_flat, False).to_numpy(zero_copy_only=False)
+    hit = np.zeros(ctx.n, bool)
+    nz = lens > 0
+    if nz.any():
+        csum = np.concatenate(([0], np.cumsum(eq_np.astype(np.int64))))
+        hit[nz] = (csum[off[1:][nz]] - csum[off[:-1][nz]]) > 0
+    out = pa.array(hit)
+    errs = None
+    if va.null_count:
+        errs = _err_where(pc.is_null(va), prefix + "expected array",
+                          ctx.n)
+    return out, _merge_errs(ctx.n, e, ne, errs)
+
+
 def _type_assert_kernel(fname: str, kind: str, pred) -> Callable:
     """string()/int()/float()/bool()/array()/object()/timestamp():
     identity when the column's type matches, positioned per-row
@@ -1076,6 +1300,10 @@ def _is_list_type(t: pa.DataType) -> bool:
 #: kernels that build positioned per-row error text and therefore
 #: need the call-expression span
 _KERNELS_SPAN: dict[str, Callable] = {
+    "length": _k_length,
+    "push": _k_push,
+    "append": _k_append,
+    "includes": _k_includes,
     "string": _type_assert_kernel("string", "string", _is_str_type),
     "int": _type_assert_kernel("int", "integer", pa.types.is_integer),
     "float": _type_assert_kernel("float", "float", pa.types.is_floating),
