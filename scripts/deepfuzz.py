@@ -188,6 +188,9 @@ def anyexpr(d=0):
                  R.choice(['', '!']),
                  R.choice(['.a', '.b', '.s', '.obj', '.arr', '.ts',
                            '.missing'])),
+             lambda dd: "parse_json%s(%s)" % (
+                 R.choice(['', '!']),
+                 R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
              lambda dd: "push(%s, %s)" % (
@@ -313,6 +316,8 @@ def make_batch():
         "a": pa.array([3, None, -7, 0, 12], pa.int64()),
         "b": pa.array([2.5, -1.0, None, 0.0, 9.75], pa.float64()),
         "s": pa.array(["Foo Bar", "", None, "  x ", "42"]),
+        "jsons": pa.array(['{"k": 1}', '[1, "a"]', '{bad', None,
+                           '{"k": "x", "w": 2.5}']),
         "t": pa.array(["true", None, "a,b", "-3", "ümlaut Z"]),
         "ts": pa.array([1700000000123456, 0, None, -86399876544,
                         1234567890999999],

@@ -422,7 +422,7 @@ class TestVectorize:
 
         from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
-        for src in (".x = parse_json(.t)",
+        for src in (".x = parse_url(.t)",
                     "del(%meta.x)",      # metadata paths stay per-row
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
@@ -1315,3 +1315,40 @@ class TestArrayKernels:
                     '.o, .e = includes(.arr, "x")',
                     '.o, .e = includes(.a, 2)'):
             self._check(src)
+
+
+class TestParseJsonKernel:
+    """r4: parse_json lowers to the column plan — per-row json.loads
+    bounded to the statement, per-SHAPE union lanes so each row's
+    true object shape survives into encode_json."""
+
+    def test_mixed_shapes_and_errors(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(
+            ['{"k": 1, "n": {"d": 2}}', '{"k": 5}', '{nope', None,
+             '[1, "a"]', '"plain"', '7', '{"k": 1.5, "extra": true}'])})
+        src = ('.o, .e = parse_json(.s)\n.r = .o.k\n'
+               '.j = encode_json(.o)')
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for k in ("o", "e", "r", "j"):
+                assert (out[i].get(k) or None) == (ev.get(k) or None), \
+                    (i, k, ev.get(k), out[i].get(k))
+        # shape-true rendering: no null-filled siblings
+        assert out[1]["j"] == '{"k":5}'
+
+    def test_max_depth(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({"s": pa.array(['{"k": {"d": 2}}'])})
+        out = VectorProgram(
+            '.o, .e = parse_json(.s, max_depth: 1)').run(b).to_pylist()
+        assert out[0]["o"] == {"k": '{"d":2}'}

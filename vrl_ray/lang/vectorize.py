@@ -151,6 +151,19 @@ def _null_rows(arr, bad, n: int):
             children, names=[t.field(i).name
                              for i in range(t.num_fields)],
             mask=mask)
+    if _is_list_type(t):
+        # lists carry validity; a null at offsets[i] marks list i
+        # null (works for any value type incl. unions)
+        bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
+        already = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        off_np = np.asarray(arr.offsets, np.int64)
+        cls = pa.LargeListArray if pa.types.is_large_list(t) \
+            else pa.ListArray
+        ot = pa.int64() if pa.types.is_large_list(t) else pa.int32()
+        new_off = pa.array(
+            [None if (i < n and (bad_np[i] or already[i]))
+             else int(off_np[i]) for i in range(n + 1)], ot)
+        return cls.from_arrays(new_off, arr.values)
     if pa.types.is_union(t):
         # a union has no top-level validity: null each child's owned
         # positions instead (the row reads back as a null value)
@@ -1257,6 +1270,80 @@ def _k_includes(ctx, a, span=None):
     return out, _merge_errs(ctx.n, e, ne, errs)
 
 
+def _k_parse_json(ctx, a, span=None):
+    """parse_json.rs: per-row json.loads (C-speed, bounded to THIS
+    statement — the rest of the program stays columnar), exact row
+    error texts, results grouped into per-SHAPE lanes (one struct
+    lane per distinct key set, one lane per scalar kind) so each
+    row's true object shape survives — encode_json downstream
+    renders {"a":1}, not null-filled siblings."""
+    from ..functions.parse import parse_json as _pj
+    from ..value import VrlError
+    from .remap import _py_array
+
+    v, e = a[0]
+    kwargs = {}
+    if len(a) > 1:
+        md = a[1][0]
+        if not isinstance(md, pa.Scalar):
+            raise _RowFallback("parse_json non-constant max_depth")
+        kwargs["max_depth"] = md.as_py()
+    va = _as_array(v, ctx.n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    if isinstance(va, _Union):
+        raise _RowFallback("parse_json union input")
+    prefix = _call_frame("parse_json", span)
+    vals = va.to_pylist()
+    outs: list = [None] * ctx.n
+    errs: list = [None] * ctx.n
+    for i, s in enumerate(vals):
+        try:
+            outs[i] = _pj(s, **kwargs)
+        except VrlError as ex:
+            errs[i] = prefix + ex.message
+        except Exception as ex:           # defensive: never raise
+            errs[i] = prefix + f"unable to parse json: {ex}"
+
+    def sig(x):
+        if isinstance(x, dict):
+            return ("obj", tuple(sorted(x)))
+        if isinstance(x, list):
+            return ("arr",)
+        if isinstance(x, bool):
+            return ("bool",)
+        if isinstance(x, int):
+            return ("int",)
+        if isinstance(x, float):
+            return ("float",)
+        if isinstance(x, str):
+            return ("str",)
+        return ("null",)
+
+    sigs = [sig(x) if errs[i] is None else ("null",)
+            for i, x in enumerate(outs)]
+    shapes = []
+    index = {}
+    for s_ in sigs:
+        if s_ not in index:
+            index[s_] = len(shapes)
+            shapes.append(s_)
+    if len(shapes) > 8:
+        raise _RowFallback("parse_json shape explosion")
+    err_col = pa.array(errs, pa.string()) if any(
+        x is not None for x in errs) else None
+    if len(shapes) == 1:
+        out = _py_array(outs)
+        return out, _merge_errs(ctx.n, e, err_col)
+    tag = np.array([index[s_] for s_ in sigs], np.int8)
+    lanes = []
+    for code, s_ in enumerate(shapes):
+        lane_vals = [x if tag[i] == code else None
+                     for i, x in enumerate(outs)]
+        lanes.append(_py_array(lane_vals))
+    return _Union(tag, lanes, ctx.n), _merge_errs(ctx.n, e, err_col)
+
+
 def _type_assert_kernel(fname: str, kind: str, pred) -> Callable:
     """string()/int()/float()/bool()/array()/object()/timestamp():
     identity when the column's type matches, positioned per-row
@@ -1301,6 +1388,7 @@ def _is_list_type(t: pa.DataType) -> bool:
 #: need the call-expression span
 _KERNELS_SPAN: dict[str, Callable] = {
     "length": _k_length,
+    "parse_json": _k_parse_json,
     "push": _k_push,
     "append": _k_append,
     "includes": _k_includes,
