@@ -191,6 +191,15 @@ def anyexpr(d=0):
              lambda dd: "parse_json%s(%s)" % (
                  R.choice(['', '!']),
                  R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
+             lambda dd: "%s(%s)" % (
+                 # generic row-loop tier: registry fns without a
+                 # dedicated Arrow kernel
+                 R.choice(['parse_key_value', 'parse_logfmt',
+                           'parse_csv', 'camelcase', 'snakecase',
+                           'parse_url', 'shannon_entropy',
+                           'to_syslog_level', 'parse_int',
+                           'squeeze_whitespace']),
+                 R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
              lambda dd: "push(%s, %s)" % (

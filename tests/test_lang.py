@@ -422,7 +422,7 @@ class TestVectorize:
 
         from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
-        for src in (".x = parse_url(.t)",
+        for src in (".x = now()",        # nondeterministic: row path
                     "del(%meta.x)",      # metadata paths stay per-row
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
@@ -1352,3 +1352,58 @@ class TestParseJsonKernel:
         out = VectorProgram(
             '.o, .e = parse_json(.s, max_depth: 1)').run(b).to_pylist()
         assert out[0]["o"] == {"k": '{"d":2}'}
+
+
+class TestRowLoopTier:
+    """r4: registry functions without a dedicated Arrow kernel run
+    per row BOUNDED TO THEIR STATEMENT (generic row-loop tier) —
+    the rest of the program stays columnar; nondeterministic and
+    environment functions stay excluded."""
+
+    def test_assorted_functions_match_interpreter(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({
+            "s": pa.array(["host=a dur=1.5 ok=true", "x", None]),
+            "url": pa.array(["https://ex.com:8080/p?a=1&b=2",
+                             "notaurl", "http://x.y/"]),
+            "n": pa.array([3, None, -7], pa.int64()),
+        })
+        progs = ('.o, .e = parse_key_value(.s)',
+                 '.o, .e = parse_url(.url)\n.j = encode_json(.o)',
+                 '.o, .e = format_number(.n, 2)',
+                 '.o, .e = parse_logfmt(.s)\n.h = .o.host')
+        for src in progs:
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("o", "e", "j", "h"):
+                    assert (out[i].get(k) or None) == \
+                        (ev.get(k) or None), (src, i, k)
+
+    def test_nested_shape_lanes_split_query_objects(self):
+        """parse_url's nested query object must keep each row's OWN
+        key set (no null-filled params from sibling rows)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({"u": pa.array(["http://x.y/?a=1", "http://x.y/"])})
+        out = VectorProgram('.o = parse_url!(.u)\n.j = encode_json(.o)') \
+            .run(b).to_pylist()
+        assert '"query":{"a":"1"}' in out[0]["j"]
+        assert '"query":{}' in out[1]["j"]
+
+    def test_excluded_functions_stay_row_path(self):
+        import pytest as _pytest
+
+        from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
+
+        for src in (".x = now()", ".x = uuid_v4()",
+                    ".x = random_int(0, 5)"):
+            with _pytest.raises(NotVectorizable):
+                VectorProgram(src)

@@ -1270,6 +1270,125 @@ def _k_includes(ctx, a, span=None):
     return out, _merge_errs(ctx.n, e, ne, errs)
 
 
+def _shape_lanes(ctx, outs: list, errs: list):
+    """Materialize per-row Python results as a column: one lane per
+    distinct SHAPE (key set for objects, kind otherwise) so each
+    row's true object shape survives into encode_json / the row
+    path. Returns (array-or-_Union, err_col|None)."""
+    from .remap import _py_array
+
+    def sig(x):
+        # recursive over CONTAINER structure: nested dicts null-fill
+        # inside one struct lane, so differing nested key sets must
+        # split lanes; a list mixing container shapes within one row
+        # has no faithful Arrow layout at all
+        if isinstance(x, dict):
+            return ("obj",) + tuple(
+                (k, sig(v) if isinstance(v, (dict, list)) else None)
+                for k, v in sorted(x.items()))
+        if isinstance(x, list):
+            subs = {sig(v) for v in x if isinstance(v, (dict, list))}
+            if len(subs) > 1:
+                raise _RowFallback("mixed container shapes in list")
+            return ("arr", next(iter(subs)) if subs else None)
+        if isinstance(x, bool):
+            return ("bool",)
+        if isinstance(x, int):
+            return ("int",)
+        if isinstance(x, float):
+            return ("float",)
+        if isinstance(x, str):
+            return ("str",)
+        if x is None:
+            return ("null",)
+        return (type(x).__name__,)      # bytes, datetime, regex, …
+
+    sigs = [sig(x) if errs[i] is None else ("null",)
+            for i, x in enumerate(outs)]
+    shapes: list = []
+    index: dict = {}
+    for s_ in sigs:
+        if s_ not in index:
+            index[s_] = len(shapes)
+            shapes.append(s_)
+    if len(shapes) > 8:
+        raise _RowFallback("shape explosion")
+    err_col = pa.array(errs, pa.string()) if any(
+        x is not None for x in errs) else None
+    if len(shapes) == 1:
+        return _py_array(outs), err_col
+    tag = np.array([index[s_] for s_ in sigs], np.int8)
+    lanes = []
+    for code, s_ in enumerate(shapes):
+        lane_vals = [x if tag[i] == code else None
+                     for i, x in enumerate(outs)]
+        lanes.append(_py_array(lane_vals))
+    return _Union(tag, lanes, ctx.n), err_col
+
+
+#: registry functions the generic row-loop tier must NOT claim:
+#: nondeterministic between lanes (time/random/uuid), environment-
+#: dependent (host/env/network), or side-effectful (log prints)
+_ROW_LOOP_EXCLUDE = frozenset({
+    "now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
+    "random_float", "random_int", "get_hostname", "get_env_var",
+    "get_timezone_name", "log", "dns_lookup", "reverse_dns",
+    "http_request",
+})
+
+
+def _row_loop_kernel(name: str) -> Callable:
+    """Generic tier for registry functions without a dedicated Arrow
+    kernel: evaluate the ROW function per row (exact row semantics,
+    incl. the interpreter's TypeError→argument-kind error mapping),
+    bounded to THIS statement — the rest of the program stays
+    columnar instead of the whole batch re-running per row. Results
+    materialize through :func:`_shape_lanes`."""
+    from ..functions import REGISTRY
+    from ..value import VrlError
+    from .interpreter import _arg_kind_error
+
+    fn = REGISTRY[name]
+
+    def k(ctx, a, span=None):
+        prefix = _call_frame(name, span)
+        cols = []
+        for (v, _e) in a:
+            if isinstance(v, _Union):
+                v = v.to_arrow()
+            if isinstance(v, pa.Scalar):
+                cols.append(v.as_py())      # constant: shared
+                continue
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            cols.append(v.to_pylist())
+        skip = np.zeros(ctx.n, bool)
+        for (_v, e_) in a:
+            if e_ is not None:
+                skip |= pc.is_valid(e_).to_numpy(zero_copy_only=False)
+        outs: list = [None] * ctx.n
+        errs: list = [None] * ctx.n
+        for i in range(ctx.n):
+            if skip[i]:
+                continue            # arg error already recorded
+            args_i = [c[i] if isinstance(c, list) else c for c in cols]
+            try:
+                outs[i] = fn(*args_i)
+            except VrlError as ex:
+                errs[i] = prefix + ex.message
+            except TypeError as ex:
+                msg = _arg_kind_error(name, args_i, {})
+                if msg is None:
+                    # interpreter raises an UNCATCHABLE
+                    # VrlRuntimeError here — row path owns that
+                    raise _RowFallback(f"{name} bad argument shape")
+                errs[i] = prefix + msg
+        out, err_col = _shape_lanes(ctx, outs, errs)
+        return out, _merge_errs(ctx.n,
+                                *[e_ for _v, e_ in a], err_col)
+    return k
+
+
 def _k_parse_json(ctx, a, span=None):
     """parse_json.rs: per-row json.loads (C-speed, bounded to THIS
     statement — the rest of the program stays columnar), exact row
@@ -1305,43 +1424,8 @@ def _k_parse_json(ctx, a, span=None):
         except Exception as ex:           # defensive: never raise
             errs[i] = prefix + f"unable to parse json: {ex}"
 
-    def sig(x):
-        if isinstance(x, dict):
-            return ("obj", tuple(sorted(x)))
-        if isinstance(x, list):
-            return ("arr",)
-        if isinstance(x, bool):
-            return ("bool",)
-        if isinstance(x, int):
-            return ("int",)
-        if isinstance(x, float):
-            return ("float",)
-        if isinstance(x, str):
-            return ("str",)
-        return ("null",)
-
-    sigs = [sig(x) if errs[i] is None else ("null",)
-            for i, x in enumerate(outs)]
-    shapes = []
-    index = {}
-    for s_ in sigs:
-        if s_ not in index:
-            index[s_] = len(shapes)
-            shapes.append(s_)
-    if len(shapes) > 8:
-        raise _RowFallback("parse_json shape explosion")
-    err_col = pa.array(errs, pa.string()) if any(
-        x is not None for x in errs) else None
-    if len(shapes) == 1:
-        out = _py_array(outs)
-        return out, _merge_errs(ctx.n, e, err_col)
-    tag = np.array([index[s_] for s_ in sigs], np.int8)
-    lanes = []
-    for code, s_ in enumerate(shapes):
-        lane_vals = [x if tag[i] == code else None
-                     for i, x in enumerate(outs)]
-        lanes.append(_py_array(lane_vals))
-    return _Union(tag, lanes, ctx.n), _merge_errs(ctx.n, e, err_col)
+    out, err_col = _shape_lanes(ctx, outs, errs)
+    return out, _merge_errs(ctx.n, e, err_col)
 
 
 def _type_assert_kernel(fname: str, kind: str, pred) -> Callable:
@@ -1449,6 +1533,15 @@ def _wrap_null_rule(name: str, kfn: Callable, expected: str, default):
         v, e = a[0]
         if isinstance(v, pa.Scalar):
             return kfn(ctx, a, *rest)
+        if pa.types.is_null(_typ(v)):
+            # a wholly null-typed input (missing field / all-error
+            # default): every row errors — don't hand the Arrow
+            # kernel a type it has no signature for
+            msg = _call_frame(name, span) + expected
+            errs = _err_where(pa.array([True] * ctx.n), msg, ctx.n)
+            out = pa.repeat(pa.scalar(default), ctx.n) \
+                if default is not None else _nulls(ctx.n)
+            return out, _merge_errs(ctx.n, e, errs)
         bad = pc.is_null(v)
         if not pc.any(bad).as_py():
             return kfn(ctx, a, *rest)
@@ -2145,9 +2238,14 @@ def _compile_expr(node) -> Callable:
             raise NotVectorizable(f"closure call {name}")
         if name in ("del", "exists"):
             return _compile_del_exists(name, args)
+        row_loop = False
         if name not in _KERNELS and name not in _KERNELS_NODES \
                 and name not in _KERNELS_SPAN:
-            raise NotVectorizable(f"call {name}")
+            from ..functions import REGISTRY
+            if name in REGISTRY and name not in _ROW_LOOP_EXCLUDE:
+                row_loop = True     # generic statement-bounded tier
+            else:
+                raise NotVectorizable(f"call {name}")
         args = _canonicalize_named_args(name, args)
         argfs = []
         argnodes = []
@@ -2174,7 +2272,12 @@ def _compile_expr(node) -> Callable:
                 out.append((v, _frame_arg_errs(e, frame, ctx.n)))
             return out
 
-        if name in _KERNELS_NODES:
+        if row_loop:
+            fnr = _row_loop_kernel(name)
+
+            def basef(ctx):
+                return fnr(ctx, eval_args(ctx), span)
+        elif name in _KERNELS_NODES:
             fn = _KERNELS_NODES[name]
 
             def basef(ctx):
