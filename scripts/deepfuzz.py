@@ -152,9 +152,13 @@ def boolex(d=0):
 
 
 def tsx(d=0):
-    c = R.choice(['col', 'parse'] if d < 2 else ['col'])
+    c = R.choice(['col', 'parse', 'lit'] if d < 2 else ['col', 'lit'])
     if c == 'parse':
         return f'parse_timestamp({strx(d + 1)}, "%+")'
+    if c == 'lit':
+        return R.choice(["t'2021-01-01T00:00:00Z'",
+                         "t'1999-12-31T23:59:59.5Z'",
+                         "t'2024-02-29T12:00:00+02:00'"])
     return '.ts'
 
 
@@ -191,6 +195,9 @@ def anyexpr(d=0):
              lambda dd: "parse_json%s(%s)" % (
                  R.choice(['', '!']),
                  R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
+             lambda dd: "parse_regex_all(%s, r'%s')" % (
+                 R.choice(['.s', '.t', '.missing']),
+                 R.choice([r'(?P<d>\d+)', '(?P<w>[a-z]+)'])),
              lambda dd: "%s(%s)" % (
                  # generic row-loop tier: registry fns without a
                  # dedicated Arrow kernel

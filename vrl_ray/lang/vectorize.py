@@ -203,6 +203,22 @@ def _dense_union(tag: np.ndarray, lanes: list, n: int) -> pa.UnionArray:
         children)
 
 
+class _PyConst:
+    """A constant Python value (e.g. a compiled regex) flowing as a
+    call argument into the generic row-loop tier — the one consumer
+    that can hold non-Arrow values. Any other site treats it as
+    unusable and degrades via the poison ``type`` probe."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    @property
+    def type(self):
+        raise _RowFallback("python-constant argument")
+
+
 def _to_union(v, n: int) -> _Union:
     if isinstance(v, _Union):
         return v
@@ -1352,16 +1368,21 @@ def _row_loop_kernel(name: str) -> Callable:
 
     def k(ctx, a, span=None):
         prefix = _call_frame(name, span)
-        cols = []
+        cols = []                  # (per_row?, payload)
         for (v, _e) in a:
+            if isinstance(v, _PyConst):
+                cols.append((False, v.value))   # compiled regex etc.
+                continue
             if isinstance(v, _Union):
                 v = v.to_arrow()
             if isinstance(v, pa.Scalar):
-                cols.append(v.as_py())      # constant: shared
+                # shared constant — a LIST constant must not be
+                # indexed per row
+                cols.append((False, v.as_py()))
                 continue
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
-            cols.append(v.to_pylist())
+            cols.append((True, v.to_pylist()))
         skip = np.zeros(ctx.n, bool)
         for (_v, e_) in a:
             if e_ is not None:
@@ -1371,7 +1392,7 @@ def _row_loop_kernel(name: str) -> Callable:
         for i in range(ctx.n):
             if skip[i]:
                 continue            # arg error already recorded
-            args_i = [c[i] if isinstance(c, list) else c for c in cols]
+            args_i = [p[i] if per else p for per, p in cols]
             try:
                 outs[i] = fn(*args_i)
             except VrlError as ex:
@@ -1999,6 +2020,24 @@ def _compile_expr(node) -> Callable:
             return pa.scalar(src), None
         return rx
 
+    if kind == "ts":
+        # timestamp literal (t'…') → one Arrow timestamp scalar,
+        # exactly the interpreter's parse (UTC-normalized)
+        from datetime import datetime, timezone
+        s = node[1].strip()
+        try:
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        except ValueError:
+            raise NotVectorizable("invalid timestamp literal")
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        dt = dt.astimezone(timezone.utc)
+        sc = pa.scalar(dt, pa.timestamp("us", tz="UTC"))
+
+        def tsl(ctx):
+            return sc, None
+        return tsl
+
     if kind in ("array", "object"):
         # constant containers fold to one Arrow scalar (list/struct),
         # broadcast at use sites — `.tags = ["a", "b"]` is a common
@@ -2252,7 +2291,21 @@ def _compile_expr(node) -> Callable:
         for aname, aexpr in args:
             if aname is not None:
                 raise NotVectorizable("named args")
-            argfs.append(_compile_expr(aexpr))
+            if row_loop and aexpr[0] == "regex":
+                # the row function expects a COMPILED pattern (the
+                # interpreter compiles regex literals); an invalid
+                # pattern is a per-row runtime error — row path
+                import regex as _regex_mod
+                try:
+                    pat = _regex_mod.compile(aexpr[1])
+                except _regex_mod.error:
+                    raise NotVectorizable("invalid regex literal")
+
+                def rxc(ctx, _p=pat):
+                    return _PyConst(_p), None
+                argfs.append(rxc)
+            else:
+                argfs.append(_compile_expr(aexpr))
             argnodes.append(aexpr)
         span = node[5] if len(node) > 5 else None
         frame = _call_frame(name, span)
