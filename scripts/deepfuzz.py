@@ -231,7 +231,7 @@ def anyexpr(d=0):
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
-                     'merge'])
+                     'merge', 'root'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -245,6 +245,14 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'root':
+        # whole-event replacement; error rows keep the ORIGINAL event
+        form = R.choice(['obj', 'json', 'json_bang'])
+        after = R.choice(['', f"\n.after{i} = {anyexpr(1)}"])
+        if form == 'obj':
+            return ('. = {"w%d": %s, "v": .a}%s' % (i, anyexpr(1), after))
+        bang = '!' if form == 'json_bang' else ''
+        return f". = parse_json{bang}(.jsons){after}"
     if kind == 'merge':
         tgt = R.choice(['.obj', '.missing', '.a', f'.o{i}', '.nest0'])
         rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
@@ -399,6 +407,9 @@ def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
             rab = False
             try:
                 _, ev2, ra = prog.resolve(ev)
+                # root replacement (`. = {...}`) REBINDS the event —
+                # compare against the returned dict, not the original
+                ev = ev2
                 rab = ra is not None
             except Exception as ex:
                 rerr = str(ex)

@@ -1407,3 +1407,52 @@ class TestRowLoopTier:
                     ".x = random_int(0, 5)"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
+
+
+class TestRootAssignment:
+    """r4: whole-event replacement (`. = parse_json!(.msg)` — the
+    canonical Vector remap program) lowers to the column plan; error
+    rows keep their ORIGINAL event (incl. across both lanes)."""
+
+    def test_clean_batch_drops_old_columns(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({"old": pa.array([5, 6], pa.int64())})
+        out = VectorProgram('. = {"fixed": true, "n": .old}\n'
+                            '.r = .n * 2').run(b)
+        assert "old" not in out.column_names
+        assert out.to_pylist() == [
+            {"fixed": True, "n": 5, "r": 10, "vrl_err": None},
+            {"fixed": True, "n": 6, "r": 12, "vrl_err": None}]
+
+    def test_error_rows_keep_original_event(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({
+            "m": pa.array(['{"k": 7}', 'BAD']),
+            "old": pa.array([5, 6], pa.int64()),
+        })
+        out = VectorProgram('. = parse_json!(.m)\n.x = .k + 1') \
+            .run(b).to_pylist()
+        assert out[0]["k"] == 7 and out[0]["x"] == 8
+        assert out[0]["m"] is None and out[0]["old"] is None
+        assert out[1]["m"] == "BAD" and out[1]["old"] == 6
+        assert out[1]["vrl_err"] is not None
+
+    def test_resolve_syncs_rebound_root_on_error(self):
+        """Partial mutations persist on error INCLUDING a root
+        rebind — callers holding the original dict must see it."""
+        from vrl_ray.lang.interpreter import Program
+
+        p = Program('. = {"a": 1}\n.b = to_int!("bad")')
+        ev = {"orig": 9}
+        try:
+            p.resolve(ev)
+            raise AssertionError("should raise")
+        except Exception:
+            pass
+        assert ev == {"a": 1}

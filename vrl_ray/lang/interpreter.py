@@ -128,6 +128,16 @@ class Program:
             return None, ctx.root[0], a
         except _Return as r:
             return r.value, ctx.root[0], None
+        except Exception:
+            # partial mutations persist on error (reference runtime:
+            # the target keeps every change up to the failure) — a
+            # root REPLACEMENT rebinds ctx.root, which callers holding
+            # the original dict would otherwise never see
+            if isinstance(event, dict) and ctx.root[0] is not event \
+                    and isinstance(ctx.root[0], dict):
+                event.clear()
+                event.update(ctx.root[0])
+            raise
         return result, ctx.root[0], None
 
 

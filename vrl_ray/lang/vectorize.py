@@ -1614,11 +1614,14 @@ class _Ctx:
         # live-row mask while the plan runs (None ⇒ all rows live);
         # del consults it — dead rows must keep their fields
         self.active_mask = None
+        # whole-event replacement (`. = {...}`) dropped every input
+        # column: reads must not fall through to the batch
+        self.root_cleared = False
 
     def col(self, name: str):
         if name in self.written:
             return self.written[name]
-        if name in self.batch.column_names:
+        if not self.root_cleared and name in self.batch.column_names:
             c = self.batch[name]
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return _nulls(self.n, pa.null())
@@ -1768,7 +1771,8 @@ def _compile_del_exists(name: str, args) -> Callable:
         def existsf(ctx):
             if segs[0] in ctx.written:
                 raise _RowFallback("exists on written field")
-            if segs[0] not in ctx.batch.column_names:
+            if ctx.root_cleared or \
+                    segs[0] not in ctx.batch.column_names:
                 return pa.array(np.zeros(ctx.n, bool)), None
             cur = ctx.col(segs[0])
             valid = None
@@ -1925,6 +1929,7 @@ def _compile_map_values(args, closure):
         sub.closure_vars = dict(ctx.closure_vars)
         sub.vars = {}          # outer vars are row-length, not element-length
         sub.active_mask = None
+        sub.root_cleared = False
         sub.closure_vars[pname] = flat
         bv, be = bodyf(sub)
         if be is not None and pc.any(pc.is_valid(be)).as_py():
@@ -1976,6 +1981,7 @@ def _compile_filter(args, closure):
         sub.closure_vars = dict(ctx.closure_vars)
         sub.vars = {}          # outer vars are row-length, not element-length
         sub.active_mask = None
+        sub.root_cleared = False
         sub.closure_vars[vname] = flat
         sub.closure_vars[iname] = pa.array(within, pa.int64())
         bv, be = bodyf(sub)
@@ -3013,7 +3019,7 @@ class VectorProgram:
                     fs = self._if_fields[if_i]
                     if_i += 1
                 elif field in ("__foreach__", "__abort__",
-                               "__return__", "__expr__"):
+                               "__return__", "__expr__", "__root__"):
                     continue     # no output column of their own
                 else:
                     fs = [f_ for f_ in
@@ -3041,6 +3047,11 @@ class VectorProgram:
                 raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
+            if len(targets) == 1 and targets[0] == ("path", "event",
+                                                   []):
+                # whole-event replacement (`. = parse_json!(.msg)` —
+                # the canonical Vector remap program)
+                return [("__root__", None, _compile_expr(expr))]
             fields = []
             for t in targets:
                 if t[0] == "var" and isinstance(t[1], str):
@@ -3137,6 +3148,7 @@ class VectorProgram:
             sub.written = {}
             sub.vars = {}
             sub.active_mask = None
+            sub.root_cleared = False
             sub.closure_vars = dict(ctx.closure_vars)
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
@@ -3400,6 +3412,77 @@ class VectorProgram:
                             pc.any(pc.is_valid(e)).as_py():
                         kill(e)
                     continue
+                if field == "__root__":
+                    # whole-event replacement: the expression's
+                    # object becomes the event. Error/dead rows keep
+                    # their ORIGINAL event (columns blend per row);
+                    # a clean batch drops the old columns entirely —
+                    # exactly what the row path's materialization
+                    # produces in each case.
+                    v, e = f(ctx)
+                    if isinstance(v, _Union):
+                        # error rows commonly surface as a null lane
+                        # beside ONE struct shape — those rows keep
+                        # their old event anyway
+                        slanes = [
+                            (c, l) for c, l in enumerate(v.lanes)
+                            if pa.types.is_struct(l.type)]
+                        if len(slanes) != 1 or not all(
+                                pa.types.is_null(l.type)
+                                for c, l in enumerate(v.lanes)
+                                if c != slanes[0][0]):
+                            raise _RowFallback(
+                                "root assign mixed shapes")
+                        code, lane = slanes[0]
+                        v = _null_rows(lane,
+                                       pa.array(v.tag != code), ctx.n)
+                    va = _as_array(v, ctx.n)
+                    if isinstance(va, pa.ChunkedArray):
+                        va = va.combine_chunks()
+                    if not pa.types.is_struct(va.type):
+                        raise _RowFallback("root assign non-object")
+                    has_err = e is not None and \
+                        pc.any(pc.is_valid(e)).as_py()
+                    news = {va.type.field(j).name: va.field(j)
+                            for j in range(va.type.num_fields)}
+                    if not has_err and active is None \
+                            and not va.null_count:
+                        ctx.written = {}
+                        ctx.vars = dict(ctx.vars)
+                        ctx.written.update(news)
+                        ctx.root_cleared = True
+                        continue
+                    if va.null_count:
+                        # a null object row with NO error has no
+                        # defined replacement semantics here
+                        uncovered = pc.is_null(va)
+                        if e is not None:
+                            uncovered = pc.and_(uncovered,
+                                                pc.is_null(e))
+                        if active is not None:
+                            uncovered = pc.and_(uncovered, active)
+                        if pc.any(uncovered).as_py():
+                            raise _RowFallback("root assign null rows")
+                    ok = pc.is_null(e) if e is not None \
+                        else pa.array([True] * ctx.n)
+                    if active is not None:
+                        ok = pc.and_(ok, active)
+                    olds = set(ctx.batch.column_names) \
+                        | set(ctx.written)
+                    for c in olds:
+                        if c in news:
+                            continue
+                        old = ctx.col(c)
+                        ctx.written[c] = _as_array(
+                            _blend(ok, _nulls(ctx.n, pa.null()),
+                                   old, ctx.n), ctx.n)
+                    for fname, child in news.items():
+                        old = ctx.col(fname)
+                        ctx.written[fname] = _as_array(
+                            _blend(ok, child, old, ctx.n), ctx.n)
+                    if has_err:
+                        kill(e)
+                    continue
                 if field == "__foreach__":
                     updates = f(ctx)
                     for vn, arr in updates.items():
@@ -3617,7 +3700,7 @@ class VectorProgram:
                 ctx.written[field] = _as_array(
                     _blend(ok, v, old, ctx.n), ctx.n)
                 kill(e)
-        out = batch
+        out = batch.select([]) if ctx.root_cleared else batch
         for name, arr in ctx.written.items():
             if isinstance(arr, _Union):
                 # per-row-typed result → sparse Arrow union column
