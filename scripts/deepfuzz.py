@@ -29,7 +29,8 @@ STR_LITS = ['"x"', '"Foo Bar"', '""', '" ab "', '"12"', '"-3.5"',
 
 
 def num(d=0):
-    opts = ['.a', '.b', '.obj.x', 'ilit', 'flit']
+    opts = ['.a', '.b', '.obj.x', '.arr[0]', '.arr[-1]',
+            'ilit', 'flit']
     if d < 2:
         opts += ['binop', 'binop', 'call', 'iff', 'coalesce',
                  'to_int', 'to_float', 'strlen']
@@ -66,7 +67,7 @@ def num(d=0):
 
 
 def strx(d=0):
-    opts = ['.s', '.t', '.obj.y', 'lit']
+    opts = ['.s', '.t', '.obj.y', 'lit', '.arr[1]', '.arr[9]']
     if d < 2:
         opts += ['case', 'concat', 'to_string', 'trunc', 'slice',
                  'replace', 'strip', 'joinsplit', 'iff', 'coalesce']

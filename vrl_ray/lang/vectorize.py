@@ -1673,9 +1673,14 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
 
     rest = list(segs[1:])
     if isinstance(top, _Union):
-        # per-lane rebuild keeps each row's own prior shape
-        return _Union(top.tag, [build(lane, rest) for lane in top.lanes],
-                      ctx.n)
+        # recurse per lane through the FULL logic — a lane's null
+        # rows must still split into a fresh written-path-only shape
+        acc = None
+        for mask, lane in top.iter_lanes():
+            sub = _struct_set(ctx, segs, values, top=lane)
+            m = pa.array(mask)
+            acc = sub if acc is None else _blend(m, sub, acc, ctx.n)
+        return acc
     if isinstance(top, pa.ChunkedArray):
         top = top.combine_chunks()
     if pa.types.is_struct(top.type) and \
@@ -2152,7 +2157,8 @@ def _compile_expr(node) -> Callable:
 
     if kind == "path":
         if node[1] != "event" or not node[2] or \
-                not all(isinstance(s, str) for s in node[2]):
+                not isinstance(node[2][0], str) or \
+                not all(isinstance(s, (str, int)) for s in node[2]):
             raise NotVectorizable(f"path {node!r}")
         segs = node[2]
         if len(segs) == 1:
@@ -2162,28 +2168,48 @@ def _compile_expr(node) -> Callable:
                 return ctx.col(field), None
             return path
 
+        def seg_read(ctx, arr, s):
+            """One path segment over a column: struct field (str) or
+            list element (int, negative from the end; out-of-range →
+            null — query semantics)."""
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if isinstance(s, int):
+                if not _is_list_type(arr.type):
+                    return _nulls(ctx.n, pa.null())
+                values = arr.values
+                if pa.types.is_union(values.type):
+                    raise _RowFallback("index into union elements")
+                off = np.asarray(arr.offsets, np.int64)
+                lens = np.diff(off)
+                pos = off[:-1] + (s if s >= 0 else lens + s)
+                ok = (pos >= off[:-1]) & (pos < off[1:])
+                ok &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                if not ok.any():
+                    return _nulls(ctx.n, pa.null())
+                idx = pa.array(np.where(ok, pos, None))
+                if isinstance(values, pa.ChunkedArray):
+                    values = values.combine_chunks()
+                return values.take(idx)
+            if not pa.types.is_struct(arr.type) or \
+                    arr.type.get_field_index(s) < 0:
+                return _nulls(ctx.n, pa.null())
+            return pc.struct_field(arr, s)
+
         def nested_path(ctx):
-            # nested read: struct columns (.a.b → struct_field);
-            # union columns (mixed row shapes) read lane-wise — a
-            # lane without the field contributes nulls
+            # nested read: struct columns (.a.b → struct_field), list
+            # elements (.a[0]); union columns (mixed row shapes) read
+            # lane-wise — a lane without the field contributes nulls
             arr = ctx.col(segs[0])
             for s in segs[1:]:
                 if isinstance(arr, _Union):
                     def rd(lane, _s=s):
-                        if isinstance(lane, pa.ChunkedArray):
-                            lane = lane.combine_chunks()
-                        if not pa.types.is_struct(lane.type) or \
-                                lane.type.get_field_index(_s) < 0:
-                            return _nulls(ctx.n, pa.null()), None
-                        return pc.struct_field(lane, _s), None
+                        return seg_read(ctx, lane, _s), None
                     arr, _ = _u_lanes(ctx, arr, rd)
                     continue
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                if not pa.types.is_struct(arr.type) or \
-                        arr.type.get_field_index(s) < 0:
-                    return _nulls(ctx.n, pa.null()), None
-                arr = pc.struct_field(arr, s)
+                arr = seg_read(ctx, arr, s)
+                if pa.types.is_null(arr.type):
+                    return arr, None
             return arr, None
         return nested_path
 
