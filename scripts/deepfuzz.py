@@ -232,7 +232,7 @@ def anyexpr(d=0):
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
-                     'merge', 'root'])
+                     'merge', 'root', 'dotread'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -246,6 +246,10 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'dotread':
+        # whole-event read (first statement only is vectorizable;
+        # later positions must fall back and still match)
+        return R.choice([f".bk{i} = .", f".bk{i} = encode_json(.)"])
     if kind == 'root':
         # whole-event replacement; error rows keep the ORIGINAL event
         form = R.choice(['obj', 'json', 'json_bang'])

@@ -2156,6 +2156,27 @@ def _compile_expr(node) -> Callable:
         return arrf
 
     if kind == "path":
+        if node[1] == "event" and node[2] == []:
+            # whole-event read (`.backup = .`, `encode_json(.)`):
+            # a struct of the batch columns. Only while NO field has
+            # been written — gated writes would need per-row key
+            # presence the column set can't express
+            def rootread(ctx):
+                if ctx.written or ctx.root_cleared:
+                    raise _RowFallback(". read after writes")
+                names = ctx.batch.column_names
+                if not names:
+                    raise _RowFallback(". read of empty batch")
+                arrs = []
+                for nm in names:
+                    c = ctx.col(nm)
+                    if isinstance(c, _Union):
+                        raise _RowFallback(". read over union column")
+                    arrs.append(c)
+                return pa.StructArray.from_arrays(arrs,
+                                                  names=list(names)), \
+                    None
+            return rootread
         if node[1] != "event" or not node[2] or \
                 not isinstance(node[2][0], str) or \
                 not all(isinstance(s, (str, int)) for s in node[2]):
