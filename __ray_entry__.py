@@ -526,6 +526,33 @@ def events_vrl_routing(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def events_vrl_logpipe(sf_dir: str):
+    """An end-to-end LOG-PIPELINE shaped VRL program through the
+    language lane, exercising the late-r4 column-plan kernels in one
+    pass: encode_json of a computed object → parse_json back (shape
+    lanes) → nested read → exists → `|` object merge → del → push +
+    index read → length. Everything stays columnar
+    (lang/vectorize.py); oracle re-derives each output in SQL."""
+    from vrl_ray.lang import remap
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    program = """
+    .payload = encode_json({"t": .event_type, "v": .value})
+    .parsed, .perr = parse_json(.payload)
+    .t2 = .parsed.t
+    .has = exists(.event_type)
+    .meta = {"src": "events"} | {"kind": downcase(.t2)}
+    .kind = .meta.kind
+    del(.payload)
+    .n, .e2 = push([], .value)
+    .v0 = .n[0]
+    .len = length(.event_type)
+    """
+    out = remap(ds, program, concurrency=(1, 4))
+    return out.select_columns(
+        ["event_id", "t2", "has", "kind", "v0", "len"])
+
+
 def events_logfmt_roundtrip(sf_dir: str):
     """encode_logfmt → parse_key_value round-trip per event, fully
     vectorized: the logfmt line is BUILT with Arrow kernels (quoting
@@ -1235,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_vrl_remap": events_vrl_remap,
         "events_vrl_kernels": events_vrl_kernels,
         "events_vrl_routing": events_vrl_routing,
+        "events_vrl_logpipe": events_vrl_logpipe,
         "events_logfmt_roundtrip": events_logfmt_roundtrip,
         "events_route_ddq": events_route_ddq,
         "events_declarative_pipeline": events_declarative_pipeline,
@@ -1467,6 +1495,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(event_type) >= 6 AND value < 100.0
                         THEN 'ok' END AS note,
                    length(event_type) < 6 AS failed
+            FROM events
+        """,
+        "events_vrl_logpipe": """
+            SELECT event_id,
+                   event_type AS t2,
+                   TRUE AS has,
+                   lower(event_type) AS kind,
+                   value AS v0,
+                   CAST(length(event_type) AS BIGINT) AS len
             FROM events
         """,
         "events_logfmt_roundtrip": """

@@ -73,6 +73,7 @@ def _bench_queries():
         "events_parse_json": E.events_parse_json,
         "events_sessionize": E.events_sessionize,
         "events_cumulative": E.events_cumulative,
+        "events_vrl_logpipe": E.events_vrl_logpipe,
         "orders_top_per_customer": E.orders_top_per_customer,
         "docs_token_stats": E.docs_token_stats,
         "docs_dedup_exact": E.docs_dedup_exact,
