@@ -1109,9 +1109,14 @@ def _list_concat_rows(la, lb, n: int):
     indices interleave each row's a-run then b-run."""
     off_a = np.asarray(la.offsets, np.int64)
     off_b = np.asarray(lb.offsets, np.int64)
+    # rebaseline: a sliced column's offsets are absolute into the
+    # FULL child — make both sides 0-based over their covered range
+    va = la.values.slice(int(off_a[0]), int(off_a[-1] - off_a[0]))
+    vb = lb.values.slice(int(off_b[0]), int(off_b[-1] - off_b[0]))
+    off_a = off_a - off_a[0]
+    off_b = off_b - off_b[0]
     len_a = np.diff(off_a)
     len_b = np.diff(off_b)
-    va, vb = la.values, lb.values
     new_off = np.zeros(n + 1, np.int64)
     np.cumsum(len_a + len_b, out=new_off[1:])
     total = int(new_off[-1])
@@ -1265,9 +1270,14 @@ def _k_includes(ctx, a, span=None):
         else:
             eq_flat = pa.array(np.zeros(len(flat), bool))
     else:
-        # row-aligned needle: repeat per element run
-        needle_flat = needle_arr.take(
-            pa.array(np.repeat(np.arange(ctx.n), lens)))
+        # row-aligned needle expanded to FULL child length (offsets
+        # are absolute — a sliced list column's covered positions are
+        # [off[0], off[-1]); uncovered positions never land in a
+        # window sum, any row's needle is fine there)
+        row_of_full = np.zeros(len(flat), np.int64)
+        base, end = int(off[0]), int(off[-1])
+        row_of_full[base:end] = np.repeat(np.arange(ctx.n), lens)
+        needle_flat = needle_arr.take(pa.array(row_of_full))
         both_null = pc.and_(pc.is_null(flat), pc.is_null(needle_flat))
         eq_flat = pc.or_(
             pc.fill_null(pc.equal(flat, needle_flat), False),
