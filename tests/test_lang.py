@@ -1456,3 +1456,32 @@ class TestRootAssignment:
         except Exception:
             pass
         assert ev == {"a": 1}
+
+
+class TestSlicedListKernels:
+    """r4 review fix: Ray blocks slice tables constantly, and a
+    sliced list column keeps ABSOLUTE offsets into the full child —
+    the concat/membership kernels must rebaseline."""
+
+    def test_kernels_on_base_offset_slice(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        vals = pa.array([9, 1, 2, 3, 2, 2], pa.int64())
+        off = pa.array([0, 1, 3, 4, 6], pa.int32())
+        sl = pa.ListArray.from_arrays(off, vals).slice(1, 3)
+        assert np.asarray(sl.offsets)[0] == 1     # base > 0 pinned
+        b = pa.table({"arr": sl, "a": pa.array([2, 4, 2], pa.int64())})
+        src = ('.o, .e = includes(.arr, .a)\n'
+               '.p, .q = push(.arr, .a)\n'
+               '.l, .m = append(.arr, .arr)\n'
+               '.x = .arr[0]\n.j = encode_json(.arr)')
+        vec = VectorProgram(src).run(b).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(b.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for k in ("o", "p", "l", "x", "j"):
+                assert vec[i][k] == ev[k], (i, k, ev[k], vec[i][k])

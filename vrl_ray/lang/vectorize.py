@@ -1121,23 +1121,17 @@ def _list_concat_rows(la, lb, n: int):
     np.cumsum(len_a + len_b, out=new_off[1:])
     total = int(new_off[-1])
     out_idx = np.empty(total, np.int64)
-    # a-values: each row's run starts at new_off[row]
+    # after the rebaseline, covered a-elements enumerate 0..len(va)
+    # in row order, so the scatter source is just that enumeration;
+    # each row's a-run starts at new_off[row], its b-run after it
     row_of_a = np.repeat(np.arange(n), len_a)
     pos_a = np.arange(len(row_of_a))
-    out_idx[(new_off[row_of_a] + (pos_a - off_a[row_of_a]))] = \
-        off_a[row_of_a] + (pos_a - off_a[row_of_a])
-    # b-values follow row's a-run; indices offset by len(values_a)
+    out_idx[new_off[row_of_a] + (pos_a - off_a[row_of_a])] = pos_a
     row_of_b = np.repeat(np.arange(n), len_b)
     pos_b = np.arange(len(row_of_b))
-    out_idx[(new_off[row_of_b] + len_a[row_of_b]
-             + (pos_b - off_b[row_of_b]))] = \
-        len(va) + off_b[row_of_b] + (pos_b - off_b[row_of_b])
-    combined = pa.concat_arrays([va.combine_chunks()
-                                 if isinstance(va, pa.ChunkedArray)
-                                 else va,
-                                 vb.combine_chunks()
-                                 if isinstance(vb, pa.ChunkedArray)
-                                 else vb])
+    out_idx[new_off[row_of_b] + len_a[row_of_b]
+            + (pos_b - off_b[row_of_b])] = len(va) + pos_b
+    combined = pa.concat_arrays([va, vb])
     if total >= 2**31:
         raise _RowFallback("list concat overflow")
     taken = combined.take(pa.array(out_idx))
@@ -1146,8 +1140,10 @@ def _list_concat_rows(la, lb, n: int):
 
 
 def _as_plain_list(arr, n: int, what: str):
-    """Normalize a list column for the concat kernels (offsets stay
-    absolute into .values, so slices need no rebaseline)."""
+    """Normalize a list column for the concat kernels. NOTE: a sliced
+    column's offsets stay ABSOLUTE into the full `.values` child —
+    every consumer doing offset arithmetic must rebaseline (see
+    _list_concat_rows) or index the full child consistently."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_large_list(arr.type):
@@ -1240,8 +1236,11 @@ def _k_includes(ctx, a, span=None):
     va = _as_plain_list(va, ctx.n, "includes")
     if isinstance(needle, _Union):
         raise _RowFallback("includes union needle")
-    flat = va.values
     off = np.asarray(va.offsets, np.int64)
+    # work over the COVERED child range only (sliced columns keep
+    # absolute offsets into the full child)
+    flat = va.values.slice(int(off[0]), int(off[-1] - off[0]))
+    off = off - off[0]
     lens = np.diff(off)
     needle_arr = _as_array(needle, ctx.n)
     ft, nt = flat.type, needle_arr.type
@@ -1270,14 +1269,10 @@ def _k_includes(ctx, a, span=None):
         else:
             eq_flat = pa.array(np.zeros(len(flat), bool))
     else:
-        # row-aligned needle expanded to FULL child length (offsets
-        # are absolute — a sliced list column's covered positions are
-        # [off[0], off[-1]); uncovered positions never land in a
-        # window sum, any row's needle is fine there)
-        row_of_full = np.zeros(len(flat), np.int64)
-        base, end = int(off[0]), int(off[-1])
-        row_of_full[base:end] = np.repeat(np.arange(ctx.n), lens)
-        needle_flat = needle_arr.take(pa.array(row_of_full))
+        # row-aligned needle: one repeat per element of the covered
+        # (rebased) child
+        needle_flat = needle_arr.take(
+            pa.array(np.repeat(np.arange(ctx.n), lens)))
         both_null = pc.and_(pc.is_null(flat), pc.is_null(needle_flat))
         eq_flat = pc.or_(
             pc.fill_null(pc.equal(flat, needle_flat), False),
