@@ -1318,12 +1318,25 @@ def _shape_lanes(ctx, outs: list, errs: list):
     path. Returns (array-or-_Union, err_col|None)."""
     from .remap import _py_array
 
+    flat_cache: dict = {}
+
     def sig(x):
         # recursive over CONTAINER structure: nested dicts null-fill
         # inside one struct lane, so differing nested key sets must
         # split lanes; a list mixing container shapes within one row
         # has no faithful Arrow layout at all
         if isinstance(x, dict):
+            if not any(type(v) is dict or type(v) is list
+                       for v in x.values()):
+                # flat object: memoize by key ORDER (the hot log
+                # case — sorted() per row dominated the kernel)
+                ko = tuple(x)
+                s_ = flat_cache.get(ko)
+                if s_ is None:
+                    s_ = ("obj",) + tuple((k, None)
+                                          for k in sorted(ko))
+                    flat_cache[ko] = s_
+                return s_
             return ("obj",) + tuple(
                 (k, sig(v) if isinstance(v, (dict, list)) else None)
                 for k, v in sorted(x.items()))
