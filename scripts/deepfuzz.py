@@ -326,7 +326,11 @@ def gen_stmt(i):
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                 f" else {{ .o{i} = {anyexpr(1)} }}")
     if kind == 'closure':
-        which = R.choice(['map', 'filter'])
+        which = R.choice(['map', 'filter', 'mapkeys'])
+        if which == 'mapkeys':
+            bodyk = R.choice(['upcase(k)', 'k + "_t"', '"same"',
+                              'downcase(k)'])
+            return f".o{i}, .e{i} = map_keys(.obj) -> |k| {{ {bodyk} }}"
         if which == 'map':
             return (f".o{i} = map_values(.arr) -> |v| "
                     f"{{ v {R.choice(['+', '*', '-'])} "

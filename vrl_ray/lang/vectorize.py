@@ -1989,6 +1989,91 @@ def _compile_map_values(args, closure):
     return mv
 
 
+def _reads_beyond_param(node, pname: str) -> bool:
+    """True if the closure body reads anything but its parameter
+    (event paths, other variables) — then the result is row-dependent
+    and per-field evaluation is unsound."""
+    if isinstance(node, tuple):
+        if node and node[0] == "path":
+            return True
+        if node and node[0] == "var" and node[1] != pname:
+            return True
+        return any(_reads_beyond_param(x, pname) for x in node)
+    if isinstance(node, list):
+        return any(_reads_beyond_param(x, pname) for x in node)
+    return False
+
+
+def _compile_map_keys(args, closure, span=None):
+    """Closure lowering: ``map_keys(.obj) -> |k| { expr }`` — a
+    struct column's keys are TYPE-level constants, so a body reading
+    only its parameter runs ONCE PER FIELD NAME, not per row;
+    colliding renames keep the later field (dict-overwrite order,
+    the interpreter's map_keys). Null rows error per row
+    ('expected object')."""
+    params, body = closure
+    if len(args) != 1 or args[0][0] is not None or len(params) != 1:
+        raise NotVectorizable("map_keys shape")
+    if _reads_beyond_param(body, params[0]):
+        raise NotVectorizable("map_keys row-dependent body")
+    argf = _compile_expr(args[0][1])
+    pname = params[0]
+    bodyf = _compile_expr(_unwrap_block(body))
+
+    def rename_one(ctx, name: str) -> str:
+        sub = _Ctx.__new__(_Ctx)
+        sub.batch = None
+        sub.n = 1
+        sub.written = {}
+        sub.vars = {}
+        sub.active_mask = None
+        sub.root_cleared = False
+        sub.closure_vars = {pname: pa.array([name])}
+        v, e = bodyf(sub)
+        if e is not None and pc.any(pc.is_valid(e)).as_py():
+            raise _RowFallback("map_keys body error")
+        va = _as_array(v, 1)
+        if isinstance(va, _Union) or not _is_str_type(va.type) \
+                or va.null_count:
+            raise _RowFallback("map_keys non-string key")
+        return va[0].as_py()
+
+    def mk(ctx):
+        prefix = _call_frame("map_keys", span)
+
+        def over(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = arr.type
+            if not pa.types.is_struct(t):
+                raise _RowFallback("map_keys over non-object column")
+            fields: dict = {}
+            for j in range(t.num_fields):
+                fields[rename_one(ctx, t.field(j).name)] = arr.field(j)
+            nulls = pc.is_null(arr)
+            if not fields:
+                nn = nulls.to_numpy(zero_copy_only=False)
+                out = pa.array([None if b else {} for b in nn],
+                               pa.struct([]))
+            else:
+                out = pa.StructArray.from_arrays(
+                    list(fields.values()), names=list(fields),
+                    mask=nulls)
+            errs = None
+            if arr.null_count:
+                # the interpreter errors per null row
+                errs = _err_where(nulls, prefix + "expected object",
+                                  ctx.n)
+            return out, errs
+        v, e = argf(ctx)
+        if isinstance(v, _Union):
+            out, errs = _u_lanes(ctx, v, lambda lane: over(lane))
+            return out, _merge_errs(ctx.n, e, errs)
+        out, errs = over(_as_array(v, ctx.n))
+        return out, _merge_errs(ctx.n, e, errs)
+    return mk
+
+
 def _compile_filter(args, closure):
     """Closure lowering: ``filter(.list_col) -> |i, v| { pred }``
     evaluates the predicate ONCE over the flattened element array and
@@ -2363,6 +2448,10 @@ def _compile_expr(node) -> Callable:
         if closure is not None:
             if name == "map_values":
                 return _compile_map_values(args, closure)
+            if name == "map_keys":
+                return _compile_map_keys(args, closure,
+                                         node[5] if len(node) > 5
+                                         else None)
             if name == "filter":
                 return _compile_filter(args, closure)
             raise NotVectorizable(f"closure call {name}")
