@@ -24,7 +24,7 @@ from typing import Any, Optional
 
 import pyarrow as pa
 
-from ..value import VrlError, encode_json
+from ..value import VrlError
 from .interpreter import Program, Abort
 from .parser import ParseError
 
@@ -73,23 +73,21 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
                     k not in new_fields:
                 new_fields.append(k)
     cols: dict[str, list] = {c: [] for c in in_cols}
-    scalar_fields = [
-        f for f in new_fields
-        if all(not isinstance(r.get(f), (dict, list)) for r in rows)
-    ]
-    complex_fields = [f for f in new_fields if f not in scalar_fields]
-    for f in scalar_fields:
+    for f in new_fields:
         cols[f] = []
+    # `extra` is a legacy always-null companion kept for schema
+    # stability: complex NEW fields used to be JSON-encoded here, but
+    # _py_array materializes every shape (structs, lists, unions)
+    # since r4, so both remap lanes now emit REAL columns
     cols["extra"] = []
     cols["aborted"] = []
     cols["vrl_err"] = []
     for r in rows:
         for c in in_cols:
             cols[c].append(r.get(c))
-        for f in scalar_fields:
+        for f in new_fields:
             cols[f].append(r.get(f))
-        extra = {f: r[f] for f in complex_fields if f in r}
-        cols["extra"].append(encode_json(extra) if extra else None)
+        cols["extra"].append(None)
         cols["aborted"].append(r["aborted"])
         cols["vrl_err"].append(r["vrl_err"])
     return pa.table({k: _py_array(v) for k, v in cols.items()})
