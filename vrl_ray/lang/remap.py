@@ -6,12 +6,14 @@ once, clone per worker, resolve per event). The program is compiled
 ONCE per actor (``__init__``); each batch runs rows through the
 tree-walking evaluator.
 
-Events are built from row columns; new fields the program writes
-become JSON in an ``extra`` column unless they are scalars, which
-become top-level columns (schema inferred from the first batch and
-then pinned). Aborted events get ``aborted=True`` (route them with
-``ds.filter``); program errors land in ``vrl_err`` — neither ever
-raises out of the stage, so retries stay idempotent.
+Events are built from row columns; every field the program writes
+becomes a top-level column (structs/lists/per-row mixed types
+materialize via _py_array — the same layouts the vector lane emits,
+so mixed-lane blocks stay consistent; an always-null ``extra``
+companion remains for schema stability). Aborted events get
+``aborted=True`` (route them with ``ds.filter``); program errors
+land in ``vrl_err`` — neither ever raises out of the stage, so
+retries stay idempotent.
 
 For hot pipelines prefer the vectorized stages (stages/parse.py etc.);
 RemapStage trades throughput for full language compatibility.
@@ -61,8 +63,9 @@ class RemapStage:
 
 
 def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
-    """Stable schema: input columns + scalar new fields as columns,
-    non-scalar new fields JSON-encoded into ``extra``."""
+    """Stable schema: input columns + every new field as a REAL
+    column (_py_array materializes any shape); ``extra`` is an
+    always-null legacy companion."""
     if not rows:
         return pa.table({c: pa.array([]) for c in in_cols})
     # collect new scalar fields across the batch
