@@ -232,7 +232,7 @@ def anyexpr(d=0):
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
-                     'merge', 'root', 'dotread'])
+                     'merge', 'root', 'dotread', 'bare'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -246,6 +246,9 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'bare':
+        # bare expression statement: value discarded, errors kill
+        return anyexpr()
     if kind == 'dotread':
         # whole-event read (first statement only is vectorizable;
         # later positions must fall back and still match)

@@ -3252,10 +3252,6 @@ class VectorProgram:
             return [self._compile_if_stmt(s)]
         if s[0] == "call" and s[1] == "for_each" and s[4] is not None:
             return [self._compile_for_each(s)]
-        if s[0] == "call":
-            # bare call statement: side effects (del) / error checks
-            # only, value discarded
-            return [("__expr__", None, _compile_expr(s))]
         if s[0] == "abort":
             # abort drops the event (Terminate::Abort): mutations so
             # far kept, later statements skip, `aborted` column true
@@ -3267,7 +3263,10 @@ class VectorProgram:
             # Terminate::Return caught as Ok): later statements skip,
             # NOT aborted; an erroring return expression kills the row
             return [("__return__", None, _compile_expr(s[1]))]
-        raise NotVectorizable(s[0])
+        # bare expression statement (a call like del(.a), or a final
+        # result-value expression): the remap lane keeps only the
+        # EVENT, so the value is discarded — errors still stop rows
+        return [("__expr__", None, _compile_expr(s))]
 
     def _compile_for_each(self, s):
         """Statement-level ``for_each(.list) -> |i, v| { acc = acc +
