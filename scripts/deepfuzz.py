@@ -333,7 +333,10 @@ def gen_stmt(i):
         if which == 'mapkeys':
             bodyk = R.choice(['upcase(k)', 'k + "_t"', '"same"',
                               'downcase(k)'])
-            return f".o{i}, .e{i} = map_keys(.obj) -> |k| {{ {bodyk} }}"
+            rec = R.choice(['', '', ', recursive: true',
+                            ', recursive: false'])
+            return (f".o{i}, .e{i} = map_keys(.obj{rec})"
+                    f" -> |k| {{ {bodyk} }}")
         if which == 'map':
             return (f".o{i} = map_values(.arr) -> |v| "
                     f"{{ v {R.choice(['+', '*', '-'])} "

@@ -67,8 +67,15 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
     column (_py_array materializes any shape); ``extra`` is an
     always-null legacy companion."""
     if not rows:
-        return pa.table({c: pa.array([]) for c in in_cols})
-    # collect new scalar fields across the batch
+        # keep the companion columns: an all-aborted block under
+        # drop_aborted must still unify with its sibling blocks
+        cols0: dict = {c: pa.array([]) for c in in_cols}
+        if "extra" not in cols0:
+            cols0["extra"] = pa.array([], pa.string())
+        cols0["aborted"] = pa.array([], pa.bool_())
+        cols0["vrl_err"] = pa.array([], pa.string())
+        return pa.table(cols0)
+    # collect new fields across the batch
     new_fields: list[str] = []
     for r in rows:
         for k in r:
@@ -81,8 +88,12 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
     # `extra` is a legacy always-null companion kept for schema
     # stability: complex NEW fields used to be JSON-encoded here, but
     # _py_array materializes every shape (structs, lists, unions)
-    # since r4, so both remap lanes now emit REAL columns
-    cols["extra"] = []
+    # since r4, so both remap lanes now emit REAL columns. A program
+    # field literally named `extra` (a legal VRL name) shadows the
+    # companion — never double-append.
+    has_extra = "extra" in cols
+    if not has_extra:
+        cols["extra"] = []
     cols["aborted"] = []
     cols["vrl_err"] = []
     for r in rows:
@@ -90,7 +101,8 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
             cols[c].append(r.get(c))
         for f in new_fields:
             cols[f].append(r.get(f))
-        cols["extra"].append(None)
+        if not has_extra:
+            cols["extra"].append(None)
         cols["aborted"].append(r["aborted"])
         cols["vrl_err"].append(r["vrl_err"])
     return pa.table({k: _py_array(v) for k, v in cols.items()})
