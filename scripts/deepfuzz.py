@@ -232,7 +232,7 @@ def anyexpr(d=0):
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
-                     'merge', 'root', 'dotread', 'bare'])
+                     'merge', 'root', 'dotread', 'bare', 'metavar'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -246,6 +246,12 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'metavar':
+        # %metadata: transient per-event namespace
+        use = R.choice([f".o{i} = (%m{i} ?? {anyexpr(1)})",
+                        f".o{i}, .e{i} = %m{i}",
+                        f".o{i} = %unset{i}"])
+        return f"%m{i} = {anyexpr()}\n{use}"
     if kind == 'bare':
         # bare expression statement: value discarded, errors kill
         return anyexpr()

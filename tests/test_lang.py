@@ -1485,3 +1485,33 @@ class TestSlicedListKernels:
             _, ev, _ = p.resolve(dict(row))
             for k in ("o", "p", "l", "x", "j"):
                 assert vec[i][k] == ev[k], (i, k, ev[k], vec[i][k])
+
+
+class TestMetadataNamespace:
+    """r4: %metadata paths vectorize as a transient per-event
+    namespace — written beside event columns, never emitted, and
+    SURVIVING whole-event replacement."""
+
+    def test_meta_roundtrip_and_root_survival(self):
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        b = pa.table({"a": pa.array([5, 7], pa.int64()),
+                      "m": pa.array(['{"k": 1}', '{"k": 2}'])})
+        progs = ('%tmp = .a + 1\n.out, .e = %tmp * 2',
+                 '%st.x = .a\n.out = %st.x',
+                 '%keep = .a\n. = parse_json!(.m)\n.back = %keep')
+        for src in progs:
+            out = VectorProgram(src).run(b)
+            assert not any(c.startswith("\x00") for c in
+                           out.column_names)
+            vec = out.to_pylist()
+            p = Program(src)
+            for i, row in enumerate(b.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("out", "e", "back"):
+                    if k in ev or k in vec[i]:
+                        assert (vec[i].get(k) or None) == \
+                            (ev.get(k) or None), (src, i, k)

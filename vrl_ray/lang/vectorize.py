@@ -1667,6 +1667,10 @@ class _Ctx:
 
 _UNSET = object()
 
+#: mangled prefix for %metadata fields: they live beside event
+#: columns in ctx.written but never reach the output table
+_META = "\x00%"
+
 
 def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
     """Nested-path write: rebuild the top-level struct column with the
@@ -2300,11 +2304,15 @@ def _compile_expr(node) -> Callable:
                                                   names=list(names)), \
                     None
             return rootread
-        if node[1] != "event" or not node[2] or \
+        if node[1] not in ("event", "meta") or not node[2] or \
                 not isinstance(node[2][0], str) or \
                 not all(isinstance(s, (str, int)) for s in node[2]):
             raise NotVectorizable(f"path {node!r}")
-        segs = node[2]
+        segs = list(node[2])
+        if node[1] == "meta":
+            # transient per-event metadata: written-only namespace
+            # (the remap stage passes no inbound metadata)
+            segs[0] = _META + segs[0]
         if len(segs) == 1:
             field = segs[0]
 
@@ -3202,6 +3210,8 @@ class VectorProgram:
                                   and f_ and f_[0] == "__var__")]
                 for f_ in fs:
                     f_ = f_[0] if isinstance(f_, tuple) else f_
+                    if f_.startswith(_META):
+                        continue    # transient metadata
                     if f_ not in self.target_fields:
                         self.target_fields.append(f_)
 
@@ -3232,11 +3242,18 @@ class VectorProgram:
                     # per-event variable target → column in ctx.vars
                     fields.append(("__var__", t[1]))
                     continue
-                if t[0] != "path" or t[1] != "event" or not t[2] or \
+                if t[0] != "path" or t[1] not in ("event", "meta") \
+                        or not t[2] or \
                         not all(isinstance(s, str) for s in t[2]):
                     raise NotVectorizable("assignment target")
-                # nested targets compile to struct-column writes
-                fields.append(t[2][0] if len(t[2]) == 1 else tuple(t[2]))
+                # nested targets compile to struct-column writes;
+                # %metadata is per-event TRANSIENT state — a mangled
+                # column namespace excluded from the output
+                segs_t = list(t[2])
+                if t[1] == "meta":
+                    segs_t[0] = _META + segs_t[0]
+                fields.append(segs_t[0] if len(segs_t) == 1
+                              else tuple(segs_t))
             f = _compile_expr(expr)
             if len(fields) == 1:
                 return [(fields[0], None, f)]
@@ -3620,7 +3637,10 @@ class VectorProgram:
                             for j in range(va.type.num_fields)}
                     if not has_err and active is None \
                             and not va.null_count:
-                        ctx.written = {}
+                        # metadata SURVIVES event replacement
+                        ctx.written = {k: w for k, w in
+                                       ctx.written.items()
+                                       if k.startswith(_META)}
                         ctx.vars = dict(ctx.vars)
                         ctx.written.update(news)
                         ctx.root_cleared = True
@@ -3641,7 +3661,8 @@ class VectorProgram:
                     if active is not None:
                         ok = pc.and_(ok, active)
                     olds = set(ctx.batch.column_names) \
-                        | set(ctx.written)
+                        | {k for k in ctx.written
+                           if not k.startswith(_META)}
                     for c in olds:
                         if c in news:
                             continue
@@ -3875,6 +3896,8 @@ class VectorProgram:
                 kill(e)
         out = batch.select([]) if ctx.root_cleared else batch
         for name, arr in ctx.written.items():
+            if name.startswith(_META):
+                continue            # transient metadata, never output
             if isinstance(arr, _Union):
                 # per-row-typed result → sparse Arrow union column
                 # (to_pylist/filter/take all work; parquet sinks and
