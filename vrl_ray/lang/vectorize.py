@@ -8,27 +8,32 @@ once per BATCH — no per-row Python at all. Anything outside the
 subset raises :class:`NotVectorizable` and the remap stage falls back
 to the per-row interpreter (same observable semantics, slower).
 
-Vectorizable subset (r3):
-- statements: `.field = expr` / `.a.b = expr` (struct writes),
-  `ok, err = expr` destructuring with event-path, nested-path or
-  VARIABLE targets (per-row error lane + reference type defaults),
-  variable assignment (`x = expr` — variables are columns),
-  statement-level `if`/`else` whose branches assign the SAME
-  single-segment fields, and `for_each(.list) -> |i, v| {acc = acc +
-  expr}` accumulators (segmented reductions, no per-row Python)
-- expressions: literals, event/nested paths, variables, arithmetic /
-  comparison / equality / boolean ops with VRL semantics (wrapping
-  i64, division errors by zero, null-falsy predicates), `!`,
-  `if cond { a } else { b }` as `pc.if_else`, `map_values`/`filter`
-  closures over list columns, and the kernel registry below
-- kernels: downcase upcase to_int to_float to_string to_bool round
-  floor ceil abs strlen contains starts_with ends_with replace match
-  is_null is_nullish split slice join md5 sha1 sha2 format_timestamp
-  parse_timestamp to_unix_timestamp parse_regex (struct column via
-  pc.extract_regex; all-named, non-optional groups) truncate
-  strip_whitespace — with interpreter-parity positioned error text
-  (masked per-error-row construction) and null-input error rules
-  (_NULL_RULES)
+Vectorizable subset (late r4):
+- statements: `.field = expr` / `.a.b = expr` (struct writes; a
+  write into a NULL row creates a fresh object with only the written
+  path — shape union lanes), `ok, err =` destructuring (event /
+  nested / variable targets), variable assignment, `|=`
+  merge-assign, `%metadata` writes (transient mangled namespace),
+  whole-event replacement (`. = parse_json!(.msg)`), bare
+  expression statements (value discarded, errors kill), general
+  if/else-if statements incl. NESTED branch targets, `abort` /
+  `return`, and `for_each` accumulators
+- expressions: literals (incl. t'…' timestamps, regex, computed and
+  heterogeneous containers), event/nested/metadata paths,
+  constant-index list reads (`.arr[0]`, negative from the end),
+  whole-event reads before any write, variables, all binary ops
+  with exact VRL semantics (wrapping i64, per-row kind-named
+  errors, `|` shallow merge, `??`, null-falsy `&&`/`||`), `!`, if
+  expressions (mixed branch types → tagged union lanes),
+  `map_values`/`map_keys`/`filter` closures, del/exists over event
+  paths, and the kernel registry
+- kernels: the r3 set plus encode_json, parse_json (per-shape
+  lanes), length, push, append, includes, the type-assert family
+  (string!/int!/…) — and a GENERIC row-loop tier that runs any
+  other pure registry function per row bounded to its statement
+  (exact row semantics; the rest of the program stays columnar).
+  Nondeterministic / environment / side-effect functions always
+  take the row path.
 
 Error-as-value: every compiled expression yields ``(values,
 errs|None)`` where ``errs`` is a per-row string array — the same
