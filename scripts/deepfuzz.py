@@ -208,6 +208,10 @@ def anyexpr(d=0):
                            'to_syslog_level', 'parse_int',
                            'squeeze_whitespace']),
                  R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
+             lambda dd: "%s[%d]" % (
+                 R.choice(['split(.s, ",")', '[1, 2, 3]', '.arr',
+                           'split(.t, ",")']),
+                 R.randint(-2, 3)),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
              lambda dd: "push(%s, %s)" % (

@@ -1677,6 +1677,35 @@ _UNSET = object()
 _META = "\x00%"
 
 
+def _seg_read(ctx, arr, s):
+    """One path/index segment over a column: struct field (str) or
+    list element (int, negative from the end; out-of-range → null —
+    query semantics)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(s, int):
+        if not _is_list_type(arr.type):
+            return _nulls(ctx.n, pa.null())
+        values = arr.values
+        if pa.types.is_union(values.type):
+            raise _RowFallback("index into union elements")
+        off = np.asarray(arr.offsets, np.int64)
+        lens = np.diff(off)
+        pos = off[:-1] + (s if s >= 0 else lens + s)
+        ok = (pos >= off[:-1]) & (pos < off[1:])
+        ok &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return _nulls(ctx.n, pa.null())
+        idx = pa.array(np.where(ok, pos, None))
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        return values.take(idx)
+    if not pa.types.is_struct(arr.type) or \
+            arr.type.get_field_index(s) < 0:
+        return _nulls(ctx.n, pa.null())
+    return pc.struct_field(arr, s)
+
+
 def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
     """Nested-path write: rebuild the top-level struct column with the
     leaf replaced (.a.b = v → struct column 'a' with field b = v).
@@ -2325,34 +2354,6 @@ def _compile_expr(node) -> Callable:
                 return ctx.col(field), None
             return path
 
-        def seg_read(ctx, arr, s):
-            """One path segment over a column: struct field (str) or
-            list element (int, negative from the end; out-of-range →
-            null — query semantics)."""
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if isinstance(s, int):
-                if not _is_list_type(arr.type):
-                    return _nulls(ctx.n, pa.null())
-                values = arr.values
-                if pa.types.is_union(values.type):
-                    raise _RowFallback("index into union elements")
-                off = np.asarray(arr.offsets, np.int64)
-                lens = np.diff(off)
-                pos = off[:-1] + (s if s >= 0 else lens + s)
-                ok = (pos >= off[:-1]) & (pos < off[1:])
-                ok &= pc.is_valid(arr).to_numpy(zero_copy_only=False)
-                if not ok.any():
-                    return _nulls(ctx.n, pa.null())
-                idx = pa.array(np.where(ok, pos, None))
-                if isinstance(values, pa.ChunkedArray):
-                    values = values.combine_chunks()
-                return values.take(idx)
-            if not pa.types.is_struct(arr.type) or \
-                    arr.type.get_field_index(s) < 0:
-                return _nulls(ctx.n, pa.null())
-            return pc.struct_field(arr, s)
-
         def nested_path(ctx):
             # nested read: struct columns (.a.b → struct_field), list
             # elements (.a[0]); union columns (mixed row shapes) read
@@ -2361,14 +2362,39 @@ def _compile_expr(node) -> Callable:
             for s in segs[1:]:
                 if isinstance(arr, _Union):
                     def rd(lane, _s=s):
-                        return seg_read(ctx, lane, _s), None
+                        return _seg_read(ctx, lane, _s), None
                     arr, _ = _u_lanes(ctx, arr, rd)
                     continue
-                arr = seg_read(ctx, arr, s)
+                arr = _seg_read(ctx, arr, s)
                 if pa.types.is_null(arr.type):
                     return arr, None
             return arr, None
         return nested_path
+
+    if kind == "index":
+        # indexing an arbitrary expression: split(.s, ",")[0],
+        # [1, 2][0], v[1], {"a": 1}.a — same query semantics as
+        # path segments (out-of-range / missing → null)
+        basef_i = _compile_expr(node[1])
+        isegs = node[2]
+        if not isegs or not all(isinstance(s, (str, int))
+                                for s in isegs):
+            raise NotVectorizable("index segs")
+
+        def idxf(ctx):
+            v, e = basef_i(ctx)
+            arr = v
+            for s in isegs:
+                if isinstance(arr, _Union):
+                    def rd(lane, _s=s):
+                        return _seg_read(ctx, lane, _s), None
+                    arr, _ = _u_lanes(ctx, arr, rd)
+                    continue
+                arr = _seg_read(ctx, _as_array(arr, ctx.n), s)
+                if pa.types.is_null(arr.type):
+                    break
+            return arr, e
+        return idxf
 
     if kind == "var":
         name = node[1]
