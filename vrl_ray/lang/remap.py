@@ -238,6 +238,9 @@ class VectorRemapStage:
                      + [f for f in self.program.target_fields
                         if f not in batch.column_names]
                      + ["vrl_err", "extra", "aborted"])
+            # keep fields the static target list can't know about
+            # (whole-event replacement creates them at runtime)
+            order += [c for c in out.column_names if c not in order]
             return out.select([c for c in order if c in out.column_names])
         n = len(out)
         if "extra" not in out.column_names:

@@ -224,6 +224,17 @@ class _PyConst:
         raise _RowFallback("python-constant argument")
 
 
+def _pattern_str(v):
+    """Regex-pattern argument → its source string (compiled-pattern
+    constant or a plain string scalar); None when neither."""
+    if isinstance(v, _PyConst):
+        return v.value.pattern
+    if isinstance(v, pa.Scalar):
+        p = v.as_py()
+        return p if isinstance(p, str) else None
+    return None
+
+
 def _to_union(v, n: int) -> _Union:
     if isinstance(v, _Union):
         return v
@@ -407,10 +418,28 @@ def _coerce_err_msgs(v, bad, *, name, span, tail, n):
         sv, n=n)
 
 
+def _ts_us_float(v, n):
+    """Timestamp column → epoch seconds float64 — identical to
+    datetime.timestamp(): one float division of the exact
+    microsecond count."""
+    va = _as_array(v, n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    us = pc.cast(pc.cast(va, pa.timestamp("us", tz="UTC")), pa.int64())
+    return pc.divide(pc.cast(us, pa.float64()),
+                     pa.scalar(1e6, pa.float64()))
+
+
 def _k_to_int(ctx, a, span=None):
     from ..functions.vectorized import to_int64_lane
 
     v, e = a[0]
+    if pa.types.is_timestamp(_typ(v)):
+        # to_int.rs: unix seconds — int(timestamp()) truncates the
+        # epoch-seconds FLOAT toward zero
+        sec = _ts_us_float(v, ctx.n)
+        out = pc.cast(pc.trunc(sec), pa.int64())
+        return pc.fill_null(out, 0), e
     out = to_int64_lane(v)
     bad = pc.and_(pc.is_valid(v), pc.is_null(out))
     errs = _coerce_err_msgs(v, bad, name="to_int", span=span,
@@ -425,6 +454,9 @@ def _k_to_float(ctx, a, span=None):
     from ..functions.vectorized import to_float64_lane
 
     v, e = a[0]
+    if pa.types.is_timestamp(_typ(v)):
+        # to_float.rs: timestamp -> epoch seconds float
+        return pc.fill_null(_ts_us_float(v, ctx.n), 0.0), e
     out = to_float64_lane(v)
     bad = pc.and_(pc.is_valid(v), pc.is_null(out))
     errs = _coerce_err_msgs(v, bad, name="to_float", span=span,
@@ -437,6 +469,18 @@ def _k_to_float(ctx, a, span=None):
 
 def _k_to_string(ctx, a):
     v, e = a[0]
+    if pa.types.is_timestamp(_typ(v)):
+        # RFC3339 text via the row encoder per DISTINCT value
+        from ..functions.coerce import to_string as _row_ts
+        va = _as_array(v, ctx.n)
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        dct = va.dictionary_encode()
+        uniq = [None if u is None else _row_ts(u)
+                for u in dct.dictionary.to_pylist()]
+        out = pa.DictionaryArray.from_arrays(
+            dct.indices, pa.array(uniq, pa.string())).cast(pa.string())
+        return pc.fill_null(out, ""), e
     # null coerces to "" (to_string.rs:12)
     out = pc.fill_null(pc.cast(v, pa.string()), "")
     if pa.types.is_floating(_typ(v)):
@@ -545,8 +589,7 @@ def _k_replace(ctx, a, nodes, span=None):
     $-group refs / backslashes fall back — RE2 rewrite syntax
     differs); literal `count` maps to max_replacements."""
     v, e = a[0]
-    pat, rep = a[1][0], a[2][0]
-    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    pat, rep = _pattern_str(a[1][0]), a[2][0]
     rep = rep.as_py() if isinstance(rep, pa.Scalar) else None
     if not isinstance(pat, str) or not isinstance(rep, str):
         raise NotVectorizable("replace args")
@@ -569,9 +612,10 @@ def _k_replace(ctx, a, nodes, span=None):
 
 def _k_match(ctx, a):
     v, e = a[0]
-    pat = a[1][0]
-    return pc.match_substring_regex(
-        v, pat.as_py() if isinstance(pat, pa.Scalar) else pat), e
+    pat = _pattern_str(a[1][0])
+    if pat is None:
+        raise _RowFallback("match pattern")
+    return pc.match_substring_regex(v, pat), e
 
 
 def _k_is_null(ctx, a):
@@ -760,8 +804,7 @@ def _k_split(ctx, a, nodes, span=None):
         if not isinstance(lim, int) or lim <= 0:
             raise NotVectorizable("split limit")
         max_splits = lim - 1
-    pat = a[1][0]
-    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    pat = _pattern_str(a[1][0])
     if pat is None:
         raise NotVectorizable("split pattern")
     if pat_node[0] == "regex":
@@ -872,8 +915,7 @@ def _k_parse_regex(ctx, a, nodes, span=None):
     numeric_groups / dynamic patterns fall back."""
     if len(a) != 2 or nodes[1][0] != "regex":
         raise NotVectorizable("parse_regex args")
-    pat = a[1][0]
-    pat = pat.as_py() if isinstance(pat, pa.Scalar) else None
+    pat = _pattern_str(a[1][0])
     if not isinstance(pat, str) or not _regex_groups_total(pat):
         raise NotVectorizable("parse_regex pattern shape")
     v, e = a[0]
@@ -2184,12 +2226,18 @@ def _compile_expr(node) -> Callable:
         return lit
 
     if kind == "regex":
-        # regex literal → its pattern string (kernels take it as the
-        # RE2 pattern argument)
-        src = node[1]
+        # regex literal → a COMPILED pattern constant (_PyConst):
+        # the interpreter's regex VALUE. Pattern-consuming kernels
+        # unwrap it via _pattern_str; value positions (to_int!(r'x'))
+        # poison-degrade to the row path's exact coercion errors.
+        import regex as _regex_mod
+        try:
+            pat = _regex_mod.compile(node[1])
+        except _regex_mod.error:
+            raise NotVectorizable("invalid regex literal")
 
         def rx(ctx):
-            return pa.scalar(src), None
+            return _PyConst(pat), None
         return rx
 
     if kind == "ts":
@@ -2510,21 +2558,7 @@ def _compile_expr(node) -> Callable:
         for aname, aexpr in args:
             if aname is not None:
                 raise NotVectorizable("named args")
-            if row_loop and aexpr[0] == "regex":
-                # the row function expects a COMPILED pattern (the
-                # interpreter compiles regex literals); an invalid
-                # pattern is a per-row runtime error — row path
-                import regex as _regex_mod
-                try:
-                    pat = _regex_mod.compile(aexpr[1])
-                except _regex_mod.error:
-                    raise NotVectorizable("invalid regex literal")
-
-                def rxc(ctx, _p=pat):
-                    return _PyConst(_p), None
-                argfs.append(rxc)
-            else:
-                argfs.append(_compile_expr(aexpr))
+            argfs.append(_compile_expr(aexpr))
             argnodes.append(aexpr)
         span = node[5] if len(node) > 5 else None
         frame = _call_frame(name, span)
