@@ -236,7 +236,8 @@ def anyexpr(d=0):
 def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
-                     'merge', 'root', 'dotread', 'bare', 'metavar'])
+                     'merge', 'root', 'dotread', 'bare', 'metavar',
+                     'varpath'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -306,6 +307,12 @@ def gen_stmt(i):
                         f".o{i} = (v{i} ?? {anyexpr(1)})",
                         f".o{i}, .e{i} = v{i}"])
         return f"v{i} = {anyexpr()}\n{use}"
+    if kind == 'varpath':
+        # nested writes INTO variables build objects before use
+        init = R.choice(['', f'w{i} = {{}}\n',
+                         f'w{i} = {{"k": 1}}\n'])
+        return (f"{init}w{i}.f = {anyexpr()}\n"
+                f".o{i} = w{i}.f\n.p{i} = w{i}.k")
     if kind == 'ifstmt':
         shape = R.choice(['plain', 'noelse', 'chain', 'asym', 'multi',
                           'nested'])

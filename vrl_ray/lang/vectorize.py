@@ -3271,8 +3271,9 @@ class VectorProgram:
                 else:
                     fs = [f_ for f_ in
                           [field] + ([errfield] if errfield else [])
-                          if not (isinstance(f_, tuple)
-                                  and f_ and f_[0] == "__var__")]
+                          if not (isinstance(f_, tuple) and f_
+                                  and f_[0] in ("__var__",
+                                                "__varpath__"))]
                 for f_ in fs:
                     f_ = f_[0] if isinstance(f_, tuple) else f_
                     if f_.startswith(_META):
@@ -3307,6 +3308,14 @@ class VectorProgram:
                     # per-event variable target → column in ctx.vars
                     fields.append(("__var__", t[1]))
                     continue
+                if t[0] == "varpath" and isinstance(t[1], str):
+                    # nested write INTO a variable (v.x = 1): same
+                    # struct-column build, ctx.vars storage
+                    if len(targets) != 1 or not t[2] or \
+                            not all(isinstance(s, str) for s in t[2]):
+                        raise NotVectorizable("varpath target")
+                    return [(("__varpath__", t[1], tuple(t[2])),
+                             None, _compile_expr(expr))]
                 if t[0] != "path" or t[1] not in ("event", "meta") \
                         or not t[2] or \
                         not all(isinstance(s, str) for s in t[2]):
@@ -3851,6 +3860,36 @@ class VectorProgram:
                         mark_aborted(ab_mask)
                     if ret_mask is not None:
                         deactivate(ret_mask)
+                    continue
+                if isinstance(field, tuple) and field \
+                        and field[0] == "__varpath__":
+                    # nested write into a VARIABLE (v.x = 1):
+                    # ctx.vars storage, same struct build
+                    _, vname, vsegs = field
+                    v, e = f(ctx)
+                    has_err = e is not None and \
+                        pc.any(pc.is_valid(e)).as_py()
+                    dead = pc.invert(active) if active is not None \
+                        else None
+                    if has_err:
+                        bad = pc.is_valid(e)
+                        dead = bad if dead is None \
+                            else pc.or_(dead, bad)
+                    va = v if isinstance(v, _Union) \
+                        else _as_array(v, ctx.n)
+                    top = ctx.vars.get(vname,
+                                       _nulls(ctx.n, pa.null()))
+                    if not isinstance(top, _Union):
+                        top = _as_array(top, ctx.n)
+                    segs_v = (vname,) + vsegs
+                    if dead is not None and pc.any(dead).as_py():
+                        ctx.vars[vname] = _struct_set_gated(
+                            ctx, segs_v, va, dead, top=top)
+                    else:
+                        ctx.vars[vname] = _struct_set(
+                            ctx, segs_v, va, top=top)
+                    if has_err:
+                        kill(e)
                     continue
                 if isinstance(field, tuple):
                     # nested (.a.b) struct write; rows that must keep
