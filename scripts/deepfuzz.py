@@ -212,6 +212,10 @@ def anyexpr(d=0):
                  R.choice(['split(.s, ",")', '[1, 2, 3]', '.arr',
                            'split(.t, ",")']),
                  R.randint(-2, 3)),
+             lambda dd: "({ %s\n %s } ?? %s)" % (
+                 R.choice(['parse_json(.jsons)', 'to_int(.s)',
+                           f'bv{dd} = to_int(.t)', 'slice!(.s, 9)']),
+                 anyexpr(2), anyexpr(2)),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
              lambda dd: "push(%s, %s)" % (

@@ -2616,7 +2616,47 @@ def _compile_expr(node) -> Callable:
         return bangf
 
     if kind == "block":
-        return _compile_expr(_unwrap_block(node))
+        if len(node[1]) == 1:
+            return _compile_expr(node[1][0])
+        # multi-statement block EXPRESSION: statements run for their
+        # effects (variable writes, function-scoped — and errors:
+        # the FIRST error per row becomes the block's error, so
+        # `{ parse_json("bad") \n 2 } ?? 1` yields 1); the final
+        # expression is the value. Var writes gate on error-free
+        # rows (an errored row stops executing its block).
+        pre = []
+        for st in node[1][:-1]:
+            if st[0] == "assign" and st[2] == "=" and \
+                    len(st[1]) == 1 and st[1][0][0] == "var" and \
+                    isinstance(st[1][0][1], str):
+                pre.append((st[1][0][1], _compile_expr(st[3])))
+            elif st[0] in ("assign", "if", "abort", "return"):
+                raise NotVectorizable(
+                    "multi-statement block expression")
+            else:
+                pre.append((None, _compile_expr(st)))
+        finalf = _compile_expr(node[1][-1])
+
+        def blockf(ctx):
+            errs = None
+            for vname, f in pre:
+                v, e = f(ctx)
+                cur = _merge_errs(ctx.n, errs, e)
+                if vname is not None:
+                    va = v if isinstance(v, _Union) \
+                        else _as_array(v, ctx.n)
+                    if cur is not None and \
+                            pc.any(pc.is_valid(cur)).as_py():
+                        old = ctx.vars.get(
+                            vname, _nulls(ctx.n, pa.null()))
+                        va = _blend(pc.is_null(cur), va, old, ctx.n)
+                        if not isinstance(va, _Union):
+                            va = _as_array(va, ctx.n)
+                    ctx.vars[vname] = va
+                errs = cur
+            v, e = finalf(ctx)
+            return v, _merge_errs(ctx.n, errs, e)
+        return blockf
 
     raise NotVectorizable(kind)
 
