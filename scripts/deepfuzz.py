@@ -277,7 +277,8 @@ def gen_stmt(i):
         bang = '!' if form == 'json_bang' else ''
         return f". = parse_json{bang}(.jsons){after}"
     if kind == 'merge':
-        tgt = R.choice(['.obj', '.missing', '.a', f'.o{i}', '.nest0'])
+        tgt = R.choice(['.obj', '.missing', '.a', f'.o{i}', '.nest0',
+                        '.', '.'])
         rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
                         '.missing', '{}'])
         return f"{tgt} |= {rhs}"

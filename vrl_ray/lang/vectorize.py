@@ -3306,7 +3306,8 @@ class VectorProgram:
                     fs = self._if_fields[if_i]
                     if_i += 1
                 elif field in ("__foreach__", "__abort__",
-                               "__return__", "__expr__", "__root__"):
+                               "__return__", "__expr__", "__root__",
+                               "__rootmerge__"):
                     continue     # no output column of their own
                 else:
                     fs = [f_ for f_ in
@@ -3327,6 +3328,10 @@ class VectorProgram:
             targets, op, expr = s[1], s[2], s[3]
             if op == "|=" and len(targets) == 1:
                 t = targets[0]
+                if t == ("path", "event", []):
+                    # `. |= obj`: merge fields into the whole event
+                    return [("__rootmerge__", None,
+                             _compile_expr(expr))]
                 if t[0] == "path" and t[1] == "event" and t[2] and \
                         all(isinstance(sg, str) for sg in t[2]):
                     f = _compile_merge_assign(tuple(t[2]),
@@ -3715,6 +3720,50 @@ class VectorProgram:
                     if e is not None and \
                             pc.any(pc.is_valid(e)).as_py():
                         kill(e)
+                    continue
+                if field == "__rootmerge__":
+                    # `. |= obj`: rhs fields overwrite/extend the
+                    # event; a null/non-object rhs errors per row
+                    # ("can't merge type {kind} into object"), rows
+                    # keeping their prior event
+                    v, e = f(ctx)
+                    if isinstance(v, _Union):
+                        raise _RowFallback(". |= mixed shapes")
+                    ra = _as_array(v, ctx.n)
+                    if isinstance(ra, pa.ChunkedArray):
+                        ra = ra.combine_chunks()
+                    rt = ra.type
+                    tmpl = "can't merge type {r} into object"
+                    if not pa.types.is_struct(rt):
+                        rn = pc.is_null(ra) \
+                            .to_numpy(zero_copy_only=False)
+                        rk = _vrl_kind_name(rt)
+                        msgs = [tmpl.format(r="null" if bb else rk)
+                                for bb in rn]
+                        kill(pa.array(msgs, pa.string()))
+                        continue
+                    if any(pa.types.is_union(rt.field(j).type)
+                           for j in range(rt.num_fields)):
+                        raise _RowFallback(". |= union child")
+                    err2 = _merge_errs(
+                        ctx.n, e,
+                        _err_where(pc.is_null(ra),
+                                   tmpl.format(r="null"), ctx.n)
+                        if ra.null_count else None)
+                    ok = pa.array([True] * ctx.n)
+                    if err2 is not None:
+                        ok = pc.and_(ok, pc.is_null(err2))
+                    if active is not None:
+                        ok = pc.and_(ok, active)
+                    for j in range(rt.num_fields):
+                        fname = rt.field(j).name
+                        old = ctx.col(fname)
+                        ctx.written[fname] = _as_array(
+                            _blend(ok, ra.field(j), old, ctx.n),
+                            ctx.n)
+                    if err2 is not None and \
+                            pc.any(pc.is_valid(err2)).as_py():
+                        kill(err2)
                     continue
                 if field == "__root__":
                     # whole-event replacement: the expression's
