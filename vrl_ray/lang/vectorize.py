@@ -1702,6 +1702,10 @@ class _Ctx:
         # whole-event replacement (`. = {...}`) dropped every input
         # column: reads must not fall through to the batch
         self.root_cleared = False
+        # >0 while evaluating a LAZILY-reachable expression (?? RHS,
+        # if arms, &&/|| RHS, closure bodies): side-effectful
+        # expressions (del) cannot gate per row there — row path
+        self.lazy_depth = 0
 
     def col(self, name: str):
         if name in self.written:
@@ -1917,6 +1921,11 @@ def _compile_del_exists(name: str, args) -> Callable:
     def delf(ctx):
         if ctx.active_mask is not None:
             raise _RowFallback("del on partially-stopped batch")
+        if ctx.lazy_depth:
+            # inside ?? RHS / if arms / closures the interpreter only
+            # runs del on the rows that reach it — not expressible as
+            # an ungated column mutation
+            raise _RowFallback("del in lazily-evaluated context")
         if len(segs) == 1:
             old = ctx.col(segs[0])
             ctx.written[segs[0]] = _nulls(ctx.n, pa.null())
@@ -2053,6 +2062,7 @@ def _compile_map_values(args, closure):
         sub.vars = {}          # outer vars are row-length, not element-length
         sub.active_mask = None
         sub.root_cleared = False
+        sub.lazy_depth = 1
         sub.closure_vars[pname] = flat
         bv, be = bodyf(sub)
         if be is not None and pc.any(pc.is_valid(be)).as_py():
@@ -2108,6 +2118,7 @@ def _compile_map_keys(args, closure, span=None):
         sub.vars = {}
         sub.active_mask = None
         sub.root_cleared = False
+        sub.lazy_depth = 1
         sub.closure_vars = {pname: pa.array([name])}
         v, e = bodyf(sub)
         if e is not None and pc.any(pc.is_valid(e)).as_py():
@@ -2190,6 +2201,7 @@ def _compile_filter(args, closure):
         sub.vars = {}          # outer vars are row-length, not element-length
         sub.active_mask = None
         sub.root_cleared = False
+        sub.lazy_depth = 1
         sub.closure_vars[vname] = flat
         sub.closure_vars[iname] = pa.array(within, pa.int64())
         bv, be = bodyf(sub)
@@ -2487,6 +2499,13 @@ def _compile_expr(node) -> Callable:
             else None
 
         def iff(ctx):
+            ctx.lazy_depth += 1
+            try:
+                return _iff_body(ctx)
+            finally:
+                ctx.lazy_depth -= 1
+
+        def _iff_body(ctx):
             # else-if chain: each condition only RUNS on rows every
             # earlier arm left (mask its errors to `remaining` —
             # lazy-eval parity), and each arm's value/errors only
@@ -2624,37 +2643,35 @@ def _compile_expr(node) -> Callable:
         # `{ parse_json("bad") \n 2 } ?? 1` yields 1); the final
         # expression is the value. Var writes gate on error-free
         # rows (an errored row stops executing its block).
+        # PURE pre-statements only: a variable write inside a block
+        # EXPRESSION can't gate to the rows that lazily reach the
+        # block (?? RHS, if arms) — those programs take the row path
         pre = []
         for st in node[1][:-1]:
-            if st[0] == "assign" and st[2] == "=" and \
-                    len(st[1]) == 1 and st[1][0][0] == "var" and \
-                    isinstance(st[1][0][1], str):
-                pre.append((st[1][0][1], _compile_expr(st[3])))
-            elif st[0] in ("assign", "if", "abort", "return"):
+            if st[0] in ("assign", "if", "abort", "return"):
                 raise NotVectorizable(
                     "multi-statement block expression")
-            else:
-                pre.append((None, _compile_expr(st)))
+            pre.append(_compile_expr(st))
         finalf = _compile_expr(node[1][-1])
 
         def blockf(ctx):
             errs = None
-            for vname, f in pre:
-                v, e = f(ctx)
-                cur = _merge_errs(ctx.n, errs, e)
-                if vname is not None:
-                    va = v if isinstance(v, _Union) \
-                        else _as_array(v, ctx.n)
-                    if cur is not None and \
-                            pc.any(pc.is_valid(cur)).as_py():
-                        old = ctx.vars.get(
-                            vname, _nulls(ctx.n, pa.null()))
-                        va = _blend(pc.is_null(cur), va, old, ctx.n)
-                        if not isinstance(va, _Union):
-                            va = _as_array(va, ctx.n)
-                    ctx.vars[vname] = va
-                errs = cur
-            v, e = finalf(ctx)
+            saved_mask = ctx.active_mask
+            try:
+                for f in pre:
+                    _v, e = f(ctx)
+                    errs = _merge_errs(ctx.n, errs, e)
+                    if errs is not None and \
+                            pc.any(pc.is_valid(errs)).as_py():
+                        # rows errored inside the block stop
+                        # executing it — later side-effectful
+                        # statements (del) must see that
+                        live = pc.is_null(errs)
+                        ctx.active_mask = live if saved_mask is None \
+                            else pc.and_(saved_mask, live)
+                v, e = finalf(ctx)
+            finally:
+                ctx.active_mask = saved_mask
             return v, _merge_errs(ctx.n, errs, e)
         return blockf
 
@@ -3227,7 +3244,12 @@ def _compile_binop(node) -> Callable:
 
     if op in ("&&", "||"):
         def boolf(ctx):
-            (lv, le), (rv, re) = lf(ctx), rf(ctx)
+            lv, le = lf(ctx)
+            ctx.lazy_depth += 1
+            try:
+                rv, re = rf(ctx)
+            finally:
+                ctx.lazy_depth -= 1
             for side in (lv, rv):
                 t = _typ(side)
                 if not pa.types.is_boolean(t) and \
@@ -3269,7 +3291,11 @@ def _compile_binop(node) -> Callable:
                 aborts = pc.if_else(ab, le, _nulls(ctx.n)) \
                     if ab is not None else None
                 return lv, aborts
-            rv, re = rf(ctx)
+            ctx.lazy_depth += 1
+            try:
+                rv, re = rf(ctx)
+            finally:
+                ctx.lazy_depth -= 1
             # the RHS only ran on rows whose LHS errored catchably —
             # its errors elsewhere are eager-eval artifacts
             if re is not None:
@@ -3458,6 +3484,7 @@ class VectorProgram:
             sub.vars = {}
             sub.active_mask = None
             sub.root_cleared = False
+            sub.lazy_depth = 1
             sub.closure_vars = dict(ctx.closure_vars)
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
@@ -3499,6 +3526,13 @@ class VectorProgram:
         self._if_fields.append(fields)
 
         def run(ctx):
+            ctx.lazy_depth += 1
+            try:
+                return _run_body(ctx)
+            finally:
+                ctx.lazy_depth -= 1
+
+        def _run_body(ctx):
             """Returns ({field: values}, errs|None). Else-if chain:
             each condition only RUNS on rows every earlier arm left
             (its errors are masked to `remaining` — lazy parity); a
@@ -3740,7 +3774,10 @@ class VectorProgram:
                         rk = _vrl_kind_name(rt)
                         msgs = [tmpl.format(r="null" if bb else rk)
                                 for bb in rn]
-                        kill(pa.array(msgs, pa.string()))
+                        # the rhs expression's OWN per-row errors win
+                        # (e.g. parse_json's framed text)
+                        kill(_merge_errs(ctx.n, e,
+                                         pa.array(msgs, pa.string())))
                         continue
                     if any(pa.types.is_union(rt.field(j).type)
                            for j in range(rt.num_fields)):
