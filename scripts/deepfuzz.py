@@ -241,7 +241,7 @@ def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
                      'merge', 'root', 'dotread', 'bare', 'metavar',
-                     'varpath'])
+                     'varpath', 'lazydel'])
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also
@@ -255,6 +255,17 @@ def gen_stmt(i):
         els = R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"])
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)}\n{stop} }}"
                 f"{els}{after}")
+    if kind == 'lazydel':
+        # review-found class: del reached only on SOME rows (?? RHS,
+        # if arms, after an erroring block statement) must not apply
+        # batch-wide
+        tgt = R.choice(['.a', '.s', '.obj.x'])
+        form = R.choice([
+            f".z{i} = (to_int(.s) ?? del({tgt}))",
+            f".z{i} = if {boolex()} {{ del({tgt}) }} else {{ 1 }}",
+            f".z{i} = ({{ to_int(.t)\n del({tgt})\n 1 }} ?? 2)",
+        ])
+        return form
     if kind == 'metavar':
         # %metadata: transient per-event namespace
         use = R.choice([f".o{i} = (%m{i} ?? {anyexpr(1)})",
