@@ -241,7 +241,17 @@ def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
                      'merge', 'root', 'dotread', 'bare', 'metavar',
-                     'varpath', 'lazydel'])
+                     'varpath', 'lazydel', 'jsonshape'])
+    if kind == 'jsonshape':
+        # ADVICE r5: mixed leaf KINDS under one key ('{"k": 1}' vs
+        # '{"k": "x"}' in the corpus) merge into a struct lane with a
+        # union child; handled-capture masking + a later field read
+        # used to CHECK-abort the process (array_nested.cc:1142)
+        rd = R.choice([f".q{i} = .p{i}.k", f".q{i} = .p{i}.w",
+                       f".q{i} = encode_json(.p{i})",
+                       f".q{i} = exists(.p{i}.k)",
+                       f".q{i} = (.p{i}.k ?? 0)"])
+        return f".p{i}, .er{i} = parse_json(.jsons)\n{rd}"
     if kind == 'abort':
         # conditional abort/return: later statements must skip
         # stopped rows, mutations before the stop stick; abort also

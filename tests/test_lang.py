@@ -1353,6 +1353,30 @@ class TestParseJsonKernel:
             '.o, .e = parse_json(.s, max_depth: 1)').run(b).to_pylist()
         assert out[0]["o"] == {"k": '{"d":2}'}
 
+    def test_mixed_kind_leaf_under_one_key_no_abort(self):
+        """r5 (ADVICE): mixed leaf KINDS under one key merge into a
+        struct lane with a union child; handled-capture error masking
+        must never give that struct a validity bitmap — pc.struct_field
+        on struct-with-validity + union child hits an Arrow CHECK
+        (array_nested.cc:1142) and ABORTS the whole worker process.
+        This ran as exit-134 before the mask_null retag fix."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"s": pa.array(
+            ['{"a": 1}', '{"a": "x"}', 'bad', None,
+             '{"a": 2.5}', '{"a": [1, "z"]}', '{"a": {"b": 3}}'])})
+        src = '.p, .e = parse_json(.s)\n.q = .p.a'
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for k in ("p", "e", "q"):
+                assert (out[i].get(k) or None) == \
+                    (ev.get(k) or None), (i, k)
+
 
 class TestRowLoopTier:
     """r4: registry functions without a dedicated Arrow kernel run

@@ -115,15 +115,26 @@ class _Union:
                 yield mask, lane
 
     def mask_null(self, bad) -> "_Union":
-        """Null out the owned values on `bad` rows (boolean Arrow
-        array), keeping the tags."""
-        lanes = []
-        for code, lane in enumerate(self.lanes):
+        """Null out `bad` rows (boolean Arrow array) by RETAGGING them
+        to a null lane. Retag, not per-lane bitmaps: a struct lane with
+        a union child must never receive a validity bitmap — the next
+        pc.struct_field on it hits Arrow's CHECK (array_nested.cc:1142,
+        unions may not carry validity) and ABORTS the process."""
+        bad_np = pc.fill_null(bad, False).to_numpy(zero_copy_only=False)
+        if not bad_np.any():
+            return self
+        tag = self.tag.copy()
+        lanes = list(self.lanes)
+        null_code = None
+        for code, lane in enumerate(lanes):
             if pa.types.is_null(lane.type):
-                lanes.append(lane)
-            else:
-                lanes.append(_null_rows(lane, bad, self.n))
-        return _Union(self.tag, lanes, self.n)
+                null_code = code
+                break
+        if null_code is None:
+            lanes.append(_nulls(self.n, pa.null()))
+            null_code = len(lanes) - 1
+        tag[bad_np] = null_code
+        return _Union(tag, lanes, self.n)
 
     def to_arrow(self) -> pa.UnionArray:
         """Materialize as a DENSE Arrow union. Dense, not sparse:
@@ -132,6 +143,18 @@ class _Union:
         Ray blocks slice tables constantly; dense unions slice /
         take / filter correctly."""
         return _dense_union(self.tag, self.lanes, self.n)
+
+
+def _contains_union(t: pa.DataType) -> bool:
+    """True when `t` is or nests a union type (struct/list children)."""
+    if pa.types.is_union(t):
+        return True
+    if pa.types.is_struct(t):
+        return any(_contains_union(t.field(i).type)
+                   for i in range(t.num_fields))
+    if _is_list_type(t):
+        return _contains_union(t.value_type)
+    return False
 
 
 def _null_rows(arr, bad, n: int):
@@ -150,6 +173,13 @@ def _null_rows(arr, bad, n: int):
         pass
     t = arr.type
     if pa.types.is_struct(t):
+        if _contains_union(t):
+            # A validity bitmap on this struct would poison every
+            # later pc.struct_field: Arrow pushes parent validity into
+            # the child, and a union with a validity bitmap trips a
+            # CHECK that ABORTS the process (array_nested.cc:1142) —
+            # uncatchable from Python. Degrade to the row path.
+            raise _RowFallback("null-mask struct with union child")
         mask = pc.or_(pc.is_null(arr), pc.fill_null(bad, False))
         children = [arr.field(i) for i in range(t.num_fields)]
         return pa.StructArray.from_arrays(
@@ -1749,7 +1779,24 @@ def _seg_read(ctx, arr, s):
     if not pa.types.is_struct(arr.type) or \
             arr.type.get_field_index(s) < 0:
         return _nulls(ctx.n, pa.null())
-    return pc.struct_field(arr, s)
+    return _struct_field_safe(arr, s)
+
+
+def _struct_field_safe(arr: pa.Array, name: str):
+    """pc.struct_field that cannot abort the process: Arrow merges the
+    parent validity bitmap into the child, and a UNION child cannot
+    carry one — the CHECK at array_nested.cc:1142 aborts (uncatchable
+    from Python). When the parent has validity and the child is a
+    union, return the raw child if no row is actually null, else
+    degrade to the row path."""
+    idx = arr.type.get_field_index(name) if isinstance(name, str) \
+        else name
+    ft = arr.type.field(idx).type
+    if pa.types.is_union(ft) and arr.buffers()[0] is not None:
+        if not arr.null_count:
+            return arr.field(name)
+        raise _RowFallback("struct-with-validity union child read")
+    return pc.struct_field(arr, name)
 
 
 def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
@@ -1787,7 +1834,7 @@ def _struct_set(ctx: "_Ctx", segs: tuple, values, top=_UNSET):
             if pa.types.is_struct(arr.type):
                 for i in range(arr.type.num_fields):
                     f = arr.type.field(i)
-                    fields[f.name] = pc.struct_field(arr, f.name)
+                    fields[f.name] = _struct_field_safe(arr, f.name)
         child = fields.get(rest[0])
         fields[rest[0]] = build(child, rest[1:])
         arrs = [_as_array(a, ctx.n) for a in fields.values()]
@@ -1852,7 +1899,7 @@ def _struct_set_gated(ctx: "_Ctx", segs: tuple, values, dead,
         # invent a sibling the row never had)
         new = _struct_set(ctx, segs, _as_array(values, ctx.n), top=old)
         return _blend(ok, new, old, ctx.n)
-    old_leaf = pc.struct_field(old, segs[1])
+    old_leaf = _struct_field_safe(old, segs[1])
     gated = _blend(ok, values, old_leaf, ctx.n)
     if not isinstance(gated, _Union):
         gated = _as_array(gated, ctx.n)
@@ -1944,7 +1991,7 @@ def _compile_del_exists(name: str, args) -> Callable:
                for j in range(t.num_fields)):
             raise _RowFallback("del near union child")
         i = t.get_field_index(segs[1])
-        old = pc.struct_field(top, i)
+        old = _struct_field_safe(top, i)
         rest = [(t.field(j).name, top.field(j))
                 for j in range(t.num_fields) if j != i]
         if rest:
@@ -1999,7 +2046,7 @@ def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
             if any(pa.types.is_union(cur.type.field(j).type)
                    for j in range(cur.type.num_fields)):
                 raise _RowFallback("|= near union child")
-            cur = pc.struct_field(cur, sg)
+            cur = _struct_field_safe(cur, sg)
         if isinstance(cur, _Union):
             raise _RowFallback("|= over mixed shapes")
         if isinstance(cur, pa.ChunkedArray):
