@@ -274,6 +274,13 @@ def gen_stmt(i):
             f".z{i} = (to_int(.s) ?? del({tgt}))",
             f".z{i} = if {boolex()} {{ del({tgt}) }} else {{ 1 }}",
             f".z{i} = ({{ to_int(.t)\n del({tgt})\n 1 }} ?? 2)",
+            # r5 (ADVICE): del in argument / container-element / binop-
+            # RHS position after a per-row-fallible sibling is also
+            # conditionally reached
+            f".z{i} = [to_int!(.s), del({tgt})]",
+            f".z{i} = {{\"x\": to_int!(.t), \"y\": del({tgt})}}",
+            f".z{i} = (to_int(.s) + del({tgt}))",
+            f".z{i} = [del({tgt}), to_int!(.s)]",
         ])
         return form
     if kind == 'metavar':
@@ -504,6 +511,12 @@ def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
         print(f"programs={n_programs} vectorized={n_vec} "
               f"fallback={n_fall} divergent_rows={n_div} "
               f"unique={len(seen)}")
+        from vrl_ray.lang.vectorize import FALLBACK_CONVERSIONS
+        if FALLBACK_CONVERSIONS:
+            # broad-exception → _RowFallback conversions: a TypeError
+            # here can be a kernel bug hiding as a silent slowdown
+            print("fallback_conversions="
+                  + dict(FALLBACK_CONVERSIONS).__repr__())
     return len(seen)
 
 

@@ -274,6 +274,38 @@ class TestVectorize:
         assert out["o"].to_pylist() == [False, True]
         assert out["vrl_err"].to_pylist() == [None, None]
 
+    def test_lazy_position_del_in_siblings(self):
+        """r5 (ADVICE): del in argument / container-element / binop-RHS
+        position AFTER a per-row-fallible sibling is conditionally
+        reached — the interpreter never runs it on rows where the
+        earlier sibling failed. The vector lane must defer to the row
+        path there (previously it deleted batch-wide). Siblings with
+        only infallible predecessors still vectorize."""
+        import pyarrow as pa
+
+        from vrl_ray.lang import RemapStage
+        from vrl_ray.lang.vectorize import VectorProgram, _RowFallback
+
+        batch = pa.table({"s": ["1", "x"], "a": [20, 20]})
+        lazy = ['.o = [to_int!(.s), del(.a)]',
+                '.o = {"x": to_int!(.s), "y": del(.a)}',
+                '.z = (to_int(.s) + del(.a))']
+        for src in lazy:
+            try:
+                VectorProgram(src).run(batch)
+                raise AssertionError(f"expected fallback: {src}")
+            except _RowFallback:
+                pass
+            # the row path keeps .a on the failing row
+            rows = RemapStage(src)(batch).to_pylist()
+            assert rows[1]["a"] == 20, src
+        # del with only infallible earlier siblings stays columnar
+        # and applies to every row — matching the interpreter
+        out = VectorProgram('.o = [1, del(.a)]').run(batch).to_pylist()
+        rows = RemapStage('.o = [1, del(.a)]')(batch).to_pylist()
+        assert [r.get("a") for r in out] == [None, None]
+        assert [r.get("a") for r in rows] == [None, None]
+
     def test_abort_vectorized(self):
         """`abort` compiles into the column plan (r3): aborted rows
         keep mutations made BEFORE the abort, skip later statements,

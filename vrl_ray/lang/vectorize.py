@@ -43,6 +43,8 @@ semantics vectorized").
 
 from __future__ import annotations
 
+import os
+from collections import Counter
 from typing import Any, Callable, Optional
 
 import numpy as np
@@ -50,6 +52,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .parser import parse, ParseError
+
+# Broad-exception → _RowFallback conversions in VectorProgram.run,
+# keyed by exception class (ADVICE r5): lets soaks/benches spot a
+# kernel bug masquerading as a silent row-path fallback.
+FALLBACK_CONVERSIONS: Counter = Counter()
 
 
 class NotVectorizable(Exception):
@@ -2275,6 +2282,51 @@ def _compile_filter(args, closure):
     return fv
 
 
+def _infallible_node(node) -> bool:
+    """Conservatively true when the expression can never raise a
+    per-row error: literals and pure path/variable reads (a query on
+    a missing/mistyped path yields null, never an error), plus
+    containers of only those."""
+    k = node[0]
+    if k in ("lit", "regex", "ts", "path", "var"):
+        return True
+    if k == "array":
+        return all(_infallible_node(x) for x in node[1])
+    if k == "object":
+        return all(_infallible_node(v) for _, v in node[1])
+    return False
+
+
+def _compile_siblings(nodes) -> list:
+    """Compile a left-to-right sibling list (array elements, object
+    fields): every sibling after the first potentially-failing one is
+    conditionally reached in the interpreter and gets lazy-gated."""
+    out = []
+    prior_fallible = False
+    for x in nodes:
+        f = _compile_expr(x)
+        if prior_fallible:
+            f = _lazy_gate(f)
+        prior_fallible = prior_fallible or not _infallible_node(x)
+        out.append(f)
+    return out
+
+
+def _lazy_gate(f: Callable) -> Callable:
+    """Mark `f`'s evaluation as conditionally reached: an EARLIER
+    sibling (argument, container element, binop LHS) can fail per
+    row, so the interpreter never reaches `f` on those rows. Bumping
+    lazy_depth makes side-effecting expressions (del) fall back to
+    the row path instead of applying batch-wide."""
+    def g(ctx):
+        ctx.lazy_depth += 1
+        try:
+            return f(ctx)
+        finally:
+            ctx.lazy_depth -= 1
+    return g
+
+
 def _compile_expr(node) -> Callable:
     kind = node[0]
     if kind == "lit":
@@ -2347,7 +2399,7 @@ def _compile_expr(node) -> Callable:
         # (interpreter: the first erroring element propagates).
         if kind == "object":
             names = [k for k, _ in node[1]]
-            fieldfs = [_compile_expr(x) for _, x in node[1]]
+            fieldfs = _compile_siblings([x for _, x in node[1]])
 
             def objf(ctx):
                 errs = None
@@ -2366,7 +2418,7 @@ def _compile_expr(node) -> Callable:
                     errs
             return objf
 
-        elemfs = [_compile_expr(x) for x in node[1]]
+        elemfs = _compile_siblings(node[1])
         k = len(elemfs)
 
         def arrf(ctx):
@@ -2621,10 +2673,19 @@ def _compile_expr(node) -> Callable:
         args = _canonicalize_named_args(name, args)
         argfs = []
         argnodes = []
+        prior_fallible = False
         for aname, aexpr in args:
             if aname is not None:
                 raise NotVectorizable("named args")
-            argfs.append(_compile_expr(aexpr))
+            f = _compile_expr(aexpr)
+            if prior_fallible:
+                # an earlier argument can fail per row — the
+                # interpreter never reaches this argument on those
+                # rows, so side effects here (del) must defer
+                f = _lazy_gate(f)
+            prior_fallible = prior_fallible or \
+                not _infallible_node(aexpr)
+            argfs.append(f)
             argnodes.append(aexpr)
         span = node[5] if len(node) > 5 else None
         frame = _call_frame(name, span)
@@ -2958,6 +3019,12 @@ _CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
 def _compile_binop(node) -> Callable:
     _, op, ln, rn = node
     lf, rf = _compile_expr(ln), _compile_expr(rn)
+    if not _infallible_node(ln):
+        # the interpreter evaluates LHS first and propagates its error
+        # before ever reaching the RHS — a side effect there (del)
+        # must not apply batch-wide. (??/&&/|| gate their RHS anyway;
+        # an extra depth bump is harmless.)
+        rf = _lazy_gate(rf)
 
     if op in _NUM_OPS:
         # pc.add/subtract/multiply wrap on int64 overflow — matching
@@ -3728,6 +3795,17 @@ class VectorProgram:
             return self._run_impl(batch)
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
                 pa.ArrowTypeError, TypeError) as ex:
+            # ADVICE r5: a TypeError here may be a genuine kernel bug
+            # degrading into a silent ~330x row-path slowdown — count
+            # conversions (deepfuzz reports them) and optionally dump
+            # the traceback via VRL_RAY_DEBUG_FALLBACK=1.
+            FALLBACK_CONVERSIONS[type(ex).__name__] += 1
+            if os.environ.get("VRL_RAY_DEBUG_FALLBACK"):
+                import sys
+                import traceback
+                print(f"[vectorize] {type(ex).__name__} -> "
+                      f"_RowFallback: {ex}", file=sys.stderr)
+                traceback.print_exc()
             raise _RowFallback(f"data-dependent kernel error: {ex}") \
                 from ex
 
