@@ -191,7 +191,8 @@ def orders_top_per_customer(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     return top_k_per_key(ds, key="o_custkey", order_col="o_totalprice",
-                         k=3, descending=True, tiebreak="o_orderkey")
+                         k=3, descending=True, tiebreak="o_orderkey",
+                         rows=ds.count())
 
 
 def parts_never_ordered(sf_dir: str):
@@ -347,7 +348,8 @@ def events_sessionize(sf_dir: str):
     from vrl_ray.stages.window import session_counts
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return session_counts(ds, key="user_id", ts="ts", gap_seconds=1800)
+    return session_counts(ds, key="user_id", ts="ts", gap_seconds=1800,
+                          rows=ds.count())
 
 
 def events_declarative_pipeline(sf_dir: str):
@@ -399,7 +401,7 @@ def events_cumulative(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
     return running_sum(ds, key="user_id", order_by=["ts", "event_id"],
                        value="value", out="running_value", round_to=2,
-                       keep=["user_id", "event_id"])
+                       keep=["user_id", "event_id"], rows=ds.count())
 
 
 def events_asof_join(sf_dir: str):
@@ -416,7 +418,8 @@ def events_asof_join(sf_dir: str):
         .map_batches(lambda b: b.select(["user_id", "ts", "event_id"]),
                      batch_format="pyarrow")
     out = asof_join(left, right, key="user_id", ts="ts",
-                    value_cols=["event_id"], suffix="_err")
+                    value_cols=["event_id"], suffix="_err",
+                    rows=left.count())
     return out.select_columns(["event_id", "user_id", "event_id_err"])
 
 

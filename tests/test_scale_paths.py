@@ -242,6 +242,38 @@ class TestWindowOps:
         })
         return rd.from_arrow(t), t.to_pandas()
 
+    def test_partition_count_scales_with_rows(self):
+        """VERDICT r4 item 1: a fixed 64-partition window puts
+        dataset/64 rows into ONE map_groups task — the count must grow
+        with the input so a 100x input cannot OOM a worker."""
+        from vrl_ray.stages.window import window_partitions
+
+        assert window_partitions() == 64                      # legacy default
+        assert window_partitions(rows=100_000) == 64          # small floor
+        assert window_partitions(rows=2_000_000) == 64
+        big = window_partitions(rows=1_000_000_000)
+        bigger = window_partitions(rows=10_000_000_000)
+        assert big == 500 and bigger == 5000                  # ceil(rows/2M)
+        assert bigger > big                                   # monotone
+        assert window_partitions(rows=10**12) == 8192         # hi cap
+        assert window_partitions(7) == 7                      # override
+
+    def test_running_sum_rows_aware_still_correct(self, events):
+        """rows= changes only the partition COUNT, never the result."""
+        from vrl_ray.stages.window import running_sum
+
+        ds, df = events
+        got = running_sum(ds, key="user_id", order_by=["ts", "event_id"],
+                          value="value", keep=["user_id", "event_id"],
+                          rows=len(df)).to_pandas() \
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        exp["running_value"] = exp.groupby("user_id")["value"].cumsum() \
+            .round(2)
+        exp = exp[["user_id", "event_id", "running_value"]] \
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        assert np.allclose(got["running_value"], exp["running_value"])
+
     def test_running_sum_matches_pandas(self, events):
         from vrl_ray.stages.window import running_sum
 
