@@ -29,6 +29,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pool(hi: int = 8) -> int:
+    """Fixed-size actor pool (autoscaling pools idle short jobs and
+    depress N-vs-4N scaling — CLAUDE.md perf rule 4)."""
+    from vrl_ray.stages.pool import fixed_pool
+
+    return fixed_pool(hi)
+
+
 def _round(df, cols, nd=4):
     for c in cols:
         df[c] = df[c].astype(float).round(nd)
@@ -126,7 +134,7 @@ def customer_per_nation(sf_dir: str):
             return b.append_column("n_name", col)
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    out = ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 4)) \
+    out = ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=_pool(4)) \
             .groupby("n_name").aggregate(
                 Count(alias_name="n_customers"),
                 Sum("c_acctbal", alias_name="sum_acctbal"),
@@ -465,7 +473,7 @@ def events_vrl_remap(sf_dir: str):
     .value_int, .parse_err = to_int(round(.value))
     if .value >= 100.0 { .is_big = true } else { .is_big = false }
     """
-    out = remap(ds, program, concurrency=(1, 4))
+    out = remap(ds, program, concurrency=_pool(4))
     return out.select_columns(["event_id", "kind", "value_int", "is_big"])
 
 
@@ -486,7 +494,7 @@ def events_vrl_kernels(sf_dir: str):
     .vi, .e1 = to_int(round(.value))
     .flag = to_bool(.vi)
     """
-    out = remap(ds, program, concurrency=(1, 4))
+    out = remap(ds, program, concurrency=_pool(4))
     return out.select_columns(
         ["event_id", "et", "short", "head", "vi", "flag"])
 
@@ -509,7 +517,7 @@ def events_vrl_routing(sf_dir: str):
     .tail = slice!(.event_type, 6)
     if .sev == "high" { .alert = true } else { .note = "ok" }
     """
-    out = remap(ds, program, concurrency=(1, 4))
+    out = remap(ds, program, concurrency=_pool(4))
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -551,7 +559,7 @@ def events_vrl_logpipe(sf_dir: str):
     .v0 = .n[0]
     .len = length(.event_type)
     """
-    out = remap(ds, program, concurrency=(1, 4))
+    out = remap(ds, program, concurrency=_pool(4))
     return out.select_columns(
         ["event_id", "t2", "has", "kind", "v0", "len"])
 
@@ -644,7 +652,7 @@ def events_route_ddq(sf_dir: str):
             return pa.table({"sink": pa.array(sink.tolist(), pa.string())})
 
     routed = ds.map_batches(RouteDD, batch_format="pyarrow",
-                            concurrency=(1, 8))
+                            concurrency=_pool(8))
     return count_by(routed, ["sink"])
 
 
@@ -721,7 +729,7 @@ def docs_langid(sf_dir: str):
     from vrl_ray.stages.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4)) \
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool(4)) \
              .select_columns(["doc_id", "lang_pred"])
 
 
@@ -1135,7 +1143,7 @@ def docs_grok_parse(sf_dir: str):
                                    pa.nulls(len(b), pa.string())),
             })
 
-    return ds.map_batches(Grok, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Grok, batch_format="pyarrow", concurrency=_pool(4))
 
 
 def events_dns_enrich(sf_dir: str):
@@ -1186,7 +1194,7 @@ def events_dns_enrich(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id"])
     enriched = ds.map_batches(DnsEnrich, batch_format="pyarrow",
-                              concurrency=(1, 4))
+                              concurrency=_pool(4))
     out = count_by_small(enriched, ["rcode_name", "ip"])
     out["n"] = out["n"].astype("int64")
     # pandas' dropna=False groupby renders the null ip as NaN; the
@@ -1207,7 +1215,7 @@ def multimodal_frames(sf_dir: str):
     t = synthetic_media_table(200, seed=5)
     return rd.from_arrow(t).map_batches(
         SampleFrames, batch_format="pyarrow", batch_size=32,
-        concurrency=(1, 4))
+        concurrency=_pool(4))
 
 
 def multimodal_audio(sf_dir: str):
@@ -1219,7 +1227,7 @@ def multimodal_audio(sf_dir: str):
     t = synthetic_media_table(200, seed=5)
     audio = rd.from_arrow(t).filter(expr="kind == 'audio'")
     return audio.map_batches(DecodeAudio, batch_format="pyarrow",
-                             batch_size=32, concurrency=(1, 4)) \
+                             batch_size=32, concurrency=_pool(4)) \
         .select_columns(["media_id", "rms", "zero_cross_rate"])
 
 

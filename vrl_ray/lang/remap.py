@@ -259,7 +259,7 @@ class VectorRemapStage:
         return out
 
 
-def remap(ds, source: str, *, concurrency=(1, 8), batch_size: int = 8192,
+def remap(ds, source: str, *, concurrency=None, batch_size: int = 8192,
           drop_aborted: bool = False, vectorize: Optional[bool] = None):
     """Apply a VRL program to every row of a Dataset.
 
@@ -268,6 +268,13 @@ def remap(ds, source: str, *, concurrency=(1, 8), batch_size: int = 8192,
     back to the per-row interpreter; True forces the column plan
     (raises NotVectorizable); False forces the interpreter."""
     from .vectorize import NotVectorizable, VectorProgram
+
+    if concurrency is None:
+        # fixed pool: autoscaling pools idle short jobs (CLAUDE.md
+        # perf rule 4 / VERDICT r4 finding 5)
+        from ..stages.pool import fixed_pool
+
+        concurrency = fixed_pool()
 
     use_vector = vectorize
     if use_vector is None:

@@ -120,10 +120,14 @@ class _SyslogParse:
         return pa.table(out)
 
 
-def read_syslog(paths, *, concurrency=(1, 8)):
+def read_syslog(paths, *, concurrency=None):
     """Syslog file source: one parsed event per line, error lane for
     unparseable lines."""
     import ray.data as rd
 
+    if concurrency is None:
+        from ..stages.pool import fixed_pool
+
+        concurrency = fixed_pool()
     return rd.read_text(paths).map_batches(
         _SyslogParse, batch_format="pyarrow", concurrency=concurrency)

@@ -29,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .pool import fixed_pool
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -252,7 +254,7 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
         MinHashLSH,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                    id_column=id_column, text_column=text_column),
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=fixed_pool(),
     ).materialize()  # consumed 3× below (counts + both join sides)
 
     # hot-bucket guard BEFORE the join: a degenerate bucket
@@ -280,18 +282,30 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     if hot_keys:
         import ray
 
-        hot_ref = ray.put(hot_keys)
+        # vectorized hot-key filter (VERDICT r4 finding 2 — the tuple
+        # set-membership loop over bands×rows was the one Python loop
+        # in the bench's most expensive pipeline): group the hot set
+        # by band (≤ ``bands`` distinct values) and run one np.isin
+        # per hot band — exact, no packed-key collision risk.
+        hot_by_band: dict[int, np.ndarray] = {}
+        for band, h in hot_keys:
+            hot_by_band.setdefault(int(band), []).append(int(h))
+        hot_by_band = {b: np.asarray(hs, dtype=np.int64)
+                       for b, hs in hot_by_band.items()}
+        hot_ref = ray.put(hot_by_band)
 
         def drop_hot(b: pa.Table) -> pa.Table:
             import ray as _r
 
-            keys = _r.get(hot_ref)
-            keep = [
-                (band, h) not in keys
-                for band, h in zip(b["band"].to_pylist(),
-                                   b["band_hash"].to_pylist())
-            ]
-            return b.filter(pa.array(keep))
+            by_band = _r.get(hot_ref)
+            band_np = b["band"].to_numpy(zero_copy_only=False)
+            hash_np = b["band_hash"].to_numpy(zero_copy_only=False)
+            drop = np.zeros(len(b), dtype=bool)
+            for bd, hashes in by_band.items():
+                m = band_np == bd
+                if m.any():
+                    drop[m] = np.isin(hash_np[m], hashes)
+            return b.filter(pa.array(~drop))
 
         banded = banded.map_batches(drop_hot,
                                     batch_format="pyarrow").materialize()
@@ -414,7 +428,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
         texts_ref = ray.put(lookup)
         return pairs_ds.map_batches(verify_with_lookup(texts_ref),
                                     batch_format="pyarrow",
-                                    concurrency=(1, 8))
+                                    concurrency=fixed_pool())
 
     # large candidate set → distributed double join. Partition count
     # uses the unknown-size fallback (ncpu/2), NOT the candidate count:
@@ -737,7 +751,7 @@ def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
     # materialized: both join sides consume it, and its count sizes
     # the join's partitions (rows-aware — r4)
     assigned = ds.select_columns([id_column, vec_column]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+        Assign, batch_format="pyarrow", concurrency=fixed_pool()).materialize()
     if num_partitions is None:
         num_partitions = join_partitions(rows=assigned.count())
 

@@ -78,7 +78,7 @@ def drop_empty_blocks(mat):
 
 
 def broadcast_join(ds, small: "pa.Table", on: str, right_on: Optional[str] = None,
-                   columns: Optional[list[str]] = None, concurrency=(1, 8),
+                   columns: Optional[list[str]] = None, concurrency=None,
                    how: str = "inner"):
     """Broadcast-hash-join `ds` (big, streaming) with `small` (a
     pyarrow Table): ship the small side once, probe per batch.
@@ -114,5 +114,9 @@ def broadcast_join(ds, small: "pa.Table", on: str, right_on: Optional[str] = Non
                 out = out.filter(pc.is_valid(row_idx))
             return out
 
+    if concurrency is None:
+        from .pool import fixed_pool
+
+        concurrency = fixed_pool()
     return ds.map_batches(Probe, batch_format="pyarrow",
                           concurrency=concurrency)

@@ -366,9 +366,13 @@ class SampleFrames:
                          "decode_err": pa.array(errs, pa.string())})
 
 
-def media_pipeline(ds, *, batch_size: int = 64, concurrency=(1, 4)):
+def media_pipeline(ds, *, batch_size: int = 64, concurrency=None):
     """Reference wiring: small batches for big payloads, actor pool,
     pyarrow format end-to-end."""
+    if concurrency is None:
+        from .pool import fixed_pool
+
+        concurrency = fixed_pool(4)
     return ds.map_batches(
         DecodeImage, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
