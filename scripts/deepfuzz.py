@@ -70,7 +70,8 @@ def strx(d=0):
     opts = ['.s', '.t', '.obj.y', 'lit', '.arr[1]', '.arr[9]']
     if d < 2:
         opts += ['case', 'concat', 'to_string', 'trunc', 'slice',
-                 'replace', 'strip', 'joinsplit', 'iff', 'coalesce']
+                 'replace', 'strip', 'joinsplit', 'iff', 'coalesce',
+                 'replace_with']
     c = R.choice(opts)
     if c == 'lit':
         return R.choice(STR_LITS)
@@ -96,6 +97,28 @@ def strx(d=0):
         if R.random() < 0.5:
             args += f", {R.randint(-1, 3)}"
         return f"replace({args})"
+    if c == 'replace_with':
+        # every shape: named/positional captures, reserved-name error,
+        # optional count (named + positional), non-string body result,
+        # fallible body, null/non-string inputs (value may be .obj.y /
+        # .arr[9] → null; to_string(num) exercises coercions)
+        pat = R.choice([r"r'(?P<w>[a-z]+)'", r"r'(\d)(\d)?'", r"r'o'",
+                        r"r'(?P<string>x)'", r"r'\s+'"])
+        body = R.choice([
+            'upcase(m.string)', 'm.string + "!"',
+            '(m.w ?? "-")', 'to_string(length(m.captures))',
+            '(m.captures[0] ?? "_")',
+            'to_string!(to_int!(m.string) + 1)',   # fallible body
+            '7',                                   # non-string result
+        ])
+        args = f"{strx(d + 1)}, {pat}"
+        r = R.random()
+        if r < 0.33:
+            args += f", count: {R.randint(-1, 2)}"
+        elif r < 0.5:
+            args += f", {R.randint(-1, 2)}"
+        bang = "!" if R.random() < 0.3 else ""
+        return f"replace_with{bang}({args}) -> |m| {{ {body} }}"
     if c == 'strip':
         return f"strip_whitespace({strx(d + 1)})"
     if c == 'joinsplit':

@@ -473,7 +473,15 @@ class _Ctx:
                         else:
                             self.vars.pop(p, None)
 
-            pos.append(_adapt_closure(name, closure_fn, len(params)))
+            # the closure binds its DECLARED parameter slot, not the
+            # end of the list: later optional params given positionally
+            # (replace_with's count, map_keys' recursive) come after it
+            cf = _adapt_closure(name, closure_fn, len(params))
+            slot = _CLOSURE_SLOT.get(name)
+            if slot is not None and len(pos) > slot:
+                pos.insert(slot, cf)
+            else:
+                pos.append(cf)
         try:
             return fn(*pos, **kw)
         except VrlError:
@@ -522,6 +530,12 @@ def _arg_kind_error(name: str, pos, kw) -> "str | None":
         if not ok:
             return f"expected {' or '.join(declared)}, got {actual}"
     return None
+
+
+#: positional index of the closure parameter in the python stdlib
+#: signatures (functions/object.py, functions/string.py:141)
+_CLOSURE_SLOT = {"map_keys": 1, "map_values": 1, "for_each": 1,
+                 "filter": 1, "replace_with": 2}
 
 
 def _adapt_closure(fname: str, fn, nparams: int):

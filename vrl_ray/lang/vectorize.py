@@ -2282,6 +2282,102 @@ def _compile_filter(args, closure):
     return fv
 
 
+def _compile_replace_with(args, closure, span=None):
+    """Closure lowering: ``replace_with(value, pattern[, count]) ->
+    |m| { body }`` (reference src/stdlib/replace_with.rs). The body
+    may read ONLY its match parameter, so the call is evaluated once
+    per DISTINCT input string (encode_json leaf-renderer trick:
+    dictionary-encode, run the row function over the dictionary,
+    ``take`` back out) — digest cost ∝ distinct values × matches, not
+    rows. Each match's capture object is bound to the closure var as
+    a 1-row batch and the compiled body runs on it; any body error
+    (fallible call, abort, non-string result surfaced by the row
+    function) degrades to the row path for exact nested diagnostics."""
+    params, body = closure
+    pos = [a for n_, a in args if n_ is None]
+    named = {n_: a for n_, a in args if n_ is not None}
+    if len(params) != 1 or not (2 <= len(pos) <= 3) \
+            or set(named) - {"count"}:
+        raise NotVectorizable("replace_with shape")
+    pname = params[0]
+    if _reads_beyond_param(body, pname):
+        # row-dependent replacement (body reads event paths / outer
+        # vars) — per-distinct evaluation is unsound
+        raise NotVectorizable("replace_with row-dependent body")
+    valf = _compile_expr(pos[0])
+    patf = _compile_expr(pos[1])
+    cnode = pos[2] if len(pos) == 3 else named.get("count")
+    cntf = _compile_expr(cnode) if cnode is not None else None
+    bodyf = _compile_expr(_unwrap_block(body))
+
+    def body_value(obj):
+        """Evaluate the closure body over ONE match object; returns
+        the python result. Raises _RowFallback on any body error."""
+        from .remap import _py_array
+
+        sub = _Ctx.__new__(_Ctx)
+        sub.batch = None
+        sub.n = 1
+        sub.written = {}
+        sub.vars = {}
+        sub.active_mask = None
+        sub.root_cleared = False
+        sub.lazy_depth = 1
+        sub.closure_vars = {pname: _py_array([obj])}
+        bv, be = bodyf(sub)
+        if be is not None and pc.any(pc.is_valid(be)).as_py():
+            raise _RowFallback("replace_with body error")
+        if isinstance(bv, _Union):
+            bv = bv.to_arrow()
+        return _as_array(bv, 1)[0].as_py()
+
+    def rw(ctx):
+        from ..functions.string import replace_with as _rw_row
+        from ..value import VrlError
+
+        prefix = _call_frame("replace_with", span)
+        v, e = valf(ctx)
+        p, pe = patf(ctx)
+        e = _frame_arg_errs(e, prefix, ctx.n)
+        pe = _frame_arg_errs(pe, prefix, ctx.n)
+        if isinstance(p, _PyConst):
+            pattern = p.value
+        elif isinstance(p, pa.Scalar) and isinstance(p.as_py(), str):
+            pattern = p.as_py()
+        else:
+            raise _RowFallback("replace_with non-constant pattern")
+        count = -1
+        if cntf is not None:
+            cv, _ce = cntf(ctx)
+            if not isinstance(cv, pa.Scalar) or not isinstance(
+                    cv.as_py(), int):
+                raise _RowFallback("replace_with non-constant count")
+            count = cv.as_py()
+        va = _as_array(v, ctx.n)
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        if isinstance(va, _Union) or not _is_str_type(va.type) \
+                or va.null_count:
+            # null / non-string inputs carry the interpreter's exact
+            # argument-kind error texts — row path owns those
+            raise _RowFallback("replace_with non-string input")
+        d = va.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        out_u: list = [None] * len(uniq)
+        err_u: list = [None] * len(uniq)
+        for i, s in enumerate(uniq):
+            try:
+                out_u[i] = _rw_row(s, pattern, body_value, count)
+            except VrlError as ex:
+                err_u[i] = prefix + ex.message
+        out = pc.take(pa.array(out_u, pa.string()), d.indices)
+        errs = None
+        if any(m is not None for m in err_u):
+            errs = pc.take(pa.array(err_u, pa.string()), d.indices)
+        return out, _merge_errs(ctx.n, e, pe, errs)
+    return rw
+
+
 def _infallible_node(node) -> bool:
     """Conservatively true when the expression can never raise a
     per-row error: literals and pure path/variable reads (a query on
@@ -2651,15 +2747,29 @@ def _compile_expr(node) -> Callable:
     if kind == "call":
         _, name, bang, args, closure = node[:5]
         if closure is not None:
+            span_c = node[5] if len(node) > 5 else None
             if name == "map_values":
-                return _compile_map_values(args, closure)
-            if name == "map_keys":
-                return _compile_map_keys(args, closure,
-                                         node[5] if len(node) > 5
-                                         else None)
-            if name == "filter":
-                return _compile_filter(args, closure)
-            raise NotVectorizable(f"closure call {name}")
+                cbase = _compile_map_values(args, closure)
+            elif name == "map_keys":
+                cbase = _compile_map_keys(args, closure, span_c)
+            elif name == "filter":
+                cbase = _compile_filter(args, closure)
+            elif name == "replace_with":
+                cbase = _compile_replace_with(args, closure, span_c)
+            else:
+                raise NotVectorizable(f"closure call {name}")
+            if not bang:
+                return cbase
+
+            def cbangf(ctx):
+                # closure calls share the bang-abort semantics of the
+                # plain-call path below: errors (incl. ARGUMENT
+                # errors) become uncapturable abort tags
+                v, e = cbase(ctx)
+                if e is None or not pc.any(pc.is_valid(e)).as_py():
+                    return v, None
+                return v, _tag_abort(e)
+            return cbangf
         if name in ("del", "exists"):
             return _compile_del_exists(name, args)
         row_loop = False
