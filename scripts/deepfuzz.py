@@ -239,6 +239,19 @@ def anyexpr(d=0):
                  R.choice(['parse_json(.jsons)', 'to_int(.s)',
                            f'bv{dd} = to_int(.t)', 'slice!(.s, 9)']),
                  anyexpr(2), anyexpr(2)),
+             # multi-statement block EXPRESSION with var writes
+             # (vectorized r5): writes gate on in-block errors; the
+             # final statement may itself be an assignment (its value
+             # is the block's value); reassignment reads its own
+             # earlier write
+             lambda dd: R.choice([
+                 "{ vb = %s\n vb + 1 }" % num(2),
+                 "{ vb = %s\n _ig = %s\n vb = vb * 2\n vb }" % (
+                     num(2), anyexpr(2)),
+                 "{ vs = %s\n vt = to_int(%s)\n vt }" % (
+                     strx(2), strx(2)),
+                 "{ vs = %s\n upcase(vs) }" % strx(2),
+             ]),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),
              lambda dd: "push(%s, %s)" % (

@@ -2856,38 +2856,83 @@ def _compile_expr(node) -> Callable:
         if len(node[1]) == 1:
             return _compile_expr(node[1][0])
         # multi-statement block EXPRESSION: statements run for their
-        # effects (variable writes, function-scoped — and errors:
-        # the FIRST error per row becomes the block's error, so
-        # `{ parse_json("bad") \n 2 } ?? 1` yields 1); the final
-        # expression is the value. Var writes gate on error-free
-        # rows (an errored row stops executing its block).
-        # PURE pre-statements only: a variable write inside a block
-        # EXPRESSION can't gate to the rows that lazily reach the
-        # block (?? RHS, if arms) — those programs take the row path
-        pre = []
+        # effects (variable writes — and errors: the FIRST error per
+        # row becomes the block's error, so `{ parse_json("bad") \n 2
+        # } ?? 1` yields 1); the final expression is the value.
+        # Writes gate on error-free rows (an errored row stops
+        # executing its block). Pre-statements may be pure
+        # expressions or SINGLE-target variable assigns; a var write
+        # inside a block reached LAZILY (?? RHS, if arms/predicates,
+        # closures) can't gate to the rows that actually reach it —
+        # checked at runtime via ctx.lazy_depth → row path.
+        pre = []       # (var_name|None, exprfn)
         for st in node[1][:-1]:
-            if st[0] in ("assign", "if", "abort", "return"):
+            if st[0] == "assign" and st[2] == "=" and \
+                    len(st[1]) == 1 and st[1][0][0] == "var" and \
+                    isinstance(st[1][0][1], str):
+                pre.append((st[1][0][1], _compile_expr(st[3])))
+            elif st[0] in ("assign", "if", "abort", "return"):
                 raise NotVectorizable(
                     "multi-statement block expression")
-            pre.append(_compile_expr(st))
-        finalf = _compile_expr(node[1][-1])
+            else:
+                pre.append((None, _compile_expr(st)))
+        last = node[1][-1]
+        final_name = None
+        if last[0] == "assign" and last[2] == "=" and \
+                len(last[1]) == 1 and last[1][0][0] == "var" and \
+                isinstance(last[1][0][1], str):
+            # an assignment in final position is both a write and the
+            # block's value (assignment.rs: assignments are exprs)
+            final_name = last[1][0][1]
+            last = last[3]
+        has_writes = final_name is not None or \
+            any(n_ is not None for n_, _ in pre)
+        finalf = _compile_expr(last)
 
         def blockf(ctx):
+            if has_writes and ctx.lazy_depth:
+                raise _RowFallback("block var write in lazy position")
             errs = None
             saved_mask = ctx.active_mask
             try:
-                for f in pre:
-                    _v, e = f(ctx)
+                for name, f in list(pre) + (
+                        [(final_name, finalf)] if final_name else []):
+                    v, e = f(ctx)
+                    last_v, last_e = v, e
+                    if name is not None and name != "_":
+                        # rows stopped by an earlier in-block error /
+                        # an outer dead-row mask keep the var's prior
+                        # value (undefined-before stays null there —
+                        # reads after the block are scope errors in
+                        # the reference, so unobservable)
+                        live = ctx.active_mask
+                        if e is not None and \
+                                pc.any(pc.is_valid(e)).as_py():
+                            enull = pc.is_null(e)
+                            live = enull if live is None \
+                                else pc.and_(live, enull)
+                        if live is None:
+                            ctx.vars[name] = v
+                        else:
+                            old = ctx.vars.get(name)
+                            if old is None:
+                                old = _nulls(ctx.n, pa.null())
+                            ctx.vars[name] = _blend(live, v, old,
+                                                    ctx.n)
                     errs = _merge_errs(ctx.n, errs, e)
                     if errs is not None and \
                             pc.any(pc.is_valid(errs)).as_py():
                         # rows errored inside the block stop
                         # executing it — later side-effectful
-                        # statements (del) must see that
+                        # statements (del) and var writes must see
+                        # that
                         live = pc.is_null(errs)
                         ctx.active_mask = live if saved_mask is None \
                             else pc.and_(saved_mask, live)
-                v, e = finalf(ctx)
+                if final_name is not None:
+                    v, e = last_v, last_e
+                else:
+                    v, e = finalf(ctx)
             finally:
                 ctx.active_mask = saved_mask
             return v, _merge_errs(ctx.n, errs, e)
