@@ -277,7 +277,21 @@ def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
                      'merge', 'root', 'dotread', 'bare', 'metavar',
-                     'varpath', 'lazydel', 'jsonshape'])
+                     'varpath', 'lazydel', 'jsonshape', 'assertx'])
+    if kind == 'assertx':
+        # assert / assert_eq special forms (vectorized r5): cond must
+        # be exactly `true`; message evaluated unconditionally,
+        # stringified on failing rows; assert_eq reprs both operands
+        if R.random() < 0.5:
+            cond = R.choice([boolex(1), strx(1), num(1), '.missing'])
+            msg = R.choice(['', f', {strx(1)}', ', "a msg"',
+                            f', {num(1)}'])
+            call = f"assert({cond}{msg})"
+        else:
+            call = f"assert_eq({anyexpr(1)}, {anyexpr(1)})"
+        if R.random() < 0.5:
+            return f".ok{i}, .ae{i} = {call}"
+        return call
     if kind == 'jsonshape':
         # ADVICE r5: mixed leaf KINDS under one key ('{"k": 1}' vs
         # '{"k": "x"}' in the corpus) merge into a struct lane with a

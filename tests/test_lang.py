@@ -454,8 +454,7 @@ class TestVectorize:
 
         from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
-        for src in (".x = now()",        # nondeterministic: row path
-                    "del(%meta.x)",      # metadata paths stay per-row
+        for src in ("del(%meta.x)",      # metadata paths stay per-row
                     ".x = for_each(.arr) -> |i, v| { .y = v }"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
@@ -1459,10 +1458,19 @@ class TestRowLoopTier:
 
         from vrl_ray.lang.vectorize import NotVectorizable, VectorProgram
 
-        for src in (".x = now()", ".x = uuid_v4()",
-                    ".x = random_int(0, 5)"):
+        # random_* stay excluded; now/uuid_v4/uuid_v7 vectorize since
+        # r5 (now() = one clock read per batch; uuids per row)
+        for src in (".x = random_int(0, 5)", ".x = random_bool()"):
             with _pytest.raises(NotVectorizable):
                 VectorProgram(src)
+        import pyarrow as pa
+
+        b = pa.table({"t": pa.array(["a", "b"])})
+        out = VectorProgram(".x = uuid_v4()\n.y = uuid_v7()\n"
+                            ".z = now()").run(b)
+        xs = out["x"].to_pylist()
+        assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
+        assert out["z"].to_pylist()[0] is not None
 
 
 class TestRootAssignment:

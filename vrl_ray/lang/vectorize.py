@@ -1468,7 +1468,9 @@ def _shape_lanes(ctx, outs: list, errs: list):
 #: nondeterministic between lanes (time/random/uuid), environment-
 #: dependent (host/env/network), or side-effectful (log prints)
 _ROW_LOOP_EXCLUDE = frozenset({
-    "now", "uuid_v4", "uuid_v7", "random_bool", "random_bytes",
+    # now/uuid_v4 have dedicated kernels below; uuid_v7 rides this
+    # generic tier (random per row is exactly per-row evaluation)
+    "now", "uuid_v4", "random_bool", "random_bytes",
     "random_float", "random_int", "get_hostname", "get_env_var",
     "get_timezone_name", "log", "dns_lookup", "reverse_dns",
     "http_request",
@@ -1530,6 +1532,106 @@ def _row_loop_kernel(name: str) -> Callable:
         return out, _merge_errs(ctx.n,
                                 *[e_ for _v, e_ in a], err_col)
     return k
+
+
+def _value_eq_arrays(ctx, la, ra):
+    """VRL Value equality over two columns: null == null is true,
+    null == x is false (Value PartialEq — Arrow's kernels would
+    null-propagate instead); cross-type pairs compare simply unequal;
+    same complex types Arrow can't compare (e.g. list<union>) go
+    structural via value.eq (cold path, union-bearing columns only)."""
+    try:
+        valeq = pc.fill_null(pc.equal(la, ra), False)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+            pa.ArrowTypeError):
+        if la.type == ra.type:
+            from ..value import eq as _veq
+            valeq = pa.array(
+                [x is not None and y is not None and _veq(x, y)
+                 for x, y in zip(la.to_pylist(), ra.to_pylist())],
+                pa.bool_())
+        else:
+            valeq = pa.array(np.zeros(ctx.n, bool))
+    return pc.or_(valeq, pc.and_(pc.is_null(la), pc.is_null(ra)))
+
+
+def _k_assert(ctx, a, span=None):
+    """`assert` special form (interpreter.py:421-427): errors on every
+    row whose condition is not exactly `true`; the optional message is
+    evaluated unconditionally (interpreter order) and stringified on
+    failing rows only."""
+    v, e = a[0]
+    if isinstance(v, _Union):
+        raise _RowFallback("assert union condition")
+    va = _as_array(v, ctx.n)
+    if pa.types.is_boolean(va.type):
+        bad = pc.fill_null(pc.invert(va), True) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        bad = np.ones(ctx.n, bool)       # non-bool is never `true`
+    merr = a[1][1] if len(a) > 1 else None
+    errs = None
+    if bad.any():
+        prefix = _call_frame("assert", span)
+        if len(a) > 1:
+            mv = a[1][0]
+            if isinstance(mv, _Union):
+                mv = mv.to_arrow()
+            mp = _as_array(mv, ctx.n).to_pylist()
+        else:
+            mp = None
+        msgs = np.full(ctx.n, None, dtype=object)
+        for i in np.flatnonzero(bad):
+            msgs[i] = prefix + ("assertion failed" if mp is None
+                                else str(mp[i]))
+        errs = pa.array(msgs, pa.string())
+    return pa.scalar(True), _merge_errs(ctx.n, e, merr, errs)
+
+
+def _k_assert_eq(ctx, a, span=None):
+    """`assert_eq` special form (interpreter.py:428-433): per-row
+    value.eq; failing rows carry `assertion failed: {l!r} == {r!r}`
+    over the operands' python reprs (interpreter parity)."""
+    (lv, le), (rv, re) = a[0], a[1]
+    if isinstance(lv, _Union) or isinstance(rv, _Union):
+        raise _RowFallback("assert_eq union operand")
+    rest = [e_ for _, e_ in a[2:]]
+    la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
+    eq = pc.fill_null(_value_eq_arrays(ctx, la, ra), False)
+    bad = pc.invert(eq).to_numpy(zero_copy_only=False)
+    errs = None
+    if bad.any():
+        if pa.types.is_nested(la.type) or pa.types.is_nested(ra.type):
+            # container literals fold through Arrow and promote mixed
+            # int/float leaves — the VALUES compare fine but the error
+            # message reprs the operands ([-3.43, 2] vs [-3.43, 2.0]):
+            # failing container asserts take the row path
+            raise _RowFallback("assert_eq container operand repr")
+        prefix = _call_frame("assert_eq", span)
+        lp, rp = la.to_pylist(), ra.to_pylist()
+        msgs = np.full(ctx.n, None, dtype=object)
+        for i in np.flatnonzero(bad):
+            msgs[i] = (prefix
+                       + f"assertion failed: {lp[i]!r} == {rp[i]!r}")
+        errs = pa.array(msgs, pa.string())
+    return pa.scalar(True), _merge_errs(ctx.n, le, re, *rest, errs)
+
+
+def _k_now(ctx, a):
+    """now(): ONE clock read per batch evaluation (the row path reads
+    the clock per event — microseconds apart within a batch; a single
+    batch timestamp is the vectorized analogue and respects the
+    frozen job clock, functions/timestamp.py:29)."""
+    from ..functions.timestamp import now as _now
+
+    return pa.scalar(_now(), pa.timestamp("us", tz="UTC")), None
+
+
+def _k_uuid_v4(ctx, a):
+    import uuid as _uuid
+
+    return pa.array([str(_uuid.uuid4()) for _ in range(ctx.n)],
+                    pa.string()), None
 
 
 def _k_parse_json(ctx, a, span=None):
@@ -1713,6 +1815,15 @@ for _n, (_m, _d) in _NULL_RULES.items():
     elif _n in _KERNELS_SPAN:
         _KERNELS_SPAN[_n] = _wrap_null_rule(_n, _KERNELS_SPAN[_n],
                                             _m, _d)
+
+# interpreter special forms + per-batch nondeterministic functions
+# (registered AFTER the null-rule wrap: these define their own null
+# semantics; nondet fns are parity-exempt — the docs/fuzz harnesses
+# exclude them from lane comparison by name)
+_KERNELS_SPAN["assert"] = _k_assert
+_KERNELS_SPAN["assert_eq"] = _k_assert_eq
+_KERNELS["now"] = _k_now
+_KERNELS["uuid_v4"] = _k_uuid_v4
 
 
 # ---------------------------------------------------------------------------
@@ -3387,33 +3498,8 @@ def _compile_binop(node) -> Callable:
 
         def cmp_core(ctx, lv, le, rv, re):
             if op in ("==", "!="):
-                # VRL equality compares null as a VALUE: null == null
-                # is true, null == x is false (Value PartialEq) —
-                # Arrow's kernels null-propagate instead
                 la, ra = _as_array(lv, ctx.n), _as_array(rv, ctx.n)
-                try:
-                    valeq = pc.fill_null(pc.equal(la, ra), False)
-                except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
-                        pa.ArrowTypeError):
-                    if la.type == ra.type:
-                        # same complex type Arrow can't compare (e.g.
-                        # list<union> from a heterogeneous literal):
-                        # structural compare, value.py eq semantics —
-                        # cold path, union-bearing columns only
-                        from ..value import eq as _veq
-                        valeq = pa.array(
-                            [x is not None and y is not None
-                             and _veq(x, y)
-                             for x, y in zip(la.to_pylist(),
-                                             ra.to_pylist())],
-                            pa.bool_())
-                    else:
-                        # Arrow has no kernel for the type pair — VRL
-                        # compares cross-type values as simply unequal
-                        # (Value PartialEq derives false, value.py eq)
-                        valeq = pa.array(np.zeros(ctx.n, bool))
-                eq = pc.or_(valeq,
-                            pc.and_(pc.is_null(la), pc.is_null(ra)))
+                eq = _value_eq_arrays(ctx, la, ra)
                 out = eq if op == "==" else pc.invert(eq)
                 return out, _merge_errs(ctx.n, le, re)
             # ordering: a null side is a per-row ERROR in the
