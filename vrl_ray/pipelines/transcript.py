@@ -33,7 +33,7 @@ import pyarrow as pa
 from ..stages.parse import parse_batch
 from ..stages.enrich import Enrich
 from ..stages.route import route_batch, SINK_NAMES
-from ..stages.aggregate import count_by
+from ..stages.aggregate import count_by, multi_partial_fn
 
 #: columns the pipeline needs from the source (prune at the read)
 INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -83,11 +83,26 @@ def make_sink_writer(sink_dir: str, keep_columns: list[str]):
             sub = batch.filter(pc.equal(enc.indices, i))
             d = os.path.join(sink_dir, f"sink={name}")
             os.makedirs(d, exist_ok=True)
+            # stats off (~30% of the write: min/max over every string
+            # byte, and nothing downstream filters on them); parquet
+            # dictionary pages only for the bounded-cardinality
+            # columns — attempting (then abandoning) dictionaries on
+            # text/message is wasted passes over the big bytes
             pq.write_table(sub.drop_columns(["sink"]),
-                           os.path.join(d, f"part-{part}.parquet"))
+                           os.path.join(d, f"part-{part}.parquet"),
+                           write_statistics=False,
+                           use_dictionary=[c for c in _DICT_COLS
+                                           if c in sub.column_names])
         return batch.select(keep_columns)
 
     return write_batch
+
+
+#: bounded-cardinality sink columns that benefit from parquet
+#: dictionary encoding (the rest — text, message, conv_id — are
+#: near-unique and dictionary attempts get abandoned mid-page)
+_DICT_COLS = ["role", "tool", "level", "parse_fmt", "parse_err",
+              "method", "tool_category", "role_class", "enrich_err"]
 
 
 class FlagshipStage:
@@ -103,7 +118,8 @@ class FlagshipStage:
     parse_grok.rs:148-169)."""
 
     def __init__(self, sink_dir: Optional[str] = None,
-                 keep_columns: Optional[list[str]] = None):
+                 keep_columns: Optional[list[str]] = None,
+                 agg_partials: Optional[dict] = None):
         from ..stages.enrich import Enrich as _Enrich
 
         # one Arrow thread per actor: the pool is sized 1:1 with CPUs,
@@ -115,6 +131,11 @@ class FlagshipStage:
         self.writer = (make_sink_writer(sink_dir, keep_columns or
                                         ["sink", "conv_id", "tool"])
                        if sink_dir else None)
+        # fused map-side combiner: emit the (which, k0.., n) partial
+        # counts INSTEAD of per-row columns — the operator boundary
+        # then carries O(distinct keys) rows per batch, not O(rows)
+        self.partial = (multi_partial_fn(agg_partials)[0]
+                        if agg_partials else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.parse import parse_batch as _parse
@@ -122,7 +143,9 @@ class FlagshipStage:
 
         routed = _route(self.enrich(_parse(batch)))
         if self.writer is not None:
-            return self.writer(routed)
+            routed = self.writer(routed)
+        if self.partial is not None:
+            return self.partial(routed)
         return routed
 
 
@@ -174,14 +197,13 @@ def run_flagship(
         assert out_dir is not None
         sink_dir = os.path.join(out_dir, "sinks")
         metrics["sink_dir"] = sink_dir
+    key_sets = {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS}
     agg_src = ds.map_batches(
         FlagshipStage,
-        fn_constructor_kwargs={"sink_dir": sink_dir},
+        fn_constructor_kwargs={"sink_dir": sink_dir,
+                               "agg_partials": key_sets},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=enrich_concurrency)
-    if not write_sinks:
-        # keep only the aggregate columns across the operator boundary
-        agg_src = agg_src.select_columns(["sink", "conv_id", "tool"])
 
     stats: dict = {}
     agg_dir = None
@@ -190,8 +212,8 @@ def run_flagship(
         agg_dir = os.path.join(out_dir, "agg")
     elif agg_out != "pandas":
         raise ValueError("agg_out must be 'pandas' or 'parquet'")
-    aggs = count_by_multi(agg_src, {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS},
-                          stats_out=stats, out_dir=agg_dir)
+    aggs = count_by_multi(agg_src, key_sets, stats_out=stats,
+                          out_dir=agg_dir, pre_partialed=True)
     tool_tbl = aggs["tool"]
     conv_tbl = aggs["conv"]
     metrics["wall_sec"] = time.time() - t0

@@ -60,8 +60,45 @@ def count_by_small(ds, keys: list[str]):
             .sum().reset_index())
 
 
+def multi_partial_fn(key_sets: dict[str, list[str]]):
+    """Map-side combiner shared by :func:`count_by_multi` and fused
+    producer stages (FlagshipStage emits these partials directly so
+    no per-row column ever crosses its operator boundary): each batch
+    reduces to one row per distinct key per key set, reshaped to the
+    common schema ``(which, k0..k{width-1}, n)``."""
+    import pyarrow.compute as pc
+
+    width = max(len(v) for v in key_sets.values())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for which, keys in key_sets.items():
+            if len(batch) == 0:
+                continue
+            g = batch.select(keys).group_by(keys).aggregate(
+                [([], "count_all")])
+            g = g.rename_columns(keys + ["n"])
+            cols = {"which": pa.array([which] * len(g), pa.string())}
+            for i in range(width):
+                if i < len(keys):
+                    cols[f"k{i}"] = pc.cast(g[keys[i]], pa.string())
+                else:
+                    cols[f"k{i}"] = pa.nulls(len(g), pa.string())
+            cols["n"] = g["n"]
+            pieces.append(pa.table(cols))
+        if not pieces:
+            return pa.table(
+                {"which": pa.array([], pa.string()),
+                 **{f"k{i}": pa.array([], pa.string())
+                    for i in range(width)},
+                 "n": pa.array([], pa.int64())})
+        return pa.concat_tables(pieces)
+    return partial, width
+
+
 def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
-                   max_driver_rows: int = 2_000_000, out_dir=None):
+                   max_driver_rows: int = 2_000_000, out_dir=None,
+                   pre_partialed: bool = False):
     """Several grouped counts in ONE pass over the input (one read, one
     shuffle instead of one per aggregation): each batch emits partials
     for every key set, tagged and reshaped to a common schema
@@ -90,29 +127,7 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
     import pyarrow.compute as pc
 
     names = list(key_sets)
-    width = max(len(v) for v in key_sets.values())
-
-    def partial(batch: pa.Table) -> pa.Table:
-        pieces = []
-        for which, keys in key_sets.items():
-            if len(batch) == 0:
-                continue
-            g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
-            g = g.rename_columns(keys + ["n"])
-            cols = {"which": pa.array([which] * len(g), pa.string())}
-            for i in range(width):
-                if i < len(keys):
-                    cols[f"k{i}"] = pc.cast(g[keys[i]], pa.string())
-                else:
-                    cols[f"k{i}"] = pa.nulls(len(g), pa.string())
-            cols["n"] = g["n"]
-            pieces.append(pa.table(cols))
-        if not pieces:
-            return pa.table(
-                {"which": pa.array([], pa.string()),
-                 **{f"k{i}": pa.array([], pa.string()) for i in range(width)},
-                 "n": pa.array([], pa.int64())})
-        return pa.concat_tables(pieces)
+    partial, width = multi_partial_fn(key_sets)
 
     group_cols = ["which"] + [f"k{i}" for i in range(width)]
     # Final combine on the driver: the map-side combiner already
@@ -130,7 +145,14 @@ def count_by_multi(ds, key_sets: dict[str, list[str]], stats_out=None,
     import time as _time
 
     t0 = _time.time()
-    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if pre_partialed:
+        # producer already emitted the (which, k0.., n) partials
+        # inside its own fused stage — nothing per-row ever crossed
+        # an operator boundary
+        mat = ds.materialize()
+    else:
+        mat = ds.map_batches(partial, batch_format="pyarrow") \
+            .materialize()
     t1 = _time.time()
     total_partials = mat.count()  # metadata count on materialized blocks
     if out_dir is not None:
