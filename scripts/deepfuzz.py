@@ -429,7 +429,30 @@ def gen_stmt(i):
         return (f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
                 f" else {{ .o{i} = {anyexpr(1)} }}")
     if kind == 'closure':
-        which = R.choice(['map', 'filter', 'mapkeys'])
+        which = R.choice(['map', 'filter', 'mapkeys', 'foreach'])
+        if which == 'foreach':
+            # for_each accumulators (sum r3, push/local/cond r5):
+            # seed acc, optional body-local, optional if-gated update,
+            # read the acc after the loop
+            coll = R.choice(['.arr', '.arr', '[1, 2, 3]', '[]'])
+            seed = R.choice(['[]', '[0]', '["s"]'])
+            elem = R.choice(['v', 'v * 2', 'i_', 'to_string(v)',
+                             'lv', '(v ?? 0)'])
+            local = "lv = v + 1\n " if 'lv' in elem or \
+                R.random() < 0.3 else ""
+            upd = f"ac{i} = push(ac{i}, {elem})"
+            if R.random() < 0.4:
+                upd = (f"if v {R.choice(['>', '<', '!='])} "
+                       f"{R.randint(0, 3)} {{ {upd} }}")
+            if R.random() < 0.3:
+                upd += f"\n sm{i} = sm{i} + (v ?? 0)"
+                pre = f"sm{i} = 0\n"
+            else:
+                pre = ""
+            return (f"{pre}ac{i} = {seed}\n"
+                    f"for_each({coll}) -> |i_, v| {{ {local}{upd} }}\n"
+                    f".o{i} = ac{i}" + (f"\n.s{i}m = sm{i}" if pre
+                                        else ""))
         if which == 'mapkeys':
             bodyk = R.choice(['upcase(k)', 'k + "_t"', '"same"',
                               'downcase(k)'])

@@ -3800,22 +3800,60 @@ class VectorProgram:
         iname, vname = params
         if body[0] != "block" or not body[1]:
             raise NotVectorizable("for_each body")
-        accs = []
-        for st in body[1]:
+        def _acc_update(st):
+            """``acc = acc + e`` → ('sum', acc, None, ef);
+            ``acc = push(acc, e)`` → ('push', acc, None, ef);
+            returns None when st isn't an accumulator update."""
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1 \
                     or st[1][0][0] != "var":
-                raise NotVectorizable("for_each body statement")
+                return None
             acc = st[1][0][1]
             ex = st[3]
-            if ex[0] != "binop" or ex[1] != "+":
-                raise NotVectorizable("for_each accumulator op")
-            if ex[2] == ("var", acc):
-                elem = ex[3]
-            elif ex[3] == ("var", acc):
-                elem = ex[2]
-            else:
-                raise NotVectorizable("for_each accumulator form")
-            accs.append((acc, _compile_expr(elem)))
+            if ex[0] == "binop" and ex[1] == "+":
+                if ex[2] == ("var", acc):
+                    elem = ex[3]
+                elif ex[3] == ("var", acc):
+                    elem = ex[2]
+                else:
+                    return None
+                return ("sum", acc, None, _compile_expr(elem))
+            if ex[0] == "call" and ex[1] == "push" and ex[4] is None \
+                    and len(ex[3]) == 2 and ex[3][0][0] is None \
+                    and ex[3][1][0] is None \
+                    and ex[3][0][1] == ("var", acc):
+                return ("push", acc, None,
+                        _compile_expr(ex[3][1][1]))
+            return None
+
+        plan = []   # ordered: ('local',name,_,ef) | ('sum'/'push',...)
+        for st in body[1]:
+            upd = _acc_update(st)
+            if upd is not None:
+                plan.append(upd)
+                continue
+            if st[0] == "assign" and st[2] == "=" and \
+                    len(st[1]) == 1 and st[1][0][0] == "var":
+                # body-local per-element variable (scoped out after
+                # the loop by closure scoping)
+                plan.append(("local", st[1][0][1], None,
+                             _compile_expr(st[3])))
+                continue
+            if st[0] == "if" and len(st[1]) == 1 and st[2] is None \
+                    and st[1][0][1][0] == "block" \
+                    and len(st[1][0][1][1]) == 1:
+                # single-arm conditional accumulator update:
+                # ``if cond { acc = push(acc, e) }`` — the common
+                # filter-and-collect idiom (rfcs/8381)
+                upd = _acc_update(st[1][0][1][1][0])
+                if upd is not None:
+                    kind_, acc_, _, ef_ = upd
+                    plan.append((kind_, acc_,
+                                 _compile_expr(st[1][0][0]), ef_))
+                    continue
+                raise NotVectorizable("for_each body statement")
+            raise NotVectorizable("for_each body statement")
+        if not any(k in ("sum", "push") for k, *_ in plan):
+            raise NotVectorizable("for_each accumulator op")
 
         def fe(ctx):
             v, e = argf(ctx)
@@ -3823,6 +3861,9 @@ class VectorProgram:
                 raise _RowFallback("for_each collection error")
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
+            v = _as_array(v, ctx.n)    # constant collections fold to
+            if isinstance(v, _Union):  # a list SCALAR — broadcast
+                raise _RowFallback("for_each union collection")
             if not pa.types.is_list(v.type):
                 raise _RowFallback("for_each over non-list input")
             if v.null_count:
@@ -3844,23 +3885,111 @@ class VectorProgram:
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
             updates = {}
-            for acc, elemf in accs:
-                if acc not in ctx.vars:
-                    raise _RowFallback("for_each accumulator undefined")
-                ev_, ee = elemf(sub)
+
+            def eval_elem(ef):
+                ev_, ee = ef(sub)
                 if ee is not None and pc.any(pc.is_valid(ee)).as_py():
                     raise _RowFallback("for_each element error")
+                return ev_
+
+            def cond_mask(cf):
+                if cf is None:
+                    return None
+                cv = eval_elem(cf)
+                ca = _as_array(cv, sub.n)
+                if not pa.types.is_boolean(ca.type) and \
+                        not pa.types.is_null(ca.type):
+                    raise _RowFallback("for_each non-bool condition")
+                return pc.fill_null(pc.cast(ca, pa.bool_()), False) \
+                    .to_numpy(zero_copy_only=False)
+
+            for kind_, acc, cf, ef in plan:
+                if kind_ == "local":
+                    lv = eval_elem(ef)
+                    if acc in ctx.vars or acc in ctx.closure_vars:
+                        # reassigning an OUTER var per element
+                        # persists after the loop — row path
+                        raise _RowFallback("for_each outer var write")
+                    sub.vars[acc] = lv
+                    continue
+                prev = updates.get(acc, ctx.vars.get(acc))
+                if prev is None:
+                    raise _RowFallback("for_each accumulator undefined")
+                keep = cond_mask(cf)
+                if kind_ == "sum":
+                    arr = _as_array(eval_elem(ef), sub.n)
+                    if not _is_num_type(arr.type) or arr.null_count:
+                        raise _RowFallback("for_each non-numeric element")
+                    is_int = pa.types.is_integer(arr.type)
+                    x = arr.to_numpy(zero_copy_only=False)
+                    if keep is not None:
+                        x = np.where(keep, x, 0)
+                    csum = np.zeros(
+                        len(flat) + 1,
+                        dtype=np.int64 if is_int else np.float64)
+                    np.cumsum(x, out=csum[1:])
+                    inc = csum[starts + lens] - csum[starts]
+                    updates[acc] = pc.add(_as_array(prev, ctx.n),
+                                          pa.array(inc))
+                    continue
+                # push accumulator: per-row result = prior list ++
+                # the (optionally cond-filtered) element expressions.
+                # TWO pushes to the same acc interleave PER ELEMENT in
+                # the interpreter (a1 b1 a2 b2) — batch concat would
+                # give a1 a2 b1 b2: row path
+                if acc in updates:
+                    raise _RowFallback("for_each repeated push")
+                ev_ = eval_elem(ef)
+                if isinstance(ev_, _Union):
+                    raise _RowFallback("for_each push union element")
                 arr = _as_array(ev_, sub.n)
-                if not _is_num_type(arr.type) or arr.null_count:
-                    raise _RowFallback("for_each non-numeric element")
-                is_int = pa.types.is_integer(arr.type)
-                x = arr.to_numpy(zero_copy_only=False)
-                csum = np.zeros(len(flat) + 1,
-                                dtype=np.int64 if is_int else np.float64)
-                np.cumsum(x, out=csum[1:])
-                inc = csum[starts + lens] - csum[starts]
-                prev = _as_array(ctx.vars[acc], ctx.n)
-                updates[acc] = pc.add(prev, pa.array(inc))
+                pl = _as_array(prev, ctx.n)
+                if isinstance(pl, pa.ChunkedArray):
+                    pl = pl.combine_chunks()
+                if not pa.types.is_list(pl.type) or pl.null_count:
+                    raise _RowFallback("for_each push non-list acc")
+                if keep is not None:
+                    arr = arr.filter(pa.array(keep))
+                    kcs = np.zeros(len(flat) + 1, dtype=np.int64)
+                    np.cumsum(keep.astype(np.int64), out=kcs[1:])
+                    n_lens = kcs[starts + lens] - kcs[starts]
+                else:
+                    n_lens = lens
+                n_starts = np.cumsum(n_lens) - n_lens
+                p_off = np.asarray(pl.offsets, np.int64)
+                p_lens = np.diff(p_off)
+                p_vals = pl.values
+                if isinstance(p_vals, pa.ChunkedArray):
+                    p_vals = p_vals.combine_chunks()
+                p_total, n_total = len(p_vals), len(arr)
+                if p_total and n_total and p_vals.type != arr.type:
+                    if pa.types.is_null(p_vals.type):
+                        p_vals = p_vals.cast(arr.type)
+                    elif pa.types.is_null(arr.type):
+                        arr = arr.cast(p_vals.type)
+                    else:
+                        raise _RowFallback("for_each push type mix")
+                try:
+                    combined = pa.concat_arrays([p_vals, arr])
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError):
+                    raise _RowFallback("for_each push concat")
+                out_lens = p_lens + n_lens
+                out_off = np.zeros(ctx.n + 1, dtype=np.int64)
+                np.cumsum(out_lens, out=out_off[1:])
+                total = int(out_off[-1])
+                row_rep = lambda a: np.repeat(a, out_lens)
+                pos = np.arange(total) - row_rep(out_off[:-1])
+                from_prior = pos < row_rep(p_lens)
+                idx = np.where(
+                    from_prior,
+                    row_rep(p_off[:-1]) + pos,
+                    p_total + row_rep(n_starts)
+                    + (pos - row_rep(p_lens)))
+                updates[acc] = pa.ListArray.from_arrays(
+                    pa.array(out_off, pa.int64()).cast(pa.int32())
+                    if total < 2**31 else pa.array(out_off),
+                    combined.take(pa.array(idx, pa.int64())))
             return updates
         return ("__foreach__", None, fe)
 
