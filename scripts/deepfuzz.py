@@ -437,7 +437,8 @@ def gen_stmt(i):
             coll = R.choice(['.arr', '.arr', '[1, 2, 3]', '[]'])
             seed = R.choice(['[]', '[0]', '["s"]'])
             elem = R.choice(['v', 'v * 2', 'i_', 'to_string(v)',
-                             'lv', '(v ?? 0)'])
+                             'lv', '(v ?? 0)',
+                             '(v + (.a ?? 0))', '((.b ?? 0) - v)'])
             local = "lv = v + 1\n " if 'lv' in elem or \
                 R.random() < 0.3 else ""
             upd = f"ac{i} = push(ac{i}, {elem})"
@@ -461,11 +462,17 @@ def gen_stmt(i):
             return (f".o{i}, .e{i} = map_keys(.obj{rec})"
                     f" -> |k| {{ {bodyk} }}")
         if which == 'map':
-            return (f".o{i} = map_values(.arr) -> |v| "
-                    f"{{ v {R.choice(['+', '*', '-'])} "
-                    f"{R.randint(1, 5)} }}")
+            # capture-bearing bodies (element-expanded ctx, r5): the
+            # operand may read event paths / outer vars, incl. via a
+            # preceding var binding
+            rhs = R.choice([str(R.randint(1, 5)), '.a', '.obj.x',
+                            '(.a ?? 1)', 'cv'])
+            pre = f"cv = (.b ?? 0)\n" if rhs == 'cv' else ""
+            return (f"{pre}.o{i} = map_values(.arr) -> |v| "
+                    f"{{ v {R.choice(['+', '*', '-'])} {rhs} }}")
+        rhs = R.choice([str(R.randint(-2, 4)), '.a', '(.a ?? 2)', 'i_'])
         return (f".o{i} = filter(.arr) -> |i_, v| "
-                f"{{ v {R.choice(['>', '<', '!='])} {R.randint(-2, 4)} }}")
+                f"{{ v {R.choice(['>', '<', '!='])} {rhs} }}")
     raise AssertionError
 
 

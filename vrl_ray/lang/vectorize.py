@@ -2199,16 +2199,64 @@ def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
     return f
 
 
+def _take_any(v, idx_pa, idx_np, m: int):
+    """Row-length value → element length via take (constants pass
+    through; unions take per lane + retag)."""
+    if isinstance(v, (_PyConst, pa.Scalar)):
+        return v
+    if isinstance(v, _Union):
+        return _Union(v.tag[idx_np],
+                      [lane.take(idx_pa) for lane in v.lanes], m)
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    return v.take(idx_pa)
+
+
+def _element_ctx(ctx, flat_n: int, ridx=None):
+    """Sub-context for a closure body over flattened list elements.
+    With ``ridx`` (row index per element), EVERY outer surface —
+    batch columns, written overlay, variables, enclosing closure vars
+    — expands to element length by repeating each row's value once
+    per element, so capture-bearing bodies (``|v| v + .base``) stay
+    columnar instead of falling back to the row path. Side effects
+    inside the body still degrade via lazy_depth."""
+    sub = _Ctx.__new__(_Ctx)
+    sub.n = flat_n
+    sub.active_mask = None
+    sub.lazy_depth = 1
+    if ridx is None:
+        sub.batch = None
+        sub.written = {}
+        sub.vars = {}      # outer vars are row-length, not element-length
+        sub.closure_vars = dict(ctx.closure_vars)
+        sub.root_cleared = False
+        return sub
+    if ctx.batch is None:
+        raise _RowFallback("captured closure without batch")
+    idx_pa = pa.array(ridx, pa.int64())
+    sub.batch = ctx.batch.take(idx_pa)
+    sub.written = {k: _take_any(v, idx_pa, ridx, flat_n)
+                   for k, v in ctx.written.items()}
+    sub.vars = {k: _take_any(v, idx_pa, ridx, flat_n)
+                for k, v in ctx.vars.items()}
+    sub.closure_vars = {k: _take_any(v, idx_pa, ridx, flat_n)
+                        for k, v in ctx.closure_vars.items()}
+    sub.root_cleared = ctx.root_cleared
+    return sub
+
+
 def _compile_map_values(args, closure):
     """Closure lowering: ``map_values(.list_col) -> |v| { expr }``
     computes the body ONCE over the flattened element array and
-    rebuilds the list — no per-row Python. The body may reference only
-    the closure variable and literals (element-wise semantics)."""
+    rebuilds the list — no per-row Python. Bodies reading outer state
+    (event paths / vars) run over an element-expanded context
+    (:func:`_element_ctx`)."""
     params, body = closure
     if len(args) != 1 or args[0][0] is not None or len(params) != 1:
         raise NotVectorizable("map_values shape")
     argf = _compile_expr(args[0][1])
     pname = params[0]
+    captures = _reads_beyond_param(body, pname)
     bodyf = _compile_expr(_unwrap_block(body))
 
     def mv(ctx):
@@ -2218,44 +2266,41 @@ def _compile_map_values(args, closure):
             v = v.combine_chunks()
         if not pa.types.is_list(v.type):
             raise _RowFallback("map_values over non-list column")
+        if v.null_count:
+            raise _RowFallback("map_values over null list rows")
         flat = v.flatten()
-        sub = _Ctx.__new__(_Ctx)
-        sub.batch = None
-        sub.n = len(flat)
-        sub.written = {}
-        sub.closure_vars = dict(ctx.closure_vars)
-        sub.vars = {}          # outer vars are row-length, not element-length
-        sub.active_mask = None
-        sub.root_cleared = False
-        sub.lazy_depth = 1
+        lens = pc.list_value_length(v)
+        lens_np = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False)
+        ridx = np.repeat(np.arange(ctx.n), lens_np) if captures \
+            else None
+        sub = _element_ctx(ctx, len(flat), ridx)
         sub.closure_vars[pname] = flat
         bv, be = bodyf(sub)
         if be is not None and pc.any(pc.is_valid(be)).as_py():
             raise _RowFallback("map_values element error")
         bv = _as_array(bv, sub.n)
-        lens = pc.list_value_length(v)
-        lens_np = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False)
+        if isinstance(bv, _Union):
+            raise _RowFallback("map_values union elements")
         offsets = np.zeros(len(lens_np) + 1, dtype=np.int32)
         np.cumsum(lens_np, out=offsets[1:])
         out = pa.ListArray.from_arrays(pa.array(offsets), bv)
-        if v.null_count:
-            raise _RowFallback("map_values over null list rows")
         return out, e
     return mv
 
 
-def _reads_beyond_param(node, pname: str) -> bool:
-    """True if the closure body reads anything but its parameter
-    (event paths, other variables) — then the result is row-dependent
-    and per-field evaluation is unsound."""
+def _reads_beyond_param(node, pname) -> bool:
+    """True if the closure body reads anything but its parameter(s)
+    (event paths, other variables) — then the result is row-dependent.
+    ``pname`` may be one name or a set of names."""
+    names = {pname} if isinstance(pname, str) else set(pname)
     if isinstance(node, tuple):
         if node and node[0] == "path":
             return True
-        if node and node[0] == "var" and node[1] != pname:
+        if node and node[0] == "var" and node[1] not in names:
             return True
-        return any(_reads_beyond_param(x, pname) for x in node)
+        return any(_reads_beyond_param(x, names) for x in node)
     if isinstance(node, list):
-        return any(_reads_beyond_param(x, pname) for x in node)
+        return any(_reads_beyond_param(x, names) for x in node)
     return False
 
 
@@ -2343,6 +2388,7 @@ def _compile_filter(args, closure):
         raise NotVectorizable("filter shape")
     argf = _compile_expr(args[0][1])
     iname, vname = params
+    captures = _reads_beyond_param(body, {iname, vname})
     bodyf = _compile_expr(_unwrap_block(body))
 
     def fv(ctx):
@@ -2358,15 +2404,9 @@ def _compile_filter(args, closure):
             .astype(np.int64)
         starts = np.cumsum(lens_np) - lens_np
         within = np.arange(len(flat)) - np.repeat(starts, lens_np)
-        sub = _Ctx.__new__(_Ctx)
-        sub.batch = None
-        sub.n = len(flat)
-        sub.written = {}
-        sub.closure_vars = dict(ctx.closure_vars)
-        sub.vars = {}          # outer vars are row-length, not element-length
-        sub.active_mask = None
-        sub.root_cleared = False
-        sub.lazy_depth = 1
+        ridx = np.repeat(np.arange(ctx.n), lens_np) if captures \
+            else None
+        sub = _element_ctx(ctx, len(flat), ridx)
         sub.closure_vars[vname] = flat
         sub.closure_vars[iname] = pa.array(within, pa.int64())
         bv, be = bodyf(sub)
@@ -3826,10 +3866,13 @@ class VectorProgram:
             return None
 
         plan = []   # ordered: ('local',name,_,ef) | ('sum'/'push',...)
+        cap_nodes = []      # expr nodes, for the captures check
+        local_names = set()
         for st in body[1]:
             upd = _acc_update(st)
             if upd is not None:
                 plan.append(upd)
+                cap_nodes.append(st[3])
                 continue
             if st[0] == "assign" and st[2] == "=" and \
                     len(st[1]) == 1 and st[1][0][0] == "var":
@@ -3837,6 +3880,8 @@ class VectorProgram:
                 # the loop by closure scoping)
                 plan.append(("local", st[1][0][1], None,
                              _compile_expr(st[3])))
+                local_names.add(st[1][0][1])
+                cap_nodes.append(st[3])
                 continue
             if st[0] == "if" and len(st[1]) == 1 and st[2] is None \
                     and st[1][0][1][0] == "block" \
@@ -3849,11 +3894,17 @@ class VectorProgram:
                     kind_, acc_, _, ef_ = upd
                     plan.append((kind_, acc_,
                                  _compile_expr(st[1][0][0]), ef_))
+                    cap_nodes.append(st[1][0][0])
+                    cap_nodes.append(st[1][0][1][1][0][3])
                     continue
                 raise NotVectorizable("for_each body statement")
             raise NotVectorizable("for_each body statement")
         if not any(k in ("sum", "push") for k, *_ in plan):
             raise NotVectorizable("for_each accumulator op")
+        accs_in_plan = {a for k, a, *_ in plan if k in ("sum", "push")}
+        allowed = {iname, vname} | local_names | accs_in_plan
+        captures = any(_reads_beyond_param(nd, allowed)
+                       for nd in cap_nodes)
 
         def fe(ctx):
             v, e = argf(ctx)
@@ -3873,15 +3924,14 @@ class VectorProgram:
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             starts = np.cumsum(lens) - lens
             within = np.arange(len(flat)) - np.repeat(starts, lens)
-            sub = _Ctx.__new__(_Ctx)
-            sub.batch = None
-            sub.n = len(flat)
-            sub.written = {}
-            sub.vars = {}
-            sub.active_mask = None
-            sub.root_cleared = False
-            sub.lazy_depth = 1
-            sub.closure_vars = dict(ctx.closure_vars)
+            ridx = np.repeat(np.arange(ctx.n), lens) if captures \
+                else None
+            sub = _element_ctx(ctx, len(flat), ridx)
+            # accumulators must NOT be readable inside the body: the
+            # interpreter sees the PER-ELEMENT growing value, the
+            # expansion would show the pre-loop one — row path
+            for a_ in accs_in_plan:
+                sub.vars.pop(a_, None)
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
             updates = {}
