@@ -71,6 +71,26 @@ def _membw_probe() -> float:
     return round(0.5 / best, 2)  # 256 MiB read + 256 MiB write
 
 
+def _warm_input(tdir: str) -> int:
+    """Warm the page cache so the timed region measures
+    compute+shuffle, not cold disk: /tmp is ext4 on /dev/vda and the
+    box's cache gets dropped between runs (observed 14.8 s vs 8.9 s
+    for IDENTICAL fresh-process headline runs — the first re-read
+    ~0.5 GB of input from disk). Reading the raw bytes (not just
+    footers) is required. Returns total input rows."""
+    import pyarrow.parquet as pq
+
+    total_rows = 0
+    for f in os.listdir(tdir):
+        if f.endswith(".parquet"):
+            p = os.path.join(tdir, f)
+            total_rows += pq.read_metadata(p).num_rows
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    return total_rows
+
+
 def _bench_queries():
     """Representative operator queries (subset of __ray_entry__)."""
     import __ray_entry__ as E
@@ -116,12 +136,7 @@ def run_once() -> dict:
     tdir = os.path.join(BENCH_TMP, f"transcripts_n{n_convs}_s{SEED}")
     ensure_transcripts_parquet(tdir, n_convs, SEED)
 
-    # warm the page cache so we measure compute+shuffle, not cold disk
-    import pyarrow.parquet as pq
-    total_rows = 0
-    for f in os.listdir(tdir):
-        if f.endswith(".parquet"):
-            total_rows += pq.read_metadata(os.path.join(tdir, f)).num_rows
+    total_rows = _warm_input(tdir)
 
     out_dir = os.path.join(BENCH_TMP, f"out_n{n_convs}_c{NUM_CPUS}")
     import shutil
@@ -302,10 +317,7 @@ def run_headline_only() -> dict:
         max(200, int(200_000 * sf))
     tdir = os.path.join(BENCH_TMP, f"transcripts_n{n_convs}_s{SEED}")
     ensure_transcripts_parquet(tdir, n_convs, SEED)
-    import pyarrow.parquet as pq
-    total_rows = sum(
-        pq.read_metadata(os.path.join(tdir, f)).num_rows
-        for f in os.listdir(tdir) if f.endswith(".parquet"))
+    total_rows = _warm_input(tdir)
     out_dir = os.path.join(BENCH_TMP, f"out_n{n_convs}_c{NUM_CPUS}")
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
