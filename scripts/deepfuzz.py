@@ -277,7 +277,29 @@ def gen_stmt(i):
     kind = R.choice(['assign', 'assign', 'handled', 'handled', 'var',
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
                      'merge', 'root', 'dotread', 'bare', 'metavar',
-                     'varpath', 'lazydel', 'jsonshape', 'assertx'])
+                     'varpath', 'lazydel', 'jsonshape', 'assertx',
+                     'predcap'])
+    if kind == 'predcap':
+        # r5: `(ok, err = f(); err == null)` capture in an IF
+        # PREDICATE (first predicate runs on every row — its var
+        # writes are sound); also block captures in expression
+        # position and varpath writes inside closure body blocks
+        form = R.choice(['ifpred', 'ifexpr', 'blockcap', 'closmut'])
+        call = R.choice([f'to_int({strx(1)})', f'to_float({strx(1)})',
+                         'parse_json(.jsons)', f'slice!({strx(1)}, 1)'])
+        if form == 'ifpred':
+            return (f"if (cp{i}, ce{i} = {call}; ce{i} == null) "
+                    f"{{ .o{i} = cp{i} }}"
+                    + R.choice(['', f" else {{ .o{i} = {anyexpr(1)} }}"]))
+        if form == 'ifexpr':
+            return (f".o{i} = if (cp{i}, ce{i} = {call}; "
+                    f"ce{i} == null) {{ cp{i} }} else {{ ce{i} }}")
+        if form == 'blockcap':
+            return (f".o{i} = {{ cb{i}, eb{i} = {call}\n "
+                    f"if eb{i} == null {{ cb{i} }} else {{ -1 }} }}")
+        return (f".o{i} = map_values(.objarr) -> |ov| "
+                f"{{ ov.add = {R.choice(['1', '.a', 'ov.k ?? 0'])}\n"
+                f" ov }}")
     if kind == 'assertx':
         # assert / assert_eq special forms (vectorized r5): cond must
         # be exactly `true`; message evaluated unconditionally,
@@ -497,6 +519,10 @@ def make_batch():
                          None, {"x": -4, "y": None}, {"x": 9, "y": ""}],
                         pa.struct([("x", pa.int64()),
                                    ("y", pa.string())])),
+        "objarr": pa.array(
+            [[{"k": 1}, {"k": 2}], [], [{"k": None}], [{"k": 4}],
+             [{"k": 5}, {"k": None}, {"k": 7}]],
+            pa.list_(pa.struct([("k", pa.int64())]))),
     })
 
 

@@ -369,9 +369,8 @@ def unnest_row(event: dict, path: str) -> list[dict]:
         raise VrlError(f"expected array at {path}")
     out = []
     for item in arr:
-        clone = _deepcopy_json(event)
-        path_insert(clone, path, item)
-        out.append(clone)
+        # path_insert is copy-on-write (r5): use its return value
+        out.append(path_insert(_deepcopy_json(event), path, item))
     return out
 
 

@@ -1854,6 +1854,11 @@ class _Ctx:
         # if arms, &&/|| RHS, closure bodies): side-effectful
         # expressions (del) cannot gate per row there — row path
         self.lazy_depth = 0
+        # lazy level at which VAR writes are still sound: closure
+        # element contexts set 1 (every element evaluates the body),
+        # so a body block may write closure/local vars; any deeper
+        # lazy position (?? RHS, if arms) still falls back
+        self.writes_ok_depth = -1
 
     def col(self, name: str):
         if name in self.written:
@@ -2224,6 +2229,7 @@ def _element_ctx(ctx, flat_n: int, ridx=None):
     sub.n = flat_n
     sub.active_mask = None
     sub.lazy_depth = 1
+    sub.writes_ok_depth = 1   # every element evaluates the body
     if ridx is None:
         sub.batch = None
         sub.written = {}
@@ -2860,8 +2866,19 @@ def _compile_expr(node) -> Callable:
             errs = None
             conds = []
             remaining = None
-            for cf in condfs:
-                c, ce = cf(ctx)
+            for k_, cf in enumerate(condfs):
+                if k_ == 0:
+                    # the FIRST predicate runs on every row — its
+                    # side effects (block var captures: the `(ok,
+                    # err = f(); err == null)` idiom) are sound at
+                    # the enclosing laziness level
+                    ctx.lazy_depth -= 1
+                    try:
+                        c, ce = cf(ctx)
+                    finally:
+                        ctx.lazy_depth += 1
+                else:
+                    c, ce = cf(ctx)
                 ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
                 if ce is not None and remaining is not None:
                     ce = pc.if_else(remaining, ce, _nulls(ctx.n))
@@ -3016,17 +3033,42 @@ def _compile_expr(node) -> Callable:
         # inside a block reached LAZILY (?? RHS, if arms/predicates,
         # closures) can't gate to the rows that actually reach it —
         # checked at runtime via ctx.lazy_depth → row path.
-        pre = []       # (var_name|None, exprfn)
+        def _block_stmt(st):
+            """Block pre-statement → (kind, payload, exprfn):
+            ('var', name) single var assign; ('capture', (ok, err))
+            handled two-var capture; ('varpath', (name, segs)) nested
+            write into a closure param / variable; ('expr', None)
+            bare expression. None → unvectorizable."""
+            if st[0] != "assign":
+                if st[0] in ("if", "abort", "return"):
+                    return None
+                return ("expr", None, _compile_expr(st))
+            if st[2] != "=":
+                return None
+            tgts = st[1]
+            if len(tgts) == 1 and tgts[0][0] == "var" and \
+                    isinstance(tgts[0][1], str):
+                return ("var", tgts[0][1], _compile_expr(st[3]))
+            if len(tgts) == 1 and tgts[0][0] == "varpath" and \
+                    isinstance(tgts[0][1], str) and tgts[0][2] and \
+                    all(isinstance(x, str) for x in tgts[0][2]):
+                return ("varpath", (tgts[0][1], tuple(tgts[0][2])),
+                        _compile_expr(st[3]))
+            if len(tgts) == 2 and all(
+                    t[0] == "var" and isinstance(t[1], str)
+                    for t in tgts):
+                return ("capture", (tgts[0][1], tgts[1][1]),
+                        _with_handled_default(_compile_expr(st[3]),
+                                              st[3]))
+            return None
+
+        pre = []       # (kind, payload, exprfn)
         for st in node[1][:-1]:
-            if st[0] == "assign" and st[2] == "=" and \
-                    len(st[1]) == 1 and st[1][0][0] == "var" and \
-                    isinstance(st[1][0][1], str):
-                pre.append((st[1][0][1], _compile_expr(st[3])))
-            elif st[0] in ("assign", "if", "abort", "return"):
+            ent = _block_stmt(st)
+            if ent is None:
                 raise NotVectorizable(
                     "multi-statement block expression")
-            else:
-                pre.append((None, _compile_expr(st)))
+            pre.append(ent)
         last = node[1][-1]
         final_name = None
         if last[0] == "assign" and last[2] == "=" and \
@@ -3037,39 +3079,86 @@ def _compile_expr(node) -> Callable:
             final_name = last[1][0][1]
             last = last[3]
         has_writes = final_name is not None or \
-            any(n_ is not None for n_, _ in pre)
+            any(k != "expr" for k, _, _ in pre)
         finalf = _compile_expr(last)
 
         def blockf(ctx):
-            if has_writes and ctx.lazy_depth:
+            if has_writes and ctx.lazy_depth and ctx.lazy_depth != \
+                    getattr(ctx, "writes_ok_depth", -1):
                 raise _RowFallback("block var write in lazy position")
             errs = None
             saved_mask = ctx.active_mask
+
+            def live_for(e):
+                """Rows still executing: outer-dead and own-error
+                rows keep prior values."""
+                live = ctx.active_mask
+                if e is not None and pc.any(pc.is_valid(e)).as_py():
+                    enull = pc.is_null(e)
+                    live = enull if live is None \
+                        else pc.and_(live, enull)
+                return live
+
+            def gated_var_write(store, name, v, live):
+                if live is None:
+                    store[name] = v
+                    return
+                old = store.get(name)
+                if old is None:
+                    old = _nulls(ctx.n, pa.null())
+                store[name] = _blend(live, v, old, ctx.n)
+
             try:
-                for name, f in list(pre) + (
-                        [(final_name, finalf)] if final_name else []):
+                for kind_, payload, f in list(pre) + (
+                        [("var", final_name, finalf)]
+                        if final_name else []):
                     v, e = f(ctx)
                     last_v, last_e = v, e
-                    if name is not None and name != "_":
-                        # rows stopped by an earlier in-block error /
-                        # an outer dead-row mask keep the var's prior
-                        # value (undefined-before stays null there —
-                        # reads after the block are scope errors in
-                        # the reference, so unobservable)
-                        live = ctx.active_mask
-                        if e is not None and \
-                                pc.any(pc.is_valid(e)).as_py():
-                            enull = pc.is_null(e)
-                            live = enull if live is None \
-                                else pc.and_(live, enull)
+                    if kind_ == "var" and payload != "_":
+                        gated_var_write(ctx.vars, payload, v,
+                                        live_for(e))
+                    elif kind_ == "varpath":
+                        vname, segs = payload
+                        store = ctx.closure_vars \
+                            if vname in ctx.closure_vars else ctx.vars
+                        top = store.get(vname)
+                        if top is None:
+                            top = _nulls(ctx.n, pa.null())
+                        elif not isinstance(top, _Union):
+                            top = _as_array(top, ctx.n)
+                        va = v if isinstance(v, _Union) \
+                            else _as_array(v, ctx.n)
+                        live = live_for(e)
+                        segs_v = (vname,) + segs
                         if live is None:
-                            ctx.vars[name] = v
+                            store[vname] = _struct_set(
+                                ctx, segs_v, va, top=top)
                         else:
-                            old = ctx.vars.get(name)
-                            if old is None:
-                                old = _nulls(ctx.n, pa.null())
-                            ctx.vars[name] = _blend(live, v, old,
-                                                    ctx.n)
+                            store[vname] = _struct_set_gated(
+                                ctx, segs_v, va, pc.invert(live),
+                                top=top)
+                    elif kind_ == "capture":
+                        okname, errname = payload
+                        ab = _abort_mask(e) if e is not None else None
+                        live = ctx.active_mask
+                        if ab is not None:
+                            # abort rows: neither target written, the
+                            # abort propagates as the block's error
+                            nab = pc.invert(ab)
+                            live = nab if live is None \
+                                else pc.and_(live, nab)
+                        if okname != "_":
+                            gated_var_write(ctx.vars, okname, v, live)
+                        if errname != "_":
+                            catch = _nulls(ctx.n) if e is None else (
+                                pc.if_else(ab, _nulls(ctx.n), e)
+                                if ab is not None else e)
+                            gated_var_write(ctx.vars, errname,
+                                            catch, live)
+                        # non-abort errors are CONSUMED by the capture
+                        e = None if ab is None \
+                            else pc.if_else(ab, last_e, _nulls(ctx.n))
+                        last_e = e
                     errs = _merge_errs(ctx.n, errs, e)
                     if errs is not None and \
                             pc.any(pc.is_valid(errs)).as_py():
@@ -3312,7 +3401,9 @@ def _const_container(node):
 def _unwrap_block(node):
     if node[0] == "block":
         if len(node[1]) != 1:
-            raise NotVectorizable("multi-statement block expression")
+            # multi-statement blocks compile as block EXPRESSIONS
+            # (var writes + final value) since r5
+            return node
         return node[1][0]
     return node
 
@@ -4077,8 +4168,17 @@ class VectorProgram:
             errs = None
             conds = []
             remaining = None
-            for cf in condfs:
-                c, ce = cf(ctx)
+            for k_, cf in enumerate(condfs):
+                if k_ == 0:
+                    # first predicate runs on every row (see the if-
+                    # expression compiler): capture writes allowed
+                    ctx.lazy_depth -= 1
+                    try:
+                        c, ce = cf(ctx)
+                    finally:
+                        ctx.lazy_depth += 1
+                else:
+                    c, ce = cf(ctx)
                 ce = _merge_errs(ctx.n, ce, _predicate_errs(c, ctx.n))
                 if ce is not None and remaining is not None:
                     ce = pc.if_else(remaining, ce, _nulls(ctx.n))

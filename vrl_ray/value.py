@@ -355,11 +355,15 @@ def path_insert(value: Any, path: Union[str, Iterable[Segment]], new: Any) -> An
         return new
 
     def _ins(cur: Any, i: int) -> Any:
+        # COPY-ON-WRITE along the spine: VRL values are value-typed
+        # (a variable bound to an event object is a logical clone —
+        # Rust Value ownership), so mutating through one binding must
+        # never leak into another. Python dicts/lists alias, so each
+        # container on the written path is shallow-copied.
         seg = segs[i]
         last = i == len(segs) - 1
         if isinstance(seg, int):
-            if not isinstance(cur, list):
-                cur = []
+            cur = list(cur) if isinstance(cur, list) else []
             if seg >= 0:
                 while len(cur) <= seg:
                     cur.append(None)
@@ -374,8 +378,7 @@ def path_insert(value: Any, path: Union[str, Iterable[Segment]], new: Any) -> An
                 cur[idx] = _ins(cur[idx], i + 1)
             return cur
         else:
-            if not isinstance(cur, dict):
-                cur = {}
+            cur = dict(cur) if isinstance(cur, dict) else {}
             if last:
                 cur[seg] = new
             else:
@@ -397,6 +400,8 @@ def path_remove(
     removed = [None]
 
     def _rm(cur: Any, i: int) -> Any:
+        # copy-on-write along the spine (see path_insert): removal
+        # through one binding must not leak into aliases
         seg = segs[i]
         last = i == len(segs) - 1
         if isinstance(seg, int):
@@ -405,6 +410,7 @@ def path_remove(
             idx = seg if seg >= 0 else len(cur) + seg
             if idx < 0 or idx >= len(cur):
                 return cur
+            cur = list(cur)
             if last:
                 removed[0] = cur.pop(idx)
             else:
@@ -415,6 +421,7 @@ def path_remove(
         else:
             if not isinstance(cur, dict) or seg not in cur:
                 return cur
+            cur = dict(cur)
             if last:
                 removed[0] = cur.pop(seg)
             else:
