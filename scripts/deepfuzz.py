@@ -420,7 +420,20 @@ def gen_stmt(i):
                 f".o{i} = w{i}.f\n.p{i} = w{i}.k")
     if kind == 'ifstmt':
         shape = R.choice(['plain', 'noelse', 'chain', 'asym', 'multi',
-                          'nested'])
+                          'nested', 'varbranch'])
+        if shape == 'varbranch':
+            # r5: variable branch targets (`if c { x = 1 }`) — the
+            # untaken/dead rows keep the pre-if value; reassignments
+            # inside one branch read their own earlier write
+            seed = R.choice([str(R.randint(0, 5)), '"s"', 'null',
+                             f'(.a ?? {R.randint(0, 3)})'])
+            upd = R.choice([f'vb{i} = {anyexpr(1)}',
+                            f'vb{i} = vb{i} + 1\n vb{i} = vb{i} * 2',
+                            f'vb{i} = to_int({strx(1)})'])
+            els = R.choice(['', f' else {{ vb{i} = {anyexpr(1)} }}'])
+            return (f"vb{i} = {seed}\n"
+                    f"if {boolex()} {{ {upd} }}{els}\n"
+                    f".o{i} = vb{i}")
         if shape == 'noelse':
             return f"if {boolex()} {{ .o{i} = {anyexpr(1)} }}"
         if shape == 'chain':

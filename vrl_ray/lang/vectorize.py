@@ -4143,7 +4143,9 @@ class VectorProgram:
         fields: list[str] = []
         for pairs in arm_assigns + [else_assigns]:
             for f_, _ in pairs:
-                if f_ in ("__abort__", "__return__"):
+                if f_ in ("__abort__", "__return__") or (
+                        isinstance(f_, tuple) and f_
+                        and f_[0] == "__var__"):
                     continue
                 name = f_[0] if isinstance(f_, tuple) else f_
                 if name not in fields:
@@ -4205,6 +4207,7 @@ class VectorProgram:
             # right per-row view (new value on rows the region took
             # and the statement succeeded, prior value elsewhere)
             saved = dict(ctx.written)
+            saved_vars = dict(ctx.vars)
             aborted = None
             returned = None
             try:
@@ -4246,7 +4249,26 @@ class VectorProgram:
                             # a statement whose own expression errored
                             # never assigns (interpreter order)
                             ok = pc.and_(ok, pc.is_null(ae))
-                        if isinstance(field, tuple):
+                        if isinstance(field, tuple) and \
+                                field[0] == "__var__":
+                            # variable branch target: blend against
+                            # the pre-if value (or an earlier branch
+                            # write this run); write ctx.vars NOW so
+                            # later branch statements read the
+                            # per-row view — the finally restores
+                            # pre-if vars and the OUTER runner
+                            # re-applies with dead-row gating
+                            acc = out.get(field)
+                            if acc is None:
+                                acc = ctx.vars.get(field[1])
+                                if acc is None:
+                                    acc = _nulls(ctx.n, pa.null())
+                                elif not isinstance(acc, _Union):
+                                    acc = _as_array(acc, ctx.n)
+                            blended = _blend(ok, av, acc, ctx.n)
+                            out[field] = blended
+                            ctx.vars[field[1]] = blended
+                        elif isinstance(field, tuple):
                             # nested (.a.b) branch target: gate at
                             # the leaf — untaken/errored rows keep
                             # their prior value AND shape
@@ -4272,6 +4294,8 @@ class VectorProgram:
             finally:
                 ctx.written.clear()
                 ctx.written.update(saved)
+                ctx.vars.clear()
+                ctx.vars.update(saved_vars)
             for field in fields:
                 if field not in out:
                     out[field] = _as_array(ctx.col(field), ctx.n)
@@ -4297,6 +4321,10 @@ class VectorProgram:
             if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
             t = st[1][0]
+            if t[0] == "var" and isinstance(t[1], str):
+                # per-event VARIABLE branch target (`if c { x = 1 }`)
+                out.append((("__var__", t[1]), _compile_expr(st[3])))
+                continue
             if t[0] != "path" or t[1] != "event" or not t[2] or \
                     not all(isinstance(sg, str) for sg in t[2]):
                 raise NotVectorizable("if branch target")
@@ -4624,6 +4652,16 @@ class VectorProgram:
                     # statement's unhandled errors kill their rows
                     # and its abort rows drop
                     for k, arr in out_fields.items():
+                        if isinstance(k, tuple) and k \
+                                and k[0] == "__var__":
+                            # variable branch write: ctx.vars storage
+                            if active is not None:
+                                old = ctx.vars.get(k[1])
+                                if old is None:
+                                    old = _nulls(ctx.n, pa.null())
+                                arr = _blend(active, arr, old, ctx.n)
+                            ctx.vars[k[1]] = arr
+                            continue
                         ctx.written[k] = gate_write(k, arr)
                     if errs is not None:
                         kill(errs)
