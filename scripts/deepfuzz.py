@@ -414,6 +414,17 @@ def gen_stmt(i):
         return f"v{i} = {anyexpr()}\n{use}"
     if kind == 'varpath':
         # nested writes INTO variables build objects before use
+        if R.random() < 0.35:
+            # r5: list ELEMENT writes (xs[i] = v) — in-range, pad
+            # above, negative in-range, value-semantics isolation
+            # from the source column
+            init = R.choice([f'xs{i} = .arr', f'xs{i} = [1, 2, 3]',
+                             f'xs{i} = []',
+                             f'xs{i} = split((.s ?? "a,b"), ",")'])
+            idx = R.choice([0, 1, 5, -1, -2])
+            val = R.choice(['9', '"z"', 'null', num(2), '.a'])
+            return (f"{init}\nxs{i}[{idx}] = {val}\n"
+                    f".o{i} = xs{i}\n.p{i} = .arr[0]")
         init = R.choice(['', f'w{i} = {{}}\n',
                          f'w{i} = {{"k": 1}}\n'])
         return (f"{init}w{i}.f = {anyexpr()}\n"
@@ -494,7 +505,11 @@ def gen_stmt(i):
                               'downcase(k)'])
             rec = R.choice(['', '', ', recursive: true',
                             ', recursive: false'])
-            return (f".o{i}, .e{i} = map_keys(.obj{rec})"
+            # r5: recursive renames descend struct children and list
+            # elements (type-level); exercise a NESTED constant too
+            src_ = R.choice(['.obj', '.obj',
+                             '{"a": 1, "n": {"b": 2}, "l": [{"c": 3}]}'])
+            return (f".o{i}, .e{i} = map_keys({src_}{rec})"
                     f" -> |k| {{ {bodyk} }}")
         if which == 'map':
             # capture-bearing bodies (element-expanded ctx, r5): the

@@ -2318,11 +2318,21 @@ def _compile_map_keys(args, closure, span=None):
     the interpreter's map_keys). Null rows error per row
     ('expected object')."""
     params, body = closure
-    if len(args) != 1 or args[0][0] is not None or len(params) != 1:
+    pos = [a for n_, a in args if n_ is None]
+    named = {n_: a for n_, a in args if n_ is not None}
+    if len(pos) > 2 or not pos or len(params) != 1 \
+            or set(named) - {"recursive"}:
         raise NotVectorizable("map_keys shape")
+    rnode = pos[1] if len(pos) == 2 else named.get("recursive")
+    if rnode is None:
+        recursive = False
+    elif rnode[0] == "lit" and isinstance(rnode[1], bool):
+        recursive = rnode[1]
+    else:
+        raise NotVectorizable("map_keys non-constant recursive")
     if _reads_beyond_param(body, params[0]):
         raise NotVectorizable("map_keys row-dependent body")
-    argf = _compile_expr(args[0][1])
+    argf = _compile_expr(pos[0])
     pname = params[0]
     bodyf = _compile_expr(_unwrap_block(body))
 
@@ -2348,6 +2358,45 @@ def _compile_map_keys(args, closure, span=None):
     def mk(ctx):
         prefix = _call_frame("map_keys", span)
 
+        def rename_deep(arr):
+            """recursive: true — keys are TYPE-level, so the rename
+            recurses through struct children and list elements once
+            per field name (interpreter walk, object.py:234-242)."""
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = arr.type
+            if pa.types.is_struct(t):
+                if any(pa.types.is_union(t.field(j).type)
+                       for j in range(t.num_fields)):
+                    raise _RowFallback("map_keys union child")
+                fs: dict = {}
+                for j in range(t.num_fields):
+                    fs[rename_one(ctx, t.field(j).name)] = \
+                        rename_deep(arr.field(j))
+                if len(fs) != t.num_fields:
+                    # colliding renames keep the LAST source field —
+                    # but a constant-folded literal's field order can
+                    # differ from the interpreter dict's: row path
+                    raise _RowFallback("map_keys key collision")
+                nulls = pc.is_null(arr)
+                if not fs:
+                    nn = nulls.to_numpy(zero_copy_only=False)
+                    return pa.array([None if b else {} for b in nn],
+                                    pa.struct([]))
+                return pa.StructArray.from_arrays(
+                    list(fs.values()), names=list(fs), mask=nulls)
+            if _is_list_type(t):
+                if arr.null_count:
+                    raise _RowFallback("map_keys recursive null list")
+                vals = rename_deep(arr.flatten())
+                lens = pc.list_value_length(arr) \
+                    .to_numpy(zero_copy_only=False)
+                offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                return pa.ListArray.from_arrays(pa.array(offsets),
+                                                vals)
+            return arr
+
         def over(arr):
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
@@ -2356,7 +2405,15 @@ def _compile_map_keys(args, closure, span=None):
                 raise _RowFallback("map_keys over non-object column")
             fields: dict = {}
             for j in range(t.num_fields):
-                fields[rename_one(ctx, t.field(j).name)] = arr.field(j)
+                child = arr.field(j)
+                if recursive:
+                    child = rename_deep(child)
+                fields[rename_one(ctx, t.field(j).name)] = child
+            if fields and len(fields) != t.num_fields:
+                # colliding renames: constant-folded literals may
+                # carry a different field order than the interpreter
+                # dict — last-wins diverges, row path owns it
+                raise _RowFallback("map_keys key collision")
             nulls = pc.is_null(arr)
             if not fields:
                 nn = nulls.to_numpy(zero_copy_only=False)
@@ -3826,7 +3883,8 @@ class VectorProgram:
                           [field] + ([errfield] if errfield else [])
                           if not (isinstance(f_, tuple) and f_
                                   and f_[0] in ("__var__",
-                                                "__varpath__"))]
+                                                "__varpath__",
+                                                "__varidx__"))]
                 for f_ in fs:
                     f_ = f_[0] if isinstance(f_, tuple) else f_
                     if f_.startswith(_META):
@@ -3868,6 +3926,12 @@ class VectorProgram:
                 if t[0] == "varpath" and isinstance(t[1], str):
                     # nested write INTO a variable (v.x = 1): same
                     # struct-column build, ctx.vars storage
+                    if len(targets) == 1 and len(t[2]) == 1 and \
+                            isinstance(t[2][0], int):
+                        # list element write (xs[0] = v): per-row
+                        # list surgery at a literal index
+                        return [(("__varidx__", t[1], t[2][0]),
+                                 None, _compile_expr(expr))]
                     if len(targets) != 1 or not t[2] or \
                             not all(isinstance(s, str) for s in t[2]):
                         raise NotVectorizable("varpath target")
@@ -4697,6 +4761,83 @@ class VectorProgram:
                     else:
                         ctx.vars[vname] = _struct_set(
                             ctx, segs_v, va, top=top)
+                    if has_err:
+                        kill(e)
+                    continue
+                if isinstance(field, tuple) and field \
+                        and field[0] == "__varidx__":
+                    # list element write into a variable
+                    # (xs[0] = v): per-row list surgery at a literal
+                    # index (path_insert int-segment semantics for
+                    # in-range / pad-above cases; the exotic shapes —
+                    # non-list base, null lists, negative-out-of-range
+                    # prepend — take the row path)
+                    _, vname, seg = field
+                    v, e = f(ctx)
+                    has_err = e is not None and \
+                        pc.any(pc.is_valid(e)).as_py()
+                    base = ctx.vars.get(vname)
+                    if base is None or isinstance(base, _Union):
+                        raise _RowFallback("varidx base shape")
+                    base = _as_array(base, ctx.n)
+                    if isinstance(base, pa.ChunkedArray):
+                        base = base.combine_chunks()
+                    if not _is_list_type(base.type) or base.null_count:
+                        raise _RowFallback("varidx non-list base")
+                    if isinstance(v, _Union):
+                        raise _RowFallback("varidx union value")
+                    va = _as_array(v, ctx.n)
+                    flat = base.flatten()
+                    if len(flat) and len(va) and flat.type != va.type:
+                        if pa.types.is_null(flat.type):
+                            flat = flat.cast(va.type)
+                        elif pa.types.is_null(va.type):
+                            va = va.cast(flat.type)
+                        else:
+                            raise _RowFallback("varidx type mix")
+                    lens = pc.list_value_length(base) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    if seg >= 0:
+                        out_lens = np.maximum(lens, seg + 1)
+                        pos_new = np.full(ctx.n, seg, np.int64)
+                    else:
+                        pos_new = lens + seg
+                        if (pos_new < 0).any():
+                            raise _RowFallback("varidx negative pad")
+                        out_lens = lens
+                    starts = np.cumsum(lens) - lens
+                    out_off = np.zeros(ctx.n + 1, dtype=np.int64)
+                    np.cumsum(out_lens, out=out_off[1:])
+                    total = int(out_off[-1])
+                    rep = lambda a: np.repeat(a, out_lens)
+                    pos = np.arange(total) - rep(out_off[:-1])
+                    is_new = pos == rep(pos_new)
+                    from_old = (~is_new) & (pos < rep(lens))
+                    try:
+                        combined = pa.concat_arrays([flat, va])
+                    except (pa.ArrowInvalid, pa.ArrowTypeError,
+                            pa.ArrowNotImplementedError):
+                        raise _RowFallback("varidx concat")
+                    idx = np.where(
+                        is_new, len(flat) + rep(np.arange(ctx.n)),
+                        np.where(from_old, rep(starts) + pos, -1))
+                    taken = combined.take(
+                        pa.array(np.where(idx >= 0, idx, 0),
+                                 pa.int64(), mask=idx < 0))
+                    new_list = pa.ListArray.from_arrays(
+                        pa.array(out_off, pa.int64())
+                        .cast(pa.int32()), taken)
+                    dead = pc.invert(active) if active is not None \
+                        else None
+                    if has_err:
+                        bad = pc.is_valid(e)
+                        dead = bad if dead is None \
+                            else pc.or_(dead, bad)
+                    if dead is not None and pc.any(dead).as_py():
+                        ctx.vars[vname] = _sel(pc.invert(dead), new_list,
+                                               base, ctx.n)
+                    else:
+                        ctx.vars[vname] = new_list
                     if has_err:
                         kill(e)
                     continue
