@@ -3078,7 +3078,7 @@ def _compile_expr(node) -> Callable:
         return bangf
 
     if kind == "block":
-        if len(node[1]) == 1:
+        if len(node[1]) == 1 and node[1][0][0] != "assign":
             return _compile_expr(node[1][0])
         # multi-statement block EXPRESSION: statements run for their
         # effects (variable writes — and errors: the FIRST error per
@@ -3460,6 +3460,11 @@ def _unwrap_block(node):
         if len(node[1]) != 1:
             # multi-statement blocks compile as block EXPRESSIONS
             # (var writes + final value) since r5
+            return node
+        if node[1][0][0] == "assign":
+            # a lone assignment is still a WRITING block (`false &&
+            # {x = "s"}`): the block compiler owns write gating /
+            # lazy-position fallback and yields the assigned value
             return node
         return node[1][0]
     return node
