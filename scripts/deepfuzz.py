@@ -488,7 +488,19 @@ def gen_stmt(i):
             local = "lv = v + 1\n " if 'lv' in elem or \
                 R.random() < 0.3 else ""
             upd = f"ac{i} = push(ac{i}, {elem})"
-            if R.random() < 0.4:
+            r_ = R.random()
+            if r_ < 0.25:
+                # r5 set accumulators: flag / last-match-wins
+                upd = R.choice([
+                    f"if v {R.choice(['>', '==', '<'])} "
+                    f"{R.randint(0, 3)} {{ fl{i} = "
+                    f"{R.choice(['true', 'v', 'to_string(v)'])} }}",
+                    f"fl{i} = {R.choice(['v', 'v * 2', 'i_'])}",
+                ])
+                return (f"fl{i} = {R.choice(['false', '0', 'null'])}\n"
+                        f"for_each({coll}) -> |i_, v| {{ {upd} }}\n"
+                        f".o{i} = fl{i}")
+            if r_ < 0.55:
                 upd = (f"if v {R.choice(['>', '<', '!='])} "
                        f"{R.randint(0, 3)} {{ {upd} }}")
             if R.random() < 0.3:

@@ -4048,20 +4048,33 @@ class VectorProgram:
                     and len(st[1][0][1][1]) == 1:
                 # single-arm conditional accumulator update:
                 # ``if cond { acc = push(acc, e) }`` — the common
-                # filter-and-collect idiom (rfcs/8381)
-                upd = _acc_update(st[1][0][1][1][0])
+                # filter-and-collect idiom (rfcs/8381); a PLAIN
+                # assign under the condition is the flag idiom
+                # (``if v.a == 2 { found = true }``): last matching
+                # element wins per row
+                inner = st[1][0][1][1][0]
+                upd = _acc_update(inner)
                 if upd is not None:
                     kind_, acc_, _, ef_ = upd
                     plan.append((kind_, acc_,
                                  _compile_expr(st[1][0][0]), ef_))
                     cap_nodes.append(st[1][0][0])
-                    cap_nodes.append(st[1][0][1][1][0][3])
+                    cap_nodes.append(inner[3])
+                    continue
+                if inner[0] == "assign" and inner[2] == "=" and \
+                        len(inner[1]) == 1 and inner[1][0][0] == "var":
+                    plan.append(("setif", inner[1][0][1],
+                                 _compile_expr(st[1][0][0]),
+                                 _compile_expr(inner[3])))
+                    cap_nodes.append(st[1][0][0])
+                    cap_nodes.append(inner[3])
                     continue
                 raise NotVectorizable("for_each body statement")
             raise NotVectorizable("for_each body statement")
-        if not any(k in ("sum", "push") for k, *_ in plan):
+        if not plan:
             raise NotVectorizable("for_each accumulator op")
-        accs_in_plan = {a for k, a, *_ in plan if k in ("sum", "push")}
+        accs_in_plan = {a for k, a, *_ in plan
+                        if k in ("sum", "push", "setif")}
         allowed = {iname, vname} | local_names | accs_in_plan
         captures = any(_reads_beyond_param(nd, allowed)
                        for nd in cap_nodes)
@@ -4092,6 +4105,12 @@ class VectorProgram:
             # expansion would show the pre-loop one — row path
             for a_ in accs_in_plan:
                 sub.vars.pop(a_, None)
+            for k_, a_, *_ in plan:
+                # a 'local' that is really an OUTER reassignment
+                # becomes a set-accumulator at runtime: its running
+                # value must not be readable either
+                if k_ == "local" and a_ in ctx.vars:
+                    sub.vars.pop(a_, None)
             sub.closure_vars[vname] = flat
             sub.closure_vars[iname] = pa.array(within, pa.int64())
             updates = {}
@@ -4115,16 +4134,45 @@ class VectorProgram:
 
             for kind_, acc, cf, ef in plan:
                 if kind_ == "local":
-                    lv = eval_elem(ef)
-                    if acc in ctx.vars or acc in ctx.closure_vars:
-                        # reassigning an OUTER var per element
-                        # persists after the loop — row path
-                        raise _RowFallback("for_each outer var write")
-                    sub.vars[acc] = lv
-                    continue
+                    if acc in ctx.closure_vars:
+                        raise _RowFallback("for_each closure var write")
+                    if acc in ctx.vars:
+                        # unconditional OUTER reassignment per
+                        # element: the LAST element wins per row
+                        kind_ = "setif"
+                    else:
+                        sub.vars[acc] = eval_elem(ef)
+                        continue
                 prev = updates.get(acc, ctx.vars.get(acc))
                 if prev is None:
                     raise _RowFallback("for_each accumulator undefined")
+                if kind_ == "setif":
+                    if acc in ctx.closure_vars:
+                        raise _RowFallback("for_each closure var set")
+                    keep = cond_mask(cf)
+                    ev_ = eval_elem(ef)
+                    if isinstance(ev_, _Union):
+                        raise _RowFallback("for_each set union value")
+                    arr = _as_array(ev_, sub.n)
+                    pos = np.arange(len(flat), dtype=np.int64)
+                    masked = np.where(keep, pos, -1) \
+                        if keep is not None else pos
+                    last = np.full(ctx.n, -1, np.int64)
+                    nz = lens > 0
+                    if nz.any():
+                        # nonempty segments are adjacent in the flat
+                        # stream, so their starts delimit reduceat
+                        last[nz] = np.maximum.reduceat(
+                            masked, starts[nz])
+                    has = last >= 0
+                    newv = arr.take(pa.array(
+                        np.where(has, last, 0), pa.int64(),
+                        mask=~has))
+                    prev_a = prev if isinstance(prev, _Union) \
+                        else _as_array(prev, ctx.n)
+                    updates[acc] = _blend(pa.array(has), newv,
+                                          prev_a, ctx.n)
+                    continue
                 keep = cond_mask(cf)
                 if kind_ == "sum":
                     arr = _as_array(eval_elem(ef), sub.n)
