@@ -384,6 +384,16 @@ def gen_stmt(i):
         return f"{tgt} |= {rhs}"
     if kind == 'del':
         # del as statement or expression; dead rows must keep fields
+        if R.random() < 0.3:
+            # r5: del on VARIABLE fields (post-parse cleanup idiom);
+            # value-semantics isolation from the source column
+            init = R.choice([f'dv{i} = .obj', f'dv{i} = {{"a": 1}}',
+                             f'dv{i} = .a'])
+            fld = R.choice(['x', 'y', 'a', 'zz'])
+            form = R.choice(['stmt', 'expr'])
+            dl = (f"del(dv{i}.{fld})" if form == 'stmt'
+                  else f".dd{i} = del(dv{i}.{fld})")
+            return f"{init}\n{dl}\n.o{i} = dv{i}\n.p{i} = .obj.x"
         tgt = R.choice(['.a', '.s', '.obj.x', '.obj.y', '.missing',
                         '.obj.zz', f'.o{i}'])
         form = R.choice(['stmt', 'stmt', 'expr', 'then_read'])

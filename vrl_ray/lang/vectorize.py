@@ -2057,6 +2057,52 @@ def _compile_del_exists(name: str, args) -> Callable:
     if not args or args[0][0] is not None:
         raise NotVectorizable(f"{name} args")
     anode = args[0][1]
+    if name == "del" and len(args) == 1 and anode[0] == "index" \
+            and anode[1][0] == "var" and isinstance(anode[1][1], str) \
+            and len(anode[2]) == 1 and isinstance(anode[2][0], str):
+        # del(var.field): struct-field removal from a VARIABLE —
+        # the post-parse cleanup idiom (`del(etld_result.etld_plus)`)
+        # and the closure-param form (`del(value.ttl)` in map_values
+        # bodies, where every element evaluates the del)
+        vname, fname = anode[1][1], anode[2][0]
+
+        def del_var(ctx):
+            if ctx.active_mask is not None:
+                raise _RowFallback("del on partially-stopped batch")
+            if ctx.lazy_depth and ctx.lazy_depth != \
+                    getattr(ctx, "writes_ok_depth", -1):
+                raise _RowFallback("del in lazily-evaluated context")
+            store = ctx.closure_vars if vname in ctx.closure_vars \
+                else ctx.vars
+            top = store.get(vname)
+            if top is None or isinstance(top, _Union):
+                raise _RowFallback("del var shape")
+            top = _as_array(top, ctx.n)
+            if isinstance(top, pa.ChunkedArray):
+                top = top.combine_chunks()
+            t = top.type
+            if not pa.types.is_struct(t) or \
+                    t.get_field_index(fname) < 0:
+                return _nulls(ctx.n, pa.null()), None      # no-op
+            if any(pa.types.is_union(t.field(j).type)
+                   for j in range(t.num_fields)):
+                raise _RowFallback("del near union child")
+            i = t.get_field_index(fname)
+            old = _struct_field_safe(top, i)
+            rest = [(t.field(j).name, top.field(j))
+                    for j in range(t.num_fields) if j != i]
+            if rest:
+                new = pa.StructArray.from_arrays(
+                    [a for _, a in rest],
+                    names=[nm for nm, _ in rest],
+                    mask=pc.is_null(top))
+            else:
+                nn = pc.is_null(top).to_numpy(zero_copy_only=False)
+                new = pa.array([None if b else {} for b in nn],
+                               pa.struct([]))
+            store[vname] = new
+            return old, None
+        return del_var
     if not (anode[0] == "path" and anode[1] == "event" and anode[2]
             and all(isinstance(sg, str) for sg in anode[2])):
         raise NotVectorizable(f"{name} target")
