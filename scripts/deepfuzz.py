@@ -433,6 +433,9 @@ def gen_stmt(i):
                              f'xs{i} = split((.s ?? "a,b"), ",")'])
             idx = R.choice([0, 1, 5, -1, -2])
             val = R.choice(['9', '"z"', 'null', num(2), '.a'])
+            if R.random() < 0.4:
+                # event-column form (.arr[i] = v, r5)
+                return (f".arr[{idx}] = {val}\n.o{i} = .arr")
             return (f"{init}\nxs{i}[{idx}] = {val}\n"
                     f".o{i} = xs{i}\n.p{i} = .arr[0]")
         init = R.choice(['', f'w{i} = {{}}\n',

@@ -1836,6 +1836,61 @@ class _RowFallback(Exception):
     batch through the interpreter."""
 
 
+def _list_set_at(ctx, base: pa.Array, seg: int, v):
+    """Set element ``seg`` of every row's list (path_insert int
+    segment): pad-above with nulls for positive out-of-range,
+    negative in-range from the end; one vectorized take over
+    concat(old values, new column). Exotic shapes (non-list base,
+    null lists, negative pad, type mixes Arrow can't concat) degrade
+    to the row path."""
+    if not _is_list_type(base.type) or base.null_count:
+        raise _RowFallback("varidx non-list base")
+    if isinstance(v, _Union):
+        raise _RowFallback("varidx union value")
+    va = _as_array(v, ctx.n)
+    flat = base.flatten()
+    if len(flat) and len(va) and flat.type != va.type:
+        if pa.types.is_null(flat.type):
+            flat = flat.cast(va.type)
+        elif pa.types.is_null(va.type):
+            va = va.cast(flat.type)
+        else:
+            raise _RowFallback("varidx type mix")
+    lens = pc.list_value_length(base) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    if seg >= 0:
+        out_lens = np.maximum(lens, seg + 1)
+        pos_new = np.full(ctx.n, seg, np.int64)
+    else:
+        pos_new = lens + seg
+        if (pos_new < 0).any():
+            raise _RowFallback("varidx negative pad")
+        out_lens = lens
+    starts = np.cumsum(lens) - lens
+    out_off = np.zeros(ctx.n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_off[1:])
+    total = int(out_off[-1])
+
+    def rep(a):
+        return np.repeat(a, out_lens)
+
+    pos = np.arange(total) - rep(out_off[:-1])
+    is_new = pos == rep(pos_new)
+    from_old = (~is_new) & (pos < rep(lens))
+    try:
+        combined = pa.concat_arrays([flat, va])
+    except (pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError):
+        raise _RowFallback("varidx concat")
+    idx = np.where(is_new, len(flat) + rep(np.arange(ctx.n)),
+                   np.where(from_old, rep(starts) + pos, -1))
+    taken = combined.take(
+        pa.array(np.where(idx >= 0, idx, 0), pa.int64(),
+                 mask=idx < 0))
+    return pa.ListArray.from_arrays(
+        pa.array(out_off, pa.int64()).cast(pa.int32()), taken)
+
+
 class _Ctx:
     def __init__(self, batch: pa.Table):
         self.batch = batch
@@ -3929,6 +3984,9 @@ class VectorProgram:
                                "__return__", "__expr__", "__root__",
                                "__rootmerge__"):
                     continue     # no output column of their own
+                elif isinstance(field, tuple) and field \
+                        and field[0] == "__fieldidx__":
+                    fs = [field[1]]
                 else:
                     fs = [f_ for f_ in
                           [field] + ([errfield] if errfield else [])
@@ -3987,6 +4045,14 @@ class VectorProgram:
                             not all(isinstance(s, str) for s in t[2]):
                         raise NotVectorizable("varpath target")
                     return [(("__varpath__", t[1], tuple(t[2])),
+                             None, _compile_expr(expr))]
+                if t[0] == "path" and t[1] == "event" and \
+                        len(targets) == 1 and len(t[2]) == 2 and \
+                        isinstance(t[2][0], str) and \
+                        isinstance(t[2][1], int):
+                    # list element write into an event column
+                    # (.x[5] = v): same surgery as the var form
+                    return [(("__fieldidx__", t[2][0], t[2][1]),
                              None, _compile_expr(expr))]
                 if t[0] != "path" or t[1] not in ("event", "meta") \
                         or not t[2] or \
@@ -4864,68 +4930,26 @@ class VectorProgram:
                         kill(e)
                     continue
                 if isinstance(field, tuple) and field \
-                        and field[0] == "__varidx__":
-                    # list element write into a variable
-                    # (xs[0] = v): per-row list surgery at a literal
-                    # index (path_insert int-segment semantics for
+                        and field[0] in ("__varidx__", "__fieldidx__"):
+                    # list element write at a literal index — into a
+                    # variable (xs[0] = v) or an event column
+                    # (.x[5] = v): per-row list surgery
+                    # (path_insert int-segment semantics for
                     # in-range / pad-above cases; the exotic shapes —
                     # non-list base, null lists, negative-out-of-range
                     # prepend — take the row path)
-                    _, vname, seg = field
+                    tag, vname, seg = field
                     v, e = f(ctx)
                     has_err = e is not None and \
                         pc.any(pc.is_valid(e)).as_py()
-                    base = ctx.vars.get(vname)
+                    base = ctx.vars.get(vname) if tag == "__varidx__" \
+                        else ctx.col(vname)
                     if base is None or isinstance(base, _Union):
                         raise _RowFallback("varidx base shape")
                     base = _as_array(base, ctx.n)
                     if isinstance(base, pa.ChunkedArray):
                         base = base.combine_chunks()
-                    if not _is_list_type(base.type) or base.null_count:
-                        raise _RowFallback("varidx non-list base")
-                    if isinstance(v, _Union):
-                        raise _RowFallback("varidx union value")
-                    va = _as_array(v, ctx.n)
-                    flat = base.flatten()
-                    if len(flat) and len(va) and flat.type != va.type:
-                        if pa.types.is_null(flat.type):
-                            flat = flat.cast(va.type)
-                        elif pa.types.is_null(va.type):
-                            va = va.cast(flat.type)
-                        else:
-                            raise _RowFallback("varidx type mix")
-                    lens = pc.list_value_length(base) \
-                        .to_numpy(zero_copy_only=False).astype(np.int64)
-                    if seg >= 0:
-                        out_lens = np.maximum(lens, seg + 1)
-                        pos_new = np.full(ctx.n, seg, np.int64)
-                    else:
-                        pos_new = lens + seg
-                        if (pos_new < 0).any():
-                            raise _RowFallback("varidx negative pad")
-                        out_lens = lens
-                    starts = np.cumsum(lens) - lens
-                    out_off = np.zeros(ctx.n + 1, dtype=np.int64)
-                    np.cumsum(out_lens, out=out_off[1:])
-                    total = int(out_off[-1])
-                    rep = lambda a: np.repeat(a, out_lens)
-                    pos = np.arange(total) - rep(out_off[:-1])
-                    is_new = pos == rep(pos_new)
-                    from_old = (~is_new) & (pos < rep(lens))
-                    try:
-                        combined = pa.concat_arrays([flat, va])
-                    except (pa.ArrowInvalid, pa.ArrowTypeError,
-                            pa.ArrowNotImplementedError):
-                        raise _RowFallback("varidx concat")
-                    idx = np.where(
-                        is_new, len(flat) + rep(np.arange(ctx.n)),
-                        np.where(from_old, rep(starts) + pos, -1))
-                    taken = combined.take(
-                        pa.array(np.where(idx >= 0, idx, 0),
-                                 pa.int64(), mask=idx < 0))
-                    new_list = pa.ListArray.from_arrays(
-                        pa.array(out_off, pa.int64())
-                        .cast(pa.int32()), taken)
+                    new_list = _list_set_at(ctx, base, seg, v)
                     dead = pc.invert(active) if active is not None \
                         else None
                     if has_err:
@@ -4933,10 +4957,12 @@ class VectorProgram:
                         dead = bad if dead is None \
                             else pc.or_(dead, bad)
                     if dead is not None and pc.any(dead).as_py():
-                        ctx.vars[vname] = _sel(pc.invert(dead), new_list,
-                                               base, ctx.n)
-                    else:
+                        new_list = _sel(pc.invert(dead), new_list,
+                                        base, ctx.n)
+                    if tag == "__varidx__":
                         ctx.vars[vname] = new_list
+                    else:
+                        ctx.written[vname] = new_list
                     if has_err:
                         kill(e)
                     continue
