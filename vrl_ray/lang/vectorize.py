@@ -4372,7 +4372,8 @@ class VectorProgram:
         fields: list[str] = []
         for pairs in arm_assigns + [else_assigns]:
             for f_, _ in pairs:
-                if f_ in ("__abort__", "__return__") or (
+                if f_ in ("__abort__", "__return__",
+                          "__exprstmt__") or (
                         isinstance(f_, tuple) and f_
                         and f_[0] == "__var__"):
                     continue
@@ -4472,6 +4473,15 @@ class VectorProgram:
                             region_stop = ok if region_stop is None \
                                 else pc.or_(region_stop, ok)
                             continue
+                        if field == "__exprstmt__":
+                            # bare expression: value discarded, its
+                            # errors stop the rows that reached it
+                            _, ae = fexpr(ctx)
+                            if ae is not None:
+                                ae = pc.if_else(ok, ae, _nulls(ctx.n))
+                                region_err = _merge_errs(
+                                    ctx.n, region_err, ae)
+                            continue
                         av, ae = fexpr(ctx)
                         if ae is not None:
                             ae = pc.if_else(mask, ae, _nulls(ctx.n))
@@ -4547,7 +4557,14 @@ class VectorProgram:
             if st[0] == "return":
                 out.append(("__return__", _compile_expr(st[1])))
                 continue
-            if st[0] != "assign" or st[2] != "=" or len(st[1]) != 1:
+            if st[0] not in ("assign",):
+                # bare expression branch statement ("yes" / f(x)):
+                # the remap lane discards the value; it runs for its
+                # per-row ERRORS only (side-effectful exprs like del
+                # gate themselves via lazy_depth at runtime)
+                out.append(("__exprstmt__", _compile_expr(st)))
+                continue
+            if st[2] != "=" or len(st[1]) != 1:
                 raise NotVectorizable("if branch statement")
             t = st[1][0]
             if t[0] == "var" and isinstance(t[1], str):
