@@ -297,6 +297,18 @@ def gen_stmt(i):
         if form == 'blockcap':
             return (f".o{i} = {{ cb{i}, eb{i} = {call}\n "
                     f"if eb{i} == null {{ cb{i} }} else {{ -1 }} }}")
+        if R.random() < 0.4:
+            # review-found class: OUTER var writes / dels inside
+            # closure bodies PERSIST in the interpreter (last element
+            # wins) — the vector lane must fall back, not silently
+            # discard the expanded copy
+            body = R.choice([f'ow{i} = ow{i} + v', f'ow{i} = v',
+                             f'del(ow{i}.x)', f'ow{i}.f = v'])
+            init = ('.obj' if 'del' in body or '.f' in body
+                    else R.choice(['0', '[0]']))
+            return (f"ow{i} = {init}\n"
+                    f".o{i} = map_values(.arr) -> |v| {{ {body}\n v }}\n"
+                    f".after{i} = ow{i}")
         return (f".o{i} = map_values(.objarr) -> |ov| "
                 f"{{ ov.add = {R.choice(['1', '.a', 'ov.k ?? 0'])}\n"
                 f" ov }}")

@@ -2129,6 +2129,10 @@ def _compile_del_exists(name: str, args) -> Callable:
                 raise _RowFallback("del in lazily-evaluated context")
             store = ctx.closure_vars if vname in ctx.closure_vars \
                 else ctx.vars
+            if store is ctx.vars and ctx.lazy_depth:
+                # element ctx: ctx.vars holds discarded COPIES of the
+                # outer vars — a del there must persist (interpreter)
+                raise _RowFallback("closure body del on outer var")
             top = store.get(vname)
             if top is None or isinstance(top, _Union):
                 raise _RowFallback("del var shape")
@@ -2404,6 +2408,11 @@ def _reads_beyond_param(node, pname) -> bool:
         if node and node[0] == "path":
             return True
         if node and node[0] == "var" and node[1] not in names:
+            return True
+        if node and node[0] == "varpath" and \
+                isinstance(node[1], str) and node[1] not in names:
+            # a varpath TARGET names its base var as a bare string
+            # (no nested ("var", …) node) — it reads AND writes it
             return True
         return any(_reads_beyond_param(x, names) for x in node)
     if isinstance(node, list):
@@ -3241,9 +3250,16 @@ def _compile_expr(node) -> Callable:
         finalf = _compile_expr(last)
 
         def blockf(ctx):
-            if has_writes and ctx.lazy_depth and ctx.lazy_depth != \
-                    getattr(ctx, "writes_ok_depth", -1):
+            in_elem = ctx.lazy_depth and ctx.lazy_depth == \
+                getattr(ctx, "writes_ok_depth", -1)
+            if has_writes and ctx.lazy_depth and not in_elem:
                 raise _RowFallback("block var write in lazy position")
+            # in an ELEMENT context (closure body) only NEW locals
+            # and closure params may be written: the expanded outer
+            # vars are copies discarded after the closure, while the
+            # interpreter persists outer reassignments (last element
+            # wins) — those take the row path
+            outer_names = set(ctx.vars) if in_elem else frozenset()
             errs = None
             saved_mask = ctx.active_mask
 
@@ -3258,6 +3274,8 @@ def _compile_expr(node) -> Callable:
                 return live
 
             def gated_var_write(store, name, v, live):
+                if name in outer_names:
+                    raise _RowFallback("closure body writes outer var")
                 if live is None:
                     store[name] = v
                     return
@@ -3279,6 +3297,9 @@ def _compile_expr(node) -> Callable:
                         vname, segs = payload
                         store = ctx.closure_vars \
                             if vname in ctx.closure_vars else ctx.vars
+                        if store is ctx.vars and vname in outer_names:
+                            raise _RowFallback(
+                                "closure body writes outer var")
                         top = store.get(vname)
                         if top is None:
                             top = _nulls(ctx.n, pa.null())
