@@ -251,6 +251,12 @@ def anyexpr(d=0):
                  "{ vs = %s\n vt = to_int(%s)\n vt }" % (
                      strx(2), strx(2)),
                  "{ vs = %s\n upcase(vs) }" % strx(2),
+                 # r5: EVENT writes inside block expressions persist
+                 # beyond the block (statement position only; lazy /
+                 # closure positions fall back at runtime)
+                 "{ .bw = %s\n .bw }" % anyexpr(2),
+                 "{ .bn.k = %s\n 1 }" % num(2),
+                 "{ vb = %s\n .bw2 = vb }" % num(2),
              ]),
              lambda dd: "length(%s)" % R.choice(
                  ['.arr', '.s', '.obj', '.a', '.missing', strx(dd)]),

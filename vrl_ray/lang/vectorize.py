@@ -3227,6 +3227,15 @@ def _compile_expr(node) -> Callable:
                 return ("capture", (tgts[0][1], tgts[1][1]),
                         _with_handled_default(_compile_expr(st[3]),
                                               st[3]))
+            if len(tgts) == 1 and tgts[0][0] == "path" and \
+                    tgts[0][1] == "event" and tgts[0][2] and \
+                    all(isinstance(x, str) for x in tgts[0][2]):
+                # EVENT write inside a block expression: persists
+                # beyond the block, so only sound when the block runs
+                # on every row (strict lazy_depth == 0 at runtime —
+                # element contexts hold discarded written-copies)
+                return ("fieldw", tuple(tgts[0][2]),
+                        _compile_expr(st[3]))
             return None
 
         pre = []       # (kind, payload, exprfn)
@@ -3237,23 +3246,32 @@ def _compile_expr(node) -> Callable:
                     "multi-statement block expression")
             pre.append(ent)
         last = node[1][-1]
-        final_name = None
-        if last[0] == "assign" and last[2] == "=" and \
-                len(last[1]) == 1 and last[1][0][0] == "var" and \
-                isinstance(last[1][0][1], str):
+        final_ent = None
+        finalf = None
+        if last[0] == "assign":
             # an assignment in final position is both a write and the
             # block's value (assignment.rs: assignments are exprs)
-            final_name = last[1][0][1]
-            last = last[3]
-        has_writes = final_name is not None or \
+            final_ent = _block_stmt(last)
+            if final_ent is None or final_ent[0] in ("expr",
+                                                     "capture"):
+                raise NotVectorizable(
+                    "multi-statement block expression")
+        else:
+            finalf = _compile_expr(last)
+        all_ents = list(pre) + ([final_ent] if final_ent else [])
+        has_writes = final_ent is not None or \
             any(k != "expr" for k, _, _ in pre)
-        finalf = _compile_expr(last)
+        has_event_writes = any(k == "fieldw" for k, _, _ in all_ents)
 
         def blockf(ctx):
             in_elem = ctx.lazy_depth and ctx.lazy_depth == \
                 getattr(ctx, "writes_ok_depth", -1)
             if has_writes and ctx.lazy_depth and not in_elem:
                 raise _RowFallback("block var write in lazy position")
+            if has_event_writes and ctx.lazy_depth:
+                # event writes from element contexts land in the
+                # sub's discarded written-overlay — row path
+                raise _RowFallback("block event write in closure")
             # in an ELEMENT context (closure body) only NEW locals
             # and closure params may be written: the expanded outer
             # vars are copies discarded after the closure, while the
@@ -3285,14 +3303,29 @@ def _compile_expr(node) -> Callable:
                 store[name] = _blend(live, v, old, ctx.n)
 
             try:
-                for kind_, payload, f in list(pre) + (
-                        [("var", final_name, finalf)]
-                        if final_name else []):
+                for kind_, payload, f in all_ents:
                     v, e = f(ctx)
                     last_v, last_e = v, e
                     if kind_ == "var" and payload != "_":
                         gated_var_write(ctx.vars, payload, v,
                                         live_for(e))
+                    elif kind_ == "fieldw":
+                        segs = payload
+                        va = v if isinstance(v, _Union) \
+                            else _as_array(v, ctx.n)
+                        live = live_for(e)
+                        if len(segs) == 1:
+                            if live is None:
+                                ctx.written[segs[0]] = va
+                            else:
+                                ctx.written[segs[0]] = _blend(
+                                    live, va, ctx.col(segs[0]), ctx.n)
+                        elif live is None:
+                            ctx.written[segs[0]] = _struct_set(
+                                ctx, segs, va)
+                        else:
+                            ctx.written[segs[0]] = _struct_set_gated(
+                                ctx, segs, va, pc.invert(live))
                     elif kind_ == "varpath":
                         vname, segs = payload
                         store = ctx.closure_vars \
@@ -3348,7 +3381,7 @@ def _compile_expr(node) -> Callable:
                         live = pc.is_null(errs)
                         ctx.active_mask = live if saved_mask is None \
                             else pc.and_(saved_mask, live)
-                if final_name is not None:
+                if final_ent is not None:
                     v, e = last_v, last_e
                 else:
                     v, e = finalf(ctx)
