@@ -388,10 +388,16 @@ def gen_stmt(i):
         return R.choice([f".bk{i} = .", f".bk{i} = encode_json(.)"])
     if kind == 'root':
         # whole-event replacement; error rows keep the ORIGINAL event
-        form = R.choice(['obj', 'json', 'json_bang'])
+        form = R.choice(['obj', 'json', 'json_bang', 'capture'])
         after = R.choice(['', f"\n.after{i} = {anyexpr(1)}"])
         if form == 'obj':
             return ('. = {"w%d": %s, "v": .a}%s' % (i, anyexpr(1), after))
+        if form == 'capture':
+            # r5: handled root replacement — error rows become the
+            # DEFAULT event (null → empty), err var gets the message
+            err = R.choice([f'er{i}', '_'])
+            rd = '' if err == '_' else f"\n.er{i}o = er{i}"
+            return f"., {err} = parse_json(.jsons){rd}{after}"
         bang = '!' if form == 'json_bang' else ''
         return f". = parse_json{bang}(.jsons){after}"
     if kind == 'merge':

@@ -4080,8 +4080,26 @@ class VectorProgram:
                 # whole-event replacement (`. = parse_json!(.msg)` —
                 # the canonical Vector remap program)
                 return [("__root__", None, _compile_expr(expr))]
+            if len(targets) == 2 and \
+                    targets[0] == ("path", "event", []) and \
+                    targets[1][0] in ("var", "discard"):
+                # handled whole-event replacement (`., err = f(.log)`
+                # — the canonical parse-with-fallback program): ok
+                # rows replaced by the object, error rows replaced by
+                # the expression DEFAULT (null → empty event), err
+                # var carries the message
+                errt = ("__var__", targets[1][1]
+                        if targets[1][0] == "var" else "\x00discard")
+                return [("__root__", errt,
+                         _with_handled_default(_compile_expr(expr),
+                                               expr))]
             fields = []
             for t in targets:
+                if t == ("discard",):
+                    # `_` target: written to an unreadable mangled
+                    # var so the capture machinery stays uniform
+                    fields.append(("__var__", "\x00discard"))
+                    continue
                 if t[0] == "var" and isinstance(t[1], str):
                     # per-event variable target → column in ctx.vars
                     fields.append(("__var__", t[1]))
@@ -4806,6 +4824,17 @@ class VectorProgram:
                         raise _RowFallback("root assign non-object")
                     has_err = e is not None and \
                         pc.any(pc.is_valid(e)).as_py()
+                    err_live = None
+                    if errfield is not None and has_err:
+                        # handled root capture: error rows are
+                        # REPLACED BY THE DEFAULT (null → empty
+                        # event), not killed
+                        if _abort_mask(e) is not None:
+                            raise _RowFallback(
+                                "abort under root capture")
+                        err_live = pc.is_valid(e)
+                        if active is not None:
+                            err_live = pc.and_(err_live, active)
                     news = {va.type.field(j).name: va.field(j)
                             for j in range(va.type.num_fields)}
                     if not has_err and active is None \
@@ -4817,6 +4846,9 @@ class VectorProgram:
                         ctx.vars = dict(ctx.vars)
                         ctx.written.update(news)
                         ctx.root_cleared = True
+                        if isinstance(errfield, tuple) and \
+                                errfield[0] == "__var__":
+                            ctx.vars[errfield[1]] = _nulls(ctx.n)
                         continue
                     if va.null_count:
                         # a null object row with NO error has no
@@ -4833,21 +4865,30 @@ class VectorProgram:
                         else pa.array([True] * ctx.n)
                     if active is not None:
                         ok = pc.and_(ok, active)
+                    clear = ok if err_live is None \
+                        else pc.or_(ok, err_live)
                     olds = set(ctx.batch.column_names) \
                         | {k for k in ctx.written
                            if not k.startswith(_META)}
                     for c in olds:
-                        if c in news:
+                        if c in news and err_live is None:
                             continue
                         old = ctx.col(c)
                         ctx.written[c] = _as_array(
-                            _blend(ok, _nulls(ctx.n, pa.null()),
+                            _blend(clear, _nulls(ctx.n, pa.null()),
                                    old, ctx.n), ctx.n)
                     for fname, child in news.items():
                         old = ctx.col(fname)
                         ctx.written[fname] = _as_array(
                             _blend(ok, child, old, ctx.n), ctx.n)
-                    if has_err:
+                    if isinstance(errfield, tuple) and \
+                            errfield[0] == "__var__":
+                        err_col = e if e is not None else _nulls(ctx.n)
+                        if active is not None:
+                            err_col = pc.if_else(active, err_col,
+                                                 _nulls(ctx.n))
+                        ctx.vars[errfield[1]] = err_col
+                    elif has_err:
                         kill(e)
                     continue
                 if field == "__foreach__":
