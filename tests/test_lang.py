@@ -1472,6 +1472,30 @@ class TestRowLoopTier:
         assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
         assert out["z"].to_pylist()[0] is not None
 
+    def test_log_rides_row_loop_tier(self, capfd):
+        """r5: log() vectorizes via the generic row-loop tier — one
+        stderr line per row, null return, and the REST of the program
+        stays columnar (later statements still compute)."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"msg": pa.array(["a", "b", None])})
+        src = ('log(.msg, level: "warn")\n'
+               '.x = log("fixed")\n'
+               '.out, .e = upcase(.msg)')
+        out = VectorProgram(src).run(batch).to_pylist()
+        err = capfd.readouterr().err
+        assert err.count("[warn] a") == 1 and err.count("[warn] b") == 1
+        assert err.count("[info] fixed") == 3   # once per row
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for k in ("x", "out", "e"):
+                assert (out[i].get(k) or None) == \
+                    (ev.get(k) or None), (i, k)
+
 
 class TestRootAssignment:
     """r4: whole-event replacement (`. = parse_json!(.msg)` — the

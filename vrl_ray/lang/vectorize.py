@@ -1468,11 +1468,14 @@ def _shape_lanes(ctx, outs: list, errs: list):
 #: nondeterministic between lanes (time/random/uuid), environment-
 #: dependent (host/env/network), or side-effectful (log prints)
 _ROW_LOOP_EXCLUDE = frozenset({
-    # now/uuid_v4 have dedicated kernels below; uuid_v7 rides this
-    # generic tier (random per row is exactly per-row evaluation)
+    # now/uuid_v4 have dedicated kernels below; uuid_v7 and log ride
+    # this generic tier (random/prints per row ARE per-row
+    # evaluation; caveat: a later statement's row fallback re-runs
+    # the batch through the interpreter, so log lines may duplicate —
+    # host logging is best-effort, same as Ray task retries)
     "now", "uuid_v4", "random_bool", "random_bytes",
     "random_float", "random_int", "get_hostname", "get_env_var",
-    "get_timezone_name", "log", "dns_lookup", "reverse_dns",
+    "get_timezone_name", "dns_lookup", "reverse_dns",
     "http_request",
 })
 
