@@ -284,7 +284,22 @@ def gen_stmt(i):
                      'ifstmt', 'closure', 'nested', 'abort', 'del',
                      'merge', 'root', 'dotread', 'bare', 'metavar',
                      'varpath', 'lazydel', 'jsonshape', 'assertx',
-                     'predcap'])
+                     'predcap', 'namedhole'])
+    if kind == 'namedhole':
+        # r5: named args that leave a positional hole reach row-loop
+        # registry fns as **kwargs (flatten's `except` skips
+        # `separator`); also mix a canonicalizable named arg and a
+        # null/non-object input so the error lane is exercised
+        val = R.choice(['.obj', '.objarr[0]', '.a', '.missing',
+                        'parse_json!(.jsons)'])
+        call = R.choice([
+            f'flatten({val}, except: ["k", {strx(1)}])',
+            f'flatten({val}, separator: "_", except: ["x"])',
+            f'flatten({val}, separator: {strx(1)})',
+        ])
+        if R.random() < 0.5:
+            return f".o{i}, .e{i} = {call}"
+        return f".o{i} = ({call} ?? {anyexpr(1)})"
     if kind == 'predcap':
         # r5: `(ok, err = f(); err == null)` capture in an IF
         # PREDICATE (first predicate runs on every row — its var

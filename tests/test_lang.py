@@ -1472,6 +1472,28 @@ class TestRowLoopTier:
         assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
         assert out["z"].to_pylist()[0] is not None
 
+    def test_named_arg_hole_passes_kwargs(self):
+        """r5: a named arg that leaves a positional hole
+        (`flatten(., except: [...])` skips `separator`) reaches the
+        row-loop registry fn as **kwargs instead of falling back."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"a": pa.array(
+            ['{"x": {"y": 1}, "keep": {"z": 2}}', 'bad', None])})
+        src = ('.p, .e = parse_json(.a)\n'
+               '.f, .e2 = flatten(.p, except: ["keep"])')
+        out = VectorProgram(src).run(batch).to_pylist()
+        assert out[0]["f"] == {"keep": {"z": 2}, "x.y": 1}
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            for k in ("p", "e", "f", "e2"):
+                assert (out[i].get(k) or None) == \
+                    (ev.get(k) or None), (i, k)
+
     def test_log_rides_row_loop_tier(self, capfd):
         """r5: log() vectorizes via the generic row-loop tier — one
         stderr line per row, null return, and the REST of the program

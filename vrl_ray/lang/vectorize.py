@@ -1480,18 +1480,23 @@ _ROW_LOOP_EXCLUDE = frozenset({
 })
 
 
-def _row_loop_kernel(name: str) -> Callable:
+def _row_loop_kernel(name: str, kwnames=None) -> Callable:
     """Generic tier for registry functions without a dedicated Arrow
     kernel: evaluate the ROW function per row (exact row semantics,
     incl. the interpreter's TypeError→argument-kind error mapping),
     bounded to THIS statement — the rest of the program stays
     columnar instead of the whole batch re-running per row. Results
-    materialize through :func:`_shape_lanes`."""
+    materialize through :func:`_shape_lanes`. `kwnames` (parallel to
+    the arg list, None entries = positional) carries named arguments
+    that couldn't canonicalize positionally — they reach the registry
+    fn as **kwargs exactly like interpreter.py:437-441."""
     from ..functions import REGISTRY
     from ..value import VrlError
-    from .interpreter import _arg_kind_error
+    from .interpreter import _ARG_RENAME, _arg_kind_error
 
     fn = REGISTRY[name]
+    pykw = [None if an is None else _ARG_RENAME.get(an, an)
+            for an in kwnames] if kwnames else None
 
     def k(ctx, a, span=None):
         prefix = _call_frame(name, span)
@@ -1519,13 +1524,22 @@ def _row_loop_kernel(name: str) -> Callable:
         for i in range(ctx.n):
             if skip[i]:
                 continue            # arg error already recorded
-            args_i = [p[i] if per else p for per, p in cols]
+            vals_i = [p[i] if per else p for per, p in cols]
+            if pykw is None:
+                args_i, kw_i = vals_i, {}
+            else:
+                args_i, kw_i = [], {}
+                for v_, an in zip(vals_i, pykw):
+                    if an is None:
+                        args_i.append(v_)
+                    else:
+                        kw_i[an] = v_
             try:
-                outs[i] = fn(*args_i)
+                outs[i] = fn(*args_i, **kw_i)
             except VrlError as ex:
                 errs[i] = prefix + ex.message
             except TypeError as ex:
-                msg = _arg_kind_error(name, args_i, {})
+                msg = _arg_kind_error(name, args_i, kw_i)
                 if msg is None:
                     # interpreter raises an UNCATCHABLE
                     # VrlRuntimeError here — row path owns that
@@ -3118,12 +3132,21 @@ def _compile_expr(node) -> Callable:
                 row_loop = True     # generic statement-bounded tier
             else:
                 raise NotVectorizable(f"call {name}")
-        args = _canonicalize_named_args(name, args)
+        try:
+            args = _canonicalize_named_args(name, args)
+        except NotVectorizable:
+            if not row_loop:
+                raise
+            # the row-loop tier calls the Python registry fn directly
+            # (interpreter.py:437-441 semantics) — named args that
+            # leave a positional hole (`flatten(., except: [...])`)
+            # pass through as **kwargs instead of falling back
+        kwnames = [an for an, _ in args]
         argfs = []
         argnodes = []
         prior_fallible = False
         for aname, aexpr in args:
-            if aname is not None:
+            if aname is not None and not row_loop:
                 raise NotVectorizable("named args")
             f = _compile_expr(aexpr)
             if prior_fallible:
@@ -3154,7 +3177,8 @@ def _compile_expr(node) -> Callable:
             return out
 
         if row_loop:
-            fnr = _row_loop_kernel(name)
+            fnr = _row_loop_kernel(
+                name, kwnames if any(kwnames) else None)
 
             def basef(ctx):
                 return fnr(ctx, eval_args(ctx), span)
