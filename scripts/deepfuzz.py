@@ -434,7 +434,11 @@ def gen_stmt(i):
                   else f".dd{i} = del(dv{i}.{fld})")
             return f"{init}\n{dl}\n.o{i} = dv{i}\n.p{i} = .obj.x"
         tgt = R.choice(['.a', '.s', '.obj.x', '.obj.y', '.missing',
-                        '.obj.zz', f'.o{i}'])
+                        '.obj.zz', f'.o{i}',
+                        # r5: list-element removal with shift (neg idx
+                        # counts from the end; out-of-range = no-op)
+                        '.arr[0]', '.arr[1]', '.arr[-1]', '.arr[9]',
+                        '.s[0]', '.missing[2]'])
         form = R.choice(['stmt', 'stmt', 'expr', 'then_read'])
         if form == 'stmt':
             return f"del({tgt})"

@@ -1472,6 +1472,34 @@ class TestRowLoopTier:
         assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
         assert out["z"].to_pylist()[0] is not None
 
+    def test_del_exists_list_index(self):
+        """r5: del(.f[i]) removes the element WITH SHIFT (negative i
+        counts from the end; out-of-range / non-list = no-op) and
+        exists(.f[i]) is offsets arithmetic — incl. SLICED columns
+        whose offsets stay absolute into the full values child."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        full = pa.table({"onk": pa.array(
+            [["drop"], ["nork", "spork"], ["a"], [], None])})
+        batch = full.slice(1)
+        for src in ('.old = del(.onk[0])\n.j = encode_json(.onk)',
+                    '.old = del(.onk[-1])\n.j = encode_json(.onk)',
+                    '.e = exists(.onk[1])\n.e2 = exists(.onk[-1])'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("old", "j", "e", "e2"):
+                    assert out[i].get(k) == ev.get(k), (src, i, k)
+        # corpus 8068 shape: del then read the shifted survivor
+        o = VectorProgram('.onk = ["nork", "spork"]\ndel(.onk[0])\n'
+                          '.r = .onk[0] + "!"') \
+            .run(pa.table({"d": [1]})).to_pylist()
+        assert o[0]["r"] == "spork!" and o[0]["onk"] == ["spork"]
+
     def test_named_arg_hole_passes_kwargs(self):
         """r5: a named arg that leaves a positional hole
         (`flatten(., except: [...])` skips `separator`) reaches the

@@ -2179,6 +2179,14 @@ def _compile_del_exists(name: str, args) -> Callable:
             store[vname] = new
             return old, None
         return del_var
+    if anode[0] == "path" and anode[1] == "event" \
+            and len(anode[2]) == 2 and len(args) == 1 \
+            and isinstance(anode[2][0], str) \
+            and isinstance(anode[2][1], int):
+        # .field[idx]: list-element presence / removal-with-shift
+        # (path_remove int segment, value.py:406-418: negative idx
+        # counts from the end, out-of-range and non-list are no-ops)
+        return _del_exists_list_idx(name, anode[2][0], anode[2][1])
     if not (anode[0] == "path" and anode[1] == "event" and anode[2]
             and all(isinstance(sg, str) for sg in anode[2])):
         raise NotVectorizable(f"{name} target")
@@ -2250,6 +2258,76 @@ def _compile_del_exists(name: str, args) -> Callable:
         ctx.written[segs[0]] = new
         return old, None
     return delf
+
+
+def _del_exists_list_idx(name: str, fname: str, idx: int) -> Callable:
+    """``del(.f[i])`` / ``exists(.f[i])`` over a list column: offsets
+    arithmetic in numpy (one pass, no per-row Python). Sliced columns
+    keep ABSOLUTE offsets into the full `.values` child — all indexing
+    below goes through those raw offsets (see _as_plain_list note)."""
+
+    def _list_geom(ctx):
+        top = ctx.col(fname)
+        if isinstance(top, _Union):
+            raise _RowFallback(f"{name} on mixed-shape column")
+        top = _as_array(top, ctx.n)
+        if isinstance(top, pa.ChunkedArray):
+            top = top.combine_chunks()
+        if not _is_list_type(top.type):
+            return None
+        if _contains_union(top.type):
+            raise _RowFallback(f"{name} near union child")
+        va = _as_plain_list(top, ctx.n, name)
+        off = va.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = pc.is_valid(va).to_numpy(zero_copy_only=False)
+        lens = np.where(valid, off[1:] - off[:-1], 0)
+        eff = lens + idx if idx < 0 else np.full(ctx.n, idx, np.int64)
+        app = valid & (eff >= 0) & (eff < lens)
+        return va, off, valid, lens, eff, app
+
+    if name == "exists":
+        def exists_idx(ctx):
+            if fname in ctx.written:
+                raise _RowFallback("exists on written field")
+            if ctx.root_cleared or fname not in ctx.batch.column_names:
+                return pa.array(np.zeros(ctx.n, bool)), None
+            g = _list_geom(ctx)
+            if g is None:
+                return pa.array(np.zeros(ctx.n, bool)), None
+            return pa.array(g[5]), None
+        return exists_idx
+
+    def del_idx(ctx):
+        if ctx.active_mask is not None:
+            raise _RowFallback("del on partially-stopped batch")
+        if ctx.lazy_depth:
+            raise _RowFallback("del in lazily-evaluated context")
+        g = _list_geom(ctx)
+        if g is None:
+            return _nulls(ctx.n, pa.null()), None          # no-op
+        va, off, valid, lens, eff, app = g
+        if not app.any():
+            return _nulls(ctx.n, pa.null()), None          # no-op
+        pos = off[:-1] + eff
+        removed = va.values.take(pa.array(pos, mask=~app))
+        tot = int(lens.sum())
+        starts = np.cumsum(lens) - lens
+        row_rep = np.repeat(np.arange(ctx.n), lens)
+        intra = np.arange(tot) - starts[row_rep]
+        abs_i = off[:-1][row_rep] + intra
+        keep = ~(app[row_rep] & (intra == eff[row_rep]))
+        new_lens = lens - app.astype(np.int64)
+        new_off = np.zeros(ctx.n + 1, np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        if new_off[-1] > np.iinfo(np.int32).max:
+            raise _RowFallback("del list overflow")
+        new = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), mask=np.concatenate(
+                (~valid, [False]))),
+            va.values.take(pa.array(abs_i[keep])))
+        ctx.written[fname] = new
+        return removed, None
+    return del_idx
 
 
 def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
@@ -4922,9 +5000,18 @@ class VectorProgram:
                     updates = f(ctx)
                     for vn, arr in updates.items():
                         if active is not None:
-                            arr = pc.if_else(
-                                active, arr,
-                                _as_array(ctx.vars[vn], ctx.n))
+                            cur = ctx.vars[vn]
+                            if isinstance(arr, _Union) or \
+                                    isinstance(cur, _Union):
+                                # stopped rows keep the union lane
+                                # they had (pc.if_else can't blend
+                                # tagged lanes)
+                                arr = _union_blend(
+                                    active, arr, cur, ctx.n)
+                            else:
+                                arr = pc.if_else(
+                                    active, arr,
+                                    _as_array(cur, ctx.n))
                         ctx.vars[vn] = arr
                     continue
                 if isinstance(field, tuple) and field \
