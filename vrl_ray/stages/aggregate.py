@@ -51,6 +51,10 @@ def count_by_small(ds, keys: list[str]):
     mat = ds.map_batches(_partial_counts(keys),
                          batch_format="pyarrow").materialize()
     tables = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    return _combine_partials(tables, keys)
+
+
+def _combine_partials(tables, keys):
     if not tables:
         import pandas as pd
 
@@ -58,6 +62,22 @@ def count_by_small(ds, keys: list[str]):
     df = pa.concat_tables(tables).to_pandas()
     return (df.groupby(keys, dropna=False, sort=False)["n"]
             .sum().reset_index())
+
+
+def count_by_blocks(mat_ds, keys: list[str]):
+    """:func:`count_by_small` over an already-MATERIALIZED dataset:
+    one remote partial-count task per existing block instead of a
+    fresh Ray Data execution (whose launch overhead, ~2 s, dwarfs the
+    work for mid-size inputs). Same driver-combine bound — use only
+    when distinct keys ≪ rows."""
+    import ray
+
+    pfn = _partial_counts(keys)
+    part = ray.remote(num_cpus=1)(lambda t: pfn(t))
+    refs = mat_ds.to_arrow_refs()        # metadata-only: materialized
+    tables = [t for t in ray.get([part.remote(r) for r in refs])
+              if len(t)]
+    return _combine_partials(tables, keys)
 
 
 def multi_partial_fn(key_sets: dict[str, list[str]]):

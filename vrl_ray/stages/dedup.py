@@ -230,6 +230,25 @@ class MinHashLSH:
         })
 
 
+_LSH_CACHE: dict = {}
+
+
+def _lsh_batch(batch: pa.Table, *, num_perm, bands, k,
+               id_column, text_column) -> pa.Table:
+    """Task-pool form of :class:`MinHashLSH`: the (tiny, seeded,
+    deterministic) permutation table is cached per WORKER PROCESS, so
+    plain tasks get actor-like state reuse without a dedicated pool —
+    pools re-spin per execution (~1-2 s each), tasks ride the
+    session's warm workers across executions."""
+    key = (num_perm, bands, k, id_column, text_column)
+    st = _LSH_CACHE.get(key)
+    if st is None:
+        st = _LSH_CACHE[key] = MinHashLSH(
+            num_perm=num_perm, bands=bands, k=k,
+            id_column=id_column, text_column=text_column)
+    return st(batch)
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact k-shingle Jaccard (candidate verification)."""
     sa = set(_shingle_hashes(a, k).tolist())
@@ -251,24 +270,26 @@ def minhash_candidate_pairs(ds, *, num_perm: int = 64, bands: int = 16,
     join so a hot bucket cannot emit O(n^2) pairs."""
 
     banded = ds.map_batches(
-        MinHashLSH,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                   id_column=id_column, text_column=text_column),
-        batch_format="pyarrow", concurrency=fixed_pool(),
+        _lsh_batch,
+        fn_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
+                       id_column=id_column, text_column=text_column),
+        batch_format="pyarrow",
     ).materialize()  # consumed 3× below (counts + both join sides)
 
     # hot-bucket guard BEFORE the join: a degenerate bucket
     # (boilerplate shared by n docs) would emit O(n²) join rows. The
     # per-bucket counts are a tiny two-phase aggregate; the hot-key
     # set is broadcast once and filtered out.
-    from .aggregate import count_by, count_by_small
+    from .aggregate import count_by, count_by_blocks
 
     # driver combine while the banded table is small; distributed
     # two-phase groupby beyond that (bucket keys are ~one per doc, so
-    # the partials are NOT bounded-cardinality at 10^9-doc scale)
+    # the partials are NOT bounded-cardinality at 10^9-doc scale).
+    # count_by_blocks reuses banded's materialized blocks — a fresh
+    # Ray Data execution here cost ~2.3 s of pure launch overhead.
     banded_rows = banded.count()
     if banded_rows <= 5_000_000:
-        counts = count_by_small(banded, ["band", "band_hash"])
+        counts = count_by_blocks(banded, ["band", "band_hash"])
         hot = counts[counts["n"] > max_bucket]
     else:
         # filter to hot keys DISTRIBUTEDLY before pulling: the full
@@ -388,21 +409,22 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
         return _empty_result()
 
     def verify_with_lookup(texts_ref):
-        class Verify:
-            def __init__(self):
-                self.texts = ray.get(texts_ref)
+        # plain tasks, not an actor pool: ray.get of the broadcast
+        # dict is served zero-copy-ish from the worker's local object
+        # store cache, and the candidate set is small by definition
+        # here — a pool spin-up would cost more than the work
+        def verify_batch(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            sims = [ngram_jaccard(texts.get(a, ""),
+                                  texts.get(b, ""), k)
+                    for a, b in zip(batch["id_a"].to_pylist(),
+                                    batch["id_b"].to_pylist())]
+            out = batch.append_column(
+                "jaccard", pa.array(sims, pa.float64()))
+            return out.filter(
+                pc.greater_equal(out["jaccard"], threshold))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                sims = [ngram_jaccard(self.texts.get(a, ""),
-                                      self.texts.get(b, ""), k)
-                        for a, b in zip(batch["id_a"].to_pylist(),
-                                        batch["id_b"].to_pylist())]
-                out = batch.append_column(
-                    "jaccard", pa.array(sims, pa.float64()))
-                return out.filter(
-                    pc.greater_equal(out["jaccard"], threshold))
-
-        return Verify
+        return verify_batch
 
     n_pairs = pairs_ds.count()
     if n_pairs <= broadcast_limit:
@@ -427,8 +449,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, threshold: float = 0.8,
                               t[text_column].to_pylist()))
         texts_ref = ray.put(lookup)
         return pairs_ds.map_batches(verify_with_lookup(texts_ref),
-                                    batch_format="pyarrow",
-                                    concurrency=fixed_pool())
+                                    batch_format="pyarrow")
 
     # large candidate set → distributed double join. Partition count
     # uses the unknown-size fallback (ncpu/2), NOT the candidate count:
