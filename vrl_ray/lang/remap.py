@@ -269,13 +269,6 @@ def remap(ds, source: str, *, concurrency=None, batch_size: int = 8192,
     (raises NotVectorizable); False forces the interpreter."""
     from .vectorize import NotVectorizable, VectorProgram
 
-    if concurrency is None:
-        # fixed pool: autoscaling pools idle short jobs (CLAUDE.md
-        # perf rule 4 / VERDICT r4 finding 5)
-        from ..stages.pool import fixed_pool
-
-        concurrency = fixed_pool()
-
     use_vector = vectorize
     if use_vector is None:
         try:
@@ -284,19 +277,41 @@ def remap(ds, source: str, *, concurrency=None, batch_size: int = 8192,
         except (NotVectorizable, ParseError):
             use_vector = False
 
-    if use_vector:
+    if concurrency is not None:
+        # caller pinned a pool size → keep the actor-pool form
+        cls = VectorRemapStage if use_vector else RemapStage
         return ds.map_batches(
-            VectorRemapStage,
+            cls,
             fn_constructor_kwargs=dict(source=source,
                                        drop_aborted=drop_aborted),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
         )
+    # default: plain tasks with a per-WORKER compiled-stage cache —
+    # tasks reuse the session's warm worker processes across
+    # executions, where a dedicated actor pool re-spins per execution
+    # (~1-2 s) and idles whatever cores it doesn't cover
     return ds.map_batches(
-        RemapStage,
-        fn_constructor_kwargs=dict(source=source, drop_aborted=drop_aborted),
+        _remap_batch,
+        fn_kwargs=dict(source=source, drop_aborted=drop_aborted,
+                       vector=use_vector),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _remap_batch(batch, *, source: str, drop_aborted: bool,
+                 vector: bool):
+    """Task-pool remap: compile once per worker process (keyed by
+    program text), then run batches through the cached stage."""
+    key = (source, drop_aborted, vector)
+    st = _STAGE_CACHE.get(key)
+    if st is None:
+        cls = VectorRemapStage if vector else RemapStage
+        st = _STAGE_CACHE[key] = cls(source=source,
+                                     drop_aborted=drop_aborted)
+    return st(batch)
