@@ -473,7 +473,7 @@ def events_vrl_remap(sf_dir: str):
     .value_int, .parse_err = to_int(round(.value))
     if .value >= 100.0 { .is_big = true } else { .is_big = false }
     """
-    out = remap(ds, program, concurrency=_pool(4))
+    out = remap(ds, program)
     return out.select_columns(["event_id", "kind", "value_int", "is_big"])
 
 
@@ -494,7 +494,7 @@ def events_vrl_kernels(sf_dir: str):
     .vi, .e1 = to_int(round(.value))
     .flag = to_bool(.vi)
     """
-    out = remap(ds, program, concurrency=_pool(4))
+    out = remap(ds, program)
     return out.select_columns(
         ["event_id", "et", "short", "head", "vi", "flag"])
 
@@ -517,7 +517,7 @@ def events_vrl_routing(sf_dir: str):
     .tail = slice!(.event_type, 6)
     if .sev == "high" { .alert = true } else { .note = "ok" }
     """
-    out = remap(ds, program, concurrency=_pool(4))
+    out = remap(ds, program)
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -559,7 +559,7 @@ def events_vrl_logpipe(sf_dir: str):
     .v0 = .n[0]
     .len = length(.event_type)
     """
-    out = remap(ds, program, concurrency=_pool(4))
+    out = remap(ds, program)
     return out.select_columns(
         ["event_id", "t2", "has", "kind", "v0", "len"])
 
@@ -1210,24 +1210,25 @@ def multimodal_frames(sf_dir: str):
     synthetic generator emits valid YUV4MPEG2 streams) — rows-only
     check (binary input is not SQL-expressible)."""
     import ray.data as rd
-    from vrl_ray.stages.multimodal import synthetic_media_table, SampleFrames
+    from vrl_ray.stages.multimodal import (synthetic_media_table,
+                                           sample_frames_batch)
 
     t = synthetic_media_table(200, seed=5)
     return rd.from_arrow(t).map_batches(
-        SampleFrames, batch_format="pyarrow", batch_size=32,
-        concurrency=_pool(4))
+        sample_frames_batch, batch_format="pyarrow", batch_size=32)
 
 
 def multimodal_audio(sf_dir: str):
     """Audio feature-extraction plumbing (stubbed decode) —
     rows-only check."""
     import ray.data as rd
-    from vrl_ray.stages.multimodal import synthetic_media_table, DecodeAudio
+    from vrl_ray.stages.multimodal import (synthetic_media_table,
+                                           decode_audio_batch)
 
     t = synthetic_media_table(200, seed=5)
     audio = rd.from_arrow(t).filter(expr="kind == 'audio'")
-    return audio.map_batches(DecodeAudio, batch_format="pyarrow",
-                             batch_size=32, concurrency=_pool(4)) \
+    return audio.map_batches(decode_audio_batch, batch_format="pyarrow",
+                             batch_size=32) \
         .select_columns(["media_id", "rms", "zero_cross_rate"])
 
 

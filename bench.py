@@ -205,30 +205,29 @@ def _run_multimodal(sf: float) -> dict:
     policy, same as the per-query lines)."""
     import ray
     import ray.data as rd
-    from vrl_ray.stages.multimodal import (DecodeImage, DecodeAudio,
-                                           SampleFrames)
+    from vrl_ray.stages.multimodal import (decode_image_batch,
+                                           decode_audio_batch,
+                                           sample_frames_batch)
 
     n = max(600, int(30_000 * sf))
     mdir = _ensure_media_parquet(n)
-    # three concurrent actor pools share the session: size each to a
-    # third of the node or their combined fixed minimums exceed the
-    # CPU count and the streaming executor deadlocks waiting on actors
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, (ncpu - 2) // 3)
+    # task pools: the three decode lanes share the session's workers —
+    # no per-lane pool sizing (three fixed pools used to need explicit
+    # ncpu/3 splits to avoid deadlocking the streaming executor)
     best = None
     out_rows = 0
     for _ in range(2):
         t0 = time.time()
         ds = rd.read_parquet(mdir)
         img = ds.filter(expr="kind == 'image'").map_batches(
-            DecodeImage, batch_format="pyarrow", batch_size=64,
-            concurrency=pool).select_columns(["media_id", "decode_err"])
+            decode_image_batch, batch_format="pyarrow", batch_size=64,
+            ).select_columns(["media_id", "decode_err"])
         aud = ds.filter(expr="kind == 'audio'").map_batches(
-            DecodeAudio, batch_format="pyarrow", batch_size=64,
-            concurrency=pool).select_columns(["media_id", "decode_err"])
+            decode_audio_batch, batch_format="pyarrow", batch_size=64,
+            ).select_columns(["media_id", "decode_err"])
         vid = ds.filter(expr="kind == 'video'").map_batches(
-            SampleFrames, batch_format="pyarrow", batch_size=32,
-            concurrency=pool).select_columns(["media_id", "decode_err"])
+            sample_frames_batch, batch_format="pyarrow", batch_size=32,
+            ).select_columns(["media_id", "decode_err"])
         out_rows = img.union(aud).union(vid).count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)

@@ -149,6 +149,26 @@ class FlagshipStage:
         return routed
 
 
+_FLAGSHIP_CACHE: dict = {}
+
+
+def _flagship_batch(batch: pa.Table, *, sink_dir, keep_columns,
+                    agg_partials_key, agg_partials) -> pa.Table:
+    """Task-pool form of :class:`FlagshipStage`: the per-actor state
+    (enrich dicts, sink writer, partial combiner, Arrow thread pin)
+    builds once per WORKER PROCESS and is keyed by the run's config —
+    plain tasks then reuse the session's warm workers across
+    executions instead of re-spinning a dedicated pool (~1-2 s), and
+    share cores with the read/aggregate tasks instead of idling."""
+    key = (sink_dir, tuple(keep_columns or ()), agg_partials_key)
+    st = _FLAGSHIP_CACHE.get(key)
+    if st is None:
+        st = _FLAGSHIP_CACHE[key] = FlagshipStage(
+            sink_dir=sink_dir, keep_columns=keep_columns,
+            agg_partials=agg_partials)
+    return st(batch)
+
+
 def run_flagship(
     input_path,
     out_dir: Optional[str] = None,
@@ -179,16 +199,6 @@ def run_flagship(
     else:
         ds = input_path
 
-    # fixed-size actor pool scaled to the session: a lazily-autoscaling
-    # pool spends most of a short job below capacity, which is what
-    # breaks N→4N scaling efficiency
-    if enrich_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # leave ≥1 CPU for the read/aggregate tasks: a pool that holds
-        # EVERY core starves upstream reads (observed deadlock at
-        # ncpu=2 with pool=2)
-        enrich_concurrency = max(1, ncpu - 2) if ncpu > 2 else 1
-
     from ..stages.aggregate import count_by_multi
 
     metrics: dict = {}
@@ -198,12 +208,24 @@ def run_flagship(
         sink_dir = os.path.join(out_dir, "sinks")
         metrics["sink_dir"] = sink_dir
     key_sets = {"tool": AGG_KEYS, "conv": CONV_AGG_KEYS}
-    agg_src = ds.map_batches(
-        FlagshipStage,
-        fn_constructor_kwargs={"sink_dir": sink_dir,
-                               "agg_partials": key_sets},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=enrich_concurrency)
+    if enrich_concurrency is not None:
+        # caller pinned a pool → keep the fixed actor-pool form
+        agg_src = ds.map_batches(
+            FlagshipStage,
+            fn_constructor_kwargs={"sink_dir": sink_dir,
+                                   "agg_partials": key_sets},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=enrich_concurrency)
+    else:
+        # default: plain tasks + per-worker state cache (see
+        # _flagship_batch) — no pool spin-up, no idle cores, and the
+        # Ray scheduler balances these tasks against the read
+        agg_src = ds.map_batches(
+            _flagship_batch,
+            fn_kwargs={"sink_dir": sink_dir, "keep_columns": None,
+                       "agg_partials_key": "tool+conv",
+                       "agg_partials": key_sets},
+            batch_format="pyarrow", batch_size=batch_size)
 
     stats: dict = {}
     agg_dir = None
@@ -294,14 +316,13 @@ def run_resumable(
         # them before reprocessing or the final read double-counts
         _clear_stale_shard(shard_out)
         # single pass: fused parse→enrich→route→write, then per-sink
-        # counts from the SAME stream (no re-read of the output)
-        import ray as _ray
-        _n = int(_ray.cluster_resources().get("CPU", 8))
-        pool = max(1, _n - 2) if _n > 2 else 1
+        # counts from the SAME stream (no re-read of the output);
+        # task form — per-worker state cache, no pool spin-up per shard
         sunk = ds.map_batches(
-            FlagshipStage, fn_constructor_kwargs={"sink_dir": shard_out},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=pool)
+            _flagship_batch,
+            fn_kwargs={"sink_dir": shard_out, "keep_columns": None,
+                       "agg_partials_key": None, "agg_partials": None},
+            batch_format="pyarrow", batch_size=batch_size)
         counts = (
             count_by(sunk, ["sink"]).to_pandas()
             .set_index("sink")["n"].to_dict()

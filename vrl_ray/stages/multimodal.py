@@ -366,14 +366,36 @@ class SampleFrames:
                          "decode_err": pa.array(errs, pa.string())})
 
 
-def media_pipeline(ds, *, batch_size: int = 64, concurrency=None):
-    """Reference wiring: small batches for big payloads, actor pool,
-    pyarrow format end-to-end."""
-    if concurrency is None:
-        from .pool import fixed_pool
+# Task-pool forms: the decode classes carry only config (construction
+# is free), so plain tasks — which ride the session's warm workers and
+# share cores with the read — beat dedicated pools whose combined
+# fixed minimums can exceed the CPU count (three concurrent pools used
+# to need explicit ncpu/3 sizing to avoid deadlock).
+def decode_image_batch(batch: pa.Table, *, target=(64, 64),
+                       fallback_fake: bool = True) -> pa.Table:
+    return DecodeImage(target=tuple(target),
+                       fallback_fake=fallback_fake)(batch)
 
-        concurrency = fixed_pool(4)
+
+def decode_audio_batch(batch: pa.Table) -> pa.Table:
+    return DecodeAudio()(batch)
+
+
+def sample_frames_batch(batch: pa.Table, *, every_ms: int = 1000) \
+        -> pa.Table:
+    return SampleFrames(every_ms=every_ms)(batch)
+
+
+def media_pipeline(ds, *, batch_size: int = 64, concurrency=None):
+    """Reference wiring: small batches for big payloads, pyarrow
+    format end-to-end; tasks by default, an actor pool only when the
+    caller pins ``concurrency``."""
+    if concurrency is not None:
+        return ds.map_batches(
+            DecodeImage, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency,
+        )
     return ds.map_batches(
-        DecodeImage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
+        decode_image_batch, batch_format="pyarrow",
+        batch_size=batch_size,
     )
