@@ -389,10 +389,15 @@ def gen_stmt(i):
         ])
         return form
     if kind == 'metavar':
-        # %metadata: transient per-event namespace
+        # %metadata: transient per-event namespace (incl. the `%`
+        # root read — an object of written fields, r5; gated writes
+        # force the row path)
         use = R.choice([f".o{i} = (%m{i} ?? {anyexpr(1)})",
                         f".o{i}, .e{i} = %m{i}",
-                        f".o{i} = %unset{i}"])
+                        f".o{i} = %unset{i}",
+                        f".o{i} = %",
+                        f".o{i} = encode_json(%)",
+                        f"if {boolex(1)} {{ %g{i} = 1 }}\n.o{i} = %"])
         return f"%m{i} = {anyexpr()}\n{use}"
     if kind == 'bare':
         # bare expression statement: value discarded, errors kill

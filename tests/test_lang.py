@@ -1472,6 +1472,29 @@ class TestRowLoopTier:
         assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
         assert out["z"].to_pylist()[0] is not None
 
+    def test_meta_root_read(self):
+        """r5: `%` reads the metadata namespace as an object of the
+        fields written so far ({} when none); a GATED meta write
+        (post-abort) pushes the read to the row path."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram, _RowFallback
+
+        batch = pa.table({"a": pa.array([1, 2, None])})
+        for src in ('%foo = 1\n%bar = %foo + 5\n.out = %',
+                    '.out = %',
+                    '%x = .a\n.out = encode_json(%)'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                assert out[i].get("out") == ev.get("out"), (src, i)
+        import pytest as _pytest
+        with _pytest.raises(_RowFallback):
+            VectorProgram('if .a == 1 { abort }\n%g = 9\n.out = %') \
+                .run(batch)
+
     def test_del_exists_list_index(self):
         """r5: del(.f[i]) removes the element WITH SHIFT (negative i
         counts from the end; out-of-range / non-list = no-op) and

@@ -1931,6 +1931,10 @@ class _Ctx:
         # so a body block may write closure/local vars; any deeper
         # lazy position (?? RHS, if arms) still falls back
         self.writes_ok_depth = -1
+        # a %meta field was written under a row gate (if arm /
+        # post-abort): the `%` root read can't express per-row key
+        # presence and must fall back
+        self.gated_meta = False
 
     def col(self, name: str):
         if name in self.written:
@@ -3012,6 +3016,28 @@ def _compile_expr(node) -> Callable:
                                                   names=list(names)), \
                     None
             return rootread
+        if node[1] == "meta" and node[2] == []:
+            # metadata-root read (`%`): an object of the %fields
+            # written so far (the remap stage passes no inbound
+            # metadata, so ctx.written's mangled keys are the whole
+            # namespace). GATED meta writes (if arms / post-abort)
+            # mean per-row key presence — row path owns those.
+            def metaroot(ctx):
+                if getattr(ctx, "gated_meta", False):
+                    raise _RowFallback("% read after gated meta write")
+                names = [k_ for k_ in ctx.written
+                         if isinstance(k_, str) and k_.startswith(_META)]
+                if not names:
+                    return pa.array([{}] * ctx.n, pa.struct([])), None
+                arrs = []
+                for k_ in names:
+                    c = ctx.written[k_]
+                    if isinstance(c, _Union):
+                        raise _RowFallback("% read over union meta")
+                    arrs.append(_as_array(c, ctx.n))
+                return pa.StructArray.from_arrays(
+                    arrs, names=[k_[len(_META):] for k_ in names]), None
+            return metaroot
         if node[1] not in ("event", "meta") or not node[2] or \
                 not isinstance(node[2][0], str) or \
                 not all(isinstance(s, (str, int)) for s in node[2]):
@@ -4798,6 +4824,8 @@ class VectorProgram:
             values = _as_array(values, ctx.n)
             if active is None:
                 return values
+            if isinstance(field, str) and field.startswith(_META):
+                ctx.gated_meta = True   # % root read must row-path
             old = ctx.col(field)
             if isinstance(values, _Union) or isinstance(old, _Union):
                 return _blend(active, values, old, ctx.n)
@@ -5117,6 +5145,9 @@ class VectorProgram:
                                 arr = _blend(active, arr, old, ctx.n)
                             ctx.vars[k[1]] = arr
                             continue
+                        if isinstance(k, str) and k.startswith(_META):
+                            # branch-gated meta: per-row key presence
+                            ctx.gated_meta = True
                         ctx.written[k] = gate_write(k, arr)
                     if errs is not None:
                         kill(errs)
