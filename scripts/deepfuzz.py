@@ -425,6 +425,16 @@ def gen_stmt(i):
                         '.', '.'])
         rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
                         '.missing', '{}'])
+        if R.random() < 0.35 and tgt != '.':
+            # r5: handled merge-assign — error rows (expr OR
+            # merge-type) get the type default plain-assigned, err
+            # captures; also fallible rhs
+            err = R.choice(['_', f'me{i}', f'.me{i}'])
+            rhs = R.choice([rhs, 'parse_json(.jsons)',
+                            f'parse_key_value!("k={i}")'])
+            rd = '' if err in ('_',) or err.startswith('.') \
+                else f"\n.meo{i} = {err}"
+            return f"{tgt}, {err} |= {rhs}{rd}"
         return f"{tgt} |= {rhs}"
     if kind == 'del':
         # del as statement or expression; dead rows must keep fields

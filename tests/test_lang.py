@@ -1472,6 +1472,31 @@ class TestRowLoopTier:
         assert len(set(xs)) == 2 and all(len(u) == 36 for u in xs)
         assert out["z"].to_pylist()[0] is not None
 
+    def test_handled_merge_assign(self):
+        """r5: `.res, err |= expr` vectorizes — error rows (expr OR
+        merge-type) get the type default plain-assigned and err
+        captures the message (interpreter retries with op '=')."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"kv": pa.array(["bar=3", "bar=7", "bar=9"]),
+                          "n": pa.array([1, 2, None])})
+        progs = ('.res = {"foo": 2}\n.res, _ |= parse_key_value(.kv)\n'
+                 '.out = encode_json(.res)',
+                 '.res = {"a": 1}\n.res, .e |= 32\n'
+                 '.out = encode_json(.res)',
+                 '.res = {"a": 1}\n.res, e |= {"b": .n}\n'
+                 '.out = encode_json(.res)\n.eo = e')
+        for src in progs:
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("out", "e", "eo"):
+                    assert out[i].get(k) == ev.get(k), (src, i, k)
+
     def test_meta_root_read(self):
         """r5: `%` reads the metadata namespace as an object of the
         fields written so far ({} when none); a GATED meta write

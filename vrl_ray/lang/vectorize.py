@@ -4204,6 +4204,32 @@ class VectorProgram:
                         else tuple(t[2])
                     return [(field, None, f)]
                 raise NotVectorizable("|= target")
+            if op == "|=" and len(targets) == 2:
+                # handled merge-assign (`.res, err |= parse_x(...)`):
+                # error rows (expr OR merge-type) get the expression's
+                # type default assigned PLAIN (interpreter._eval_assign
+                # retries with op "="), err captures the message
+                t0, t1 = targets
+                if t1 == ("discard",):
+                    errf = ("__var__", "\x00discard")
+                elif t1[0] == "var" and isinstance(t1[1], str):
+                    errf = ("__var__", t1[1])
+                elif t1[0] == "path" and t1[1] == "event" and t1[2] \
+                        and all(isinstance(sg, str) for sg in t1[2]):
+                    errf = t1[2][0] if len(t1[2]) == 1 \
+                        else tuple(t1[2])
+                else:
+                    raise NotVectorizable("|= err target")
+                if t0[0] == "path" and t0[1] == "event" and t0[2] and \
+                        all(isinstance(sg, str) for sg in t0[2]):
+                    f = _with_handled_default(
+                        _compile_merge_assign(tuple(t0[2]),
+                                              _compile_expr(expr)),
+                        expr)
+                    field = t0[2][0] if len(t0[2]) == 1 \
+                        else tuple(t0[2])
+                    return [(field, errf, f)]
+                raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
             if len(targets) == 1 and targets[0] == ("path", "event",
