@@ -44,17 +44,22 @@ CONV_AGG_KEYS = ["sink", "conv_id"]
 
 def transform(ds, *, enrich_concurrency: Optional[int] = None, batch_size: int = 65536):
     """parse → enrich → route (lazy; caller consumes)."""
+    from ..stages.enrich import enrich_batch
+
     ds = ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=batch_size)
-    # Enrich is a callable class → actor pool. concurrency=None lets
-    # Ray autoscale the pool; pass an int to pin it.
-    ds = ds.map_batches(
-        Enrich,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        # autoscale up to the node's cores: parse fuses into this pool,
-        # so capping it below num_cpus starves the whole pipeline
-        concurrency=enrich_concurrency or (1, 32),
-    )
+    if enrich_concurrency is not None:
+        # caller pinned a pool → actor-pool form
+        ds = ds.map_batches(
+            Enrich,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=enrich_concurrency,
+        )
+    else:
+        # tasks + per-worker dict cache: fuses with parse/route into
+        # one task chain, no pool to size or spin up
+        ds = ds.map_batches(enrich_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
     ds = ds.map_batches(route_batch, batch_format="pyarrow", batch_size=batch_size)
     return ds
 

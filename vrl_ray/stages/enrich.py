@@ -80,9 +80,24 @@ def load_enrichment_table(path: str) -> dict:
     return {k: tuple(col[i] for col in rest) for i, k in enumerate(keys)}
 
 
+_ENRICH_CACHE: dict = {}
+
+
+def enrich_batch(batch: pa.Table, *, tool_table_path=None) -> pa.Table:
+    """Task-pool form of :class:`Enrich`: the lookup dicts build once
+    per WORKER PROCESS (keyed by the table source), so plain tasks get
+    actor-like state reuse without a dedicated pool."""
+    st = _ENRICH_CACHE.get(tool_table_path)
+    if st is None:
+        st = _ENRICH_CACHE[tool_table_path] = Enrich(
+            tool_table_path=tool_table_path)
+    return st(batch)
+
+
 class Enrich:
     """Actor-pool stage: ``ds.map_batches(Enrich, concurrency=N,
-    batch_format="pyarrow")``."""
+    batch_format="pyarrow")``; prefer :func:`enrich_batch` (tasks)
+    unless per-actor state must be pinned."""
 
     def __init__(self, tool_table: Optional[dict] = None,
                  role_table: Optional[dict] = None,
