@@ -2855,6 +2855,15 @@ def _compile_expr(node) -> Callable:
             return pa.scalar(v), None
         return lit
 
+    if kind == "lit_typedef":
+        # compile-time-resolved type_def() (typecheck.annotate): a
+        # constant dict — the inner expression never executes
+        td = node[1]
+
+        def littd(ctx):
+            return pa.scalar(td), None
+        return littd
+
     if kind == "regex":
         # regex literal → a COMPILED pattern constant (_PyConst):
         # the interpreter's regex VALUE. Pattern-consuming kernels
@@ -4154,6 +4163,14 @@ class VectorProgram:
     def __init__(self, source: str):
         self.source = source
         stmts = parse(source)
+        # same static pass as the interpreter (Program.__init__):
+        # resolves type_def() to lit_typedef constants so both lanes
+        # compile the SAME annotated AST
+        from .typecheck import Unsupported, annotate
+        try:
+            stmts = annotate(stmts)
+        except Unsupported:
+            pass
         self._if_fields: list[list[str]] = []
         self._has_abort = False
         self.plan: list = [self._compile_stmt(s) for s in stmts]
