@@ -423,6 +423,15 @@ def gen_stmt(i):
     if kind == 'merge':
         tgt = R.choice(['.obj', '.missing', '.a', f'.o{i}', '.nest0',
                         '.', '.'])
+        if R.random() < 0.25:
+            # r5: variable merge targets (x |= {...}), incl. unset
+            # vars and non-object current values
+            init = R.choice([f'mv{i} = .obj\n', f'mv{i} = "s"\n',
+                             f'mv{i} = {{"k": 1}}\n', ''])
+            rhs = R.choice(['{"w": 1}', '.obj', '.a', 'parse_json(.jsons)'])
+            cap = R.choice(['', f', .mve{i}', ', _'])
+            return (f"{init}mv{i}{cap} |= {rhs}\n"
+                    f".mvo{i} = mv{i}")
         rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
                         '.missing', '{}'])
         if R.random() < 0.35 and tgt != '.':

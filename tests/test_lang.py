@@ -1497,6 +1497,29 @@ class TestRowLoopTier:
                 for k in ("out", "e", "eo"):
                     assert out[i].get(k) == ev.get(k), (src, i, k)
 
+    def test_var_merge_assign(self):
+        """r5: variable |= targets (plain and handled) — unset vars
+        and non-object current values coerce through the same merge
+        math as event paths."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"n": pa.array([1, 2, None])})
+        progs = ('x = {"ook": 23}\nx |= {"w": 1}\n.out = encode_json(x)',
+                 'x = "oh no"\nx, .e |= {"ook": 32}\n'
+                 '.out = encode_json(x)',
+                 'x = {"a": 1}\nx, e |= 32\n.out = [encode_json(x), e]',
+                 'y |= {"b": .n}\n.out = encode_json(y)')
+        for src in progs:
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("out", "e"):
+                    assert out[i].get(k) == ev.get(k), (src, i, k)
+
     def test_meta_root_read(self):
         """r5: `%` reads the metadata namespace as an object of the
         fields written so far ({} when none); a GATED meta write

@@ -2334,12 +2334,26 @@ def _del_exists_list_idx(name: str, fname: str, idx: int) -> Callable:
     return del_idx
 
 
-def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
+def _var_reader(name: str) -> Callable:
+    """Current-value source for variable |= targets: ctx.vars (an
+    unset variable coerces through the merge's not-object path)."""
+    def read_cur(ctx):
+        v = ctx.vars.get(name)
+        if v is None:
+            return _nulls(ctx.n, pa.null())
+        return _as_array(v, ctx.n)
+    return read_cur
+
+
+def _compile_merge_assign(segs: tuple, rf: Callable,
+                          read_cur: Callable = None) -> Callable:
     """``target |= rhs`` (merge.rs ObjectMerge): per row the target
     coerces to ``{}`` unless it is an object, then rhs's fields merge
     in (rhs must be an object — a null/non-object rhs errors per row
     with "can't merge type {kind} into object"). A struct target with
-    null rows splits shapes: those rows get ONLY rhs's fields."""
+    null rows splits shapes: those rows get ONLY rhs's fields.
+    ``read_cur`` overrides the current-value source (variable targets
+    read ctx.vars instead of event columns)."""
 
     def f(ctx):
         rv, re = rf(ctx)
@@ -2360,7 +2374,8 @@ def _compile_merge_assign(segs: tuple, rf: Callable) -> Callable:
                for j in range(rt.num_fields)):
             raise _RowFallback("|= near union child")
         # current target value
-        cur = ctx.col(segs[0])
+        cur = read_cur(ctx) if read_cur is not None \
+            else ctx.col(segs[0])
         for sg in segs[1:]:
             if isinstance(cur, _Union):
                 raise _RowFallback("|= over mixed shapes")
@@ -4220,6 +4235,13 @@ class VectorProgram:
                     field = t[2][0] if len(t[2]) == 1 \
                         else tuple(t[2])
                     return [(field, None, f)]
+                if t[0] == "var" and isinstance(t[1], str):
+                    # variable merge target (`x |= {...}`): same merge
+                    # math, ctx.vars storage
+                    f = _compile_merge_assign(
+                        (), _compile_expr(expr),
+                        read_cur=_var_reader(t[1]))
+                    return [(("__var__", t[1]), None, f)]
                 raise NotVectorizable("|= target")
             if op == "|=" and len(targets) == 2:
                 # handled merge-assign (`.res, err |= parse_x(...)`):
@@ -4246,6 +4268,13 @@ class VectorProgram:
                     field = t0[2][0] if len(t0[2]) == 1 \
                         else tuple(t0[2])
                     return [(field, errf, f)]
+                if t0[0] == "var" and isinstance(t0[1], str):
+                    f = _with_handled_default(
+                        _compile_merge_assign(
+                            (), _compile_expr(expr),
+                            read_cur=_var_reader(t0[1])),
+                        expr)
+                    return [(("__var__", t0[1]), errf, f)]
                 raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
