@@ -588,6 +588,11 @@ def gen_stmt(i):
                 pre = f"sm{i} = 0\n"
             else:
                 pre = ""
+            if R.random() < 0.15:
+                # r5: unconditional return exits the closure per
+                # element — statements after it must NOT run
+                upd = (f"return {R.choice(['42', 'v', '(v ?? 1)'])}"
+                       f"\n {upd}")
             return (f"{pre}ac{i} = {seed}\n"
                     f"for_each({coll}) -> |i_, v| {{ {local}{upd} }}\n"
                     f".o{i} = ac{i}" + (f"\n.s{i}m = sm{i}" if pre

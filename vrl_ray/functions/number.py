@@ -29,7 +29,12 @@ def abs_(value: Num) -> Num:
 
 def _with_precision(v: float, precision: int, fn) -> float:
     factor = 10 ** precision
-    return fn(v * factor) / factor
+    out = fn(v * factor) / factor
+    # IEEE zero-sign: Rust f64 ceil/floor/round keep the input's sign
+    # when the result is zero (ceil(-0.3) == -0.0); Python's
+    # math.ceil/floor return INT 0, losing it — encode_json then
+    # diverges ("-0.0" vs "0.0"). Fuzz-found r5.
+    return math.copysign(out, v) if out == 0 else out
 
 
 def ceil(value: Num, precision: int = 0) -> Num:
@@ -57,7 +62,10 @@ def round_(value: Num, precision: int = 0) -> Num:
     scaled = float(v) * factor
     r = math.floor(scaled + 0.5) if scaled >= 0 else math.ceil(scaled - 0.5)
     out = r / factor
-    return int(out) if precision <= 0 else out
+    if precision <= 0:
+        return int(out)
+    # IEEE zero-sign (see _with_precision): round(-0.3) == -0.0
+    return math.copysign(out, scaled) if out == 0 else out
 
 
 def mod_(value: Num, modulus: Num) -> Num:

@@ -4416,6 +4416,17 @@ class VectorProgram:
         cap_nodes = []      # expr nodes, for the captures check
         local_names = set()
         for st in body[1]:
+            if st[0] == "return":
+                # UNCONDITIONAL return exits the closure invocation
+                # for every element: statements after it never run
+                # (return_in_closure.vrl); the value is discarded by
+                # for_each, but its errors still kill rows — a
+                # body-local evaluation covers both
+                plan.append(("local", "\x00ret", None,
+                             _compile_expr(st[1])))
+                cap_nodes.append(st[1])
+                local_names.add("\x00ret")
+                break
             upd = _acc_update(st)
             if upd is not None:
                 plan.append(upd)
