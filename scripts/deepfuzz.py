@@ -434,16 +434,20 @@ def gen_stmt(i):
                     f".mvo{i} = mv{i}")
         rhs = R.choice(['{"w": 1}', '{"y": "over"}', '.obj', '.a',
                         '.missing', '{}'])
-        if R.random() < 0.35 and tgt != '.':
+        if R.random() < 0.4:
             # r5: handled merge-assign — error rows (expr OR
-            # merge-type) get the type default plain-assigned, err
-            # captures; also fallible rhs
-            err = R.choice(['_', f'me{i}', f'.me{i}'])
+            # merge-type) get the type default plain-assigned (for a
+            # ROOT target: the whole event resets), err captures;
+            # also fallible rhs
+            err = R.choice(['_', f'me{i}'] +
+                           ([f'.me{i}'] if tgt != '.' else []))
             rhs = R.choice([rhs, 'parse_json(.jsons)',
                             f'parse_key_value!("k={i}")'])
             rd = '' if err in ('_',) or err.startswith('.') \
                 else f"\n.meo{i} = {err}"
-            return f"{tgt}, {err} |= {rhs}{rd}"
+            after = f"\n.after{i} = .a" if tgt == '.' and \
+                R.random() < 0.5 else ''
+            return f"{tgt}, {err} |= {rhs}{rd}{after}"
         return f"{tgt} |= {rhs}"
     if kind == 'del':
         # del as statement or expression; dead rows must keep fields
@@ -718,6 +722,11 @@ def run_fuzz(seed: int, n_programs: int, verbose: bool = True) -> int:
                 bad.append(("vrl_err text", rerr, verr))
             if rab != vab:
                 bad.append(("aborted", rab, vab))
+            if ev is None:
+                # `., err |= <error>` resets the root to the null
+                # default — the remap stage materializes that as an
+                # empty event (all columns null)
+                ev = {}
             keys = set(ev) | set(ocols[ri])
             keys.discard("vrl_err")
             keys.discard("aborted")   # compared above as a flag

@@ -1497,6 +1497,34 @@ class TestRowLoopTier:
                 for k in ("out", "e", "eo"):
                     assert out[i].get(k) == ev.get(k), (src, i, k)
 
+    def test_root_merge_assign_handled(self):
+        """r5: `., err |= expr` — ok rows merge rhs fields into the
+        event; error rows (expr or merge-type) reset the WHOLE event
+        to the null default (all columns null), err captures."""
+        import pyarrow as pa
+
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        batch = pa.table({"obj": pa.array([{"w": 1}, {"w": 2}, None]),
+                          "keep": pa.array(["a", "b", "c"])})
+        src = '., err |= .obj\n.e = err\n.k2 = .keep\n.w2 = .w'
+        out = VectorProgram(src).run(batch).to_pylist()
+        p = Program(src)
+        for i, row in enumerate(batch.to_pylist()):
+            _, ev, _ = p.resolve(dict(row))
+            ev = ev if ev is not None else {}
+            for k in (set(ev) | set(out[i])) - {"vrl_err", "aborted",
+                                                "extra"}:
+                assert out[i].get(k) == ev.get(k), (i, k)
+        assert out[2]["keep"] is None and out[2]["e"] is not None
+        # corpus shape (infallible_err_merge_assignment.vrl)
+        o = VectorProgram(
+            '. = { "onk": 1 }\n'
+            "., err |= parse_syslog(s'not a syslog message')\n"
+            '.e = err').run(pa.table({"d": [1]})).to_pylist()
+        assert o[0].get("onk") is None and "syslog" in o[0]["e"]
+
     def test_var_merge_assign(self):
         """r5: variable |= targets (plain and handled) — unset vars
         and non-object current values coerce through the same merge

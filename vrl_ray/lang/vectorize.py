@@ -4275,6 +4275,20 @@ class VectorProgram:
                             read_cur=_var_reader(t0[1])),
                         expr)
                     return [(("__var__", t0[1]), errf, f)]
+                if t0 == ("path", "event", []):
+                    # handled ROOT merge (`., err |= parse_x(...)`):
+                    # ok rows merge rhs fields into the event; error
+                    # rows (expr OR merge-type) REPLACE the whole
+                    # event with the type default (null → empty
+                    # event), err captures (interpreter._eval_assign)
+                    from .interpreter import _type_default
+                    if not (isinstance(errf, tuple)
+                            and errf[0] == "__var__"):
+                        raise NotVectorizable("|= root err target")
+                    if _type_default(expr) is not None:
+                        raise NotVectorizable("|= root non-null default")
+                    return [("__rootmerge__", errf,
+                             _compile_expr(expr))]
                 raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
@@ -4981,24 +4995,68 @@ class VectorProgram:
                         rk = _vrl_kind_name(rt)
                         msgs = [tmpl.format(r="null" if bb else rk)
                                 for bb in rn]
-                        # the rhs expression's OWN per-row errors win
-                        # (e.g. parse_json's framed text)
-                        kill(_merge_errs(ctx.n, e,
-                                         pa.array(msgs, pa.string())))
-                        continue
-                    if any(pa.types.is_union(rt.field(j).type)
-                           for j in range(rt.num_fields)):
-                        raise _RowFallback(". |= union child")
-                    err2 = _merge_errs(
-                        ctx.n, e,
-                        _err_where(pc.is_null(ra),
-                                   tmpl.format(r="null"), ctx.n)
-                        if ra.null_count else None)
+                        err2 = _merge_errs(ctx.n, e,
+                                           pa.array(msgs, pa.string()))
+                        if errfield is None:
+                            # the rhs expression's OWN per-row errors
+                            # win (e.g. parse_json's framed text)
+                            kill(err2)
+                            continue
+                        ra = None           # handled: no ok fields
+                        rt = None
+                    else:
+                        if any(pa.types.is_union(rt.field(j).type)
+                               for j in range(rt.num_fields)):
+                            raise _RowFallback(". |= union child")
+                        err2 = _merge_errs(
+                            ctx.n, e,
+                            _err_where(pc.is_null(ra),
+                                       tmpl.format(r="null"), ctx.n)
+                            if ra.null_count else None)
                     ok = pa.array([True] * ctx.n)
                     if err2 is not None:
                         ok = pc.and_(ok, pc.is_null(err2))
                     if active is not None:
                         ok = pc.and_(ok, active)
+                    if errfield is not None:
+                        # handled root merge: error rows REPLACE the
+                        # whole event with the (null → empty) default
+                        # — all prior columns null there; err var
+                        # captures instead of killing
+                        if err2 is not None and \
+                                _abort_mask(err2) is not None:
+                            raise _RowFallback(
+                                "abort under root merge capture")
+                        err_live = pc.is_valid(err2) if err2 is not \
+                            None else pa.array([False] * ctx.n)
+                        if active is not None:
+                            err_live = pc.and_(err_live, active)
+                        if pc.any(err_live).as_py():
+                            olds = set(ctx.batch.column_names) \
+                                | {k for k in ctx.written
+                                   if isinstance(k, str)
+                                   and not k.startswith(_META)}
+                            for c in olds:
+                                oldc = ctx.col(c)
+                                ctx.written[c] = _as_array(
+                                    _blend(err_live,
+                                           _nulls(ctx.n, pa.null()),
+                                           oldc, ctx.n), ctx.n)
+                        if rt is not None:
+                            for j in range(rt.num_fields):
+                                fname = rt.field(j).name
+                                old = ctx.col(fname)
+                                ctx.written[fname] = _as_array(
+                                    _blend(ok, ra.field(j), old,
+                                           ctx.n), ctx.n)
+                        err_col = err2 if err2 is not None \
+                            else _nulls(ctx.n)
+                        if active is not None:
+                            err_col = pc.if_else(
+                                active, err_col, _nulls(ctx.n))
+                        if errfield[1] != "\x00discard":
+                            ctx.vars[errfield[1]] = err_col
+                        continue
                     for j in range(rt.num_fields):
                         fname = rt.field(j).name
                         old = ctx.col(fname)
