@@ -4222,6 +4222,14 @@ class VectorProgram:
     def _compile_stmt(self, s):
         if s[0] == "assign":
             targets, op, expr = s[1], s[2], s[3]
+            if expr[0] == "abort":
+                # abort in expression position at statement level
+                # (`.x = abort`): the assignment never happens — the
+                # whole statement IS the abort (abort.vrl)
+                self._has_abort = True
+                msgf = _compile_expr(expr[1]) if expr[1] is not None \
+                    else None
+                return [("__abort__", None, msgf)]
             if op == "|=" and len(targets) == 1:
                 t = targets[0]
                 if t == ("path", "event", []):
