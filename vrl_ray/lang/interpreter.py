@@ -133,10 +133,14 @@ class Program:
             # the target keeps every change up to the failure) — a
             # root REPLACEMENT rebinds ctx.root, which callers holding
             # the original dict would otherwise never see
-            if isinstance(event, dict) and ctx.root[0] is not event \
-                    and isinstance(ctx.root[0], dict):
-                event.clear()
-                event.update(ctx.root[0])
+            if isinstance(event, dict) and ctx.root[0] is not event:
+                if isinstance(ctx.root[0], dict):
+                    event.clear()
+                    event.update(ctx.root[0])
+                elif ctx.root[0] is None:
+                    # `., _ |= <error>` reset the root to the null
+                    # default: the caller's event is now empty
+                    event.clear()
             raise
         return result, ctx.root[0], None
 
