@@ -397,7 +397,10 @@ def gen_stmt(i):
                         f".o{i} = %unset{i}",
                         f".o{i} = %",
                         f".o{i} = encode_json(%)",
-                        f"if {boolex(1)} {{ %g{i} = 1 }}\n.o{i} = %"])
+                        f"if {boolex(1)} {{ %g{i} = 1 }}\n.o{i} = %",
+                        f'% = {{"r{i}": {anyexpr(1)}}}\n'
+                        f".o{i} = encode_json(%)",
+                        f"% = {{}}\n.o{i} = encode_json(%)"])
         return f"%m{i} = {anyexpr()}\n{use}"
     if kind == 'bare':
         # bare expression statement: value discarded, errors kill

@@ -4199,7 +4199,7 @@ class VectorProgram:
                     if_i += 1
                 elif field in ("__foreach__", "__abort__",
                                "__return__", "__expr__", "__root__",
-                               "__rootmerge__"):
+                               "__rootmerge__", "__metaroot__"):
                     continue     # no output column of their own
                 elif isinstance(field, tuple) and field \
                         and field[0] == "__fieldidx__":
@@ -4300,6 +4300,11 @@ class VectorProgram:
                 raise NotVectorizable("|= target")
             if op != "=":
                 raise NotVectorizable("|= assignment")
+            if len(targets) == 1 and targets[0] == ("path", "meta",
+                                                    []):
+                # metadata-root replacement (`% = {}`): the namespace
+                # becomes exactly the rhs object's fields
+                return [("__metaroot__", None, _compile_expr(expr))]
             if len(targets) == 1 and targets[0] == ("path", "event",
                                                    []):
                 # whole-event replacement (`. = parse_json!(.msg)` —
@@ -4983,6 +4988,33 @@ class VectorProgram:
                     if e is not None and \
                             pc.any(pc.is_valid(e)).as_py():
                         kill(e)
+                    continue
+                if field == "__metaroot__":
+                    # `% = obj`: the metadata namespace becomes
+                    # exactly the rhs object's fields
+                    if active is not None:
+                        ctx.gated_meta = True
+                        raise _RowFallback(
+                            "% assign on partially-stopped batch")
+                    v, e = f(ctx)
+                    if e is not None and \
+                            pc.any(pc.is_valid(e)).as_py():
+                        kill(e)
+                    if isinstance(v, _Union):
+                        raise _RowFallback("% assign mixed shapes")
+                    va = _as_array(v, ctx.n)
+                    if isinstance(va, pa.ChunkedArray):
+                        va = va.combine_chunks()
+                    if not pa.types.is_struct(va.type) or \
+                            va.null_count:
+                        raise _RowFallback("% assign non-object")
+                    for k in [k_ for k_ in ctx.written
+                              if isinstance(k_, str)
+                              and k_.startswith(_META)]:
+                        del ctx.written[k]
+                    for j in range(va.type.num_fields):
+                        ctx.written[_META + va.type.field(j).name] = \
+                            _struct_field_safe(va, j)
                     continue
                 if field == "__rootmerge__":
                     # `. |= obj`: rhs fields overwrite/extend the
