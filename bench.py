@@ -142,9 +142,15 @@ def run_once() -> dict:
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.time()
-    res = run_flagship(tdir, out_dir, write_sinks=True)
-    headline = time.time() - t0
+    # headline: best of 2, same co-tenant policy as the per-query
+    # lines (identical code swings 2-3× run to run on this box)
+    headline = None
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = run_flagship(tdir, out_dir, write_sinks=True)
+        dt = time.time() - t0
+        headline = dt if headline is None else min(headline, dt)
 
     # per-query: best of 2 runs — the sandbox has a bursty co-tenant
     # (identical code swings 2-3× run to run; BASELINE.md round-2
