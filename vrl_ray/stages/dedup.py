@@ -747,14 +747,11 @@ def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
 
     cref = ray.put(index.centroids)
 
-    class Assign:
-        def __init__(self):
-            self.centroids = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def assign_batch(batch: pa.Table) -> pa.Table:
+            centroids = ray.get(cref)   # local-store hit per worker
             vecs = _vecs_of(batch, vec_column)
             ids = batch[id_column].to_numpy(zero_copy_only=False)
-            sims = vecs @ self.centroids.T
+            sims = vecs @ centroids.T
             a = min(assign, sims.shape[1])
             top = np.argpartition(-sims, a - 1, axis=1)[:, :a]
             flat = vecs[:, :]  # normalized
@@ -772,7 +769,7 @@ def embedding_near_dups_lsh(ds, *, threshold: float = 0.95,
     # materialized: both join sides consume it, and its count sizes
     # the join's partitions (rows-aware — r4)
     assigned = ds.select_columns([id_column, vec_column]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=fixed_pool()).materialize()
+        assign_batch, batch_format="pyarrow").materialize()
     if num_partitions is None:
         num_partitions = join_partitions(rows=assigned.count())
 
