@@ -38,6 +38,14 @@ def num(d=0):
     if c == 'ilit':
         return str(R.randint(-20, 20))
     if c == 'flit':
+        if R.random() < 0.1:
+            # huge magnitudes (VRL floats have NO exponent syntax —
+            # long digit strings parse to big f64s / ±inf in both
+            # lexers): products overflow to ±inf — to_string must
+            # print inf/-inf (Rust Display) and encode_json must emit
+            # null (serde serialize_f64); fuzz-found r5
+            big = "9" * R.choice([39, 155, 310])
+            return R.choice([f"{big}.0", f"-{big}.0"])
         return f"{R.uniform(-20, 20):.2f}"
     if c == 'binop':
         return f"({num(d + 1)} {R.choice(['+', '-', '*', '/', '%'])} {num(d + 1)})"

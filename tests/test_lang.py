@@ -1497,6 +1497,32 @@ class TestRowLoopTier:
                 for k in ("out", "e", "eo"):
                     assert out[i].get(k) == ev.get(k), (src, i, k)
 
+    def test_infinity_rendering(self):
+        """r5 (fuzz-found): ±inf renders as inf/-inf through
+        to_string (Rust f64 Display) and as null through encode_json
+        (serde_json serialize_f64) — Python's defaults were
+        OverflowError and the invalid literal `Infinity`."""
+        import pyarrow as pa
+
+        from vrl_ray.functions import REGISTRY
+        from vrl_ray.lang.interpreter import Program
+        from vrl_ray.lang.vectorize import VectorProgram
+
+        assert REGISTRY["to_string"](float("inf")) == "inf"
+        assert REGISTRY["to_string"](float("-inf")) == "-inf"
+        assert REGISTRY["encode_json"](
+            {"v": float("inf"), "w": [1.5, float("-inf")]}) \
+            == '{"v":null,"w":[1.5,null]}'
+        batch = pa.table({"x": pa.array([1e308, -1e308, 0.5])})
+        for src in ('.o, .e = to_string(.x * 10.0)',
+                    '.o = encode_json([.x * 10.0, 1.25])'):
+            out = VectorProgram(src).run(batch).to_pylist()
+            p = Program(src)
+            for i, row in enumerate(batch.to_pylist()):
+                _, ev, _ = p.resolve(dict(row))
+                for k in ("o", "e"):
+                    assert out[i].get(k) == ev.get(k), (src, i, k)
+
     def test_root_merge_assign_handled(self):
         """r5: `., err |= expr` — ok rows merge rhs fields into the
         event; error rows (expr or merge-type) reset the WHOLE event

@@ -402,7 +402,14 @@ def encode_json(value: Any, pretty: bool = False) -> str:
     """encode_json.rs: sorted object keys (BTreeMap order,
     value.rs:33-34)."""
     if pretty:
-        return _json.dumps(value, sort_keys=True, indent=2, ensure_ascii=False)
+        try:
+            return _json.dumps(value, sort_keys=True, indent=2,
+                               ensure_ascii=False, allow_nan=False)
+        except ValueError:
+            from ..value import _definitize
+
+            return _json.dumps(_definitize(value), sort_keys=True,
+                               indent=2, ensure_ascii=False)
     return _encode_json_sorted(value)
 
 

@@ -93,6 +93,9 @@ def to_float(value: Any) -> float:
 
 
 def _fmt_float(f: float) -> str:
+    if math.isinf(f):
+        # Rust f64 Display (to_string.rs: Float(v) => v.to_string())
+        return "inf" if f > 0 else "-inf"
     if f == int(f) and abs(f) < 1e16:
         return str(int(f))
     return repr(f)

@@ -1099,9 +1099,9 @@ def _render_json(arr, n: int) -> pa.Array:
     # leaf rendering, cheapest-first:
     # - int/bool: pure Arrow casts (decimal text == JSON text)
     # - float: ONE json.dumps over the whole list, split on the
-    #   separator (no quotes/commas inside float tokens; identical
-    #   bytes to per-value dumps incl. Infinity/NaN) — ~4.7× the
-    #   per-value encoder loop
+    #   separator (no quotes/commas inside float tokens) — ~4.7× the
+    #   per-value encoder loop; non-finite tokens map to null
+    #   (serde_json serialize_f64)
     # - everything else: per DISTINCT value through a dictionary
     #   (log-shaped columns are low-cardinality)
     if pa.types.is_integer(t):
@@ -1116,7 +1116,11 @@ def _render_json(arr, n: int) -> pa.Array:
         if not vals:
             return pa.array([], pa.string())
         s = _json.dumps(vals, separators=(",", ":"))
-        return pa.array(s[1:-1].split(","), pa.string())
+        toks = s[1:-1].split(",")
+        if "Infinity" in s or "NaN" in s:
+            toks = ["null" if t_ in ("Infinity", "-Infinity", "NaN")
+                    else t_ for t_ in toks]
+        return pa.array(toks, pa.string())
     try:
         dct = arr.dictionary_encode()
         uniq = [None if u is None else _ej(u)

@@ -451,8 +451,29 @@ def _json_default(v: Any):
 
 def encode_json(v: Any) -> str:
     """encode_json with lexicographically sorted object keys
-    (src/stdlib/encode_json.rs + value.rs:33-34)."""
-    return json.dumps(
-        v, sort_keys=True, separators=(",", ":"), default=_json_default,
-        ensure_ascii=False,
-    )
+    (src/stdlib/encode_json.rs + value.rs:33-34). Non-finite floats
+    serialize as null (serde_json serialize_f64; VRL floats are
+    NaN-free but ±inf is representable) — Python's json would emit
+    the invalid literal `Infinity`."""
+    try:
+        return json.dumps(
+            v, sort_keys=True, separators=(",", ":"),
+            default=_json_default, ensure_ascii=False, allow_nan=False,
+        )
+    except ValueError:
+        return json.dumps(
+            _definitize(v), sort_keys=True, separators=(",", ":"),
+            default=_json_default, ensure_ascii=False,
+        )
+
+
+def _definitize(v):
+    """Replace non-finite floats with None, recursively (cold path —
+    only runs when a dumps(allow_nan=False) attempt failed)."""
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, dict):
+        return {k: _definitize(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_definitize(x) for x in v]
+    return v
