@@ -676,6 +676,8 @@ def close(x, y):
     if isinstance(x, float) and isinstance(y, (int, float)):
         if x != x and y != y:  # NaN
             return True
+        if x == y:             # covers equal infinities (inf-inf=nan)
+            return True
         return abs(x - y) < 1e-9 or (x != 0 and abs((x - y) / x) < 1e-9)
     return x == y
 

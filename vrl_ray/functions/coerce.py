@@ -59,6 +59,13 @@ def to_int(value: Any) -> int:
     if isinstance(value, int):
         return value
     if isinstance(value, float):
+        # Rust `f64 as i64`: truncate toward zero, SATURATING at the
+        # i64 bounds (to_int.rs: Float(v) => Integer(v as i64); inf
+        # and out-of-range floats clamp, they don't raise)
+        if value >= 9223372036854775807.0:
+            return 9223372036854775807
+        if value <= -9223372036854775808.0:
+            return -9223372036854775808
         return int(value)
     if value is None:
         return 0

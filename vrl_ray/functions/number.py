@@ -28,6 +28,8 @@ def abs_(value: Num) -> Num:
 
 
 def _with_precision(v: float, precision: int, fn) -> float:
+    if not math.isfinite(v):
+        return v                 # f64::ceil/floor(±inf) == ±inf
     factor = 10 ** precision
     out = fn(v * factor) / factor
     # IEEE zero-sign: Rust f64 ceil/floor/round keep the input's sign
@@ -38,32 +40,38 @@ def _with_precision(v: float, precision: int, fn) -> float:
 
 
 def ceil(value: Num, precision: int = 0) -> Num:
+    """ceil.rs: an integer input returns UNCHANGED at any precision
+    (Value::Integer(_) => Ok(value)); floats stay floats, ±inf passes
+    through (f64::ceil)."""
     v = _num(value)
-    if isinstance(v, int) and precision >= 0:
+    if isinstance(v, int):
         return v
-    r = _with_precision(float(v), precision, math.ceil)
-    return r
+    return _with_precision(float(v), precision, math.ceil)
 
 
 def floor(value: Num, precision: int = 0) -> Num:
+    """floor.rs: same integer/float/±inf contract as ceil."""
     v = _num(value)
-    if isinstance(v, int) and precision >= 0:
+    if isinstance(v, int):
         return v
     return _with_precision(float(v), precision, math.floor)
 
 
 def round_(value: Num, precision: int = 0) -> Num:
-    """round.rs: half-away-from-zero (Rust f64::round), int when
-    precision == 0."""
+    """round.rs: half-away-from-zero (Rust f64::round). An integer
+    input returns unchanged (any precision); a float input returns a
+    FLOAT regardless of precision (round(4.345) == 4.0 — docs rule +
+    round.rs from_f64_or_zero; the old int() return was a type
+    divergence, and it overflowed on ±inf)."""
     v = _num(value)
-    if isinstance(v, int) and precision >= 0:
+    if isinstance(v, int):
         return v
+    if not math.isfinite(v):
+        return v                 # f64::round(inf) == inf
     factor = 10 ** precision
     scaled = float(v) * factor
     r = math.floor(scaled + 0.5) if scaled >= 0 else math.ceil(scaled - 0.5)
     out = r / factor
-    if precision <= 0:
-        return int(out)
     # IEEE zero-sign (see _with_precision): round(-0.3) == -0.0
     return math.copysign(out, scaled) if out == 0 else out
 

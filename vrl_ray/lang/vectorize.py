@@ -534,13 +534,11 @@ def _k_round(ctx, a):
         prec = a[1][0].as_py() if isinstance(a[1][0], pa.Scalar) else a[1][0]
     if pa.types.is_integer(_typ(v)):
         return v, e   # round.rs: integer input is identity
-    # VRL round = half away from zero (round.rs via f64::round)
+    # VRL round = half away from zero (round.rs via f64::round); a
+    # float input stays FLOAT at every precision (round(4.345) == 4.0
+    # — docs rule + round.rs from_f64_or_zero)
     out = pc.round(v, ndigits=int(prec),
                    round_mode="half_towards_infinity")
-    if int(prec) == 0:
-        # round.rs returns an INTEGER at precision 0 (the interpreter
-        # does too); overflowing casts raise → whole-batch fallback
-        out = pc.cast(out, pa.int64())
     return out, e
 
 
