@@ -72,8 +72,13 @@ def to_int(value: Any) -> int:
     if isinstance(value, datetime):
         return int(value.timestamp())
     if isinstance(value, str):
+        # Rust i64 FromStr: no whitespace, no underscores (see
+        # to_float note); Python's int() accepts both
+        if value != value.strip() or "_" in value:
+            raise VrlError(
+                f"unable to coerce {value!r} into integer: Invalid integer")
         try:
-            return int(value.strip())
+            return int(value)
         except ValueError as e:
             raise VrlError(f"unable to coerce {value!r} into integer: Invalid integer") from e
     raise VrlError(f"unable to coerce {vrl_type(value)} into integer")
@@ -89,12 +94,18 @@ def to_float(value: Any) -> float:
     if isinstance(value, datetime):
         return value.timestamp()
     if isinstance(value, str):
+        # Rust f64 FromStr (conversion/mod.rs:161-168): NO surrounding
+        # whitespace, NO digit-group underscores — Python's float()
+        # accepts both, which silently diverged from the reference
+        if value != value.strip() or "_" in value:
+            raise VrlError(f"unable to coerce {value!r} into float")
         try:
-            f = float(value.strip())
+            f = float(value)
         except ValueError as e:
             raise VrlError(f"unable to coerce {value!r} into float") from e
         if math.isnan(f):
-            raise VrlError("unable to coerce NaN into float")
+            # NaN parses but is unrepresentable (NotNan; NanFloat)
+            raise VrlError(f"unable to coerce {value!r} into float")
         return f
     raise VrlError(f"unable to coerce {vrl_type(value)} into float")
 

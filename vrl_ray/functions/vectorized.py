@@ -444,10 +444,15 @@ def to_int64_lane(arr: pa.Array) -> pa.Array:
     if not (pa.types.is_string(arr.type)
             or pa.types.is_large_string(arr.type)):
         arr = pc.cast(arr, pa.string())
-    valid = pc.match_substring_regex(arr, r"^\s*[+-]?\d+\s*$")
+    # Rust i64 FromStr: NO surrounding whitespace, no underscores
+    # (conversion/mod.rs:155-157); Arrow's cast rejects a leading '+'
+    # that Rust accepts — strip it after the mask
+    valid = pc.match_substring_regex(arr, r"^[+-]?\d+$")
     cleaned = pc.if_else(pc.fill_null(valid, False), arr,
                          pa.scalar(None, arr.type))
-    return pc.cast(pc.utf8_trim_whitespace(cleaned), pa.int64())
+    cleaned = pc.replace_substring_regex(cleaned, pattern=r"^\+",
+                                         replacement="")
+    return pc.cast(cleaned, pa.int64())
 
 
 def to_float64_lane(arr: pa.Array) -> pa.Array:
@@ -465,9 +470,15 @@ def _to_float64_or_null(arr: pa.Array) -> pa.Array:
     or we pre-mask with a validity regex)."""
     if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
         arr = pc.cast(arr, pa.string())
-    valid = pc.match_substring_regex(arr, r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*$")
+    # Rust f64 FromStr: no surrounding whitespace/underscores; inf
+    # forms accepted case-insensitively; NaN is masked out (the VRL
+    # value model is NaN-free — the row fn errors there too)
+    valid = pc.match_substring_regex(
+        arr,
+        r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"
+        r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?)$")
     cleaned = pc.if_else(pc.fill_null(valid, False), arr, pa.scalar(None, arr.type))
-    return pc.cast(pc.utf8_trim_whitespace(cleaned), pa.float64())
+    return pc.cast(cleaned, pa.float64())
 
 
 def combine_str(masks_and_arrays: list, n: int) -> pa.Array:
