@@ -66,9 +66,16 @@ def num(d=0):
     if c == 'coalesce':
         return f"({num(d + 1)} ?? {num(d + 1)})"
     if c == 'to_int':
-        return f"to_int({R.choice(['.s', '.t', num(d + 1)])})"
+        # incl. strings Rust FromStr rejects (padding, underscores)
+        # or accepts ('+7', 'inf' for floats) — fuzz-found r5 class
+        return f"to_int({R.choice(['.s', '.t', num(d + 1)])})" \
+            if R.random() < 0.8 else \
+            f"""to_int({R.choice(['" 5 "', '"1_0"', '"+7"', '"2.5"'])})"""
     if c == 'to_float':
-        return f"to_float({R.choice(['.s', '.t', num(d + 1)])})"
+        return f"to_float({R.choice(['.s', '.t', num(d + 1)])})" \
+            if R.random() < 0.8 else \
+            f"""to_float({R.choice(['" 2.5 "', '"1_0.5"', '"inf"',
+                                    '"-Infinity"', '"nan"', '"1e3"'])})"""
     if c == 'strlen':
         return f"strlen({strx(d + 1)})"
     return c
