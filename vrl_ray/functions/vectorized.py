@@ -435,7 +435,22 @@ def to_int64_lane(arr: pa.Array) -> pa.Array:
     if pa.types.is_integer(arr.type):
         return pc.cast(arr, pa.int64())
     if pa.types.is_floating(arr.type):
-        return pc.cast(pc.trunc(arr), pa.int64(), safe=False)
+        # Rust `f64 as i64` SATURATES at the i64 bounds (incl. ±inf);
+        # Arrow's unsafe cast wraps. 2^63 as f64 (== i64::MAX + 1) is
+        # the first float that overflows upward, -2^63 is exactly
+        # representable — zero out the overflow rows for the cast,
+        # then write the saturated bound back.
+        hi, lo = 9223372036854775807, -9223372036854775808
+        t = pc.trunc(arr)
+        over = pc.greater_equal(t, pa.scalar(9223372036854775808.0))
+        under = pc.less(t, pa.scalar(-9223372036854775808.0))
+        safe_t = pc.if_else(
+            pc.or_(pc.fill_null(over, False),
+                   pc.fill_null(under, False)),
+            pa.scalar(0.0), t)
+        out = pc.cast(safe_t, pa.int64(), safe=False)
+        out = pc.if_else(over, pa.scalar(hi, pa.int64()), out)
+        return pc.if_else(under, pa.scalar(lo, pa.int64()), out)
     if pa.types.is_boolean(arr.type):
         return pc.cast(arr, pa.int64())
     if pa.types.is_timestamp(arr.type):
