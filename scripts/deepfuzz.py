@@ -179,6 +179,12 @@ def boolex(d=0):
     if c == 'match':
         return f"match({strx(d + 1)}, r'{R.choice(['[ab]+', '^F', 'o.o', chr(92) + 'd+'])}')"
     if c == 'to_bool':
+        # incl. parse_bool's integer-string forms and non-trimmed
+        # padding (r5 reference-parity fix)
+        if R.random() < 0.25:
+            lit = R.choice(['"5"', '"-3"', '"00"', '"TRUE"', '"Yes"',
+                            '" true "', '"on"', '"0"'])
+            return f"to_bool({lit})"
         return f"to_bool({R.choice(['.s', num(d + 1)])})"
     if c == 'not':
         return f"!({boolex(d + 1)})"

@@ -42,10 +42,23 @@ def to_bool(value: Any) -> bool:
     if isinstance(value, float):
         return value != 0.0
     if isinstance(value, str):
-        s = value.strip().lower()
-        if s in _TRUE_STRINGS:
+        # parse_bool (conversion/mod.rs:204-222): exact word match,
+        # then ANY integer string (non-zero = true — "5"/"-3" are
+        # true, "00" is false), then case-insensitive words. NO
+        # whitespace trimming anywhere.
+        if value in ("true", "t", "yes", "y"):
             return True
-        if s in _FALSE_STRINGS:
+        if value in ("false", "f", "no", "n", "0"):
+            return False
+        if value == value.strip() and "_" not in value:
+            try:
+                return int(value) != 0
+            except ValueError:
+                pass
+        s = value.lower()
+        if s in ("true", "t", "yes", "y"):
+            return True
+        if s in ("false", "f", "no", "n"):
             return False
         raise VrlError(f"unable to coerce {value!r} into boolean")
     raise VrlError(f"unable to coerce {vrl_type(value)} into boolean")

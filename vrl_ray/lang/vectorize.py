@@ -995,10 +995,6 @@ def _k_strip_whitespace(ctx, a):
     return pc.utf8_trim_whitespace(v), e
 
 
-_BOOL_TRUE = pa.array(["true", "t", "yes", "y", "1"])
-_BOOL_FALSE = pa.array(["false", "f", "no", "n", "0"])
-
-
 def _k_to_bool(ctx, a, span=None):
     """to_bool.rs coercion table: bool id; numeric != 0; null → false
     (no error); recognized strings; other strings are per-row errors
@@ -1014,20 +1010,33 @@ def _k_to_bool(ctx, a, span=None):
         return pc.fill_null(pc.not_equal(v, pa.scalar(0, t)), False), e
     if not pa.types.is_string(t) and not pa.types.is_large_string(t):
         raise NotVectorizable("to_bool input type")
-    s = pc.utf8_lower(pc.utf8_trim_whitespace(v))
-    is_t = pc.is_in(s, value_set=_BOOL_TRUE)
-    is_f = pc.is_in(s, value_set=_BOOL_FALSE)
-    bad = pc.and_(pc.is_valid(v),
-                  pc.invert(pc.or_(is_t, is_f)))
-    errs = None
-    if pc.any(bad).as_py():
-        prefix = _call_frame("to_bool", span)
-        errs = _masked_err_msgs(
-            bad,
-            lambda val: f"{prefix}unable to coerce {val!r} into boolean",
-            v, n=ctx.n)
-    out = pc.fill_null(pc.if_else(bad, False, is_t), False)
-    return out, _merge_errs(ctx.n, e, errs)
+    # exact parse_bool table incl. integer strings ("5" → true,
+    # "00" → false) and NO whitespace trim: the ROW fn per DISTINCT
+    # value (bool-ish columns are low-cardinality by construction)
+    from ..functions.coerce import to_bool as _row_tb
+    from ..value import VrlError as _VErr
+
+    prefix = _call_frame("to_bool", span)
+    dct = (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+           else v).dictionary_encode()
+    uvals, uerrs = [], []
+    for u in dct.dictionary.to_pylist():
+        if u is None:
+            uvals.append(None)
+            uerrs.append(None)
+            continue
+        try:
+            uvals.append(_row_tb(u))
+            uerrs.append(None)
+        except _VErr as ex:
+            uvals.append(False)     # handled default
+            uerrs.append(prefix + ex.message)
+    out = pa.DictionaryArray.from_arrays(
+        dct.indices, pa.array(uvals, pa.bool_())).cast(pa.bool_())
+    err_col = pa.DictionaryArray.from_arrays(
+        dct.indices, pa.array(uerrs, pa.string())).cast(pa.string())
+    errs = err_col if err_col.null_count < ctx.n else None
+    return pc.fill_null(out, False), _merge_errs(ctx.n, e, errs)
 
 
 def _render_json(arr, n: int) -> pa.Array:
