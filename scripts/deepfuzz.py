@@ -377,6 +377,17 @@ def gen_stmt(i):
                        f".q{i} = encode_json(.p{i})",
                        f".q{i} = exists(.p{i}.k)",
                        f".q{i} = (.p{i}.k ?? 0)"])
+        if R.random() < 0.25:
+            # r5: i64-overflow ints become lossy floats (serde u64/f64
+            # widths) and int/float/bool KIND mixes under one key must
+            # keep per-row kinds (pa.array silently coerces)
+            lit = R.choice([
+                '{"k": 99999999999999999999, "w": 3}',
+                '{"k": [1, 2.5], "w": true}',
+            ])
+            return (f".p{i}, .er{i} = parse_json("
+                    f"(if .a == 1 {{ s'{lit}' }} else {{ .jsons }}))"
+                    f"\n{rd}")
         return f".p{i}, .er{i} = parse_json(.jsons)\n{rd}"
     if kind == 'abort':
         # conditional abort/return: later statements must skip
@@ -661,7 +672,7 @@ def make_batch():
         "b": pa.array([2.5, -1.0, None, 0.0, 9.75], pa.float64()),
         "s": pa.array(["Foo Bar", "", None, "  x ", "42"]),
         "jsons": pa.array(['{"k": 1}', '[1, "a"]', '{bad', None,
-                           '{"k": "x", "w": 2.5}']),
+                           '{"k": 2.5, "w": [1, 2.5]}']),
         "t": pa.array(["true", None, "a,b", "-3", "ümlaut Z"]),
         "ts": pa.array([1700000000123456, 0, None, -86399876544,
                         1234567890999999],

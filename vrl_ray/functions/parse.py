@@ -37,11 +37,29 @@ __all__ = [
 # ---------------------------------------------------------------------------
 # parse_json (parse_json.rs:1-120): optional max_depth 1..=128
 
+def _json_int(s: str):
+    """serde_json number widths (value/serde.rs:96-119): i64 range
+    stays integer; anything wider becomes a LOSSY f64 (Python's
+    bigints would silently diverge)."""
+    v = int(s)
+    if -9223372036854775808 <= v <= 9223372036854775807:
+        return v
+    return float(s)
+
+
+#: any 19+-digit run MIGHT overflow i64 — only then pay the Python
+#: parse_int callback (it knocks json.loads off its all-C fast path)
+_BIG_INT_RE = _re.compile(r"\d{19}")
+
+
 def parse_json(value: str, max_depth: Optional[int] = None) -> Any:
     if max_depth is not None and not (1 <= max_depth <= 128):
         raise VrlError(f"max_depth value should be greater than 0 and less than 128, got {max_depth}")
     try:
-        parsed = _json.loads(value)
+        if isinstance(value, str) and _BIG_INT_RE.search(value):
+            parsed = _json.loads(value, parse_int=_json_int)
+        else:
+            parsed = _json.loads(value)
     except (ValueError, TypeError) as e:
         raise VrlError(f"unable to parse json: {_serde_msg(e)}") from e
     if max_depth is None:

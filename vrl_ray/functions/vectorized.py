@@ -404,11 +404,14 @@ def json_extract_subset(
     idx = np.flatnonzero(mask)
     if len(idx) == 0:
         return cols, ok
+    from .parse import _BIG_INT_RE, _json_int
+
     subset = texts.take(pa.array(idx)).to_pylist()
     loads = _json.loads
     for i, t in zip(idx, subset):
         try:
-            obj = loads(t)
+            obj = loads(t, parse_int=_json_int) \
+                if _BIG_INT_RE.search(t) else loads(t)
         except (ValueError, TypeError):
             continue
         if not isinstance(obj, dict):

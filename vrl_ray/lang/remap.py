@@ -121,9 +121,26 @@ def _py_array(vals: list) -> pa.Array:
     (``[1, 2]`` vs ``["a"]`` → list<union>) and objects (per-field
     recursion)."""
     try:
-        return pa.array(vals)
+        out = pa.array(vals)
     except _PA_ERRS:
         pass
+    else:
+        # pa.array silently COERCES mixed numeric Python kinds
+        # (int+float → double, bool+int → int64) — VRL keeps bool /
+        # integer / float as distinct per-row kinds, so those mixes
+        # must become union lanes / kind-split children like any
+        # other kind mix (r5, fuzz-found via parse_json's
+        # i64-overflow floats). Checks fire only on numeric-typed
+        # results (incl. numeric list children / struct fields).
+        coerced = _silently_coerced(out, vals)
+        if coerced == "lanes":
+            out = None              # top-level kind mix → lane split
+        elif coerced == "list":
+            return _list_flat(vals)
+        elif coerced == "struct":
+            return _struct_fields(vals)
+        if out is not None:
+            return out
     import numpy as np
 
     lane_of: dict[type, int] = {}
@@ -150,49 +167,124 @@ def _py_array(vals: list) -> pa.Array:
     return _dense_union(tags, full, len(vals))
 
 
+def _silently_coerced(out: pa.Array, vals: list):
+    """Did pa.array unify distinct numeric PYTHON kinds? Returns
+    "lanes" (top-level scalars mixed), "list" (list children mixed),
+    "struct" (a struct field mixed) or None. Scans run only when the
+    RESULT type is numeric-bearing, so kind-stable hot columns pay
+    one type() per row at most."""
+    t = out.type
+    if pa.types.is_floating(t) or pa.types.is_integer(t):
+        kinds = set()
+        for v in vals:
+            if v is not None:
+                kinds.add(type(v))
+                if len(kinds) > 1:
+                    return "lanes"
+        return None
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+            pa.types.is_floating(t.value_type)
+            or pa.types.is_integer(t.value_type)):
+        kinds = set()
+        for v in vals:
+            if v is None:
+                continue
+            for e_ in v:
+                if e_ is not None:
+                    kinds.add(type(e_))
+                    if len(kinds) > 1:
+                        return "list"
+        return None
+    if pa.types.is_struct(t):
+        for j in range(t.num_fields):
+            ft = t.field(j).type
+            f = t.field(j).name
+            if pa.types.is_floating(ft) or pa.types.is_integer(ft):
+                kinds = set()
+                for v in vals:
+                    if v is None:
+                        continue
+                    x = v.get(f)
+                    if x is not None:
+                        kinds.add(type(x))
+                        if len(kinds) > 1:
+                            return "struct"
+            elif pa.types.is_list(ft) or pa.types.is_struct(ft) or \
+                    pa.types.is_large_list(ft):
+                # recurse: a numeric mix buried in a child list /
+                # nested struct ({"v": [1, 2.5]}) — rebuild per field
+                # so the child takes its own guard
+                sub = pa.array([None if v is None else v.get(f)
+                                for v in vals], ft)
+                if _silently_coerced(sub, [
+                        None if v is None else v.get(f)
+                        for v in vals]):
+                    return "struct"
+    return None
+
+
+def _list_flat(vals: list) -> pa.Array:
+    """List column via explicit offsets + a _py_array child (keeps
+    mixed-kind elements as unions instead of pa.array's coercion)."""
+    offsets: list = []
+    flat: list = []
+    pos = 0
+    for v in vals:
+        if v is None:
+            offsets.append(None)
+            continue
+        offsets.append(pos)
+        flat.extend(v)
+        pos += len(v)
+    offsets.append(pos)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    _py_array(flat))
+
+
+def _struct_fields(vals: list) -> pa.Array:
+    """Struct column with per-FIELD _py_array children (kind mixes
+    become union children instead of coerced doubles)."""
+    names: list = []
+    for v in vals:
+        if v is not None:
+            for k in v:
+                if k not in names:
+                    names.append(k)
+    children = [_py_array([None if v is None else v.get(k)
+                           for v in vals]) for k in names]
+    struct = pa.StructArray.from_arrays(children, names=names)
+    null_mask = pa.array([v is None for v in vals])
+    import pyarrow.compute as _pc
+    if _pc.any(null_mask).as_py():
+        try:
+            struct = _pc.if_else(_pc.invert(null_mask), struct,
+                                 pa.scalar(None, struct.type))
+        except _PA_ERRS:
+            pass    # union-bearing struct: unowned rows are
+            # masked by the parent's tag anyway
+    return struct
+
+
 def _py_lane(vals: list) -> pa.Array:
     """Arrow array for values that share one Python type but may be
     heterogeneous INSIDE (mixed-element lists, field-type-conflicting
     dicts)."""
     try:
-        return pa.array(vals)
+        out = pa.array(vals)
     except _PA_ERRS:
         pass
+    else:
+        coerced = _silently_coerced(out, vals)
+        if coerced == "list":
+            return _list_flat(vals)
+        if coerced == "struct":
+            return _struct_fields(vals)
+        return out
     sample = next(v for v in vals if v is not None)
     if isinstance(sample, list):
-        offsets: list = []
-        flat: list = []
-        pos = 0
-        for v in vals:
-            if v is None:
-                offsets.append(None)
-                continue
-            offsets.append(pos)
-            flat.extend(v)
-            pos += len(v)
-        offsets.append(pos)
-        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                        _py_array(flat))
+        return _list_flat(vals)
     if isinstance(sample, dict):
-        names: list = []
-        for v in vals:
-            if v is not None:
-                for k in v:
-                    if k not in names:
-                        names.append(k)
-        children = [_py_array([None if v is None else v.get(k)
-                               for v in vals]) for k in names]
-        struct = pa.StructArray.from_arrays(children, names=names)
-        null_mask = pa.array([v is None for v in vals])
-        import pyarrow.compute as _pc
-        if _pc.any(null_mask).as_py():
-            try:
-                struct = _pc.if_else(_pc.invert(null_mask), struct,
-                                     pa.scalar(None, struct.type))
-            except _PA_ERRS:
-                pass    # union-bearing struct: unowned rows are
-                # masked by the parent's tag anyway
-        return struct
+        return _struct_fields(vals)
     # same python type yet unconvertible (exotic): last resort —
     # stringified repr keeps the stage alive (invariant over fidelity)
     return pa.array([None if v is None else str(v) for v in vals])

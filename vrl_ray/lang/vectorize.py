@@ -1424,7 +1424,11 @@ def _shape_lanes(ctx, outs: list, errs: list):
             if not any(type(v) is dict or type(v) is list
                        for v in x.values()):
                 # flat object: memoize by key ORDER (the hot log
-                # case — sorted() per row dominated the kernel)
+                # case — sorted() per row dominated the kernel).
+                # Numeric KIND mixes within one key-set lane are
+                # caught downstream by remap._silently_coerced
+                # (per-field union children), not here — a per-row
+                # per-field kind tuple cost ~70% of the kernel.
                 ko = tuple(x)
                 s_ = flat_cache.get(ko)
                 if s_ is None:
@@ -3791,6 +3795,21 @@ def _unwrap_block(node):
     return node
 
 
+def _nan_result(ctx, out):
+    """float_result (compiler/value/arithmetic.rs:60-63): a NaN
+    arithmetic RESULT is a per-row error (the VRL value model is
+    NaN-free) — e.g. 0.0 * inf, inf - inf, inf / inf. Inputs are
+    NaN-free, so this fires only when an operand is ±inf."""
+    if not pa.types.is_floating(_typ(out)):
+        return out, None
+    nan = pc.fill_null(pc.is_nan(out), False)
+    if not pc.any(nan).as_py():
+        return out, None
+    out = pc.if_else(nan, pa.scalar(0.0, pa.float64()),
+                     _as_array(out, ctx.n))
+    return out, _err_where(nan, "float operation produced NaN", ctx.n)
+
+
 _NUM_OPS = {"+": "add", "-": "subtract", "*": "multiply"}
 _CMP_OPS = {">": "greater", ">=": "greater_equal", "<": "less",
             "<=": "less_equal", "==": "equal", "!=": "not_equal"}
@@ -3898,7 +3917,8 @@ def _compile_binop(node) -> Callable:
                 errs3 = pa.array(msgs, pa.string())
                 # handled ok-default for + - * is 0 (_type_default)
                 out = pc.fill_null(out, 0)
-            return out, _merge_errs(ctx.n, le, re, errs3)
+            out, nan_errs = _nan_result(ctx, out)
+            return out, _merge_errs(ctx.n, le, re, errs3, nan_errs)
         return arith
 
     if op == "/":
@@ -3940,7 +3960,9 @@ def _compile_binop(node) -> Callable:
                     msgs[i] = f"can't divide type {l_} by {r_}"
                 errs2 = pa.array(msgs, pa.string())
                 out = pc.fill_null(out, 0.0)
-            return out, _merge_errs(ctx.n, le, re, errs2, errs)
+            out, nan_errs = _nan_result(ctx, out)
+            return out, _merge_errs(ctx.n, le, re, errs2, errs,
+                                    nan_errs)
         return divf
 
     if op == "%":
