@@ -60,6 +60,24 @@ class PipelineSpec:
     windows: dict = field(default_factory=dict)
 
 
+_SPEC_CACHE: dict = {}
+
+
+def _spec_batch(batch: pa.Table, *, spec, sink_dir, keep_columns) \
+        -> pa.Table:
+    """Task-pool form of :class:`_SpecStage`: compiled spec state
+    (VRL program, route masks) caches once per WORKER PROCESS keyed
+    by the spec's repr — tasks reuse the session's warm workers
+    instead of re-spinning a pool per execution (see CLAUDE.md perf
+    rule 4)."""
+    key = (repr(spec), sink_dir, tuple(keep_columns))
+    st = _SPEC_CACHE.get(key)
+    if st is None:
+        st = _SPEC_CACHE[key] = _SpecStage(
+            spec=spec, sink_dir=sink_dir, keep_columns=keep_columns)
+    return st(batch)
+
+
 class _SpecStage:
     """One fused actor: remap → route → (optional) sink write."""
 
@@ -151,9 +169,6 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
 
     agg_cols = sorted({"sink"} | {k for ks in spec.aggregates.values()
                                   for k in ks})
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(1, ncpu - 2) if ncpu > 2 else 1
-
     # Prune the read to the columns the compiled program + routes +
     # aggregates actually touch (VERDICT r2 finding 2) — intersected
     # with the file schema because program OUTPUTS land in the
@@ -186,11 +201,10 @@ def run_pipeline_resumable(input_dir: str, spec: PipelineSpec,
         # crashed attempt before writing (marker is absent here)
         _clear_stale_shard(shard_out)
         staged = rd.read_parquet(shard_files, columns=read_cols).map_batches(
-            _SpecStage,
-            fn_constructor_kwargs=dict(spec=spec, sink_dir=shard_out,
-                                       keep_columns=agg_cols),
-            batch_format="pyarrow", batch_size=spec.batch_size,
-            concurrency=pool)
+            _spec_batch,
+            fn_kwargs=dict(spec=spec, sink_dir=shard_out,
+                           keep_columns=agg_cols),
+            batch_format="pyarrow", batch_size=spec.batch_size)
         from ..stages.aggregate import count_by_small
 
         counts = count_by_small(staged, ["sink"])
@@ -274,13 +288,11 @@ def run_pipeline(ds, spec: PipelineSpec, out_dir: Optional[str] = None):
                        if c})
     keep_cols = sorted(set(agg_cols) | set(win_cols))
     sink_dir = os.path.join(out_dir, "sinks") if out_dir else None
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
     staged = ds.map_batches(
-        _SpecStage,
-        fn_constructor_kwargs=dict(spec=spec, sink_dir=sink_dir,
-                                   keep_columns=keep_cols),
-        batch_format="pyarrow", batch_size=spec.batch_size,
-        concurrency=(max(1, ncpu - 2) if ncpu > 2 else 1))
+        _spec_batch,
+        fn_kwargs=dict(spec=spec, sink_dir=sink_dir,
+                       keep_columns=keep_cols),
+        batch_format="pyarrow", batch_size=spec.batch_size)
     if sink_dir is None:
         staged = staged.select_columns(keep_cols)
     if spec.windows:
