@@ -145,9 +145,9 @@ def to_string(value: Any) -> str:
     if value is None:
         return ""
     if isinstance(value, datetime):
-        s = value.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
-        s = s.rstrip("0").rstrip(".")
-        return s + "Z"
+        from ..value import timestamp_rfc3339
+
+        return timestamp_rfc3339(value)
     if isinstance(value, bytes):
         return value.decode("utf-8", "replace")
     raise VrlError(f"unable to coerce {vrl_type(value)} into string")

@@ -438,10 +438,25 @@ def path_remove(
 # JSON encoding with VRL's sorted-key (BTreeMap) semantics
 
 
+def timestamp_rfc3339(dt: datetime) -> str:
+    """timestamp_to_string (value.rs:219-221) =
+    to_rfc3339_opts(SecondsFormat::AutoSi, true): fractional digits
+    come in SI GROUPS — none, millis (3) or micros (6); never 1-5
+    digits and never trailing zeros beyond the group."""
+    dt = dt.astimezone(timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    us = dt.microsecond
+    if us == 0:
+        return base + "Z"
+    if us % 1000 == 0:
+        return f"{base}.{us // 1000:03d}Z"
+    return f"{base}.{us:06d}Z"
+
+
 def _json_default(v: Any):
     if isinstance(v, datetime):
-        # VRL timestamps serialize RFC3339 UTC (value.rs:56-57)
-        return v.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        # VRL timestamps serialize via timestamp_to_string (AutoSi)
+        return timestamp_rfc3339(v)
     if isinstance(v, re.Pattern):
         return v.pattern
     if isinstance(v, bytes):
