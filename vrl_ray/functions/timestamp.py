@@ -65,9 +65,13 @@ def _translate_chrono(fmt: str, dt: datetime) -> str:
     if "%e" in out:
         out = out.replace("%e", str(dt.day).rjust(2))
     if "%+" in out:
+        # chrono %+ = RFC3339 with %.f — fractional digits in SI
+        # GROUPS (3/6/9), same as to_rfc3339_opts AutoSi
         iso = dt.strftime("%Y-%m-%dT%H:%M:%S")
-        if dt.microsecond:
-            iso += f".{dt.microsecond:06d}".rstrip("0")
+        us = dt.microsecond
+        if us:
+            iso += (f".{us // 1000:03d}" if us % 1000 == 0
+                    else f".{us:06d}")
         off = dt.strftime("%z") or "+0000"
         iso += off[:3] + ":" + off[3:]
         out = out.replace("%+", iso)
