@@ -189,18 +189,32 @@ def join(value: list, separator: str = "") -> str:
 
 
 def slice_(value: Union[str, list], start: int, end: Optional[int] = None):
-    """slice.rs: negative indices from end; works on strings (chars)
-    and arrays."""
-    if not isinstance(value, (str, list)):
-        from ..value import vrl_type
-        raise VrlError(f"expected string or array, got {vrl_type(value)}")
-    v = value
-    n = len(v)
-    s = start if start >= 0 else max(0, n + start)
-    e = n if end is None else (end if end >= 0 else n + end)
-    if s > n:
-        raise VrlError(f'"start" must be between "{-n}" and "{n}"')
-    return v[s:max(s, e)]
+    """slice.rs: BYTE indices for strings (Bytes.slice — a slice
+    through a multi-byte character lossy-decodes to U+FFFD, exactly
+    what the reference's bytes render as), element indices for
+    arrays; negative indices count from the end; start out of
+    [-len, len] and end < start are errors (slice.rs:29-50)."""
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        n = len(b)
+        s = start + n if start < 0 else start
+        e = n if end is None else (end + n if end < 0 else end)
+        if s < 0 or s > n:
+            raise VrlError(f'"start" must be between "{-n}" and "{n}"')
+        if e < s:
+            raise VrlError('"end" must be greater or equal to "start"')
+        return b[s:min(e, n)].decode("utf-8", "replace")
+    if isinstance(value, list):
+        n = len(value)
+        s = start + n if start < 0 else start
+        e = n if end is None else (end + n if end < 0 else end)
+        if s < 0 or s > n:
+            raise VrlError(f'"start" must be between "{-n}" and "{n}"')
+        if e < s:
+            raise VrlError('"end" must be greater or equal to "start"')
+        return value[s:min(e, n)]
+    from ..value import vrl_type
+    raise VrlError(f"expected string or array, got {vrl_type(value)}")
 
 
 def truncate(value: str, limit: int, suffix: str = "") -> str:
@@ -208,8 +222,7 @@ def truncate(value: str, limit: int, suffix: str = "") -> str:
     truncation happened (modern arg; legacy ellipsis flag maps to
     suffix='...')."""
     v = _s(value)
-    if limit < 0:
-        raise VrlError("limit must be >= 0")
+    limit = max(0, limit)    # truncate.rs clamps negatives, no error
     if len(v) <= limit:
         return v
     return v[:limit] + suffix

@@ -865,28 +865,58 @@ def _k_slice(ctx, a, nodes, span=None):
             raise NotVectorizable("slice end")
     if stop is None:
         stop = (1 << 30)
-    out = pc.utf8_slice_codeunits(v, start, stop=stop)
+    va = _as_array(v, ctx.n)
+    if isinstance(va, pa.ChunkedArray):
+        va = va.combine_chunks()
+    out = pc.utf8_slice_codeunits(va, start, stop=stop)
+    # slice.rs operates on BYTES (Bytes.slice): for pure-ASCII rows
+    # code-unit slicing IS byte slicing, so the Arrow kernel stands;
+    # non-ASCII rows run the row fn masked (the VectorGrok fallback
+    # idiom) — a slice through a multi-byte char yields U+FFFD.
+    prefix = _call_frame("slice", span)
+    ln_b = pc.cast(pc.binary_length(va), pa.int64())
+    nonascii = pc.and_(
+        pc.is_valid(va),
+        pc.not_equal(ln_b, pc.cast(pc.utf8_length(va), pa.int64())))
+    na_np = nonascii.to_numpy(zero_copy_only=False)
+    na_errs = None
+    if na_np.any():
+        from ..functions.string import slice_ as _row_slice
+        from ..value import VrlError as _VErr
+        idx = np.flatnonzero(na_np)
+        sub = va.take(pa.array(idx)).to_pylist()
+        py = out.to_pylist()
+        errs_py: list = [None] * ctx.n
+        end_arg = None if stop == (1 << 30) else stop
+        for i, s_ in zip(idx, sub):
+            try:
+                py[i] = _row_slice(s_, start, end_arg)
+            except _VErr as ex:
+                py[i] = None
+                errs_py[i] = prefix + ex.message
+        out = pa.array(py, pa.string())
+        if any(x is not None for x in errs_py):
+            na_errs = pa.array(errs_py, pa.string())
     if start == 0:
-        return out, e
-    # slice.rs / string.py:198 parity: start past the end of the string
-    # is a per-row ERROR ('"start" must be between "-n" and "n"'), not a
-    # silent '' (ADVICE r2).
-    ln = pc.cast(pc.utf8_length(v), pa.int64())
-    bad = pc.and_(pc.is_valid(v), pc.less(ln, pa.scalar(start, pa.int64())))
+        return out, _merge_errs(ctx.n, e, na_errs)
+    # start past the BYTE length is a per-row ERROR
+    # ('"start" must be between "-n" and "n"'), not a silent ''
+    bad = pc.and_(pc.and_(pc.is_valid(va), pc.invert(nonascii)),
+                  pc.less(ln_b, pa.scalar(start, pa.int64())))
     if pc.any(bad).as_py():
-        prefix = _call_frame("slice", span)
-        lns = pc.cast(ln, pa.string())
-        neg = pc.cast(pc.subtract(pa.scalar(0, pa.int64()), ln), pa.string())
+        lns = pc.cast(ln_b, pa.string())
+        neg = pc.cast(pc.subtract(pa.scalar(0, pa.int64()), ln_b),
+                      pa.string())
         msg = pc.binary_join_element_wise(
             pa.scalar(prefix + '"start" must be between "'), neg,
             pa.scalar('" and "'), lns, pa.scalar('"'), "")
-        errs = pc.if_else(bad, msg, _nulls(len(out)))
+        errs = pc.if_else(bad, msg, _nulls(ctx.n))
         # `ok, err =` default for slice is NULL: its type_def is
         # bytes-or-array (slice.rs:154-160), and only exact kinds get
         # a non-null default_value (kind.rs:44-80)
         out = pc.if_else(bad, pa.scalar(None, pa.string()), out)
-        return out, _merge_errs(len(out), e, errs)
-    return out, e
+        return out, _merge_errs(ctx.n, e, errs, na_errs)
+    return out, _merge_errs(ctx.n, e, na_errs)
 
 
 def _k_join(ctx, a, span=None):
