@@ -245,13 +245,19 @@ def strlen(value: str) -> int:
 
 
 def find(value: str, pattern, from_: int = 0):
-    """find.rs: char index of first occurrence at/after `from_`,
-    null if absent; pattern may be regex or literal."""
+    """find.rs: BYTE index of the first occurrence at/after the byte
+    offset `from_`, null if absent (find_bytes_in_bytes /
+    regex.find_at both yield byte positions); pattern may be regex
+    or literal. ASCII behavior is unchanged."""
     v = _s(value)
+    b = v.encode("utf-8")
     if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
-        m = pattern.search(v, from_)
-        return m.start() if m else None
-    idx = v.find(_s(pattern), from_)
+        start_chars = len(b[:max(0, from_)].decode("utf-8", "ignore"))
+        m = pattern.search(v, start_chars)
+        if not m:
+            return None
+        return len(v[:m.start()].encode("utf-8"))
+    idx = b.find(_s(pattern).encode("utf-8"), from_)
     return idx if idx >= 0 else None
 
 
