@@ -492,27 +492,45 @@ def parse_bytes(value: str, unit: str = "B", base: Optional[str] = None) -> floa
 # ---------------------------------------------------------------------------
 # parse_int / parse_float (parse_int.rs, parse_float.rs)
 
+def _from_str_radix(s: str, base: int) -> int:
+    """Rust i64::from_str_radix: optional +/- then base digits ONLY —
+    no whitespace, no underscores, no 0x/0o/0b prefixes (Python's
+    int() accepts all three for the matching base)."""
+    body = s[1:] if s[:1] in ("+", "-") else s
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+    if not body or any(ch.lower() not in digits for ch in body):
+        raise VrlError(
+            "could not parse integer: invalid digit found in string")
+    v = int(s, base)
+    if not (-9223372036854775808 <= v <= 9223372036854775807):
+        raise VrlError("could not parse integer: "
+                       "number too large to fit in target type")
+    return v
+
+
 def parse_int(value: str, base: Optional[int] = None) -> int:
-    s = value.strip()
-    try:
-        if base is not None:
-            if not (2 <= base <= 36):
-                raise VrlError(f"invalid base {base}, must be be between 2 and 36 (inclusive)")
-            return int(s, base)
-        # auto-radix by prefix (parse_int.rs): 0x hex, 0o octal, 0b binary
-        neg = s.startswith("-")
-        body = s[1:] if neg or s.startswith("+") else s
-        if body[:2].lower() == "0x":
-            n = int(body[2:], 16)
-        elif body[:2].lower() == "0o" or (len(body) > 1 and body[0] == "0" and body[1:].isdigit()):
-            n = int(body[2:] if body[:2].lower() == "0o" else body[1:], 8)
-        elif body[:2].lower() == "0b":
-            n = int(body[2:], 2)
-        else:
-            n = int(body, 10)
-        return -n if neg else n
-    except ValueError as e:
-        raise VrlError(f"could not parse integer: {e}") from e
+    """parse_int.rs: explicit base 2..=36 parses the WHOLE string
+    with from_str_radix (a 0x prefix is an error there); without a
+    base the prefix picks the radix — 0b/0o/0x, and any OTHER
+    leading 0 means OCTAL of the whole string (parse_int.rs:19-26);
+    signs only work base-10 (the sign char stops prefix detection)."""
+    s = value
+    if base is not None:
+        if not (2 <= base <= 36):
+            raise VrlError(f"invalid base {base}, must be be between 2 and 36 (inclusive)")
+        return _from_str_radix(s, base)
+    if not s:
+        raise VrlError("value is empty")
+    if s[0] == "0":
+        nxt = s[1] if len(s) > 1 else None
+        if nxt == "b":
+            return _from_str_radix(s[2:], 2)
+        if nxt == "o":
+            return _from_str_radix(s[2:], 8)
+        if nxt == "x":
+            return _from_str_radix(s[2:], 16)
+        return _from_str_radix(s, 8)
+    return _from_str_radix(s, 10)
 
 
 def parse_float(value: str) -> float:
