@@ -534,8 +534,13 @@ def parse_int(value: str, base: Optional[int] = None) -> int:
 
 
 def parse_float(value: str) -> float:
+    """parse_float.rs = Conversion::Float = Rust f64 FromStr: no
+    surrounding whitespace, no underscores (Python's float() accepts
+    both); NaN is unrepresentable."""
+    if value != value.strip() or "_" in value:
+        raise VrlError(f"could not parse float: {value!r}")
     try:
-        f = float(value.strip())
+        f = float(value)
     except ValueError as e:
         raise VrlError(f"could not parse float: {e}") from e
     if math.isnan(f):
