@@ -376,7 +376,13 @@ def gen_stmt(i):
         rd = R.choice([f".q{i} = .p{i}.k", f".q{i} = .p{i}.w",
                        f".q{i} = encode_json(.p{i})",
                        f".q{i} = exists(.p{i}.k)",
-                       f".q{i} = (.p{i}.k ?? 0)"])
+                       f".q{i} = (.p{i}.k ?? 0)",
+                       # r5: ARITHMETIC/compare on values read out of
+                       # union children — kernels must lane-dispatch
+                       f".q{i}, .qe{i} = (.p{i}.k + 1)",
+                       f".q{i}, .qe{i} = (.p{i}.k * 2)",
+                       f".q{i} = ((.p{i}.k > 1) ?? false)",
+                       f".q{i}, .qe{i} = to_string(.p{i}.k)"])
         if R.random() < 0.25:
             # r5: i64-overflow ints become lossy floats (serde u64/f64
             # widths) and int/float/bool KIND mixes under one key must

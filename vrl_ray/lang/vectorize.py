@@ -228,6 +228,30 @@ def _null_rows(arr, bad, n: int):
     raise _RowFallback(f"cannot null rows of {t}")
 
 
+def _from_arrow_union(arr: pa.UnionArray, n: int) -> "_Union":
+    """Dense Arrow union → the engine's _Union (full-length lanes +
+    ownership tag), so kernels lane-dispatch values read OUT of
+    union-typed columns/children (e.g. `.p.a` over mixed-kind
+    parse_json lanes) instead of erroring on the union type."""
+    t = arr.type
+    tags_raw = np.asarray(arr.type_codes)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    lanes = []
+    tag = np.zeros(n, np.int8)
+    for i in range(t.num_fields):
+        code = t.type_codes[i]
+        child = arr.field(i)
+        mask = tags_raw == code
+        if len(child) == 0:
+            lanes.append(_nulls(n, child.type))
+        else:
+            idx = np.zeros(n, np.int64)
+            idx[mask] = offs[mask]
+            lanes.append(child.take(pa.array(idx, mask=~mask)))
+        tag[mask] = i
+    return _Union(tag, lanes, n)
+
+
 def _dense_union(tag: np.ndarray, lanes: list, n: int) -> pa.UnionArray:
     """Full-length lanes + ownership tag → dense Arrow union (each
     child compacted to its owned rows, value_offsets = per-lane
@@ -1983,10 +2007,19 @@ class _Ctx:
 
     def col(self, name: str):
         if name in self.written:
-            return self.written[name]
+            v = self.written[name]
+            if isinstance(v, pa.Array) and pa.types.is_union(v.type):
+                # materialized mixed-kind column: re-wrap so kernels
+                # lane-dispatch instead of erroring on the union type
+                return _from_arrow_union(v, self.n)
+            return v
         if not self.root_cleared and name in self.batch.column_names:
             c = self.batch[name]
-            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            if pa.types.is_union(c.type):
+                return _from_arrow_union(c, self.n)
+            return c
         return _nulls(self.n, pa.null())
 
 
@@ -2969,6 +3002,11 @@ def _compile_expr(node) -> Callable:
         if not fold_failed:
             try:
                 s = pa.scalar(v)
+                if not _typed_eq(s.as_py(), v):
+                    # pa.scalar silently COERCED a numeric kind mix
+                    # ([4.73, 2] → list<double>) — VRL keeps per-
+                    # element kinds; the runtime builder unions them
+                    raise pa.ArrowTypeError("kind coercion")
 
                 def container(ctx):
                     return s, None
@@ -3135,6 +3173,10 @@ def _compile_expr(node) -> Callable:
                     arr, _ = _u_lanes(ctx, arr, rd)
                     continue
                 arr = _seg_read(ctx, arr, s)
+                if isinstance(arr, pa.Array) and \
+                        pa.types.is_union(arr.type):
+                    arr = _from_arrow_union(arr, ctx.n)
+                    continue
                 if pa.types.is_null(arr.type):
                     return arr, None
             return arr, None
@@ -3160,6 +3202,10 @@ def _compile_expr(node) -> Callable:
                     arr, _ = _u_lanes(ctx, arr, rd)
                     continue
                 arr = _seg_read(ctx, _as_array(arr, ctx.n), s)
+                if isinstance(arr, pa.Array) and \
+                        pa.types.is_union(arr.type):
+                    arr = _from_arrow_union(arr, ctx.n)
+                    continue
                 if pa.types.is_null(arr.type):
                     break
             return arr, e
@@ -3795,6 +3841,20 @@ def _canonicalize_named_args(name: str, args):
     if named:
         raise NotVectorizable("unknown named arg")
     return canon
+
+
+def _typed_eq(a, b) -> bool:
+    """Equality that DISTINGUISHES python kinds (2 != 2.0 != True) —
+    detects pa.scalar's silent numeric coercions on constants."""
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(
+            _typed_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(
+            _typed_eq(a[k], b[k]) for k in a)
+    return a == b
 
 
 def _const_container(node):
