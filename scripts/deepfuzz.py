@@ -28,6 +28,21 @@ STR_LITS = ['"x"', '"Foo Bar"', '""', '" ab "', '"12"', '"-3.5"',
             '"true"', '"NO"', '"ümlaut"', '"a,b,c"']
 
 
+def kvenc():
+    # kv serializer: indexed array keys, null leaves, whitespace
+    # quoting, \n escaping (r5 rewrite). encode_logfmt has no
+    # flatten_boolean parameter (forced true, encode_logfmt.rs:57).
+    fn = R.choice(['encode_logfmt', 'encode_key_value'])
+    arg = R.choice(['.obj', '.nest0',
+                    '{"ip": [127, 0, .a], "v": null}',
+                    '{"msg": "a b", "t": true, "f": false}',
+                    '{"x": {"y": [.s, 2.5]}, "nl": "a\\nb"}'])
+    opt = ''
+    if fn == 'encode_key_value' and R.random() < 0.5:
+        opt = ', flatten_boolean: true'
+    return f"{fn}({arg}{opt})"
+
+
 def num(d=0):
     opts = ['.a', '.b', '.obj.x', '.arr[0]', '.arr[-1]',
             'ilit', 'flit']
@@ -46,6 +61,18 @@ def num(d=0):
             # null (serde serialize_f64); fuzz-found r5
             big = "9" * R.choice([39, 155, 310])
             return R.choice([f"{big}.0", f"-{big}.0"])
+        if R.random() < 0.1:
+            # scientific-range magnitudes (|x| >= 1e16 / < 1e-4):
+            # Rust Display renders these POSITIONALLY (never e-form)
+            # while serde_json/ryu uses unpadded exponents ("1e20",
+            # "1e-6", but "0.00001" fixed) — to_string/encode_json
+            # parity across both lanes; r5 formatter rewrite
+            return R.choice([
+                "0.00001", "0.0000001", "0.000099",
+                "0." + "0" * 30 + "7",
+                "123456789012345678901.5", "18" + "0" * 18 + ".0",
+                "-0.0000025", "-" + "4" * 20 + ".0",
+            ])
         return f"{R.uniform(-20, 20):.2f}"
     if c == 'binop':
         return f"({num(d + 1)} {R.choice(['+', '-', '*', '/', '%'])} {num(d + 1)})"
@@ -294,6 +321,7 @@ def anyexpr(d=0):
                  ['.obj', '.arr', '.a', '.b', '.s', '.ts',
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',
                   strx(dd), num(dd)]),
+             lambda dd: kvenc(),
              lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(
                  ['', ', unit: "milliseconds"', ', unit: "seconds"',
                   ', unit: "nanoseconds"']))]

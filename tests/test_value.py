@@ -154,3 +154,74 @@ class TestEncodeJson:
 
     def test_nested(self):
         assert V.encode_json({"z": [1, {"y": None}]}) == '{"z":[1,{"y":null}]}'
+
+
+class TestFloatText:
+    """Rust f64 Display vs serde_json/ryu float text (r5 formatter
+    rewrite; value/value/display.rs:19, serde_json via ryu)."""
+
+    def test_rust_display_positional(self):
+        from vrl_ray.functions.coerce import _fmt_float
+        # Rust `{}` NEVER emits scientific notation
+        assert _fmt_float(1e20) == "100000000000000000000"
+        assert _fmt_float(1e-5) == "0.00001"
+        assert _fmt_float(5e-324) == "0." + "0" * 323 + "5"
+        assert _fmt_float(1.2345678901234567e19) == "12345678901234567000"
+
+    def test_rust_display_drops_point_zero(self):
+        from vrl_ray.functions.coerce import _fmt_float
+        assert _fmt_float(2.0) == "2"
+        assert _fmt_float(0.0) == "0"
+        assert _fmt_float(-0.0) == "-0"      # sign of negative zero kept
+        assert _fmt_float(1.5) == "1.5"
+        assert _fmt_float(float("inf")) == "inf"
+        assert _fmt_float(float("-inf")) == "-inf"
+
+    def test_ryu_thresholds(self):
+        # fixed iff -5 < kk <= 16 (ryu pretty format64)
+        assert V.ryu_f64(1e15) == "1000000000000000.0"
+        assert V.ryu_f64(1e16) == "1e16"
+        assert V.ryu_f64(1e-5) == "0.00001"
+        assert V.ryu_f64(9.9e-5) == "0.000099"
+        assert V.ryu_f64(1e-6) == "1e-6"
+        assert V.ryu_f64(1.5e16) == "1.5e16"
+        assert V.ryu_f64(-0.0) == "-0.0"
+        assert V.ryu_f64(100.0) == "100.0"
+
+    def test_encode_json_scientific(self):
+        assert V.encode_json([1e20, 1e-6, 9.9e-5]) == "[1e20,1e-6,0.000099]"
+        # strings containing "e-" must not trigger a wrong rewrite
+        assert V.encode_json({"m": "large-scale", "x": 1.5}) == \
+            '{"m":"large-scale","x":1.5}'
+
+
+class TestEncodeKeyValueCore:
+    """Reference core serializer vectors
+    (src/stdlib/encode_key_value.rs:296-460 test_function!)."""
+
+    def test_indexed_arrays(self):
+        from vrl_ray.functions.codec import encode_key_value
+        got = encode_key_value({
+            "log": {"file": {"path": "encode_key_value.rs"}},
+            "agent": {"name": "vector", "id": 1234},
+            "network": {"ip": [127, 0, 0, 1], "proto": "tcp"},
+            "event": "log"})
+        assert got == ("agent.id=1234 agent.name=vector event=log "
+                       "log.file.path=encode_key_value.rs network.ip.0=127 "
+                       "network.ip.1=0 network.ip.2=0 network.ip.3=1 "
+                       "network.proto=tcp")
+
+    def test_escaping(self):
+        from vrl_ray.functions.codec import encode_key_value
+        got = encode_key_value({
+            "another_field": "some\nfield\\and things",
+            "msg": 'payload: {"code": 200}\\n',
+            "space key": "foo", "lvl": "info"})
+        assert got == (r'another_field="some\\nfield\\and things" lvl=info '
+                       r'msg="payload: {\"code\": 200}\\n" "space key"=foo')
+
+    def test_null_and_empty(self):
+        from vrl_ray.functions.codec import encode_key_value
+        assert encode_key_value({"v": None}) == "v=null"   # Data::None
+        assert encode_key_value({"v": ""}) == "v="          # bare empty
+        assert encode_key_value({"v": "a\tb"}) == 'v="a\tb"'

@@ -402,14 +402,16 @@ def encode_json(value: Any, pretty: bool = False) -> str:
     """encode_json.rs: sorted object keys (BTreeMap order,
     value.rs:33-34)."""
     if pretty:
-        try:
-            return _json.dumps(value, sort_keys=True, indent=2,
-                               ensure_ascii=False, allow_nan=False)
-        except ValueError:
-            from ..value import _definitize
+        from ..value import _has_sci_float, _pretty_json_ryu
 
-            return _json.dumps(_definitize(value), sort_keys=True,
-                               indent=2, ensure_ascii=False)
+        try:
+            s = _json.dumps(value, sort_keys=True, indent=2,
+                            ensure_ascii=False, allow_nan=False)
+        except ValueError:
+            return _pretty_json_ryu(value)
+        if ("e+" in s or "e-" in s) and _has_sci_float(value):
+            return _pretty_json_ryu(value)  # ryu float text
+        return s
     return _encode_json_sorted(value)
 
 
@@ -443,6 +445,49 @@ def _plain(v) -> str:
     return to_string(v)
 
 
+# Rust char::is_whitespace = the Unicode White_Space property; Python
+# str.isspace() additionally counts U+001C..001F (file separators)
+_RUST_WS = frozenset(map(chr, [
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680,
+    *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+]))
+
+
+def _kv_escape(s: str) -> str:
+    """core/encode_key_value.rs encode_string: quote iff the text has
+    whitespace / '"' / '='; escape '\\' -> '\\\\', '"' -> '\\"' and a
+    REAL newline -> '\\\\n' (two backslashes + n, lex verbatim from
+    the reference); empty strings stay bare."""
+    needs_quoting = any(c in _RUST_WS or c in '"=' for c in s)
+    out = []
+    for c in s:
+        if c == "\\":
+            out.append("\\\\")
+        elif c == '"':
+            out.append('\\"')
+        elif c == "\n":
+            out.append("\\\\n")
+        else:
+            out.append(c)
+    body = "".join(out)
+    return f'"{body}"' if needs_quoting else body
+
+
+def _kv_flatten(value, key: str, out: dict) -> None:
+    """core/encode_key_value.rs KeyValueSerializer: objects descend as
+    `parent.key`, arrays as `parent.<index>`; leaves keep their Data
+    kind so flatten_boolean and Display formatting apply per leaf.
+    Empty containers contribute nothing."""
+    if isinstance(value, dict):
+        for k, v in value.items():
+            _kv_flatten(v, f"{key}.{k}" if key else str(k), out)
+    elif isinstance(value, list):
+        for i, v in enumerate(value):
+            _kv_flatten(v, f"{key}.{i}" if key else str(i), out)
+    else:
+        out[key] = value
+
+
 def encode_key_value(
     value: dict,
     fields_ordering: Optional[list] = None,
@@ -451,31 +496,36 @@ def encode_key_value(
     flatten_boolean: bool = False,
 ) -> str:
     """encode_key_value.rs (core impl src/core/encode_key_value.rs):
-    values with spaces/quotes are double-quoted with escapes; nested
-    objects flatten to dotted keys; ordered fields first, the rest
-    sorted."""
+    nested objects flatten to dotted keys and arrays to indexed keys
+    (network.ip.0=127); null renders as `null` (Data::None); ordered
+    fields first, the rest in BTreeMap (sorted) order; quoting /
+    escaping per encode_string."""
     if not isinstance(value, dict):
         raise VrlError("expected object")
-    from .object import flatten as _flatten
-    flat = _flatten(value)
+    flat: dict = {}
+    for k, v in value.items():
+        _kv_flatten(v, str(k), flat)
 
-    def fmt(v) -> str:
-        s = _plain(v)
-        if s == "" or any(c in s for c in (' ', '"', '=')) or s != s.strip():
-            return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
-        return s
+    def render(v) -> str:
+        # Data Display (core/encode_key_value.rs:140-153)
+        if v is None:
+            return "null"
+        return _plain(v)
 
     def pair(k, v):
         if flatten_boolean and v is True:
-            return fmt(k)
+            return _kv_escape(k)
         if flatten_boolean and v is False:
             return None  # false booleans are dropped entirely
-        return f"{fmt(k)}{key_value_delimiter}{fmt(v)}"
+        return f"{_kv_escape(k)}{key_value_delimiter}{_kv_escape(render(v))}"
 
-    ordered = list(fields_ordering or [])
-    rest = sorted(k for k in flat if k not in ordered)
-    parts = [pair(k, flat[k]) for k in ordered if k in flat]
-    parts += [pair(k, flat[k]) for k in rest]
+    parts = []
+    ordered = []
+    for k in (fields_ordering or []):
+        if k in flat:
+            ordered.append(k)
+            parts.append(pair(k, flat.pop(k)))
+    parts += [pair(k, flat[k]) for k in sorted(flat)]
     return field_delimiter.join(p for p in parts if p is not None)
 
 

@@ -124,12 +124,30 @@ def to_float(value: Any) -> float:
 
 
 def _fmt_float(f: float) -> str:
+    """Rust f64 Display exactly (to_string.rs: Float(v) =>
+    v.to_string(); value/value/display.rs:19 `{val}`): shortest
+    round-trip digits rendered ALWAYS positionally — std's `{}` never
+    emits scientific notation (`{:e}` does) — integral values without
+    a trailing ".0" (format!("{}", 2.0) == "2") and the IEEE sign of
+    negative zero kept (format!("{}", -0.0) == "-0")."""
     if math.isinf(f):
-        # Rust f64 Display (to_string.rs: Float(v) => v.to_string())
         return "inf" if f > 0 else "-inf"
-    if f == int(f) and abs(f) < 1e16:
-        return str(int(f))
-    return repr(f)
+    r = repr(f)  # shortest round-trip digits, same as Rust's grisu
+    if "e" not in r:
+        return r[:-2] if r.endswith(".0") else r
+    # expand Python's scientific form positionally
+    m, _, e = r.partition("e")
+    exp = int(e)
+    sign = "-" if m.startswith("-") else ""
+    m = m.lstrip("-")
+    ip, _, fp = m.partition(".")
+    digits = ip + fp
+    point = len(ip) + exp
+    if point <= 0:
+        return sign + "0." + "0" * (-point) + digits
+    if point >= len(digits):
+        return sign + digits + "0" * (point - len(digits))
+    return sign + digits[:point] + "." + digits[point:]
 
 
 def to_string(value: Any) -> str:

@@ -114,8 +114,14 @@ def format_number(
     v = _num(value)
     if scale is not None:
         s = f"{float(v):.{scale}f}"
+    elif isinstance(v, int):
+        s = str(v)
     else:
-        s = str(v) if isinstance(v, int) else repr(float(v))
+        # format_number.rs:38,58 renders via rust_decimal::Decimal —
+        # always positional, no trailing ".0" (Display semantics)
+        from .coerce import _fmt_float
+
+        s = _fmt_float(float(v))
     if "." in s:
         int_part, frac = s.split(".", 1)
     else:

@@ -545,9 +545,23 @@ def _k_to_string(ctx, a):
     # null coerces to "" (to_string.rs:12)
     out = pc.fill_null(pc.cast(v, pa.string()), "")
     if pa.types.is_floating(_typ(v)):
-        # -0.0 prints as "0" (interpreter _fmt_float: integral floats
-        # go through int()); Arrow's cast yields "-0"
-        out = pc.if_else(pc.equal(out, "-0"), pa.scalar("0"), out)
+        # Arrow's cast matches Rust f64 Display ("-0", no ".0") in
+        # the fixed range but goes scientific at |x| >= 1e15 — Rust
+        # Display NEVER does; re-render those rows positionally
+        bad = pc.match_substring(out, "e")
+        if pc.any(bad).as_py():
+            from ..functions.coerce import _fmt_float
+            va = _as_array(v, ctx.n)
+            if isinstance(va, pa.ChunkedArray):
+                va = va.combine_chunks()
+            if isinstance(out, pa.ChunkedArray):
+                out = out.combine_chunks()
+            bad = pc.fill_null(bad, False)
+            if isinstance(bad, pa.ChunkedArray):
+                bad = bad.combine_chunks()
+            repl = pa.array([_fmt_float(x) for x in
+                             pc.filter(va, bad).to_pylist()], pa.string())
+            out = pc.replace_with_mask(out, bad, repl)
     return out, e
 
 
@@ -1181,6 +1195,13 @@ def _render_json(arr, n: int) -> pa.Array:
         if "Infinity" in s or "NaN" in s:
             toks = ["null" if t_ in ("Infinity", "-Infinity", "NaN")
                     else t_ for t_ in toks]
+        if "e" in s:
+            # Python repr formats |x|>=1e16 / <1e-4 scientifically
+            # with padded signed exponents; serde_json uses ryu
+            # ("1e20", "0.00009", "1e-6") — re-render those tokens
+            from ..value import ryu_f64
+            toks = [ryu_f64(vals[i]) if "e" in t_ else t_
+                    for i, t_ in enumerate(toks)]
         return pa.array(toks, pa.string())
     try:
         dct = arr.dictionary_encode()

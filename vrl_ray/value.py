@@ -464,22 +464,130 @@ def _json_default(v: Any):
     raise TypeError(type(v))
 
 
+def ryu_f64(f: float) -> str:
+    """serde_json's float text = ryu::Buffer::format_finite (ryu
+    pretty format64): with the shortest round-trip digits D and kk
+    the decimal-point position (10^(kk-1) <= |f| < 10^kk), fixed
+    notation iff -5 < kk <= 16 — integral fixed values KEEP ".0" —
+    else scientific `d[.ddd]e<kk-1>` with no '+' sign and no zero
+    padding in the exponent. Python's repr instead pads ("1e+20",
+    "1e-05") and switches to scientific already at 1e-4."""
+    if f == 0:
+        return "-0.0" if math.copysign(1.0, f) < 0 else "0.0"
+    r = repr(f)  # shortest round-trip digits, same set ryu computes
+    if "e" in r:
+        m, _, e = r.partition("e")
+        exp = int(e)
+        sign = "-" if m.startswith("-") else ""
+        m = m.lstrip("-")
+        ip, _, fp = m.partition(".")
+        digits = (ip + fp).rstrip("0") or "0"
+        kk = len(ip) + exp
+    else:
+        sign = "-" if r.startswith("-") else ""
+        body = r.lstrip("-")
+        ip, _, fp = body.partition(".")
+        if ip != "0":
+            digits = (ip + fp).rstrip("0")
+            kk = len(ip)
+        else:
+            stripped = fp.lstrip("0")
+            kk = -(len(fp) - len(stripped))
+            digits = stripped.rstrip("0")
+    if -5 < kk <= 16:
+        if kk <= 0:
+            return sign + "0." + "0" * (-kk) + digits
+        if kk >= len(digits):
+            return sign + digits + "0" * (kk - len(digits)) + ".0"
+        return sign + digits[:kk] + "." + digits[kk:]
+    mant = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return sign + mant + "e" + str(kk - 1)
+
+
+def _encode_json_ryu(v: Any) -> str:
+    """Slow path: pure-Python compact encoder with ryu float text.
+    Only runs when the fast json.dumps output contains a float that
+    Python formatted scientifically (or a matching substring inside a
+    string — a false positive just re-encodes, still correct)."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return ryu_f64(v) if math.isfinite(v) else "null"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            json.dumps(str(k), ensure_ascii=False) + ":" + _encode_json_ryu(x)
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "}"
+    if isinstance(v, list):
+        return "[" + ",".join(_encode_json_ryu(x) for x in v) + "]"
+    return json.dumps(_json_default(v), ensure_ascii=False)
+
+
+def _pretty_json_ryu(v: Any, level: int = 0) -> str:
+    """serde_json::to_string_pretty with ryu float text (2-space
+    indent, sorted keys) — the slow lane of encode_json(pretty:true),
+    runs only when the tree holds a scientific-range float."""
+    pad, inner = "  " * level, "  " * (level + 1)
+    if isinstance(v, dict):
+        if not v:
+            return "{}"
+        items = (
+            json.dumps(str(k), ensure_ascii=False) + ": "
+            + _pretty_json_ryu(x, level + 1)
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        )
+        return "{\n" + ",\n".join(inner + i for i in items) + "\n" + pad + "}"
+    if isinstance(v, list):
+        if not v:
+            return "[]"
+        return ("[\n" + ",\n".join(
+            inner + _pretty_json_ryu(x, level + 1) for x in v)
+            + "\n" + pad + "]")
+    return _encode_json_ryu(v)
+
+
 def encode_json(v: Any) -> str:
     """encode_json with lexicographically sorted object keys
     (src/stdlib/encode_json.rs + value.rs:33-34). Non-finite floats
     serialize as null (serde_json serialize_f64; VRL floats are
     NaN-free but ±inf is representable) — Python's json would emit
-    the invalid literal `Infinity`."""
+    the invalid literal `Infinity`. Floats outside Python repr's
+    fixed-notation range re-render through ryu_f64 (serde_json uses
+    ryu: "1e20"/"1e-6"/"0.00009", never "1e+20"/"1e-06"/"9e-05")."""
     try:
-        return json.dumps(
+        s = json.dumps(
             v, sort_keys=True, separators=(",", ":"),
             default=_json_default, ensure_ascii=False, allow_nan=False,
         )
     except ValueError:
-        return json.dumps(
-            _definitize(v), sort_keys=True, separators=(",", ":"),
-            default=_json_default, ensure_ascii=False,
-        )
+        return _encode_json_ryu(v)
+    if ("e+" in s or "e-" in s) and _has_sci_float(v):
+        # a Python-formatted scientific float token (always a signed
+        # exponent); the tree scan skips strings that merely contain
+        # "e-"/"e+" ("large-scale", arithmetic text)
+        return _encode_json_ryu(v)
+    return s
+
+
+def _has_sci_float(v) -> bool:
+    """True iff the tree holds a float Python repr formats
+    scientifically (|f| >= 1e16 or 0 < |f| < 1e-4) — exactly the set
+    where repr and ryu disagree."""
+    if isinstance(v, float):
+        return v != 0 and not 1e-4 <= abs(v) < 1e16
+    if isinstance(v, dict):
+        return any(_has_sci_float(x) for x in v.values())
+    if isinstance(v, list):
+        return any(_has_sci_float(x) for x in v)
+    return False
 
 
 def _definitize(v):
