@@ -322,6 +322,13 @@ def anyexpr(d=0):
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',
                   strx(dd), num(dd)]),
              lambda dd: kvenc(),
+             lambda dd: "%s(%s)" % (
+                 # BTreeMap iteration order: keys/values observe
+                 # sorted keys, never insertion order (r5 fix)
+                 R.choice(['keys', 'values']),
+                 R.choice(['.obj', '{"z": 1, "a": .a, "m": .s}',
+                           'parse_json(.jsons) ?? {"x": 1}',
+                           'merge({"b": 2}, {"A": .b})'])),
              lambda dd: "to_unix_timestamp(%s%s)" % (tsx(dd), R.choice(
                  ['', ', unit: "milliseconds"', ', unit: "seconds"',
                   ', unit: "nanoseconds"']))]
@@ -706,7 +713,7 @@ def make_batch():
         "b": pa.array([2.5, -1.0, None, 0.0, 9.75], pa.float64()),
         "s": pa.array(["Foo Bar", "", None, "  x ", "42"]),
         "jsons": pa.array(['{"k": 1}', '[1, "a"]', '{bad', None,
-                           '{"k": 2.5, "w": [1, 2.5]}']),
+                           '{"w": [1, 2.5], "k": 2.5, "B": "z"}']),
         "t": pa.array(["true", None, "a,b", "-3", "ümlaut Z"]),
         "ts": pa.array([1700000000123456, 0, None, -86399876544,
                         1234567890999999],

@@ -225,3 +225,34 @@ class TestEncodeKeyValueCore:
         assert encode_key_value({"v": None}) == "v=null"   # Data::None
         assert encode_key_value({"v": ""}) == "v="          # bare empty
         assert encode_key_value({"v": "a\tb"}) == 'v="a\tb"'
+
+
+class TestBTreeMapOrder:
+    """Reference objects are BTreeMap<KeyString, Value>
+    (value/value.rs): iteration observes lexicographic key order,
+    never insertion order (r5 fix — keys/values/for_each/map_*/
+    filter/flatten/unflatten all sort)."""
+
+    def test_keys_values_sorted(self):
+        from vrl_ray.functions.object import keys, values
+        assert keys({"b": 1, "a": 2, "C": 3}) == ["C", "a", "b"]
+        assert values({"b": 1, "a": 2, "C": 3}) == [3, 2, 1]
+
+    def test_for_each_order(self):
+        from vrl_ray.lang import compile_program
+        _, ev, _ = compile_program(
+            '.acc = []; for_each({"b":1,"a":2}) -> |k,v| '
+            '{ .acc = push(.acc, k) }').resolve({})
+        assert ev["acc"] == ["a", "b"]
+
+    def test_parsed_json_keys_sorted(self):
+        from vrl_ray.lang import compile_program
+        _, ev, _ = compile_program(
+            '.k = keys(parse_json!(s\'{"z":1,"m":2,"a":3}\'))'
+        ).resolve({})
+        assert ev["k"] == ["a", "m", "z"]
+
+    def test_flatten_sorted(self):
+        from vrl_ray.functions.object import flatten
+        assert list(flatten({"z": {"y": 1}, "a": {"b": 2}})) == \
+            ["a.b", "z.y"]

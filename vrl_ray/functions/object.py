@@ -40,16 +40,24 @@ def merge(to: dict, from_: dict, deep: bool = False) -> dict:
     return out
 
 
+def _btree_items(d: dict):
+    """Reference objects are BTreeMap<KeyString, Value>: every
+    iteration observes keys in lexicographic (byte) order, never
+    insertion order. UTF-8 byte order == code-point order, so
+    Python's str sort matches."""
+    return sorted(d.items(), key=lambda kv: str(kv[0]))
+
+
 def keys(value: dict) -> list:
     if not isinstance(value, dict):
         raise VrlError("expected object")
-    return list(value.keys())
+    return [k for k, _ in _btree_items(value)]
 
 
 def values(value: dict) -> list:
     if not isinstance(value, dict):
         raise VrlError("expected object")
-    return list(value.values())
+    return [v for _, v in _btree_items(value)]
 
 
 def length(value) -> int:
@@ -133,7 +141,7 @@ def flatten(value, separator: str = ".", except_: Optional[list] = None) -> Any:
 
     def walk(v, prefix: str, top: bool):
         if isinstance(v, dict) and v and not (top is False and False):
-            for k, x in v.items():
+            for k, x in _btree_items(v):
                 if top and k in skip:
                     out[str(k)] = x
                     continue
@@ -155,7 +163,7 @@ def unflatten(value: dict, separator: str = ".", recursive: bool = True) -> dict
     if not isinstance(value, dict):
         raise VrlError("expected object")
     out: dict = {}
-    for k, v in value.items():
+    for k, v in _btree_items(value):
         if recursive and isinstance(v, dict):
             v = unflatten(v, separator, True)
         parts = str(k).split(separator)
@@ -233,21 +241,21 @@ def map_keys(value: dict, fn: Callable[[str], str], recursive: bool = False) -> 
 
     def walk(v):
         if isinstance(v, dict):
-            return {fn(k): walk(x) for k, x in v.items()}
+            return {fn(k): walk(x) for k, x in _btree_items(v)}
         if isinstance(v, list):
             return [walk(x) for x in v]
         return v
 
     if recursive:
         return walk(value)
-    return {fn(k): v for k, v in value.items()}
+    return {fn(k): v for k, v in _btree_items(value)}
 
 
 def map_values(value, fn: Callable[[Any], Any], recursive: bool = False):
     if isinstance(value, dict):
         return {
             k: (map_values(v, fn, True) if recursive and isinstance(v, (dict, list)) else fn(v))
-            for k, v in value.items()
+            for k, v in _btree_items(value)
         }
     if isinstance(value, list):
         return [
@@ -260,7 +268,7 @@ def map_values(value, fn: Callable[[Any], Any], recursive: bool = False):
 def for_each(value, fn: Callable[[Any, Any], None]) -> None:
     """for_each.rs: |k,v| over objects, |i,v| over arrays."""
     if isinstance(value, dict):
-        for k, v in value.items():
+        for k, v in _btree_items(value):
             fn(k, v)
     elif isinstance(value, list):
         for i, v in enumerate(value):
@@ -272,7 +280,7 @@ def for_each(value, fn: Callable[[Any, Any], None]) -> None:
 def filter_(value, fn: Callable[[Any, Any], bool]):
     """filter.rs: keep entries where |k,v| / |i,v| closure is true."""
     if isinstance(value, dict):
-        return {k: v for k, v in value.items() if fn(k, v)}
+        return {k: v for k, v in _btree_items(value) if fn(k, v)}
     if isinstance(value, list):
         return [v for i, v in enumerate(value) if fn(i, v)]
     raise VrlError("expected object or array")
