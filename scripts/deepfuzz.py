@@ -264,9 +264,12 @@ def anyexpr(d=0):
                  R.choice(['', '!']),
                  R.choice(['.a', '.b', '.s', '.obj', '.arr', '.ts',
                            '.missing'])),
-             lambda dd: "parse_json%s(%s)" % (
+             lambda dd: "parse_json%s(%s%s)" % (
                  R.choice(['', '!']),
-                 R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
+                 R.choice(['.s', '.t', '.jsons', '.a', '.missing']),
+                 # depth-limited mode keeps RAW subtree slices (r5)
+                 R.choice(['', '', '', ', max_depth: 1',
+                           ', max_depth: 2'])),
              lambda dd: "parse_regex_all(%s, r'%s')" % (
                  R.choice(['.s', '.t', '.missing']),
                  R.choice([r'(?P<d>\d+)', '(?P<w>[a-z]+)'])),

@@ -430,3 +430,42 @@ class TestIp:
         assert R["ipv6_to_ipv4"]("::ffff:192.168.10.32") == "192.168.10.32"
         assert R["is_ipv4"]("1.2.3.4") and not R["is_ipv4"]("::1")
         assert R["is_ipv6"]("::1")
+
+
+class TestParseJsonMaxDepth:
+    """parse_json.rs depth-limited mode: subtrees at the limit keep
+    their RAW ORIGINAL text (&RawValue slices — original whitespace
+    preserved), scalars always parse; malformed docs error as
+    'unable to read json' (parse_json.rs:57-61, tests :26-47)."""
+
+    def test_reference_vectors(self):
+        pj = R["parse_json"]
+        assert pj('{"top_layer": {"layer_one": "finish", "layer_two": 2}}',
+                  max_depth=1) == \
+            {"top_layer": '{"layer_one": "finish", "layer_two": 2}'}
+        assert pj('[{"top_layer": {"next_layer": ["finish"]}}]',
+                  max_depth=2) == \
+            [{"top_layer": '{"next_layer": ["finish"]}'}]
+        assert pj('{"top_layer": {"layer_one": "finish", "layer_two": 2}}',
+                  max_depth=10) == \
+            {"top_layer": {"layer_one": "finish", "layer_two": 2}}
+
+    def test_raw_whitespace_preserved(self):
+        got = R["parse_json"]('{"a":  {"b":\t1} , "c": [ 1,  {"d": 2} ] }',
+                              max_depth=1)
+        assert got == {"a": '{"b":\t1}', "c": '[ 1,  {"d": 2} ]'}
+
+    def test_serde_number_widths_at_depth(self):
+        got = R["parse_json"]('{"n": 9223372036854775808, "o": {"x": 1}}',
+                              max_depth=1)
+        assert got == {"n": 9.223372036854776e18, "o": '{"x": 1}'}
+
+    def test_read_error_text(self):
+        import pytest
+        from vrl_ray.value import VrlError
+        with pytest.raises(VrlError, match=r"unable to read json: EOF "
+                           r"while parsing a string at line 1 column 16"):
+            R["parse_json"]('{"field": "value', max_depth=3)
+        with pytest.raises(VrlError, match=r"unable to parse json: EOF "
+                           r"while parsing a string at line 1 column 16"):
+            R["parse_json"]('{"field": "value')

@@ -55,16 +55,23 @@ _BIG_INT_RE = _re.compile(r"\d{19}")
 def parse_json(value: str, max_depth: Optional[int] = None) -> Any:
     if max_depth is not None and not (1 <= max_depth <= 128):
         raise VrlError(f"max_depth value should be greater than 0 and less than 128, got {max_depth}")
+    if max_depth is not None:
+        # depth-limited mode reads the doc as &RawValue first
+        # (parse_json.rs:57-61): malformed input errors as "unable to
+        # read json"; subtrees at the limit keep their RAW ORIGINAL
+        # text (original spaces and all), never a re-serialization
+        try:
+            _json.loads(value)
+        except (ValueError, TypeError) as e:
+            raise VrlError(f"unable to read json: {_serde_msg(e)}") from e
+        v, _ = _parse_depth_value(value, _json_ws(value, 0), max_depth)
+        return v
     try:
         if isinstance(value, str) and _BIG_INT_RE.search(value):
-            parsed = _json.loads(value, parse_int=_json_int)
-        else:
-            parsed = _json.loads(value)
+            return _json.loads(value, parse_int=_json_int)
+        return _json.loads(value)
     except (ValueError, TypeError) as e:
         raise VrlError(f"unable to parse json: {_serde_msg(e)}") from e
-    if max_depth is None:
-        return parsed
-    return _truncate_depth(parsed, max_depth)
 
 
 #: Python json decoder message → serde_json phrasing (the reference's
@@ -82,24 +89,100 @@ _SERDE_MSGS = {
 
 def _serde_msg(e) -> str:
     if isinstance(e, _json.JSONDecodeError):
+        if e.msg.startswith("Unterminated string starting at"):
+            # serde reports EOF errors at the END of the doc, 1-based
+            # on the last line (parse_json.rs test: column 16 for the
+            # 16-byte doc `{"field": "value`)
+            lines = e.doc.split("\n")
+            return (f"EOF while parsing a string at line {len(lines)} "
+                    f"column {len(lines[-1])}")
+        if e.msg == "Expecting value" and e.pos >= len(e.doc.rstrip()):
+            lines = e.doc.split("\n")
+            return (f"EOF while parsing a value at line {len(lines)} "
+                    f"column {len(lines[-1])}")
         mapped = _SERDE_MSGS.get(e.msg)
         if mapped:
             return f"{mapped} at line {e.lineno} column {e.colno}"
     return str(e)
 
 
-def _truncate_depth(v: Any, depth: int) -> Any:
-    """Objects/arrays below max_depth are re-serialized as JSON strings
-    (parse_json.rs depth-limited mode)."""
-    if depth <= 0:
-        if isinstance(v, (dict, list)):
-            return _json.dumps(v, separators=(",", ":"))
-        return v
-    if isinstance(v, dict):
-        return {k: _truncate_depth(x, depth - 1) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_truncate_depth(x, depth - 1) for x in v]
-    return v
+_JSON_WS = " \t\n\r"
+
+
+def _json_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i] in _JSON_WS:
+        i += 1
+    return i
+
+
+def _skip_raw_json(s: str, i: int) -> int:
+    """End index (exclusive) of the container starting at s[i] —
+    the &RawValue slice serde hands back at the depth limit."""
+    depth = 0
+    in_str = False
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return n
+
+
+def _parse_depth_value(s: str, i: int, depth: int):
+    """parse_json.rs parse_layer: containers at remaining_depth 0
+    become their raw text slice; scalars always parse (with serde
+    number widths). Input is pre-validated JSON."""
+    c = s[i]
+    if c in "{[":
+        if depth <= 0:
+            j = _skip_raw_json(s, i)
+            return s[i:j], j
+        if c == "{":
+            out: dict = {}
+            i = _json_ws(s, i + 1)
+            if s[i] == "}":
+                return out, i + 1
+            while True:
+                key, i = _json_scanstring(s, i + 1)
+                i = _json_ws(s, i)
+                i = _json_ws(s, i + 1)          # past ':'
+                v, i = _parse_depth_value(s, i, depth - 1)
+                out[key] = v
+                i = _json_ws(s, i)
+                if s[i] == ",":
+                    i = _json_ws(s, i + 1)
+                    continue
+                return out, i + 1               # past '}'
+        out_l: list = []
+        i = _json_ws(s, i + 1)
+        if s[i] == "]":
+            return out_l, i + 1
+        while True:
+            v, i = _parse_depth_value(s, i, depth - 1)
+            out_l.append(v)
+            i = _json_ws(s, i)
+            if s[i] == ",":
+                i = _json_ws(s, i + 1)
+                continue
+            return out_l, i + 1                 # past ']'
+    return _JSON_SCALAR_DECODER.raw_decode(s, i)
+
+
+_json_scanstring = _json.decoder.scanstring
+_JSON_SCALAR_DECODER = _json.JSONDecoder(parse_int=_json_int)
 
 
 # ---------------------------------------------------------------------------
