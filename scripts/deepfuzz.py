@@ -113,7 +113,7 @@ def strx(d=0):
     if d < 2:
         opts += ['case', 'concat', 'to_string', 'trunc', 'slice',
                  'replace', 'strip', 'joinsplit', 'iff', 'coalesce',
-                 'replace_with']
+                 'replace_with', 'template']
     c = R.choice(opts)
     if c == 'lit':
         return R.choice(STR_LITS)
@@ -161,6 +161,11 @@ def strx(d=0):
             args += f", {R.randint(-1, 2)}"
         bang = "!" if R.random() < 0.3 else ""
         return f"replace_with{bang}({args}) -> |m| {{ {body} }}"
+    if c == 'template':
+        # "{{ var }}" desugars to variable string concat (r5);
+        # non-string vars error per row like any concat
+        v = R.choice([strx(d + 1), num(d + 1)])
+        return ('{ tvar__ = %s; "pre {{ tvar__ }} post" }' % v)
     if c == 'strip':
         return f"strip_whitespace({strx(d + 1)})"
     if c == 'joinsplit':

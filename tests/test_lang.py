@@ -1382,7 +1382,7 @@ class TestParseJsonKernel:
         b = pa.table({"s": pa.array(['{"k": {"d": 2}}'])})
         out = VectorProgram(
             '.o, .e = parse_json(.s, max_depth: 1)').run(b).to_pylist()
-        assert out[0]["o"] == {"k": '{"d":2}'}
+        assert out[0]["o"] == {"k": '{"d": 2}'}   # RAW slice, space kept
 
     def test_mixed_kind_leaf_under_one_key_no_abort(self):
         """r5 (ADVICE): mixed leaf KINDS under one key merge into a
@@ -1778,3 +1778,61 @@ class TestMetadataNamespace:
                     if k in ev or k in vec[i]:
                         assert (vec[i].get(k) or None) == \
                             (ev.get(k) or None), (src, i, k)
+
+
+class TestTemplateStrings:
+    """\"{{ var }}\" templates desugar to concatenated VARIABLE reads
+    (template_string.rs rewrite_to_concatenated_strings,
+    compiler.rs:240-249) — field paths don't interpolate, non-string
+    values error like string concat, raw s'..' strings never
+    interpolate."""
+
+    def _run(self, src, ev=None):
+        from vrl_ray.lang import compile_program
+        return compile_program(src).resolve(ev if ev is not None else {})
+
+    def test_variable_interpolation(self):
+        assert self._run('lvl = "warn"\n.m = "[{{ lvl }}] hi"')[1] == \
+            {"m": "[warn] hi"}
+
+    def test_single_segment_returns_value_verbatim(self):
+        # one Template segment = just the variable (no concat, no
+        # coercion): the reduce over a single item is that item
+        assert self._run('x = 5\n.m = "{{ x }}"')[1] == {"m": 5}
+
+    def test_non_string_variable_errors_like_concat(self):
+        _, ev, _ = self._run('x = 5\n.m, .e = "v: {{ x }}"')
+        assert ev["e"] == "can't add type integer to string"
+
+    def test_field_path_is_undefined_variable(self):
+        import pytest
+        from vrl_ray.value import VrlError
+        with pytest.raises(VrlError, match="undefined variable"):
+            self._run('.m = "v: {{ .field }}"', {"field": "x"})
+
+    def test_escaped_braces(self):
+        assert self._run(r'.m = "a \{{ x \}} b"')[1] == \
+            {"m": "a {{ x }} b"}
+
+    def test_unterminated_open_drops_tail(self):
+        # lex.rs template(): trailing content inside an open {{ is
+        # dropped; a single Literal segment lexes as a plain string
+        assert self._run('.m = "a {{"')[1] == {"m": "a "}
+        assert self._run('.m = "{{}}"')[1] == {"m": ""}
+        assert self._run('.m = "a {{}} b"')[1] == {"m": "a  b"}
+
+    def test_raw_string_never_interpolates(self):
+        assert self._run("lvl = \"w\"\n.m = s'[{{ lvl }}]'")[1] == \
+            {"m": "[{{ lvl }}]"}
+
+    def test_vector_lane_parity(self):
+        import pyarrow as pa
+
+        import importlib
+        RM = importlib.import_module("vrl_ray.lang.remap")
+        batch = pa.table({"s": ["a", "bb", None]})
+        src = 'v = .s\n.m, .e = "got: {{ v }}!"'
+        row = RM.RemapStage(src)(batch).to_pylist()
+        vec = RM.VectorRemapStage(src)(batch).to_pylist()
+        assert row == vec
+        assert row[0]["m"] == "got: a!"

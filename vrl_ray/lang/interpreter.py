@@ -180,20 +180,10 @@ class _Ctx:
     _TEMPLATE = _regex.compile(r"\{\{\s*([A-Za-z_][\w.]*)\s*\}\}")
 
     def _eval_lit(self, n):
-        v = n[1]
-        # VRL string templates: "{{ var_or_field }}" interpolation
-        # (src/parser/template_string.rs:8-24)
-        if isinstance(v, str) and "{{" in v:
-            from ..functions.coerce import to_string
-
-            def sub(m):
-                name = m.group(1)
-                if name in self.vars:
-                    return to_string(self.vars[name])
-                return to_string(self._read_path("event", name.lstrip(".").split(".")))
-
-            return self._TEMPLATE.sub(sub, v)
-        return v
+        # templates ("{{ var }}") desugar at PARSE time to variable
+        # string concatenation (template_string.rs, compiler.rs:246) —
+        # a literal node is always verbatim here
+        return n[1]
 
     def _eval_lit_typedef(self, n):
         # compile-time-resolved type_def() result (typecheck.annotate)

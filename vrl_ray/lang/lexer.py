@@ -79,6 +79,107 @@ def _string(src: str, i: int, quote: str) -> tuple[str, int]:
                    span=(start, start + 1))
 
 
+def _scan_quoted_raw(src: str, i: int, quote: str) -> tuple[str, int, int]:
+    """Find the closing quote WITHOUT unescaping; returns (raw body,
+    body start, index past the close). Escapes are length-2 so the
+    scan just skips the char after every backslash."""
+    start = i
+    i += 1
+    body_start = i
+    while i < len(src):
+        c = src[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == quote:
+            return src[body_start:i], body_start, i + 1
+        i += 1
+    raise LexError(f"unterminated string at {i}", code=207,
+                   title="invalid string literal",
+                   label="invalid string literal",
+                   span=(start, start + 1))
+
+
+def _template_segments(raw: str, base: int):
+    """lex.rs template() (lex.rs:663-721): split a double-quoted
+    string's RAW body into Literal / Template segments. `{{ ident }}`
+    opens a template (inner text trimmed — it becomes a VARIABLE
+    reference, template_string.rs rewrite_to_concatenated_strings);
+    `\\{{` / `\\}}` escape literal braces. Returns None when the body
+    holds no template (the common literal-string case)."""
+    if "{{" not in raw:
+        return None
+    segments: list[tuple[str, str]] = []
+    template = False
+    current: list[str] = []
+    cur_start = 0
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        c = raw[pos]
+        if c == "}" and template and pos + 1 < n and raw[pos + 1] == "}":
+            if current:
+                seg = "".join(current)
+                current = []
+                segments.append(("tpl", seg.strip()))
+            template = False
+            pos += 2
+        elif c == "\\" and not template and raw[pos:pos + 3] == "\\{{":
+            current.append("{{")
+            pos += 3
+        elif c == "\\" and not template and raw[pos:pos + 3] == "\\}}":
+            current.append("}}")
+            pos += 3
+        elif c == "{" and not template and pos + 1 < n and raw[pos + 1] == "{":
+            if current:
+                seg = "".join(current)
+                current = []
+                segments.append(
+                    ("lit", _unescape_body(seg, base + cur_start)))
+            template = True
+            pos += 2
+        else:
+            if not current:
+                cur_start = pos
+            current.append(c)
+            pos += 1
+    if current and not template:
+        segments.append(("lit", _unescape_body("".join(current),
+                                               base + cur_start)))
+    return segments
+
+
+def _unescape_body(body: str, base: int) -> str:
+    """Unescape a raw double-quoted body slice (same table as
+    _string); `base` keeps LexError spans absolute."""
+    out = []
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            nxt = body[i + 1] if i + 1 < n else ""
+            if nxt == "\n":
+                i += 2
+                while i < n and body[i] in " \t":
+                    i += 1
+                continue
+            esc = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
+                   "\\": "\\", "0": "\0", "{": "{", "}": "}"}.get(nxt)
+            if esc is None:
+                raise LexError(
+                    f"invalid escape character: \\{nxt}", code=209,
+                    title=f"invalid escape character: \\{nxt}",
+                    label=f"invalid escape character: {nxt or 'none'}",
+                    span=(base + i + 1, base + i + 2))
+            out.append(esc)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _raw(src: str, i: int, err_pos: int) -> tuple[str, int]:
     # s'..' / r'..' / t'..' raw literal: only \' is an escape.
     # ``err_pos`` is where an unterminated literal is reported
@@ -132,6 +233,21 @@ def tokenize(src: str) -> list[Token]:
             i = j
             continue
         if c == '"' or c == "'":
+            if c == '"':
+                raw, body_start, j = _scan_quoted_raw(src, i, c)
+                segs = _template_segments(raw, body_start)
+                if segs is not None:
+                    # template-scanned body. Exactly one Literal
+                    # segment = a plain string (as_literal_string,
+                    # template_string.rs:70-75 — "a {{" lexes to
+                    # "a "); anything else desugars in the PARSER to
+                    # concatenated variables (compiler.rs:240-249)
+                    if len(segs) == 1 and segs[0][0] == "lit":
+                        toks.append(Token("STRING", segs[0][1], i, j))
+                    else:
+                        toks.append(Token("TSTRING", segs, i, j))
+                    i = j
+                    continue
             body, j = _string(src, i, c)
             toks.append(Token("STRING", body, i, j))
             i = j

@@ -350,6 +350,22 @@ class Parser:
         if t.kind == "STRING":
             self.next()
             return self._rec(("lit", t.value), t.pos)
+        if t.kind == "TSTRING":
+            # "{{ var }}" template: rewrite to concatenated strings of
+            # literal segments and VARIABLE reads (template_string.rs
+            # rewrite_to_concatenated_strings, compiler.rs:240-249) —
+            # field paths do NOT interpolate; a non-string variable
+            # errors like any string concat
+            self.next()
+            expr = None
+            for kind, val in t.value:
+                node = ("lit", val) if kind == "lit" else ("var", val)
+                node = self._rec(node, t.pos)
+                expr = node if expr is None else \
+                    self._rec(("binop", "+", expr, node), t.pos)
+            if expr is None:
+                expr = self._rec(("lit", ""), t.pos)
+            return expr
         if t.kind == "REGEX":
             self.next()
             return self._rec(("regex", t.value), t.pos)
