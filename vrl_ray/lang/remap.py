@@ -105,13 +105,14 @@ def _rows_to_table(rows: list[dict], in_cols: list[str]) -> pa.Table:
             cols["extra"].append(None)
         cols["aborted"].append(r["aborted"])
         cols["vrl_err"].append(r["vrl_err"])
-    return pa.table({k: _py_array(v) for k, v in cols.items()})
+    return pa.table({k: _py_array(v, real_nulls=True)
+                     for k, v in cols.items()})
 
 
 _PA_ERRS = (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError)
 
 
-def _py_array(vals: list) -> pa.Array:
+def _py_array(vals: list, real_nulls: bool = False) -> pa.Array:
     """pa.array with per-row dynamic-type tolerance: a column holding
     e.g. both ints and strings (``.o = if c { 1 } else { "x" }``)
     becomes a sparse Arrow union — the same representation the vector
@@ -119,7 +120,10 @@ def _py_array(vals: list) -> pa.Array:
     stay consistent and the stage never raises on data (repo
     invariant). Recursion covers heterogeneity NESTED inside lists
     (``[1, 2]`` vs ``["a"]`` → list<union>) and objects (per-field
-    recursion)."""
+    recursion). ``real_nulls``: the Nones in ``vals`` are REAL null
+    rows (a top-level column) rather than union-lane padding — null
+    struct rows then materialize as nulls even when union children
+    forbid a validity bitmap (dense-union null lane)."""
     try:
         out = pa.array(vals)
     except _PA_ERRS:
@@ -138,18 +142,30 @@ def _py_array(vals: list) -> pa.Array:
         elif coerced == "list":
             return _list_flat(vals)
         elif coerced == "struct":
-            return _struct_fields(vals)
+            return _struct_fields(vals, real_nulls=real_nulls)
         if out is not None:
+            if _has_struct_type(out.type) and _shape_mixed(vals):
+                # pa.array UNIFIES differing object key sets into one
+                # struct (missing keys become null siblings) — the
+                # reference keeps per-row shapes; split per key-set
+                # like the vector lane's per-SHAPE union lanes (r5)
+                if pa.types.is_struct(out.type):
+                    shaped = _shape_lanes(vals)
+                    if shaped is not None:
+                        return shaped
+                    return _struct_fields(vals, real_nulls=real_nulls)
+                return _list_flat(vals)
             return out
     import numpy as np
 
-    lane_of: dict[type, int] = {}
+    lane_of: dict = {}
     lanes: list[list] = []
     tags = np.zeros(len(vals), np.int8)
     for i, v in enumerate(vals):
         if v is None:
             continue            # null rows stay in lane 0
-        t = type(v)
+        # dicts lane per KEY SET: differing shapes must not unify
+        t = ("dict", frozenset(v)) if isinstance(v, dict) else type(v)
         code = lane_of.get(t)
         if code is None:
             code = lane_of[t] = len(lanes)
@@ -158,9 +174,9 @@ def _py_array(vals: list) -> pa.Array:
         tags[i] = code
     if not lanes:
         return pa.nulls(len(vals))
+    if len(lanes) == 1:
+        return _py_lane(lanes[0], real_nulls=real_nulls)
     full = [_py_lane(lane) for lane in lanes]
-    if len(full) == 1:
-        return full[0]
     # DENSE union (pyarrow 16 mishandles sliced sparse unions, and
     # Ray blocks slice tables): compact each lane to its owned rows
     from .vectorize import _dense_union
@@ -241,9 +257,14 @@ def _list_flat(vals: list) -> pa.Array:
                                     _py_array(flat))
 
 
-def _struct_fields(vals: list) -> pa.Array:
+def _struct_fields(vals: list, real_nulls: bool = False) -> pa.Array:
     """Struct column with per-FIELD _py_array children (kind mixes
-    become union children instead of coerced doubles)."""
+    become union children instead of coerced doubles). With
+    ``real_nulls`` (top-level call, Nones are REAL null rows, not
+    union padding), a struct whose union children reject the
+    validity bitmap gets its null rows via a dense-union null lane —
+    a struct validity bitmap over union children CHECK-aborts Arrow
+    (see vectorize._null_rows)."""
     names: list = []
     for v in vals:
         if v is not None:
@@ -260,15 +281,77 @@ def _struct_fields(vals: list) -> pa.Array:
             struct = _pc.if_else(_pc.invert(null_mask), struct,
                                  pa.scalar(None, struct.type))
         except _PA_ERRS:
-            pass    # union-bearing struct: unowned rows are
-            # masked by the parent's tag anyway
+            if real_nulls:
+                import numpy as np
+                from .vectorize import _dense_union
+                tags = np.array([1 if v is None else 0 for v in vals],
+                                np.int8)
+                return _dense_union(
+                    tags, [struct, pa.nulls(len(vals))], len(vals))
+            # union padding rows: masked by the parent's tag anyway
     return struct
 
 
-def _py_lane(vals: list) -> pa.Array:
+def _has_struct_type(t) -> bool:
+    if pa.types.is_struct(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _has_struct_type(t.value_type)
+    return False
+
+
+def _shape_mixed(vals: list) -> bool:
+    """True when sibling objects anywhere in the tree carry DIFFERING
+    key sets (pa.array would unify them with null siblings)."""
+    dsets = set()
+    for v in vals:
+        if isinstance(v, dict):
+            dsets.add(frozenset(v))
+    if len(dsets) > 1:
+        return True
+    if dsets:
+        dicts = [v for v in vals if isinstance(v, dict)]
+        for k in next(iter(dsets)):
+            if _shape_mixed([v.get(k) for v in dicts]):
+                return True
+    flat = [e for v in vals if isinstance(v, list) for e in v]
+    if flat and _shape_mixed(flat):
+        return True
+    return False
+
+
+def _shape_lanes(vals: list):
+    """Per-KEY-SET dense union lanes for top-level shape mixes (the
+    vector lane's per-SHAPE representation). None when there is only
+    one shape (caller rebuilds with per-field recursion instead)."""
+    shape_of: dict = {}
+    order: list = []
+    for v in vals:
+        if isinstance(v, dict):
+            k = frozenset(v)
+            if k not in shape_of:
+                shape_of[k] = len(order)
+                order.append(k)
+    if len(order) <= 1:
+        return None
+    import numpy as np
+    from .vectorize import _dense_union
+    tags = np.zeros(len(vals), np.int8)
+    lanes: list[list] = [[None] * len(vals) for _ in order]
+    for i, v in enumerate(vals):
+        if v is None:
+            continue            # null rows stay in lane 0
+        code = shape_of[frozenset(v)]
+        lanes[code][i] = v
+        tags[i] = code
+    return _dense_union(tags, [_py_lane(l) for l in lanes], len(vals))
+
+
+def _py_lane(vals: list, real_nulls: bool = False) -> pa.Array:
     """Arrow array for values that share one Python type but may be
     heterogeneous INSIDE (mixed-element lists, field-type-conflicting
-    dicts)."""
+    dicts). ``real_nulls``: Nones are real null rows, not
+    union-padding (see _struct_fields)."""
     try:
         out = pa.array(vals)
     except _PA_ERRS:
@@ -278,13 +361,13 @@ def _py_lane(vals: list) -> pa.Array:
         if coerced == "list":
             return _list_flat(vals)
         if coerced == "struct":
-            return _struct_fields(vals)
+            return _struct_fields(vals, real_nulls=real_nulls)
         return out
     sample = next(v for v in vals if v is not None)
     if isinstance(sample, list):
         return _list_flat(vals)
     if isinstance(sample, dict):
-        return _struct_fields(vals)
+        return _struct_fields(vals, real_nulls=real_nulls)
     # same python type yet unconvertible (exotic): last resort —
     # stringified repr keeps the stage alive (invariant over fidelity)
     return pa.array([None if v is None else str(v) for v in vals])
