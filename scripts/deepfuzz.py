@@ -330,6 +330,13 @@ def anyexpr(d=0):
                   '{"k": [1, "x"], "n": null}', '[.a, .s]',
                   strx(dd), num(dd)]),
              lambda dd: kvenc(),
+             lambda dd: "encode_csv(%s%s)" % (
+                 # strings-only elements (try_bytes — ints error),
+                 # single-byte delimiter, r5 signature fix
+                 R.choice(['.arr', '["a", "b,c"]', '[.s, "x"]',
+                           '[]', 'split(.s, " ")']),
+                 R.choice(['', ', delimiter: ";"',
+                           ', delimiter: "--"'])),
              lambda dd: "%s(%s)" % (
                  # BTreeMap iteration order: keys/values observe
                  # sorted keys, never insertion order (r5 fix)

@@ -17,7 +17,7 @@ import zlib as _zlib
 from typing import Any, Optional
 from urllib.parse import quote, unquote
 
-from ..value import VrlError, encode_json as _encode_json_sorted
+from ..value import VrlError, encode_json as _encode_json_sorted, vrl_type
 
 __all__ = [
     "decode_base16", "encode_base16", "decode_base64", "encode_base64",
@@ -415,18 +415,27 @@ def encode_json(value: Any, pretty: bool = False) -> str:
     return _encode_json_sorted(value)
 
 
-def encode_csv(value: list, delimiter: str = ",",
-               fields: Optional[list] = None) -> str:
-    """encode_csv.rs: one CSV record from an array; fields containing
-    the delimiter, quotes or newlines are double-quoted."""
-    if isinstance(value, dict):
-        if not fields:
-            raise VrlError("fields required to encode an object")
-        items = [_plain(value.get(f, "")) for f in fields]
-    elif isinstance(value, list):
-        items = [_plain(v) for v in value]
-    else:
-        raise VrlError("expected array or object")
+def encode_csv(value: list, delimiter: str = ",") -> str:
+    """encode_csv.rs: one CSV record from an array of STRINGS
+    (elements go through try_bytes — non-strings error, no coercion);
+    the delimiter must be a single byte (csv_utils.rs:3-11); an empty
+    array returns "" (encode_csv.rs:24-28); fields containing the
+    delimiter, quotes or CR/LF are double-quoted (csv crate
+    QuoteStyle::Necessary)."""
+    if not isinstance(value, list):
+        raise VrlError(f"expected array, got {vrl_type(value)}")
+    items = []
+    for v in value:
+        if isinstance(v, bytes):
+            v = v.decode("utf-8", "replace")
+        if not isinstance(v, str):
+            raise VrlError(f"expected string, got {vrl_type(v)}")
+        items.append(v)
+    if not items:
+        return ""
+    d = delimiter.encode("utf-8")
+    if len(d) != 1:
+        raise VrlError("delimiter must be a single character")
 
     def q(s: str) -> str:
         if any(ch in s for ch in (delimiter, '"', "\n", "\r")):
@@ -442,6 +451,16 @@ def _plain(v) -> str:
         return ""
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
+    try:
+        # regex leaves serialize as their pattern text (Value
+        # Serialize, value/value/serde.rs:67)
+        import re as _stdre
+
+        import regex as _rx
+        if isinstance(v, (_stdre.Pattern, _rx.Pattern)):
+            return v.pattern
+    except ImportError:
+        pass
     return to_string(v)
 
 
