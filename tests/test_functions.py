@@ -469,3 +469,32 @@ class TestParseJsonMaxDepth:
         with pytest.raises(VrlError, match=r"unable to parse json: EOF "
                            r"while parsing a string at line 1 column 16"):
             R["parse_json"]('{"field": "value')
+
+
+class TestChronoFormatSpecifiers:
+    """chrono strftime dialect (format_timestamp.rs; chrono
+    format/strftime docs — example timestamp 2001-07-08T00:34:59.026490
+    UTC): %f is 9-digit NANOSECONDS, the %.f family prints SI-group
+    fractions, %:z offset variants, %s epoch, %%f stays literal."""
+
+    def test_fraction_families(self):
+        from datetime import datetime, timezone
+        dt = datetime(2001, 7, 8, 0, 34, 59, 26490, tzinfo=timezone.utc)
+        ft = R["format_timestamp"]
+        assert ft(dt, "%f") == "026490000"
+        assert ft(dt, "%.f") == ".026490"
+        assert ft(dt, "%.3f") == ".026"
+        assert ft(dt, "%.9f") == ".026490000"
+        assert ft(dt, "%3f") == "026"
+        assert ft(dt, "%9f") == "026490000"
+
+    def test_offsets_epoch_literal(self):
+        from datetime import datetime, timezone
+        dt = datetime(2001, 7, 8, 0, 34, 59, 26490, tzinfo=timezone.utc)
+        ft = R["format_timestamp"]
+        assert ft(dt, "%:z") == "+00:00"
+        assert ft(dt, "%::z") == "+00:00:00"
+        assert ft(dt, "%:::z") == "+00"
+        assert ft(dt, "%s") == "994552499"
+        assert ft(dt, "%%f") == "%f"
+        assert ft(dt, "%v") == " 8-Jul-2001"

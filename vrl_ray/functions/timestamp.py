@@ -58,24 +58,106 @@ def format_timestamp(value: datetime, format: str, timezone_name: str = "UTC") -
 
 
 def _translate_chrono(fmt: str, dt: datetime) -> str:
-    """chrono strftime specifiers Python lacks -> expansions."""
-    out = fmt.replace("%T", "%H:%M:%S").replace("%F", "%Y-%m-%d")
-    out = out.replace("%R", "%H:%M")
-    out = out.replace("%v", "%e-%b-%Y")
-    if "%e" in out:
-        out = out.replace("%e", str(dt.day).rjust(2))
-    if "%+" in out:
-        # chrono %+ = RFC3339 with %.f — fractional digits in SI
-        # GROUPS (3/6/9), same as to_rfc3339_opts AutoSi
-        iso = dt.strftime("%Y-%m-%dT%H:%M:%S")
-        us = dt.microsecond
-        if us:
-            iso += (f".{us // 1000:03d}" if us % 1000 == 0
-                    else f".{us:06d}")
-        off = dt.strftime("%z") or "+0000"
-        iso += off[:3] + ":" + off[3:]
-        out = out.replace("%+", iso)
-    return out
+    """chrono strftime dialect -> Python strftime (chrono
+    format/strftime docs): a char scan, NOT str.replace, so %%f stays
+    a literal. chrono-only specifiers expand to concrete values:
+    %f = 9-digit NANOSECONDS (Python's %f is 6-digit micro), the
+    %3f/%6f/%9f and %.f/%.3f/%.6f/%.9f fraction families, %:z/%::z/
+    %:::z offset forms, %s epoch seconds (portably), %e/%v/%T/%F/%R,
+    and %+ (RFC3339 AutoSi)."""
+    us = dt.microsecond
+
+    def off_str() -> str:
+        return dt.strftime("%z") or "+0000"
+
+    def autosi() -> str:
+        if us == 0:
+            return ""
+        if us % 1000 == 0:
+            return f".{us // 1000:03d}"
+        return f".{us:06d}"
+
+    out = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        rest = fmt[i + 1:i + 5]
+        if rest.startswith("%"):
+            out.append("%%")
+            i += 2
+        elif rest.startswith(".3f"):
+            out.append(f".{us // 1000:03d}")
+            i += 4
+        elif rest.startswith(".6f"):
+            out.append(f".{us:06d}")
+            i += 4
+        elif rest.startswith(".9f"):
+            out.append(f".{us:06d}000")
+            i += 4
+        elif rest.startswith(".f"):
+            out.append(autosi())
+            i += 3
+        elif rest.startswith("3f"):
+            out.append(f"{us // 1000:03d}")
+            i += 3
+        elif rest.startswith("6f"):
+            out.append(f"{us:06d}")
+            i += 3
+        elif rest.startswith("9f"):
+            out.append(f"{us:06d}000")
+            i += 3
+        elif rest.startswith("f"):
+            # chrono %f: nanoseconds since last whole second, nine
+            # zero-padded digits (NOT Python's six-digit micro)
+            out.append(f"{us:06d}000")
+            i += 2
+        elif rest.startswith(":::z"):
+            out.append(off_str()[:3])
+            i += 5
+        elif rest.startswith("::z"):
+            o = off_str()
+            out.append(o[:3] + ":" + o[3:5] + ":00")
+            i += 4
+        elif rest.startswith(":z"):
+            o = off_str()
+            out.append(o[:3] + ":" + o[3:5])
+            i += 3
+        elif rest.startswith("s"):
+            # chrono %s = UTC epoch seconds; CPython delegates %s to
+            # libc mktime (localtime-dependent) — expand directly
+            out.append(str(int(dt.timestamp())))
+            i += 2
+        elif rest.startswith("T"):
+            out.append("%H:%M:%S")
+            i += 2
+        elif rest.startswith("F"):
+            out.append("%Y-%m-%d")
+            i += 2
+        elif rest.startswith("R"):
+            out.append("%H:%M")
+            i += 2
+        elif rest.startswith("v"):
+            out.append(str(dt.day).rjust(2) + "-%b-%Y")
+            i += 2
+        elif rest.startswith("e"):
+            out.append(str(dt.day).rjust(2))
+            i += 2
+        elif rest.startswith("+"):
+            # chrono %+ = RFC3339 with %.f — fractional digits in SI
+            # GROUPS (3/6/9), same as to_rfc3339_opts AutoSi
+            iso = dt.strftime("%Y-%m-%dT%H:%M:%S") + autosi()
+            o = off_str()
+            iso += o[:3] + ":" + o[3:]
+            out.append(iso)
+            i += 2
+        else:
+            out.append("%")
+            i += 1
+    return "".join(out)
 
 
 _UNITS = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6, "nanoseconds": 10**9}
