@@ -287,6 +287,21 @@ def anyexpr(d=0):
                            'to_syslog_level', 'parse_int',
                            'squeeze_whitespace']),
                  R.choice(['.s', '.t', '.jsons', '.a', '.missing'])),
+             # convert_case parity: boundary splitting with the
+             # original_case hint and snakecase excluded_boundaries
+             lambda dd: "%s(%s%s)" % (
+                 R.choice(['camelcase', 'snakecase', 'pascalcase',
+                           'kebabcase', 'screamingsnakecase']),
+                 R.choice(['.s', '.t', '"s3BucketDetails"',
+                           '"XMLHttpRequest"', '"mixed_Case-str Ing"']),
+                 R.choice(['', '', ', original_case: "camelCase"',
+                           ', original_case: "snake_case"',
+                           ', original_case: "kebab-case"'])),
+             lambda dd: "snakecase(%s, excluded_boundaries: [%s])" % (
+                 R.choice(['.s', '.t', '"s3BucketDetails"']),
+                 R.choice(['"lower_upper"', '"acronym"',
+                           '"digit_lower", "lower_digit", "upper_digit"',
+                           '"digit_upper"', ''])),
              lambda dd: "%s[%d]" % (
                  R.choice(['split(.s, ",")', '[1, 2, 3]', '.arr',
                            'split(.t, ",")']),

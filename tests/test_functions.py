@@ -137,6 +137,40 @@ class TestString:
         assert R["kebabcase"]("inputString") == "input-string"
         assert R["screamingsnakecase"]("input_string") == "INPUT_STRING"
 
+    def test_convert_case_boundaries(self):
+        """convert_case 0.7.1 parity, pinned to the reference's own
+        test vectors (src/stdlib/casing/snakecase.rs tests) plus the
+        crate's documented boundary semantics."""
+        # digit boundaries are ON by default (snakecase.rs
+        # with_s3_bucket_details)
+        assert R["snakecase"]("s3BucketDetails") == "s_3_bucket_details"
+        # excluded_boundaries removes specific boundaries
+        assert R["snakecase"]("s3BucketDetails", excluded_boundaries=[
+            "digit_lower", "lower_digit", "upper_digit"]) == \
+            "s3_bucket_details"
+        assert R["snakecase"]("camelCase",
+                              excluded_boundaries=["lower_upper"]) == \
+            "camelcase"
+        assert R["snakecase"]("camelCase", excluded_boundaries=[]) == \
+            "camel_case"
+        # ACRONYM boundary: XML|Http, not X|M|L
+        assert R["snakecase"]("XMLHttpRequest") == "xml_http_request"
+        # original_case hint narrows to Case::boundaries() — camel's
+        # set includes acronym + digit boundaries, NOT underscore
+        assert R["snakecase"]("XMLHttpRequest", "camelCase") == \
+            "xml_http_request"
+        assert R["camelcase"]("foo_bar-baz qux", "snake_case") == \
+            "fooBar-baz qux"
+        # non-boundary punctuation stays inside the word
+        assert R["pascalcase"]("foo.bar") == "Foo.bar"
+        assert R["snakecase"]("version2Release") == "version_2_release"
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        with _pt.raises(_VE):
+            R["snakecase"]("x", "bogusCase")
+        with _pt.raises(_VE):
+            R["snakecase"]("x", excluded_boundaries=["bogus"])
+
     def test_contains(self):
         assert R["contains"]("The Needle In The Haystack", "Needle")
         assert not R["contains"]("the NEEDLE in the haystack", "needle")

@@ -42,49 +42,112 @@ def upcase(value: str) -> str:
     return _s(value).upper()
 
 
-# casing/ (src/stdlib/casing/*.rs) — word-splitting on non-alnum + case
-# boundaries, as the `convert_case` crate does.
-_WORD_SPLIT = _re.compile(
-    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+|\d+"
+# casing/ (src/stdlib/casing/*.rs) — a faithful port of the
+# `convert_case` 0.7.1 crate's Boundary model: the string is scanned
+# char-by-char, each position tested against the active boundary set
+# (first match wins), a match ends the current word `split_at` chars
+# in and strips `strip` delimiter chars. Defaults exclude UPPER_LOWER
+# (the crate's Boundary::defaults()); `original_case` narrows the set
+# to that case's own boundaries (Case::boundaries()); snakecase's
+# `excluded_boundaries` removes entries (snakecase.rs:143-162).
+# Conditions use Unicode upper/lower (Rust char::is_uppercase) but
+# ASCII-only digits (is_ascii_digit), exactly like the crate.
+def _asc_digit(c: str) -> bool:
+    return "0" <= c <= "9"
+
+
+# name -> (window_width, condition, split_at, strip)
+_BOUNDARIES = {
+    "underscore": (1, lambda w: w == "_", 0, 1),
+    "hyphen": (1, lambda w: w == "-", 0, 1),
+    "space": (1, lambda w: w == " ", 0, 1),
+    "lower_upper": (2, lambda w: w[0].islower() and w[1].isupper(), 1, 0),
+    "upper_lower": (2, lambda w: w[0].isupper() and w[1].islower(), 1, 0),
+    "acronym": (3, lambda w: w[0].isupper() and w[1].isupper()
+                and w[2].islower(), 1, 0),
+    "lower_digit": (2, lambda w: w[0].islower() and _asc_digit(w[1]), 1, 0),
+    "upper_digit": (2, lambda w: w[0].isupper() and _asc_digit(w[1]), 1, 0),
+    "digit_lower": (2, lambda w: _asc_digit(w[0]) and w[1].islower(), 1, 0),
+    "digit_upper": (2, lambda w: _asc_digit(w[0]) and w[1].isupper(), 1, 0),
+}
+_DEFAULT_BOUNDARIES = (
+    "underscore", "hyphen", "space", "lower_upper", "acronym",
+    "lower_digit", "upper_digit", "digit_lower", "digit_upper",
 )
+# Case::boundaries() for the five original_case hints
+_CASE_BOUNDARIES = {
+    "snake_case": ("underscore",),
+    "SCREAMING_SNAKE": ("underscore",),
+    "kebab-case": ("hyphen",),
+    "camelCase": ("lower_upper", "acronym", "lower_digit",
+                  "upper_digit", "digit_lower", "digit_upper"),
+    "PascalCase": ("lower_upper", "acronym", "lower_digit",
+                   "upper_digit", "digit_lower", "digit_upper"),
+}
 
 
-def _words(value: str, original_case=None) -> list[str]:
-    """Split into words; with an `original_case` hint only that
-    case's boundaries split (casing/mod.rs original_case param)."""
+def _words(value: str, original_case=None, excluded=None) -> list[str]:
     v = _s(value)
-    if original_case in ("snake_case", "SCREAMING_SNAKE"):
-        return [w for w in v.split("_") if w]
-    if original_case == "kebab-case":
-        return [w for w in v.split("-") if w]
-    if original_case in ("camelCase", "PascalCase"):
-        return [w for w in _re.split(r"(?=[A-Z])", v) if w]
-    return _WORD_SPLIT.findall(v)
+    if original_case is None:
+        names = _DEFAULT_BOUNDARIES
+    else:
+        names = _CASE_BOUNDARIES.get(_s(original_case))
+        if names is None:
+            raise VrlError(
+                "case must match one of: camelCase, PascalCase, "
+                "SCREAMING_SNAKE, snake_case, kebab-case")
+    if excluded is not None:
+        drop = set()
+        for b in excluded:
+            if not isinstance(b, str) or b not in _BOUNDARIES:
+                raise VrlError(
+                    "boundary must match one of: lower_upper, "
+                    "upper_lower, acronym, lower_digit, upper_digit, "
+                    "digit_lower, digit_upper")
+            drop.add(b)
+        names = tuple(n for n in names if n not in drop)
+    bs = [_BOUNDARIES[n] for n in names]
+    words, start, n = [], 0, len(v)
+    # crate segmentation::split: scan every char position; first
+    # matching boundary cuts the word — no skip-ahead after a match.
+    for i in range(n):
+        for width, cond, split_at, strip in bs:
+            w = v[i:i + width]
+            if len(w) == width and cond(w):
+                words.append(v[start:i + split_at])
+                start = i + split_at + strip
+                break
+    words.append(v[start:])
+    return [w for w in words if w]
 
 
-def camelcase(value: str, original_case: Optional[str] = None,
-        excluded_boundaries: Optional[list] = None) -> str:
+def _capital(w: str) -> str:
+    # Pattern::Capital — char::to_uppercase on the first char (full
+    # uppercase, NOT Python titlecase), lowercase on the rest.
+    return w[0].upper() + w[1:].lower()
+
+
+def camelcase(value: str, original_case: Optional[str] = None) -> str:
     ws = _words(value, original_case)
-    return "".join([ws[0].lower()] + [w.capitalize() for w in ws[1:]]) if ws else ""
+    return "".join([ws[0].lower()] + [_capital(w) for w in ws[1:]]) \
+        if ws else ""
 
 
-def pascalcase(value: str, original_case: Optional[str] = None,
-        excluded_boundaries: Optional[list] = None) -> str:
-    return "".join(w.capitalize() for w in _words(value, original_case))
+def pascalcase(value: str, original_case: Optional[str] = None) -> str:
+    return "".join(_capital(w) for w in _words(value, original_case))
 
 
 def snakecase(value: str, original_case: Optional[str] = None,
         excluded_boundaries: Optional[list] = None) -> str:
-    return "_".join(w.lower() for w in _words(value, original_case))
+    return "_".join(w.lower() for w in
+                    _words(value, original_case, excluded_boundaries))
 
 
-def screamingsnakecase(value: str, original_case: Optional[str] = None,
-        excluded_boundaries: Optional[list] = None) -> str:
+def screamingsnakecase(value: str, original_case: Optional[str] = None) -> str:
     return "_".join(w.upper() for w in _words(value, original_case))
 
 
-def kebabcase(value: str, original_case: Optional[str] = None,
-        excluded_boundaries: Optional[list] = None) -> str:
+def kebabcase(value: str, original_case: Optional[str] = None) -> str:
     return "-".join(w.lower() for w in _words(value, original_case))
 
 
