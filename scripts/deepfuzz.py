@@ -302,6 +302,16 @@ def anyexpr(d=0):
                  R.choice(['"lower_upper"', '"acronym"',
                            '"digit_lower", "lower_digit", "upper_digit"',
                            '"digit_upper"', ''])),
+             # parse_duration / parse_bytes with every unit form
+             lambda dd: "parse_duration(%s, %s)" % (
+                 R.choice(['.s', '.t', '"1d1s"', '"1ms1 µs"', '".5s 2m"',
+                           '"abc 3h"', '"1y"', '"5S"']),
+                 R.choice(['"s"', '"ms"', '"ns"', '"w"', '"d"', '.s'])),
+             lambda dd: "parse_bytes(%s, %s%s)" % (
+                 R.choice(['.s', '.t', '"1.2KiB"', '"12 TB"', '"1e3 k"',
+                           '"0.2 MiB"', '"1YiB"']),
+                 R.choice(['"B"', '"KiB"', '"kB"', '"MB"', '"EiB"', '.s']),
+                 R.choice(['', ', base: "10"', ', base: "2"'])),
              lambda dd: "%s[%d]" % (
                  R.choice(['split(.s, ",")', '[1, 2, 3]', '.arr',
                            'split(.t, ",")']),

@@ -98,10 +98,45 @@ class TestParse:
     def test_parse_duration(self):
         assert R["parse_duration"]("1005ms", "s") == 1.005
         assert R["parse_duration"]("5m30s", "s") == 330.0
+        # reference test vectors (parse_duration.rs mod tests)
+        assert R["parse_duration"]("30s", "m") == 0.5
+        assert R["parse_duration"]("1ms1 µs", "ms") == 1.001
+        assert R["parse_duration"]("1s", "w") == 0.0000016534391534391535
+        assert R["parse_duration"](".5s", "s") == 0.5
+        # captures() searches: leading garbage before a match is skipped
+        assert R["parse_duration"]("abc 1s", "s") == 1.0
+        # f64 accumulation happens per component (parse_duration.rs:86)
+        assert R["parse_duration"]("0.1s0.2s", "s") == 0.30000000000000004
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        with _pt.raises(_VE, match="unable to parse duration: ' foo'"):
+            R["parse_duration"]("1d foo", "s")
+        with _pt.raises(_VE, match="unknown duration unit: 'y'"):
+            R["parse_duration"]("1y", "s")  # no year unit in UNITS
+        with _pt.raises(_VE, match="unable to convert duration"):
+            R["parse_duration"]("1234567890123456789012345d", "s")
 
     def test_parse_bytes(self):
-        assert R["parse_bytes"]("1.2KiB", "B") == 1228.8
+        # parse-size returns a ROUNDED u64 byte count (1.2*1024 =
+        # 1228.8 → 1229), then divides by the output-unit factor
+        assert R["parse_bytes"]("1.2KiB", "B") == 1229.0
         assert R["parse_bytes"]("4MiB", "KiB") == 4096.0
+        # reference test vectors (parse_bytes.rs mod tests)
+        assert R["parse_bytes"]("3.5GiB", "KiB") == 3670016.0
+        assert R["parse_bytes"]("1MB", "B") == 1048576.0  # ambiguous=2
+        assert R["parse_bytes"]("3B", "kB", "10") == 0.003
+        assert R["parse_bytes"]("3.007GB", "kB", "10") == 3007000.0
+        assert R["parse_bytes"]("768MB", "PB", "10") == 0.000000768
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        # output-unit maps are case-sensitive per base: base 10 has
+        # kB (not KB/KiB), base 2 has KiB/KB (not kB)
+        with _pt.raises(_VE, match="unknown unit format: 'KiB'"):
+            R["parse_bytes"]("1KB", "KiB", "10")
+        with _pt.raises(_VE, match="unknown unit format: 'kB'"):
+            R["parse_bytes"]("1KB", "kB", "2")
+        with _pt.raises(_VE, match="invalid digit found in string"):
+            R["parse_bytes"]("1YiB", "MiB")
 
     def test_parse_int(self):
         assert R["parse_int"]("-42") == -42

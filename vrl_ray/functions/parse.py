@@ -512,64 +512,121 @@ def parse_query_string(value: str) -> dict:
 
 from fractions import Fraction as _Fr
 
+# UNITS map (parse_duration.rs:102-119) — note "w" is accepted at
+# runtime (both as a component and as the output unit) even though
+# the docs enum omits it; there is NO "y".
 _DUR_UNITS = {
     "ns": _Fr(1, 10**9), "us": _Fr(1, 10**6), "µs": _Fr(1, 10**6),
     "ms": _Fr(1, 10**3), "cs": _Fr(1, 100), "ds": _Fr(1, 10),
     "s": _Fr(1), "m": _Fr(60), "h": _Fr(3600), "d": _Fr(86400),
-    "w": _Fr(604800), "y": _Fr(31557600),
+    "w": _Fr(604800),
 }
-_DUR_RE = _re.compile(r"\s*(\d+(?:\.\d+)?)\s*(ns|us|µs|ms|cs|ds|s|m|h|d|w|y)")
+# parse_duration.rs:91-99 — value is [0-9]*\.?[0-9]+ (leading-dot
+# floats OK), at most ONE space, unit is ANY 1-2 letters (validated
+# against UNITS afterwards), case-insensitive, searched (not
+# anchored) so leading garbage before a match is skipped.
+_DUR_RE = _regex.compile(r"(?i)([0-9]*\.?[0-9]+)\s?([µa-z]{1,2})")
+# rust_decimal's 96-bit mantissa bound: checked_mul overflow above it
+_DEC_MAX = _Fr(2**96 - 1)
 
 
 def parse_duration(value: str, unit: str) -> float:
-    """Exact rational accumulation (the reference sums in a rational
-    base before converting, so "1005ms" -> 1.005 exactly)."""
-    if unit not in _DUR_UNITS:
-        raise VrlError(f"unknown duration unit: {unit}")
-    pos, n = 0, len(value)
-    total = _Fr(0)
-    found = False
-    while pos < n:
-        m = _DUR_RE.match(value, pos)
+    """Loop of regex captures over the remaining slice, each component
+    converted exactly (rust_decimal) then accumulated in f64 —
+    parse_duration.rs:56-89. Error strings quote the REMAINING slice."""
+    conv = _DUR_UNITS.get(unit)
+    if conv is None:
+        raise VrlError(f"unknown unit format: '{unit}'")
+    rest = value
+    num = 0.0
+    while rest:
+        m = _DUR_RE.search(rest)
         if not m:
-            break
-        qty = _Fr(m.group(1))
-        total += qty * _DUR_UNITS[m.group(2)]
-        pos = m.end(); found = True
-    if not found or value[pos:].strip():
-        raise VrlError(f"unable to parse duration: {value!r}")
-    return float(total / _DUR_UNITS[unit])
+            raise VrlError(f"unable to parse duration: '{rest}'")
+        digits = m.group(1)
+        if int(digits.replace(".", "") or "0") > 2**96 - 1:
+            raise VrlError("unable to parse number: Invalid decimal: "
+                           "overflow from too many digits")
+        unit_s = m.group(2)
+        unitf = _DUR_UNITS.get(unit_s)
+        if unitf is None:
+            raise VrlError(f"unknown duration unit: '{unit_s}'")
+        qty = _Fr(digits) * unitf
+        if abs(qty) > _DEC_MAX:
+            raise VrlError(f"unable to convert duration: '{rest}'")
+        num += float(qty / conv)
+        rest = rest[m.end():]
+    return num
 
 
 # ---------------------------------------------------------------------------
 # parse_bytes (parse_bytes.rs): "1.2KiB" -> int bytes ("binary"/"decimal"/both)
 
-_BYTES_RE = _re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([A-Za-z]+)?\s*$")
-_BYTES_POW = {"B": 0, "KB": 1, "MB": 2, "GB": 3, "TB": 4, "PB": 5, "EB": 6}
+# Input grammar = the `parse-size` 1.1.0 crate (parse_bytes.rs:84-110):
+# [+] digits[.digits] [e±digits] [ws] [suffix], case-insensitive
+# suffixes K/M/G/T/P/E with optional 'i' (forces binary) and optional
+# 'b'; the config (base "2"/"10") decides ambiguous K/KB-style units.
+# Result is a ROUNDED u64 byte count (half away from zero), then
+# divided by the OUTPUT unit factor. Output unit maps are
+# case-sensitive and base-dependent (BIN_UNITS/DEC_UNITS,
+# parse_bytes.rs:114-149): base 2 accepts B/KiB../EiB plus ambiguous
+# KB../EB (=1024^k); base 10 accepts ONLY B/kB/MB../EB (=1000^k).
+_PS_RE = _re.compile(
+    r"^\+?(\d+(?:\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*([A-Za-z]*)$")
+_PS_POW = {"k": 1, "m": 2, "g": 3, "t": 4, "p": 5, "e": 6}
+_BIN_UNITS = {"B": 1}
+_DEC_UNITS = {"B": 1}
+for _i, (_bu, _du) in enumerate(
+        [("KiB", "kB"), ("MiB", "MB"), ("GiB", "GB"), ("TiB", "TB"),
+         ("PiB", "PB"), ("EiB", "EB")], start=1):
+    _BIN_UNITS[_bu] = 1024 ** _i
+    _BIN_UNITS[_bu.replace("i", "")] = 1024 ** _i
+    _DEC_UNITS[_du] = 1000 ** _i
 
 
-def _bytes_factor(u: str, base: str) -> float:
-    """Unit → bytes. Default base is "2" (parse_bytes.rs:19-39,80 —
-    KB means 1024 unless base "10"); `KiB`-style units are always
-    binary."""
-    U = u.upper()
-    if U.endswith("IB") and U[:-2] + "B" in _BYTES_POW:
-        return float(2 ** (10 * _BYTES_POW[U[:-2] + "B"]))
-    if U in _BYTES_POW:
-        mult = 2 ** 10 if base != "10" else 10 ** 3
-        return float(mult ** _BYTES_POW[U])
-    raise VrlError(f"unknown bytes unit: {u}")
-
-
-def parse_bytes(value: str, unit: str = "B", base: Optional[str] = None) -> float:
-    m = _BYTES_RE.match(value)
+def _parse_size(src: str, binary: bool) -> int:
+    """parse-size crate: trimmed input → rounded u64 byte count.
+    Errors use ParseIntError's Display texts (the crate reuses them)."""
+    s = src.strip()
+    if not s:
+        raise VrlError("unable to parse bytes: 'cannot parse integer "
+                       "from empty string'")
+    m = _PS_RE.match(s)
     if not m:
-        raise VrlError(f"unable to parse bytes: {value!r}")
-    qty = float(m.group(1))
+        raise VrlError("unable to parse bytes: 'invalid digit found "
+                       "in string'")
+    num, exp, suffix = m.groups()
+    qty = _Fr(num if num not in (".",) else "0")
+    if exp:
+        qty *= _Fr(10) ** int(exp[1:])
+    sl = suffix.lower()
+    if sl in ("", "b"):
+        mult = 1
+    else:
+        head, rest = sl[0], sl[1:]
+        if head not in _PS_POW or rest not in ("", "i", "b", "ib"):
+            raise VrlError("unable to parse bytes: 'invalid digit "
+                           "found in string'")
+        k = _PS_POW[head]
+        mult = 1024 ** k if ("i" in rest or binary) else 1000 ** k
+    qty *= mult
+    n = (2 * qty.numerator + qty.denominator) // (2 * qty.denominator)
+    if n > 2**64 - 1:
+        raise VrlError("unable to parse bytes: 'number too large to "
+                       "fit in target type'")
+    return int(n)
+
+
+def parse_bytes(value: str, unit: str, base: Optional[str] = None) -> float:
     b = base or "2"
     if b not in ("2", "10"):
         raise VrlError(f"invalid base: {b}")
-    return qty * _bytes_factor(m.group(2) or "B", b) / _bytes_factor(unit, b)
+    units = _BIN_UNITS if b == "2" else _DEC_UNITS
+    factor = units.get(unit)
+    if factor is None:
+        raise VrlError(f"unknown unit format: '{unit}'")
+    n = _parse_size(value, binary=(b == "2"))
+    return float(_Fr(n, factor))
 
 
 # ---------------------------------------------------------------------------
