@@ -307,6 +307,13 @@ def anyexpr(d=0):
                  R.choice(['.s', '.t', '"1d1s"', '"1ms1 µs"', '".5s 2m"',
                            '"abc 3h"', '"1y"', '"5S"']),
                  R.choice(['"s"', '"ms"', '"ns"', '"w"', '"d"', '.s'])),
+             lambda dd: "format_number(%s%s)" % (
+                 R.choice(['.a', '.b', '1234.567', '123456',
+                           '11222333444.56789', '.s']),
+                 R.choice(['', ', scale: 2', ', scale: 0',
+                           ', scale: 3, decimal_separator: ",", '
+                           'grouping_separator: "."',
+                           ', grouping_separator: ","'])),
              lambda dd: "parse_bytes(%s, %s%s)" % (
                  R.choice(['.s', '.t', '"1.2KiB"', '"12 TB"', '"1e3 k"',
                            '"0.2 MiB"', '"1YiB"']),

@@ -317,6 +317,18 @@ class TestNumberTimestamp:
     def test_format_number(self):
         assert R["format_number"](1234567.89, 3, grouping_separator=",") == "1,234,567.890"
         assert R["format_number"](1234567, grouping_separator="_") == "1_234_567"
+        # reference vectors (format_number.rs tests): scale TRUNCATES
+        assert R["format_number"](1234.567, 2) == "1234.56"
+        assert R["format_number"](1234.567, 2, ",", " ") == "1 234,56"
+        assert R["format_number"](11222333444.56789, 3, ",", ".") == \
+            "11.222.333.444,567"
+        assert R["format_number"](100.0) == "100"
+        assert R["format_number"](100.0, 2) == "100.00"
+        assert R["format_number"](123.45, 0) == "123"
+        # format_number.rs:90-103 quirk: integral length % 3 == 0
+        # puts a separator at position 0 — reproduced bug-for-bug
+        assert R["format_number"](123456, None, ".", ",") == ",123,456"
+        assert R["format_number"](1e20) == "100000000000000000000"
 
     def test_timestamps(self):
         ts = datetime(2021, 2, 10, 23, 32, 0, tzinfo=timezone.utc)

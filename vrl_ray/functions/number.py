@@ -107,36 +107,49 @@ def format_number(
     value: Num,
     scale: Optional[int] = None,
     decimal_separator: str = ".",
-    grouping_separator: str = "",
+    grouping_separator: Optional[str] = None,
 ) -> str:
-    """format_number.rs: fixed scale + custom separators (grouping
-    only when a grouping_separator is given)."""
+    """format_number.rs:31-106, reproduced operation-for-operation:
+    the value renders via rust_decimal Display (shortest digits, no
+    exponent, no trailing .0 — _fmt_float), `scale` TRUNCATES or
+    zero-pads the fractional TEXT (never rounds: 1234.567 @2 →
+    "1234.56"), and grouping inserts the separator at the reference's
+    exact computed positions — including its quirk of a LEADING
+    separator when the integral text length is a multiple of 3
+    (",123,456"), which we reproduce bug-for-bug."""
     v = _num(value)
-    if scale is not None:
-        s = f"{float(v):.{scale}f}"
-    elif isinstance(v, int):
-        s = str(v)
-    else:
-        # format_number.rs:38,58 renders via rust_decimal::Decimal —
-        # always positional, no trailing ".0" (Display semantics)
+    if isinstance(v, float):
+        # Decimal::from_f64(..).expect("not NaN") — NaN/inf/|x| above
+        # Decimal's 2^96 max PANIC in the reference; we error per row.
+        if not math.isfinite(v) or abs(v) > 7.922816251426434e28:
+            raise VrlError("value not representable as a decimal")
         from .coerce import _fmt_float
 
-        s = _fmt_float(float(v))
-    if "." in s:
-        int_part, frac = s.split(".", 1)
+        s = _fmt_float(v)
     else:
-        int_part, frac = s, None
-    neg = int_part.startswith("-")
-    if neg:
-        int_part = int_part[1:]
-    groups = []
-    while len(int_part) > 3:
-        groups.append(int_part[-3:])
-        int_part = int_part[:-3]
-    groups.append(int_part)
-    out = grouping_separator.join(reversed(groups))
-    if neg:
-        out = "-" + out
-    if frac is not None:
-        out += decimal_separator + frac
-    return out
+        s = str(v)
+    parts = s.split(".")
+    if scale is not None:
+        if scale == 0:
+            parts = parts[:1]
+        else:
+            if scale < 0:
+                # `i as usize` on a negative scale makes the reference
+                # try to push ~2^64 zeros — effectively a hang/abort.
+                raise VrlError("invalid scale")
+            if len(parts) == 1:
+                parts.append("")
+            if scale > len(parts[1]):
+                parts[1] += "0" * (scale - len(parts[1]))
+            else:
+                parts[1] = parts[1][:scale]
+    if grouping_separator is not None:
+        sep = grouping_separator
+        ip = parts[0]
+        start = len(ip) % 3
+        positions = [i for i in range(len(ip) - start) if i % 3 == 0]
+        for n, pos in enumerate(positions):
+            at = pos + n * len(sep) + start
+            ip = ip[:at] + sep + ip[at:]
+        parts[0] = ip
+    return decimal_separator.join(parts)
