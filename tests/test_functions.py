@@ -94,6 +94,14 @@ class TestParse:
     def test_parse_query_string(self):
         assert R["parse_query_string"]("foo=%2B1&bar=2&bar=3&xyz") == {
             "foo": "+1", "bar": ["2", "3"], "xyz": ""}
+        # form_urlencoded skips EMPTY sequences, keeps empty keys
+        assert R["parse_query_string"]("a=1&&b=2&") == {"a": "1", "b": "2"}
+        assert R["parse_query_string"]("=&=") == {"": ["", ""]}
+        # the datadog grok `querystring` filter passes
+        # ignore_keys_without_values=true (grok_filter.rs:207)
+        from vrl_ray.functions.groks import parse_groks
+        assert parse_groks("?a=1&a=2&b=&c", ["%{data:q:querystring}"]) \
+            == {"q": {"a": ["1", "2"]}}
 
     def test_parse_duration(self):
         assert R["parse_duration"]("1005ms", "s") == 1.005

@@ -181,7 +181,10 @@ def _apply_filter(value, name: str, args: list):
         except ValueError:
             return None
     if name == "querystring":
-        return dict(parse_qsl(str(value).lstrip("?"), keep_blank_values=True))
+        # grok_filter.rs:207 — parse_query_string(s, true): empty
+        # values dropped, repeated keys accumulate into arrays
+        from .parse import parse_query_string
+        return parse_query_string(str(value), _ignore_empty_values=True)
     if name == "decodeuricomponent":
         return unquote(str(value))
     if name == "array":

@@ -483,7 +483,12 @@ def parse_url(value: str, default_known_ports: bool = False) -> dict:
 # parse_query_string (parse_query_string.rs, src/parsing/query_string.rs):
 # duplicate keys -> array
 
-def parse_query_string(value: str) -> dict:
+def parse_query_string(value: str, _ignore_empty_values: bool = False) -> dict:
+    """parsing/query_string.rs: one leading '?' stripped, pairs via
+    url::form_urlencoded. `_ignore_empty_values` is the internal
+    `ignore_keys_without_values` flag the datadog grok `querystring`
+    filter passes as true (grok_filter.rs:207); the stdlib function
+    always passes false."""
     if value.startswith("?"):
         value = value[1:]
     out: dict = {}
@@ -491,12 +496,16 @@ def parse_query_string(value: str) -> dict:
         return out
     for part in value.split("&"):
         if not part:
-            k, v = "", ""
-        elif "=" in part:
+            # form_urlencoded::parse SKIPS empty sequences ("a&&b",
+            # leading/trailing '&') — rust-url parse loop `continue`
+            continue
+        if "=" in part:
             k, v = part.split("=", 1)
         else:
             k, v = part, ""
         k, v = unquote(k.replace("+", " ")), unquote(v.replace("+", " "))
+        if _ignore_empty_values and v == "":
+            continue
         if k in out:
             if isinstance(out[k], list):
                 out[k].append(v)
