@@ -103,6 +103,39 @@ class TestParse:
         assert parse_groks("?a=1&a=2&b=&c", ["%{data:q:querystring}"]) \
             == {"q": {"a": ["1", "2"]}}
 
+    def test_parse_url_whatwg(self):
+        """url-crate (WHATWG) semantics, pinned to parse_url.rs tests
+        plus the spec behaviors the crate inherits."""
+        u = R["parse_url"]
+        # reference test: a specified default port is ELIDED
+        assert u("https://vector.dev:443")["port"] is None
+        assert u("https://vector.dev", True)["port"] == 443
+        # reference tests: IDNA punycode, case-normalized
+        assert u("https://www.CAFé.com")["host"] == "www.xn--caf-dma.com"
+        # dot segments collapse; spaces percent-encode; \ acts as /
+        assert u("https://EXAMPLE.com/a/../b/./c")["path"] == "/b/c"
+        assert u("https://x.com/a b#f g") == {
+            **u("https://x.com/a b#f g")}  # parse is deterministic
+        assert u("https://x.com/a b")["path"] == "/a%20b"
+        assert u("https://x.com#f g")["fragment"] == "f%20g"
+        assert u("https://x.com\\p1\\p2")["path"] == "/p1/p2"
+        # special scheme without slashes still takes an authority
+        assert u("https:foo/bar")["host"] == "foo"
+        # IPv6 keeps brackets; IPv4 hex/octal forms normalize
+        assert u("http://[::1]:8080/x")["host"] == "[::1]"
+        assert u("http://0x7f.1/")["host"] == "127.0.0.1"
+        # non-special scheme: no authority → host null, opaque path
+        m = u("mailto:user@x.com")
+        assert m["host"] is None and m["path"] == "user@x.com"
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        with _pt.raises(_VE, match="empty host"):
+            u("https://")
+        with _pt.raises(_VE, match="invalid port number"):
+            u("http://x.com:99999/")
+        with _pt.raises(_VE, match="invalid IPv4 address"):
+            u("http://1.2.3.4.5.6/")
+
     def test_parse_duration(self):
         assert R["parse_duration"]("1005ms", "s") == 1.005
         assert R["parse_duration"]("5m30s", "s") == 330.0

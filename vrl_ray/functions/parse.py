@@ -446,36 +446,217 @@ def parse_tokens(value: str) -> list:
 # ---------------------------------------------------------------------------
 # parse_url (parse_url.rs)
 
-def parse_url(value: str, default_known_ports: bool = False) -> dict:
-    KNOWN = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
-    try:
-        parts = urlsplit(value)
-    except ValueError as e:
-        raise VrlError(f"unable to parse url: {e}") from e
-    if not parts.scheme:
-        raise VrlError("unable to parse url: relative URL without a base")
-    port = parts.port
-    if port is None and default_known_ports:
-        port = KNOWN.get(parts.scheme)
-    host = parts.hostname or ""
-    if host and not host.isascii():
-        # the url crate IDNA-encodes unicode hosts
-        # (functions/punycode/url_encode_decode.vrl)
+# --- WHATWG URL parsing (the `url` crate parse_url.rs rides) ---------
+
+_URL_KNOWN_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443,
+                    "ftp": 21}
+_URL_SPECIAL = set(_URL_KNOWN_PORTS) | {"file"}
+# percent-encode sets (WHATWG spec §1.3): controls = <0x20 or >0x7E
+_PCT_FRAGMENT = set(' "<>`')
+_PCT_PATH = _PCT_FRAGMENT | set("#?{}")
+_PCT_USERINFO = _PCT_PATH | set("/:;=@[\\]^|")
+
+
+def _pct_encode(s: str, extra: set) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if o < 0x20 or o > 0x7E or ch in extra:
+            out.append("".join("%%%02X" % b for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _url_dot_norm(path: str) -> str:
+    """WHATWG path state: '.'/'..' segments (incl. %2e spellings,
+    case-insensitive) collapse; a trailing dot segment leaves a
+    trailing slash."""
+    segs = path.split("/")[1:]
+    out: list = []
+    n = len(segs)
+    for i, seg in enumerate(segs):
+        t = seg.lower().replace("%2e", ".")
+        last = i == n - 1
+        if t == "..":
+            if out:
+                out.pop()
+            if last:
+                out.append("")
+        elif t == ".":
+            if last:
+                out.append("")
+        else:
+            out.append(seg)
+    return "/" + "/".join(out)
+
+
+def _ipv4_number(s: str):
+    if not s:
+        return None
+    radix = 10
+    if s[:2].lower() == "0x":
+        s, radix = s[2:], 16
+        if not s:
+            return 0
+    elif len(s) >= 2 and s[0] == "0":
+        s, radix = s[1:], 8
+    digits = "0123456789abcdef"[:radix]
+    if any(c.lower() not in digits for c in s):
+        return None
+    return int(s, radix)
+
+
+def _url_host(raw: str, special: bool) -> str:
+    """Host parser: IPv6 in brackets canonicalized, domains
+    percent-decoded + IDNA'd + lowercased, number-tailed hosts parsed
+    as WHATWG IPv4 (hex/octal forms normalize to dotted decimal)."""
+    if raw.startswith("["):
+        if not raw.endswith("]"):
+            raise VrlError("unable to parse url: invalid IPv6 address")
+        import ipaddress
+        try:
+            return "[" + ipaddress.IPv6Address(raw[1:-1]).compressed + "]"
+        except ValueError as e:
+            raise VrlError("unable to parse url: invalid IPv6 address") \
+                from e
+    if not special:
+        # opaque host: kept verbatim bar C0/control encoding
+        return _pct_encode(raw, set())
+    host = unquote(raw)
+    if any(c in host for c in "\x00\t\n\r #/:<>?@[\\]^|%"):
+        raise VrlError("unable to parse url: invalid domain character")
+    if not host.isascii():
         try:
             import idna
-
             host = idna.encode(host, uts46=True).decode("ascii")
         except Exception:
-            pass
+            try:
+                host = host.encode("idna").decode("ascii")
+            except Exception as e:
+                raise VrlError("unable to parse url: invalid "
+                               "international domain name") from e
+    host = host.lower()
+    # ends-in-a-number check → IPv4 parser
+    parts = host.split(".")
+    if parts and parts[-1] == "":
+        parts = parts[:-1]
+    if parts and (parts[-1].isdigit()
+                  or (parts[-1][:2] in ("0x", "0X")
+                      and all(c in "0123456789abcdefABCDEF"
+                              for c in parts[-1][2:]))):
+        if len(parts) > 4:
+            raise VrlError("unable to parse url: invalid IPv4 address")
+        nums = []
+        for p in parts:
+            v = _ipv4_number(p)
+            if v is None:
+                raise VrlError("unable to parse url: invalid IPv4 "
+                               "address")
+            nums.append(v)
+        if any(n > 255 for n in nums[:-1]) or \
+                nums[-1] >= 256 ** (5 - len(nums)):
+            raise VrlError("unable to parse url: invalid IPv4 address")
+        ipv4 = nums[-1]
+        for i, n in enumerate(nums[:-1]):
+            ipv4 += n << (8 * (3 - i))
+        return ".".join(str((ipv4 >> (8 * k)) & 0xFF)
+                        for k in (3, 2, 1, 0))
+    return host
+
+
+def parse_url(value: str, default_known_ports: bool = False) -> dict:
+    """WHATWG parsing as the `url` crate does (parse_url.rs:31-66):
+    hosts lowercase/IDNA/IPv4-normalize, default ports elide, paths
+    dot-normalize and percent-encode, userinfo/fragment re-serialize
+    with their encode sets, query decodes via form_urlencoded
+    (last duplicate wins)."""
+    # spec preprocessing: strip C0/space at both ends, drop \t\r\n
+    v = value.strip("\x00\x01\x02\x03\x04\x05\x06\x07\x08\t\n\x0b"
+                    "\x0c\r\x0e\x0f\x10\x11\x12\x13\x14\x15\x16\x17"
+                    "\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f ")
+    v = v.replace("\t", "").replace("\n", "").replace("\r", "")
+    m = _re.match(r"([A-Za-z][A-Za-z0-9+.-]*):", v)
+    if not m:
+        raise VrlError("unable to parse url: relative URL without a base")
+    scheme = m.group(1).lower()
+    rest = v[m.end():]
+    special = scheme in _URL_SPECIAL
+    try:
+        if special:
+            # "special authority ignore slashes": any run of / or \
+            # after the colon is skipped and an authority always
+            # follows; \ acts as / only BEFORE the query/fragment.
+            # file: keeps exactly one leading // (empty host allowed,
+            # "file:///p" → host "", path "/p").
+            if scheme == "file":
+                body = rest
+                if body[:1] in "/\\":
+                    body = body[1:]
+                if body[:1] in "/\\":
+                    body = body[1:]
+            else:
+                body = rest.lstrip("/\\")
+            pre, qsep, qtail = body.partition("?")
+            fpre, fsep, ftail = pre.partition("#")
+            body = fpre.replace("\\", "/") + fsep + ftail + qsep + qtail
+            parts = urlsplit("//" + body, allow_fragments=True)
+        else:
+            parts = urlsplit(v, allow_fragments=True)
+            parts = parts._replace(scheme=scheme)
+    except ValueError as e:
+        raise VrlError(f"unable to parse url: {e}") from e
+    netloc = parts.netloc
+    username = password = ""
+    host_s: Optional[str] = None
+    port: Optional[int] = None
+    if special or rest.startswith("//"):
+        userinfo, _, hostport = netloc.rpartition("@")
+        if userinfo:
+            uname, usep, pword = userinfo.partition(":")
+            username = _pct_encode(uname, _PCT_USERINFO)
+            password = _pct_encode(pword, _PCT_USERINFO) if usep else ""
+        if hostport.startswith("["):
+            h, _, p = hostport.partition("]")
+            h += "]"
+            p = p[1:] if p.startswith(":") else p
+        else:
+            h, colon, p = hostport.partition(":")
+        if p:
+            if not p.isdigit() or int(p) > 65535:
+                raise VrlError("unable to parse url: invalid port number")
+            port = int(p)
+        if h == "" and special and scheme != "file":
+            raise VrlError("unable to parse url: empty host")
+        if h:
+            host_s = _url_host(h, special)
+        if port is not None and port == _URL_KNOWN_PORTS.get(scheme):
+            port = None  # the url crate elides a default port
+        has_authority = True
+    else:
+        has_authority = False
+    path = parts.path
+    if has_authority or path.startswith("/"):
+        if has_authority and not path:
+            path = "/"
+        if not path.startswith("/"):
+            path = "/" + path
+        path = _url_dot_norm(_pct_encode(path, _PCT_PATH))
+    else:
+        path = _pct_encode(path, set())  # opaque path: C0 controls only
+    if port is None and default_known_ports:
+        port = _URL_KNOWN_PORTS.get(scheme)
+    frag = parts.fragment if "#" in v else None
     return {
-        "scheme": parts.scheme,
-        "username": parts.username or "",
-        "password": parts.password or "",
-        "host": host,
+        "scheme": scheme,
+        "username": username,
+        "password": password,
+        "host": host_s,
         "port": port,
-        "path": parts.path or "/",
+        "path": path,
         "query": dict(parse_qsl(parts.query, keep_blank_values=True)),
-        "fragment": parts.fragment or None,
+        "fragment": _pct_encode(frag, _PCT_FRAGMENT)
+        if frag is not None else None,
     }
 
 
