@@ -307,6 +307,18 @@ def anyexpr(d=0):
                  R.choice(['.s', '.t', '"1d1s"', '"1ms1 µs"', '".5s 2m"',
                            '"abc 3h"', '"1y"', '"5S"']),
                  R.choice(['"s"', '"ms"', '"ns"', '"w"', '"d"', '.s'])),
+             lambda dd: "%s(%s%s)" % (
+                 R.choice(['encode_punycode', 'decode_punycode']),
+                 R.choice(['.s', '.t', '"www.CAFé.com"',
+                           '"xn--8hbb.xn--fiba."', '"_dmarc.x.com"']),
+                 R.choice(['', '', ', validate: false'])),
+             lambda dd: "encode_percent(%s%s)" % (
+                 R.choice(['.s', '.t', '"a_b.c-d~e"', '"foo #<>?bar"']),
+                 R.choice(['', ', ascii_set: "CONTROLS"',
+                           ', ascii_set: "FRAGMENT"',
+                           ', ascii_set: "SPECIAL"',
+                           ', ascii_set: "WWW_FORM_URLENCODED"',
+                           ', ascii_set: "COMPONENT"'])),
              lambda dd: "format_number(%s%s)" % (
                  R.choice(['.a', '.b', '1234.567', '123456',
                            '11222333444.56789', '.s']),

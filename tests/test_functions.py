@@ -620,3 +620,52 @@ class TestChronoFormatSpecifiers:
         assert ft(dt, "%s") == "994552499"
         assert ft(dt, "%%f") == "%f"
         assert ft(dt, "%v") == " 8-Jul-2001"
+
+
+class TestPunycodePercent:
+    """Reference test vectors for encode/decode_punycode and
+    encode_percent (encode_punycode.rs / decode_punycode.rs /
+    encode_percent.rs mod tests)."""
+
+    def test_encode_punycode(self):
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        assert R["encode_punycode"]("www.CAFé.com") == "www.xn--caf-dma.com"
+        assert R["encode_punycode"]("www.CAFé.com", False) == \
+            "www.xn--caf-dma.com"
+        # rust domain_to_ascii is UTS46 beStrict=false: underscores
+        # and emoji are fine (IDNA2008-strict would reject both)
+        assert R["encode_punycode"]("_dmarc.example.com") == \
+            "_dmarc.example.com"
+        assert R["encode_punycode"]("😉.com") == "xn--n28h.com"
+        # bidi-rule violations error under validate (RFC 5893 applies
+        # to ALL labels once the domain contains any RTL run)
+        with _pt.raises(_VE, match="unable to encode to punycode"):
+            R["encode_punycode"]("xn--8hbb.xn--fiba.xn--8hbf.xn--eib.")
+        # ...but pass through unvalidated
+        assert R["encode_punycode"](
+            "xn--8hbb.xn--fiba.xn--8hbf.xn--eib.", False) == \
+            "xn--8hbb.xn--fiba.xn--8hbf.xn--eib."
+
+    def test_decode_punycode(self):
+        import pytest as _pt
+        from vrl_ray.value import VrlError as _VE
+        assert R["decode_punycode"]("www.xn--caf-dma.com") == "www.café.com"
+        # no xn-- anywhere → verbatim passthrough
+        assert R["decode_punycode"]("www.CAFE.com") == "www.CAFE.com"
+        assert R["decode_punycode"](
+            "xn--8hbb.xn--fiba.xn--8hbf.xn--eib.", False) == "١٠.٦٦.٣٠.٥."
+        with _pt.raises(_VE, match="unable to decode punycode"):
+            R["decode_punycode"]("xn--8hbb.xn--fiba.xn--8hbf.xn--eib.")
+
+    def test_encode_percent_sets(self):
+        # NON_ALPHANUMERIC encodes _.-~ too (percent_encoding crate,
+        # unlike Python's quote())
+        assert R["encode_percent"]("a_b.c-d~e") == "a%5Fb%2Ec%2Dd%7Ee"
+        assert R["encode_percent"]("foo bar?") == "foo%20bar%3F"
+        assert R["encode_percent"]('foo #"<>\'bar', "SPECIAL") == \
+            "foo%20%23%22%3C%3E%27bar"
+        assert R["encode_percent"]("foo !'()~bar", "WWW_FORM_URLENCODED") \
+            == "foo%20%21%27%28%29%7Ebar"
+        assert R["encode_percent"]("foo \x14bar", "CONTROLS") == \
+            "foo %14bar"

@@ -76,44 +76,130 @@ def decode_percent(value: str) -> str:
     return unquote(value)
 
 
+# encode_percent.rs:77-116 — the percent_encoding crate's AsciiSets,
+# byte-for-byte: CONTROLS = C0 + DEL; each WHATWG set builds on it;
+# every byte ≥ 0x80 is ALWAYS encoded (utf8_percent_encode).
+def _pct_sets() -> dict:
+    controls = set(range(0x20)) | {0x7F}
+    fragment = controls | set(b' "<>`')
+    query = controls | set(b' "#<>')
+    special = query | set(b"'")
+    path = query | set(b"?`{}")
+    userinfo = path | set(b"/:;=@[\\]^|")
+    component = userinfo | set(b"$%&+,")
+    www = component | set(b"!'()~")
+    non_alnum = {b for b in range(0x80)
+                 if not (0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A
+                         or 0x61 <= b <= 0x7A)}
+    return {"NON_ALPHANUMERIC": non_alnum, "CONTROLS": controls,
+            "FRAGMENT": fragment, "QUERY": query, "SPECIAL": special,
+            "PATH": path, "USERINFO": userinfo, "COMPONENT": component,
+            "WWW_FORM_URLENCODED": www}
+
+
+_PCT_ASCII_SETS = _pct_sets()
+
+
 def encode_percent(value: str, ascii_set: str = "NON_ALPHANUMERIC") -> str:
-    """encode_percent.rs: percent-encoding ascii sets (subset)."""
-    safe = {
-        "NON_ALPHANUMERIC": "",
-        "CONTROLS": "".join(chr(c) for c in range(0x20, 0x7F)),
-        "FRAGMENT": "!$&'()*+,;=:@/?" + "-._~",
-        "QUERY": "!$&'()*+,;=:@/?" + "-._~",
-        "PATH": "!$&'()*+,;=:@" + "-._~",
-        "USERINFO": "!$&'()*+,;=" + "-._~",
-        "COMPONENT": "-._~",
-    }.get(ascii_set)
-    if safe is None:
+    """encode_percent.rs: utf8_percent_encode over the named AsciiSet
+    — unlike Python's quote(), alphanumeric-adjacent bytes like
+    ``_.-~`` DO encode under NON_ALPHANUMERIC."""
+    enc = _PCT_ASCII_SETS.get(ascii_set)
+    if enc is None:
         raise VrlError(f"invalid ascii_set: {ascii_set}")
-    return quote(value, safe=safe)
+    out = []
+    for b in value.encode("utf-8"):
+        if b >= 0x80 or b in enc:
+            out.append("%%%02X" % b)
+        else:
+            out.append(chr(b))
+    return "".join(out)
 
 
-def decode_punycode(value: str, validate: bool = True) -> str:
-    if not value.isascii():
-        # already-Unicode input passes through (idna crate behavior,
-        # functions/punycode/url_encode_decode.vrl)
-        return value.lower()
-    try:
-        # IDNA decoding lowercases labels (decode_punycode.rs via the
-        # idna crate; functions/punycode/decode.vrl)
-        return value.lower().encode("ascii").decode("idna")
-    except Exception as e:
-        if not validate:
-            return value
-        raise VrlError(f"unable to decode punycode: {e}") from e
+# --- punycode (encode_punycode.rs / decode_punycode.rs, idna crate) --
+
+def _uts46_labels(domain: str):
+    """idna::uts46 processing as domain_to_ascii/unicode run it
+    (beStrict=false → std3 rules OFF, non-transitional): remap + NFC,
+    split labels, punycode-decode xn-- labels (failure = error), and
+    run the RFC 5893 bidi check across ALL labels when the domain is
+    bidi. Returns (remapped_labels, decoded_labels)."""
+    import unicodedata
+
+    import idna
+    from idna.core import check_bidi
+
+    remapped = idna.uts46_remap(domain, std3_rules=False,
+                                transitional=False)
+    labels = remapped.split(".")
+    decoded = []
+    for lab in labels:
+        if lab.lower().startswith("xn--"):
+            d = lab[4:].encode("ascii").decode("punycode")
+            decoded.append(d)
+        else:
+            decoded.append(lab)
+    if any(unicodedata.bidirectional(c) in ("R", "AL", "AN")
+           for lab in decoded for c in lab):
+        for lab in decoded:
+            if lab:
+                check_bidi(lab, check_ltr=True)
+    return labels, decoded
 
 
 def encode_punycode(value: str, validate: bool = True) -> str:
-    try:
-        return value.encode("idna").decode("ascii")
-    except Exception as e:
-        if validate:
-            raise VrlError(f"unable to encode punycode: {e}") from e
-        return value.lower()
+    if validate:
+        # encode_punycode.rs:99-102 — idna::domain_to_ascii
+        try:
+            labels, _ = _uts46_labels(value)
+            return ".".join(
+                lab if lab.isascii()
+                else "xn--" + lab.encode("punycode").decode("ascii")
+                for lab in labels)
+        except Exception as e:
+            raise VrlError("unable to encode to punycode") from e
+    # validate=false branch (encode_punycode.rs:104-126): pure
+    # lowercase-ascii-digit-dot passes through; otherwise per-label
+    # lowercase, punycode only the non-ASCII labels
+    if all(c.islower() or c.isdigit() or c == "."
+           for c in value) and value.isascii():
+        return value
+    out = []
+    for part in value.split("."):
+        if part.startswith("xn--") or part.isascii():
+            out.append(part.lower())
+        else:
+            low = part.lower()
+            try:
+                out.append("xn--" + low.encode("punycode").decode("ascii"))
+            except Exception:
+                out.append(low)
+    return ".".join(out)
+
+
+def decode_punycode(value: str, validate: bool = True) -> str:
+    if "xn--" not in value:
+        # decode_punycode.rs:96-98 — untouched passthrough
+        return value
+    if validate:
+        # idna::domain_to_unicode
+        try:
+            _, decoded = _uts46_labels(value)
+            return ".".join(decoded)
+        except Exception as e:
+            raise VrlError("unable to decode punycode") from e
+    out = []
+    for part in value.split("."):
+        if part.startswith("xn--"):
+            try:
+                out.append(part[4:].encode("ascii").decode("punycode"))
+            except Exception:
+                out.append(part)
+        else:
+            out.append(part)
+    return ".".join(out)
+
+
 
 
 # --- compression (bytes in VRL are strings; we use latin-1 round-trip
