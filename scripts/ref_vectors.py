@@ -1,0 +1,412 @@
+"""Sweep the reference's `test_function!` vectors against our registry.
+
+Extracts every case whose args/want are expressible as plain literals
+(`value!(...)`, strings, numbers, vec![..]) from
+/root/reference/src/stdlib/*.rs and runs it against
+vrl_ray.functions.REGISTRY, reporting divergences. Cases using
+non-literal Rust constructs (chrono builders, Regex::new, local
+variables) are skipped and counted.
+
+Usage: python scripts/ref_vectors.py [--verbose] [fn_name ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from vrl_ray.functions import REGISTRY
+from vrl_ray.lang.interpreter import _ARG_RENAME
+from vrl_ray.value import VrlError
+
+REF = "/root/reference/src/stdlib"
+
+# stdlib identifiers whose vectors can't run meaningfully here
+SKIP_FNS = {
+    "now", "uuid_v4", "uuid_v7", "uuid_from_friendly_id", "random_bool",
+    "random_bytes", "random_float", "random_int", "get_env_var",
+    "get_hostname", "dns_lookup", "reverse_dns", "http_request",
+    "get_enrichment_table_record", "find_enrichment_table_records",
+    "get_secret", "set_secret", "remove_secret", "log",
+    "set_semantic_meaning",
+    # interpreter special forms, not REGISTRY entries (tested in
+    # tests/test_lang.py)
+    "assert", "assert_eq",
+}
+
+
+class Unparseable(Exception):
+    pass
+
+
+def _balanced(src: str, start: int, open_c: str, close_c: str) -> int:
+    """Index just past the matching close for the open at `start`."""
+    depth = 0
+    i = start
+    in_str = None
+    while i < len(src):
+        c = src[i]
+        if in_str:
+            if in_str == '"' and c == "\\":
+                i += 2
+                continue
+            if src.startswith(in_str, i):
+                i += len(in_str)
+                in_str = None
+                continue
+            i += 1
+            continue
+        if c == '"':
+            # raw string?
+            j = i - 1
+            hashes = 0
+            while j >= 0 and src[j] == "#":
+                hashes += 1
+                j -= 1
+            if j >= 0 and src[j] == "r" and hashes:
+                in_str = '"' + "#" * hashes
+            else:
+                in_str = '"'
+            i += 1
+            continue
+        if c == open_c:
+            depth += 1
+        elif c == close_c:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise Unparseable("unbalanced")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, depth, cur, i, in_str = [], 0, [], 0, None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if in_str == '"' and c == "\\":
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if s.startswith(in_str, i):
+                cur.extend(in_str[1:])
+                i += len(in_str)
+                in_str = None
+                continue
+            i += 1
+            continue
+        if c == '"':
+            j = i - 1
+            hashes = 0
+            while j >= 0 and s[j] == "#":
+                hashes += 1
+                j -= 1
+            in_str = '"' + "#" * hashes if (j >= 0 and s[j] == "r"
+                                            and hashes) else '"'
+            cur.append(c)
+            i += 1
+            continue
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        if c == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+_NUM_RE = re.compile(r"^-?[\d_]+(\.[\d_]+)?(_f64|_i64|f64|i64)?$")
+
+
+def rust_val(expr: str):
+    """A Rust literal / value!() / vec![] expression → Python value."""
+    e = expr.strip()
+    if e.startswith("&"):
+        e = e[1:].strip()
+    while e.endswith(".to_string()") or e.endswith(".to_owned()") \
+            or e.endswith(".into()"):
+        e = e[: e.rfind(".")]
+    if e.startswith("value!"):
+        inner = e[e.index("(") + 1: _balanced(e, e.index("("), "(", ")") - 1]
+        return _value_macro(inner)
+    if e.startswith("Value::from(") or e.startswith("Bytes::from("):
+        inner = e[e.index("(") + 1: _balanced(e, e.index("("), "(", ")") - 1]
+        return rust_val(inner)
+    if e in ("Value::Null", "NULL", "()"):
+        return None
+    if e == "true":
+        return True
+    if e == "false":
+        return False
+    if e.startswith("r#\"") or e.startswith("r\""):
+        hashes = len(e) - len(e.lstrip("r")) if False else 0
+        m = re.match(r'^r(#*)"', e)
+        body = e[len(m.group(0)): -(1 + len(m.group(1)))]
+        return body
+    if e.startswith('"'):
+        return json.loads(_unescape_rust_str(e))
+    if _NUM_RE.match(e):
+        is_f = "f64" in e or "." in e
+        t = e.replace("_f64", "").replace("_i64", "").replace("f64", "") \
+            .replace("i64", "").replace("_", "")
+        return float(t) if is_f else int(t)
+    if e.startswith("vec!["):
+        inner = e[5: _balanced(e, 4, "[", "]") - 1]
+        return [rust_val(x) for x in _split_top(inner)]
+    if e.startswith("btreemap!") or e.startswith("BTreeMap"):
+        raise Unparseable(e[:40])
+    if re.match(r"^-?\d+\.\d*e-?\d+$", e):
+        return float(e)
+    raise Unparseable(e[:60])
+
+
+def _unescape_rust_str(e: str) -> str:
+    # Rust string literal → JSON string literal (escapes mostly align;
+    # \' is not valid JSON)
+    return e.replace("\\'", "'")
+
+
+def _value_macro(s: str):
+    """value!(...) body → Python via a JSON-ification pass."""
+    s = s.strip()
+    out = []
+    i = 0
+    in_str = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if in_str == '"' and c == "\\":
+                out.append(c)
+                out.append(s[i + 1])
+                i += 2
+                continue
+            if s.startswith(in_str, i):
+                if in_str != '"':
+                    out.append('"')
+                    i += len(in_str)
+                else:
+                    out.append(c)
+                    i += 1
+                in_str = None
+                continue
+            if in_str != '"' and c in '"\\':
+                out.append("\\" + c)
+                i += 1
+                continue
+            if c == "\n":
+                out.append("\\n")
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+            continue
+        if c == '"':
+            j = i - 1
+            hashes = 0
+            while j >= 0 and s[j] == "#":
+                hashes += 1
+                j -= 1
+            if j >= 0 and s[j] == "r" and hashes:
+                # we already emitted 'r' and hashes — drop them
+                for _ in range(hashes + 1):
+                    out.pop()
+                in_str = '"' + "#" * hashes
+                out.append('"')
+            else:
+                in_str = '"'
+                out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    j = "".join(out)
+    # mask string literals so the JSON-ification regexes can't touch
+    # their contents
+    strs: list[str] = []
+
+    def _mask(m):
+        strs.append(m.group(0))
+        return f'"\x00{len(strs) - 1}\x00"'
+
+    j = re.sub(r'"(?:[^"\\]|\\.)*"', _mask, j)
+    # () → null, bare keys → quoted, trailing commas removed,
+    # underscore-grouped numbers joined, f64/i64 suffixes dropped
+    j = re.sub(r"\(\)", "null", j)
+    j = re.sub(r"(?<=[\d])_(?=[\d])", "", j)
+    j = re.sub(r"(\d+\.\d+)_?f64", r"\1", j)
+    j = re.sub(r"(\d+)_?f64", r"\1.0", j)
+    j = re.sub(r"(\d+)_?i64", r"\1", j)
+    j = re.sub(r"([,{\[]\s*)([A-Za-z_][A-Za-z0-9_.-]*)(\s*:)", r'\1"\2"\3', j)
+    j = re.sub(r"^\s*([A-Za-z_][A-Za-z0-9_.-]*)(\s*:)", r'"\1"\2', j)
+    j = re.sub(r",(\s*[}\]])", r"\1", j)
+    j = re.sub(r"(-?\d+)\.([,}\]\s])", r"\1.0\2", j)
+    j = re.sub(r'"\x00(\d+)\x00"', lambda m: strs[int(m.group(1))], j)
+    try:
+        return json.loads(j)
+    except Exception as exc:
+        raise Unparseable(f"value! {j[:60]}") from exc
+
+
+def extract(path: str) -> list[dict]:
+    src = open(path).read()
+    m = re.search(r"test_function!\[\s*(\w+)\s*=>", src)
+    if not m:
+        return []
+    # the block's local name can differ from the stdlib identifier
+    # (e.g. to_code => ToSyslogFacilityCode) — trust fn identifier()
+    im = re.search(r'fn identifier\(&self\) -> &\'static str \{\s*"(\w+)"',
+                   src)
+    fn_name = im.group(1) if im else m.group(1)
+    cases = []
+    i = src.index(";", m.end()) + 1
+    case_re = re.compile(r"(\w+)\s*\{")
+    while True:
+        cm = case_re.search(src, i)
+        if not cm:
+            break
+        try:
+            end = _balanced(src, cm.end() - 1, "{", "}")
+        except Unparseable:
+            break
+        body = src[cm.end(): end - 1]
+        i = end
+        am = re.search(r"args:\s*func_args!\[", body)
+        wm = re.search(r"want:\s*", body)
+        if not am or not wm:
+            continue
+        try:
+            aend = _balanced(body, am.end() - 1, "[", "]")
+            args_src = body[am.end(): aend - 1]
+            want_src = body[wm.end():]
+            # want runs to the matching end of Ok(...)/Err(...)
+            om = re.match(r"(Ok|Err)\s*\(", want_src)
+            if not om:
+                raise Unparseable("want " + want_src[:40])
+            wend = _balanced(want_src, om.end() - 1, "(", ")")
+            kind = om.group(1)
+            want_inner = want_src[om.end(): wend - 1]
+            args = {}
+            for item in _split_top(args_src):
+                if not item.strip():
+                    continue
+                k, _, v = item.partition(":")
+                args[k.strip()] = rust_val(v)
+            if kind == "Ok":
+                want = ("ok", rust_val(want_inner))
+            else:
+                want = ("err", rust_val(want_inner))
+            cases.append({"fn": fn_name, "case": cm.group(1),
+                          "args": args, "want": want,
+                          "file": path.rsplit("/", 1)[-1]})
+        except Exception as exc:  # any non-literal construct → skip
+            cases.append({"fn": fn_name, "case": cm.group(1),
+                          "skip": f"{type(exc).__name__} {exc}"[:80],
+                          "file": path.rsplit("/", 1)[-1]})
+    return cases
+
+
+def _eq(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b or a == b
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        if math.isnan(a):
+            return isinstance(b, float) and math.isnan(b)
+        return math.isclose(a, float(b), rel_tol=1e-12, abs_tol=1e-12)
+    if isinstance(a, int) and isinstance(b, float):
+        return _eq(float(a), b)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_eq(a[k], b[k]) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, bytes) and isinstance(b, str):
+        return a.decode("utf-8", "replace") == b
+    if isinstance(b, bytes) and isinstance(a, str):
+        return _eq(b, a)
+    return a == b
+
+
+def _norm(v):
+    from datetime import datetime
+    if isinstance(v, datetime):
+        from vrl_ray.value import timestamp_rfc3339
+        return timestamp_rfc3339(v)
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    return v
+
+
+def main(argv):
+    verbose = "--verbose" in argv
+    only = {a for a in argv if not a.startswith("-")}
+    files = sorted(glob.glob(REF + "/*.rs"))
+    total = skipped = passed = 0
+    diverged, err_msgs = [], []
+    for path in files:
+        for case in extract(path):
+            fn = case["fn"]
+            if only and fn not in only:
+                continue
+            if fn in SKIP_FNS:
+                continue
+            total += 1
+            if "skip" in case:
+                skipped += 1
+                if verbose:
+                    print(f"SKIP  {fn}.{case['case']}: {case['skip']}")
+                continue
+            impl = REGISTRY.get(fn)
+            if impl is None:
+                diverged.append((case, "NOT IN REGISTRY"))
+                continue
+            kind, want = case["want"]
+            kwargs = {_ARG_RENAME.get(k, k): v
+                      for k, v in case["args"].items()}
+            try:
+                got = _norm(impl(**kwargs))
+                if kind == "err":
+                    diverged.append((case, f"expected error {want!r}, "
+                                           f"got {got!r}"))
+                elif _eq(got, want):
+                    passed += 1
+                else:
+                    diverged.append((case, f"got {got!r} want {want!r}"))
+            except VrlError as e:
+                if kind == "err":
+                    passed += 1
+                    if isinstance(want, str) and str(e) != want:
+                        err_msgs.append((case, str(e), want))
+                else:
+                    diverged.append((case, f"raised {e} want {want!r}"))
+            except TypeError as e:
+                diverged.append((case, f"SIGNATURE: {e}"))
+            except Exception as e:
+                diverged.append((case, f"CRASH {type(e).__name__}: {e}"))
+    print(f"\n{total} cases: {passed} pass, {len(diverged)} diverge, "
+          f"{skipped} skipped (non-literal)")
+    for case, why in diverged:
+        print(f"DIVERGE {case['file']} {case['fn']}.{case['case']}: "
+              f"args={case['args']!r:.120} :: {why[:300]}")
+    if verbose:
+        for case, got, want in err_msgs:
+            print(f"ERRMSG {case['fn']}.{case['case']}: got {got!r} "
+                  f"want {want!r}")
+    print(f"\n({len(err_msgs)} error-message texts differ; "
+          f"run --verbose to list)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

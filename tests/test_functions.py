@@ -286,10 +286,19 @@ class TestString:
         assert R["find"]("foobar", "baz") is None
 
     def test_redact(self):
+        import re as _re2
         out = R["redact"]("my id is 123-45-6789", ["us_social_security_number"])
         assert out == "my id is [REDACTED]"
-        out = R["redact"]({"name": "John Doe"}, [r"John"])
+        # a VRL regex literal arrives as a compiled pattern
+        out = R["redact"]({"name": "John Doe"}, [_re2.compile(r"John")])
         assert out == {"name": "[REDACTED] Doe"}
+        # reference filter forms (redact.rs TryFrom<Value>):
+        # {type: pattern, patterns: [...]} — strings are LITERALS
+        out = R["redact"]("hello 123456 world",
+                          [{"type": "pattern", "patterns": ["123456"]}])
+        assert out == "hello [REDACTED] world"
+        with pytest.raises(VrlError, match="unknown filter name"):
+            R["redact"]("x", ["not a filter"])
 
     def test_shannon_entropy(self):
         assert R["shannon_entropy"]("aaaa") == 0.0

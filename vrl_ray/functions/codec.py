@@ -45,19 +45,36 @@ def encode_base16(value) -> str:
     return raw.hex()
 
 
+_B64_STD = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+            "0123456789+/")
+
+
 def decode_base64(value: str, charset: str = "standard"):
-    """Returns str when the payload is valid UTF-8, else raw bytes
-    (VRL Bytes can hold arbitrary binary; our Python mapping uses
-    bytes for the non-text case)."""
+    """decode_base64.rs: trailing '=' stripped, then a STRICT no-pad
+    decode (base64_simd) — non-zero trailing bits and non-alphabet
+    chars are errors, unlike Python's forgiving binascii. Returns str
+    when the payload is valid UTF-8, else raw bytes."""
+    if charset not in ("standard", "url_safe"):
+        raise VrlError("unknown charset")
     try:
         raw = value.encode("ascii") if isinstance(value, str) else value
-        pad = raw + b"=" * (-len(raw) % 4)
-        if charset == "url_safe":
-            out = _b64.urlsafe_b64decode(pad)
-        else:
-            out = _b64.b64decode(pad)
+    except UnicodeEncodeError as e:
+        raise VrlError("unable to decode value from base64") from e
+    raw = raw.rstrip(b"=")
+    rem = len(raw) % 4
+    alphabet = (_B64_STD[:-2] + "-_") if charset == "url_safe" else _B64_STD
+    if rem == 1 or any(chr(c) not in alphabet for c in raw):
+        raise VrlError("unable to decode value from base64")
+    if rem:
+        # canonical check: unused low bits of the final symbol are 0
+        if alphabet.index(chr(raw[-1])) & (0xF if rem == 2 else 0x3):
+            raise VrlError("unable to decode value from base64")
+    pad = raw + b"=" * (-len(raw) % 4)
+    try:
+        out = _b64.b64decode(pad, altchars=b"-_"
+                             if charset == "url_safe" else None)
     except Exception as e:
-        raise VrlError(f"unable to decode value to base64: {e}") from e
+        raise VrlError("unable to decode value from base64") from e
     try:
         return out.decode("utf-8")
     except UnicodeDecodeError:
@@ -65,8 +82,11 @@ def decode_base64(value: str, charset: str = "standard"):
 
 
 def encode_base64(value, padding: bool = True, charset: str = "standard") -> str:
+    if charset not in ("standard", "url_safe"):
+        raise VrlError("unknown charset")
     raw = value if isinstance(value, bytes) else value.encode("utf-8")
-    out = (_b64.urlsafe_b64encode(raw) if charset == "url_safe" else _b64.b64encode(raw)).decode("ascii")
+    out = (_b64.urlsafe_b64encode(raw) if charset == "url_safe"
+           else _b64.b64encode(raw)).decode("ascii")
     if not padding:
         out = out.rstrip("=")
     return out
@@ -224,7 +244,8 @@ def encode_gzip(value: str, compression_level: int = 6) -> bytes:
     manually around a raw-deflate body)."""
     import struct
     raw = _to_bytes(value)
-    co = _zlib.compressobj(compression_level, _zlib.DEFLATED, -15)
+    co = _zlib.compressobj(_flate2_level(compression_level),
+                           _zlib.DEFLATED, -15)
     body = co.compress(raw) + co.flush()
     header = b"\x1f\x8b\x08\x00" + b"\x00\x00\x00\x00" + b"\x00\xff"
     trailer = struct.pack("<II", _zlib.crc32(raw) & 0xFFFFFFFF,
@@ -239,8 +260,19 @@ def decode_zlib(value: bytes) -> str:
         raise VrlError(f"unable to decode value with Zlib decoder: {e}") from e
 
 
+def _flate2_level(level: int) -> int:
+    """encode_gzip.rs:10,26 / encode_zlib.rs: `level as u32` then a
+    > 10 check — negative or > 10 errors; flate2's level 10 has no
+    zlib equivalent, so it maps to Python's 9."""
+    lv = int(level)
+    if lv < 0 or lv > 10:
+        raise VrlError("compression level must be <= 10")
+    return min(lv, 9)
+
+
 def encode_zlib(value: str, compression_level: int = 6) -> bytes:
-    return _zlib.compress(_to_bytes(value), level=compression_level)
+    return _zlib.compress(_to_bytes(value),
+                          level=_flate2_level(compression_level))
 
 
 def _raw(value) -> bytes:

@@ -308,7 +308,12 @@ def compile_groks(patterns: list[str], aliases: Optional[dict] = None,
     for src in alias_sources or []:
         with open(resolve_data_path(src), encoding="utf-8") as f:
             merged.update(_json.load(f))
-    merged.update(aliases or {})
+    for k, v in (aliases or {}).items():
+        if not isinstance(v, str):
+            # parse_groks.rs: alias values resolve via try_bytes —
+            # a non-string value is the generic "invalid argument"
+            raise VrlError("invalid argument")
+        merged[k] = v
     key = (tuple(patterns), tuple(sorted(merged.items())))
     rules = _RULE_CACHE.get(key)
     if rules is None:

@@ -93,15 +93,23 @@ def ipv6_to_ipv4(value: str) -> str:
 
 
 def is_ipv4(value) -> bool:
+    # is_ipv4.rs: try_bytes_utf8_lossy ERRORS on non-string input
+    # (unlike the other is_* predicates, which type-test)
+    if not isinstance(value, str):
+        from ..value import vrl_type
+        raise VrlError(f"expected string, got {vrl_type(value)}")
     try:
-        return isinstance(value, str) and ipaddress.ip_address(value).version == 4
+        return ipaddress.ip_address(value).version == 4
     except ValueError:
         return False
 
 
 def is_ipv6(value) -> bool:
+    if not isinstance(value, str):
+        from ..value import vrl_type
+        raise VrlError(f"expected string, got {vrl_type(value)}")
     try:
-        return isinstance(value, str) and ipaddress.ip_address(value).version == 6
+        return ipaddress.ip_address(value).version == 6
     except ValueError:
         return False
 

@@ -104,6 +104,10 @@ def community_id(source_ip: str, destination_ip: str, protocol: int,
         else:
             one_way = True
 
+    if proto in (6, 17, 132) and (sport is None or dport is None):
+        # community-id crate: transport protocols hard-require ports
+        raise VrlError("src port and dst port should be set when "
+                       "protocol is tcp/udp/sctp")
     has_ports = sport is not None and dport is not None and proto in (
         6, 17, 132, 1, 58)
     if not one_way:
@@ -295,68 +299,207 @@ def to_syslog_facility_code(value: str) -> int:
 # decode_mime_q (decode_mime_q.rs): RFC 2047 encoded words, with the
 # reference's leniency (optional charset / delimiters)
 
-_MIME_WORD = _re.compile(
-    r"=\?([^?]*)\?([qQbB])\?([^?]*)\?=")
+# decode_mime_q.rs grammar: the encoding slot is ANY text up to '?'
+# (validated inside decode_word, "Invalid encoding: ..."), payload
+# runs to the first "?=".
+_MIME_DELIM = _re.compile(
+    r"(.*?)=\?([^?]*)\?([^?]*)\?(.*?)\?=", _re.DOTALL)
 _MIME_LOOSE = _re.compile(
-    r"^\??(?:([^?]*)\?)?([qQbB])\?(.*)$")
+    r"^([^?]*)\?([^?]*)\?(.*)$", _re.DOTALL)
 
 
 def _decode_word(charset: str, enc: str, data: str) -> str:
-    charset = charset or "utf-8"
     if enc in ("b", "B"):
+        # base64_simd::STANDARD — padded, strict
         try:
-            raw = _b64.b64decode(data + "=" * (-len(data) % 4))
+            raw = _b64.b64decode(data, validate=True)
         except Exception as e:
-            raise VrlError(f"unable to decode base64: {e}") from e
-    else:
+            raise VrlError("Unable to decode base64 value") from e
+    elif enc in ("q", "Q"):
         import quopri
 
-        raw = quopri.decodestring(data.replace("_", " ").encode())
-    try:
-        return raw.decode(charset)
-    except (LookupError, UnicodeDecodeError) as e:
-        raise VrlError(f"unable to decode charset: {e}") from e
+        try:
+            raw = quopri.decodestring(data.replace("_", " ").encode())
+        except Exception as e:
+            raise VrlError("Unable to decode quoted_printable value") \
+                from e
+    else:
+        raise VrlError(f'Invalid encoding: "{enc}"')
+    label = charset or "utf-8"
+    name = _WHATWG_LABELS.get(label.strip(" \t\n\f\r").lower())
+    if name is None or name == "replacement":
+        # Charset::for_label_no_replacement
+        raise VrlError(f'Unable to decode "{label}" value')
+    # decode_without_bom_handling: lossy, NO BOM sniffing
+    if name == "x-user-defined":
+        return "".join(chr(b) if b <= 0x7F else chr(0xF780 + b - 0x80)
+                       for b in raw)
+    if name == "utf-16be":
+        return raw.decode("utf-16-be", "replace")
+    if name == "utf-16le":
+        return raw.decode("utf-16-le", "replace")
+    return raw.decode(name, "replace")
 
 
 def decode_mime_q(value: str) -> str:
-    if _MIME_WORD.search(value):
-        errs: list[str] = []
-
-        def sub(m):
-            return _decode_word(m.group(1), m.group(2), m.group(3))
-
-        return _MIME_WORD.sub(sub, value)
-    m = _MIME_LOOSE.match(value)
-    if m:
-        return _decode_word(m.group(1) or "", m.group(2), m.group(3))
+    """decode_mime_q.rs:99-133: every delimited =?..?..?..?= word
+    decodes (decode errors PROPAGATE); with no delimited word, a bare
+    charset?enc?payload parse is tried with errors swallowed; any
+    trailing unparsed text is appended verbatim."""
+    out, pos, found = [], 0, False
+    for m in _MIME_DELIM.finditer(value):
+        if m.start() != pos:
+            break
+        found = True
+        out.append(m.group(1))
+        out.append(_decode_word(m.group(2), m.group(3), m.group(4)))
+        pos = m.end()
+    if found:
+        return "".join(out) + value[pos:]
+    lm = _MIME_LOOSE.match(value)
+    if lm:
+        payload = lm.group(3)
+        rest = ""
+        cut = payload.find("?=")
+        if cut != -1:
+            payload, rest = payload[:cut], payload[cut:]
+        try:
+            return _decode_word(lm.group(1) or "", lm.group(2),
+                                payload) + rest
+        except VrlError:
+            return value  # map_opt swallows loose-mode decode errors
     return value
 
 
 # ---------------------------------------------------------------------------
 # encode_charset / decode_charset (encode_charset.rs, decode_charset.rs)
 
+# encoding_rs via Encoding::for_label: WHATWG label matching (strip
+# ASCII whitespace + lowercase; ascii/latin1 ARE windows-1252), lossy
+# encode with &#N; numeric character references, lossy decode with
+# U+FFFD and BOM sniffing. Label table = the common WHATWG aliases.
+def _whatwg_table() -> dict:
+    t = {}
+
+    def add(codec, *labels):
+        for lab in labels:
+            t[lab] = codec
+
+    add("cp1252", "ansi_x3.4-1968", "ascii", "cp1252", "cp819",
+        "csisolatin1", "ibm819", "iso-8859-1", "iso-ir-100", "iso8859-1",
+        "iso88591", "iso_8859-1", "iso_8859-1:1987", "l1", "latin1",
+        "us-ascii", "windows-1252", "x-cp1252")
+    add("utf-8", "unicode-1-1-utf-8", "unicode11utf8", "unicode20utf8",
+        "utf-8", "utf8", "x-unicode20utf8")
+    add("cp866", "866", "cp866", "csibm866", "ibm866")
+    for n in (2, 3, 4, 5, 6, 7, 8, 10, 13, 14, 15, 16):
+        add(f"iso8859-{n}", f"iso-8859-{n}", f"iso8859-{n}",
+            f"iso8859{n}", f"iso_8859-{n}")
+    add("iso8859-2", "csisolatin2", "l2", "latin2", "iso-ir-101",
+        "iso_8859-2:1987")
+    add("iso8859-3", "csisolatin3", "l3", "latin3", "iso-ir-109")
+    add("iso8859-4", "csisolatin4", "l4", "latin4", "iso-ir-110")
+    add("iso8859-5", "csisolatincyrillic", "cyrillic", "iso-ir-144")
+    add("iso8859-6", "arabic", "asmo-708", "csiso88596e", "csiso88596i",
+        "csisolatinarabic", "ecma-114", "iso-8859-6-e", "iso-8859-6-i",
+        "iso-ir-127")
+    add("iso8859-7", "csisolatingreek", "ecma-118", "elot_928", "greek",
+        "greek8", "iso-ir-126", "sun_eu_greek")
+    add("iso8859-8", "csiso88598e", "csisolatinhebrew", "hebrew",
+        "iso-8859-8-e", "iso-ir-138", "visual", "csiso88598i",
+        "iso-8859-8-i", "logical")
+    add("iso8859-10", "csisolatin6", "iso-ir-157", "l6", "latin6")
+    add("iso8859-13", "iso885913")
+    add("iso8859-14", "iso885914")
+    add("iso8859-15", "csisolatin9", "l9", "iso885915", "iso_8859-15")
+    add("koi8-r", "cskoi8r", "koi", "koi8", "koi8-r", "koi8_r")
+    add("koi8-u", "koi8-ru", "koi8-u")
+    add("mac-roman", "csmacintosh", "mac", "macintosh", "x-mac-roman")
+    add("cp874", "dos-874", "iso-8859-11", "iso8859-11", "iso885911",
+        "tis-620", "windows-874")
+    for n in range(1250, 1259):
+        add(f"cp{n}", f"cp{n}", f"windows-{n}", f"x-cp{n}")
+    add("mac-cyrillic", "x-mac-cyrillic", "x-mac-ukrainian")
+    add("gbk", "chinese", "csgb2312", "csiso58gb231280", "gb2312",
+        "gb_2312", "gb_2312-80", "gbk", "iso-ir-58", "x-gbk")
+    add("gb18030", "gb18030")
+    add("big5hkscs", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5")
+    add("euc-jp", "cseucpkdfmtjapanese", "euc-jp", "x-euc-jp")
+    add("iso-2022-jp", "csiso2022jp", "iso-2022-jp")
+    add("cp932", "csshiftjis", "ms932", "ms_kanji", "shift-jis",
+        "shift_jis", "sjis", "windows-31j", "x-sjis")
+    add("cp949", "cseuckr", "csksc56011987", "euc-kr", "iso-ir-149",
+        "korean", "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601",
+        "ksc_5601", "windows-949")
+    add("utf-16be", "unicodefffe", "utf-16be")
+    add("utf-16le", "csunicode", "iso-10646-ucs-2", "ucs-2", "unicode",
+        "unicodefeff", "utf-16", "utf-16le")
+    add("x-user-defined", "x-user-defined")
+    add("replacement", "csiso2022kr", "hz-gb-2312", "iso-2022-cn",
+        "iso-2022-cn-ext", "iso-2022-kr", "replacement")
+    return t
+
+
+_WHATWG_LABELS = _whatwg_table()
+
+
+def _ncr_handler(err):
+    # encoding_rs lossy encode: &#N; decimal character references
+    s = err.object[err.start:err.end]
+    return "".join(f"&#{ord(c)};" for c in s), err.end
+
+
+_codecs.register_error("vrl_ncr", _ncr_handler)
+
+
+def _for_label(label: str) -> str:
+    name = _WHATWG_LABELS.get(str(label).strip(" \t\n\f\r").lower())
+    if name is None:
+        raise VrlError(f"Unknown charset: {label}")
+    return name
+
+
 def encode_charset(value: str, to_charset: str) -> bytes:
-    try:
-        codec = _codecs.lookup(to_charset)
-    except LookupError:
-        raise VrlError(f"unknown charset: {to_charset}") from None
-    try:
-        return codec.encode(value)[0]
-    except UnicodeEncodeError as e:
-        raise VrlError(f"unable to encode to {to_charset}: {e}") from e
+    name = _for_label(to_charset)
+    # encoding_rs output encodings: UTF-16 and replacement encode as
+    # UTF-8 (Encoding::encode's output-encoding rule)
+    if name in ("utf-16be", "utf-16le", "replacement"):
+        name = "utf-8"
+    if name == "x-user-defined":
+        out = bytearray()
+        for ch in value:
+            o = ord(ch)
+            if o <= 0x7F:
+                out.append(o)
+            elif 0xF780 <= o <= 0xF7FF:
+                out.append(o - 0xF780 + 0x80)
+            else:
+                out.extend(f"&#{o};".encode("ascii"))
+        return bytes(out)
+    return value.encode(name, errors="vrl_ncr")
 
 
 def decode_charset(value: bytes, from_charset: str) -> str:
+    name = _for_label(from_charset)
     if isinstance(value, str):
         value = value.encode("latin-1")
-    try:
-        codec = _codecs.lookup(from_charset)
-    except LookupError:
-        raise VrlError(f"unknown charset: {from_charset}") from None
-    try:
-        return codec.decode(value)[0]
-    except UnicodeDecodeError as e:
-        raise VrlError(f"unable to decode from {from_charset}: {e}") from e
+    # decode() BOM-sniffs: a UTF-8/16 BOM overrides the label
+    if value[:3] == b"\xef\xbb\xbf":
+        return value[3:].decode("utf-8", "replace")
+    if value[:2] == b"\xff\xfe":
+        return value[2:].decode("utf-16-le", "replace")
+    if value[:2] == b"\xfe\xff":
+        return value[2:].decode("utf-16-be", "replace")
+    if name == "replacement":
+        return "�" if value else ""
+    if name == "x-user-defined":
+        return "".join(chr(b) if b <= 0x7F else chr(0xF780 + b - 0x80)
+                       for b in value)
+    if name == "utf-16be":
+        return value.decode("utf-16-be", "replace")
+    if name == "utf-16le":
+        return value.decode("utf-16-le", "replace")
+    return value.decode(name, "replace")
 
 
 # ---------------------------------------------------------------------------

@@ -139,21 +139,18 @@ def flatten(value, separator: str = ".", except_: Optional[list] = None) -> Any:
         raise VrlError("expected object or array")
     out: dict = {}
 
-    def walk(v, prefix: str, top: bool):
-        if isinstance(v, dict) and v and not (top is False and False):
-            for k, x in _btree_items(v):
-                if top and k in skip:
-                    out[str(k)] = x
-                    continue
-                key = f"{prefix}{separator}{k}" if prefix else str(k)
-                if isinstance(x, dict) and x:
-                    walk(x, key, False)
-                else:
-                    out[key] = x
-        else:
-            out[prefix] = v
+    # MapFlatten (flatten.rs:60-108): the `except` check uses the BARE
+    # key at EVERY depth; empty objects recurse into nothing and
+    # disappear from the output.
+    def walk(v, prefix: str):
+        for k, x in _btree_items(v):
+            key = f"{prefix}{separator}{k}" if prefix else str(k)
+            if isinstance(x, dict) and str(k) not in skip:
+                walk(x, key)
+            else:
+                out[key] = x
 
-    walk(value, "", True)
+    walk(value, "")
     return out
 
 
@@ -179,17 +176,32 @@ def unflatten(value: dict, separator: str = ".", recursive: bool = True) -> dict
 
 
 def from_entries(value: list) -> dict:
-    """Entries [[k,v],...] or [{"key":k,"value":v},...] -> object."""
+    """from_entries.rs: each entry is an OBJECT; the key is the first
+    of key/Key/name/Name whose value is neither null nor false
+    (select_key), must be a string; the value is `value` else `Value`
+    else null (present-but-null does NOT fall through)."""
     out = {}
     if not isinstance(value, list):
         raise VrlError("expected array")
     for e in value:
-        if isinstance(e, list) and len(e) == 2:
-            out[str(e[0])] = e[1]
-        elif isinstance(e, dict) and "key" in e:
-            out[str(e["key"])] = e.get("value")
+        if not isinstance(e, dict):
+            from ..value import vrl_type
+            raise VrlError(f"expected object, got {vrl_type(e)}")
+        key = None
+        for alias in ("key", "Key", "name", "Name"):
+            k = e.get(alias)
+            if k is not None and k is not False:
+                key = k
+                break
+        if not isinstance(key, str):
+            raise VrlError("object keys must be strings")
+        if "value" in e:
+            v = e["value"]
+        elif "Value" in e:
+            v = e["Value"]
         else:
-            raise VrlError("invalid entry")
+            v = None
+        out[key] = v
     return out
 
 
@@ -227,11 +239,19 @@ def object_from_array(values: list, keys: Optional[list] = None) -> dict:
 
 
 def zip_(array_0: list, array_1: Optional[list] = None) -> list:
-    """zip.rs: pairwise zip; single-arg form zips an array of arrays."""
+    """zip.rs: pairwise zip; single-arg form zips an array of arrays
+    (every inner element must itself be an array — data error, not a
+    crash, when it isn't)."""
     if array_1 is not None:
+        if not isinstance(array_0, list) or not isinstance(array_1, list):
+            raise VrlError("expected array")
         return [list(t) for t in zip(array_0, array_1)]
     if not isinstance(array_0, list):
         raise VrlError("expected array")
+    for inner in array_0:
+        if not isinstance(inner, list):
+            from ..value import vrl_type
+            raise VrlError(f"expected array, got {vrl_type(inner)}")
     return [list(t) for t in zip(*array_0)]
 
 

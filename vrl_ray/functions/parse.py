@@ -936,12 +936,18 @@ def parse_glog(value: str) -> dict:
         year, int(d["month"]), int(d["day"]),
         *map(int, d["time"].split(":")), int(d["usec"]), tzinfo=timezone.utc,
     )
+    # id/line parse as i64 (parse_glog.rs:37,46) — overflow errors
+    tid, line = int(d["thread"]), int(d["line"])
+    if not -(2**63) <= tid < 2**63:
+        raise VrlError("failed parsing id")
+    if not -(2**63) <= line < 2**63:
+        raise VrlError("failed parsing line")
     return {
         "level": _GLOG_LEVELS[d["level"]],
         "timestamp": ts,
-        "id": int(d["thread"]),
+        "id": tid,
         "file": d["file"],
-        "line": int(d["line"]),
+        "line": line,
         "message": d["message"],
     }
 

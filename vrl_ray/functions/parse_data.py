@@ -207,8 +207,18 @@ def parse_xml(value: str, include_attr: bool = True,
               trim: bool = True) -> dict:
     import xml.etree.ElementTree as ET
 
+    # roxmltree tolerates an <?xml..?> PI inside the document (ET does
+    # not — "XML declaration not at start"); raw "<?xml" can only be a
+    # PI (literal '<' in text must be escaped), so strip non-leading
+    # ones (parse_xml.rs header_inside_element test).
+    body = value
+    if body.lstrip().startswith("<?xml"):
+        cut = body.find("<?xml") + 5  # keep the legal leading decl
+        body = body[:cut] + _re.sub(r"<\?xml[^>]*\?>", "", body[cut:])
+    elif "<?xml" in body:
+        body = _re.sub(r"<\?xml[^>]*\?>", "", body)
     try:
-        root = ET.fromstring(value)
+        root = ET.fromstring(body)
     except ET.ParseError as e:
         raise VrlError(f"unable to parse xml: {e}") from e
 
@@ -227,16 +237,23 @@ def parse_xml(value: str, include_attr: bool = True,
                 obj[tag].append(c)
             else:
                 obj[tag] = c
-        text = el.text or ""
+        # every text node collects separately (el.text + child tails);
+        # multiple survivors become a LIST under text_key
+        # (parse_xml.rs untrimmed test)
+        texts = [] if el.text is None else [el.text]
+        texts += [c.tail for c in children if c.tail is not None]
         if trim:
-            text = text.strip()
-        has_text = text != ""
-        if has_text:
-            scalar = _xml_scalar(text, parse_null, parse_bool, parse_number)
-            if not obj and not always_use_text_key:
-                return scalar
-            obj[text_key] = scalar
-        if not obj and not has_text:
+            texts = [t.strip() for t in texts]
+        texts = [t for t in texts if t != ""]
+        if texts:
+            scalars = [_xml_scalar(t, parse_null, parse_bool,
+                                   parse_number) for t in texts]
+            text_val = scalars[0] if len(scalars) == 1 else scalars
+            if not obj and not always_use_text_key \
+                    and len(scalars) == 1:
+                return text_val
+            obj[text_key] = text_val
+        if not obj and not texts:
             # empty element: null when parse_null, else {}
             return None if parse_null else {}
         return obj

@@ -278,12 +278,18 @@ def parse_klog(value: str) -> dict:
     ts = datetime(year, int(m.group("month")), int(m.group("day")),
                   tm.hour, tm.minute, tm.second, tm.microsecond,
                   tzinfo=timezone.utc)
+    # id/line parse as i64 (parse_klog.rs:40,49) — overflow errors
+    tid, line = int(m.group("id")), int(m.group("line"))
+    if not -(2**63) <= tid < 2**63:
+        raise VrlError("failed parsing id")
+    if not -(2**63) <= line < 2**63:
+        raise VrlError("failed parsing line")
     return {
         "level": _KLOG_LEVELS[m.group("level")],
         "timestamp": ts,
-        "id": int(m.group("id")),
+        "id": tid,
         "file": m.group("file"),
-        "line": int(m.group("line")),
+        "line": line,
         "message": m.group("message"),
     }
 
@@ -646,7 +652,11 @@ def parse_influxdb(value: str) -> list:
         k = _influx_unescape(kv[0])
         raw = kv[1]
         if raw.startswith('"') and raw.endswith('"'):
-            continue  # string fields are skipped (not representable as metrics)
+            # parse_influxdb.rs:79 — string field values are an ERROR
+            raise VrlError(
+                "Error while converting InfluxDB line protocol metric "
+                "to Vector's metric model: field set values of type "
+                "string are not supported")
         if raw in ("t", "T", "true", "True", "TRUE"):
             v = 1.0
         elif raw in ("f", "F", "false", "False", "FALSE"):

@@ -228,14 +228,21 @@ def replace_with(value: str, pattern, closure, count: int = -1) -> str:
 
 
 def split(value: str, pattern, limit: Optional[int] = None) -> list:
-    """split.rs: literal or regex separator; `limit` caps pieces."""
+    """split.rs: literal or regex separator; `limit` is Rust's
+    splitn count — default 999_999_999 (split.rs:108), negative
+    clamps to 0, and splitn(0) yields NO pieces (empty array)."""
     v = _s(value)
-    maxsplit = (limit - 1) if limit and limit > 0 else 0 if limit == 0 else -1
+    if limit is None:
+        limit = 999_999_999
+    if limit < 0:
+        limit = 0
+    if limit == 0:
+        return []
+    if limit == 1:
+        return [v]
     if isinstance(pattern, (_regex.Pattern, _re.Pattern)):
-        return pattern.split(v, maxsplit=maxsplit if maxsplit >= 0 else 0)
-    if maxsplit >= 0:
-        return v.split(_s(pattern), maxsplit)
-    return v.split(_s(pattern))
+        return pattern.split(v, maxsplit=limit - 1)
+    return v.split(_s(pattern), limit - 1)
 
 
 def join(value: list, separator: str = "") -> str:
@@ -325,26 +332,38 @@ def find(value: str, pattern, from_: int = 0):
 
 
 def basename(value: str, suffix: Optional[str] = None):
-    """basename.rs (Rust Path::file_name): trailing slashes ignored;
-    "/" has no basename -> null."""
-    v = _s(value).rstrip("/")
-    if not v:
+    """basename.rs (Rust Path::file_name): empty and "." segments are
+    skipped entirely; a path whose last real component is ".." (or
+    that has none — "/", ".", "") has NO file name -> null."""
+    v = _s(value)
+    parts = [p for p in v.split("/") if p not in ("", ".")]
+    if not parts or parts[-1] == "..":
         return None
-    b = v.rsplit("/", 1)[-1]
+    b = parts[-1]
     if suffix and b.endswith(suffix):
         b = b[: -len(suffix)]
     return b
 
 
 def dirname(value: str) -> str:
-    """dirname.rs (Rust Path::parent): trailing slashes ignored;
-    bare filename -> "."."""
-    v = _s(value).rstrip("/")
-    if v == "":
+    """dirname.rs (Rust Path::parent, textually): "/" is its own
+    parent; trailing separators and "." components are dropped to
+    find the file-name boundary; an empty parent is "." (including
+    dirname("") and dirname("."))."""
+    v = _s(value)
+    if v == "/":
         return "/"
-    if "/" not in v:
+    s = v
+    while True:
+        t = s.rstrip("/")
+        if t == "." or t.endswith("/."):
+            s = t[:-1]
+            continue
+        s = t
+        break
+    if "/" not in s:
         return "."
-    d = v.rsplit("/", 1)[0]
+    d = s.rsplit("/", 1)[0].rstrip("/")
     return d or "/"
 
 
@@ -425,23 +444,62 @@ def _redactor(redactor) -> "callable":
 
 def redact(value, filters: list, redactor=None):
     """redact.rs: recurses into arrays/objects; strings get every
-    filter applied in order."""
+    filter applied in order. Filters follow TryFrom<Value> for Filter
+    (redact.rs:288-334): regex literal, the name
+    "us_social_security_number", or an object {type: "pattern",
+    patterns: [regex|literal-string, ...]} — a literal string inside
+    `patterns` is a PLAIN substring match, and arbitrary bare strings
+    are "unknown filter name" errors, never implicit regexes."""
     red = _redactor(redactor)
-    rxs = []
+    pats: list = []  # ("rx", compiled) | ("str", literal)
     for f in filters:
-        if f == "us_social_security_number":
-            rxs.append(_SSN)
+        if isinstance(f, (_regex.Pattern, _re.Pattern)):
+            pats.append(("rx", f))
         elif isinstance(f, str):
-            rxs.append(_regex.compile(f))
-        elif isinstance(f, (_regex.Pattern, _re.Pattern)):
-            rxs.append(f)
+            if f == "us_social_security_number":
+                pats.append(("rx", _SSN))
+            elif f == "pattern":
+                raise VrlError("pattern cannot be used without arguments")
+            else:
+                raise VrlError("unknown filter name")
+        elif isinstance(f, dict):
+            t = f.get("type")
+            if t is None:
+                raise VrlError("filters specified as objects must have "
+                               "type parameter")
+            if not isinstance(t, str):
+                raise VrlError("type key in filters must be a string")
+            if t == "us_social_security_number":
+                pats.append(("rx", _SSN))
+            elif t == "pattern":
+                ps = f.get("patterns")
+                if ps is None:
+                    raise VrlError("pattern filter must have `patterns` "
+                                   "specified")
+                if not isinstance(ps, list):
+                    raise VrlError("`patterns` must be array of regular "
+                                   "expression literals")
+                for p in ps:
+                    if isinstance(p, (_regex.Pattern, _re.Pattern)):
+                        pats.append(("rx", p))
+                    elif isinstance(p, str):
+                        pats.append(("str", p))
+                    else:
+                        raise VrlError("`patterns` must be regular "
+                                       "expressions")
+            else:
+                raise VrlError("unknown filter name")
         else:
-            raise VrlError(f"invalid redact filter: {f!r}")
+            raise VrlError("unknown literal for filter, must be a "
+                           "regex, filter name, or object")
 
     def _apply(v):
         if isinstance(v, str):
-            for rx in rxs:
-                v = rx.sub(lambda m: red(m.group(0)), v)
+            for kind, p in pats:
+                if kind == "rx":
+                    v = p.sub(lambda m: red(m.group(0)), v)
+                elif p:  # literal substring (str_replace)
+                    v = v.replace(p, red(p))
             return v
         if isinstance(v, list):
             return [_apply(x) for x in v]
