@@ -236,7 +236,10 @@ class TestDatadogQuery:
         ("@http.method:POST", False),
         ("env:prod", True),
         ("env:dev", False),
-        ("service:a*", True),
+        # "service" is a RESERVED field (field.rs:13-22): it looks up
+        # the event's `service` FIELD, not the tags array
+        ("service:a*", False),
+        ("env:pr*", True),
         ("_exists_:env", True),
         ("_missing_:region", True),
         ("(env:prod OR env:dev) AND @status:500", True),

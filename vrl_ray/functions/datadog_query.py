@@ -40,7 +40,8 @@ _TERM_RX = _re.compile(
       (?P<op>\bOR\b|\bAND\b|\bNOT\b) |
       (?P<minus>-) |
       (?P<term>
-        (?:(?P<attr>@?[A-Za-z0-9_][\w.@-]*)\s*:)?
+        (?:(?P<attr>@?(?:\\"(?:[^"\\]|\\[^"])*\\"|"(?:[^"\\]|\\.)*"|
+                       [A-Za-z0-9_][\w.@-]*))\s*:)?
         (?P<value>
             "(?:[^"\\]|\\.)*" |
             [\[{][^\]}]*[\]}] |
@@ -173,54 +174,174 @@ def _get_path(event: dict, path: str):
     return cur
 
 
-def _match_scalar(actual, spec: str) -> bool:
-    if actual is None:
+# Field classification (src/datadog/search/field.rs): bare terms fan
+# out over the DEFAULT_FIELDS; named fields are Default > Reserved >
+# Tag; @-prefixed are Attributes.
+_DD_DEFAULT_FIELDS = ("message", "custom.error.message",
+                      "custom.error.stack", "custom.title", "_default_")
+_DD_RESERVED = {"host", "source", "status", "service", "trace_id",
+                "message", "timestamp", "tags"}
+
+
+def _norm_fields(attr: Optional[str]):
+    if attr is None or attr == "_default_":
+        return [("default", f) for f in _DD_DEFAULT_FIELDS]
+    name = attr
+    is_attr = name.startswith("@")
+    if is_attr:
+        name = name[1:]
+    # quoted field names, plain or backslash-escaped (@\"a-b\":1)
+    if name.startswith('\\"') and name.endswith('\\"') and len(name) >= 4:
+        name = name[2:-2]
+    elif name.startswith('"') and name.endswith('"') and len(name) >= 2:
+        name = _re.sub(r"\\(.)", r"\1", name[1:-1])
+    if is_attr:
+        return [("attr", name)]
+    if name in _DD_DEFAULT_FIELDS:
+        return [("default", name)]
+    if name in _DD_RESERVED:
+        return [("reserved", name)]
+    return [("tag", name)]
+
+
+def _string_value(v) -> str:
+    """string_value (match_datadog_query.rs:453-458): bytes verbatim,
+    everything else via Value Display."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float):
+        from .coerce import _fmt_float
+        return _fmt_float(v)
+    if isinstance(v, (list, dict)):
+        return ""  # Display of containers never matches term text
+    return str(v)
+
+
+def _word_rx(pat: str) -> "_re.Pattern":
+    # filter/regex.rs word_regex: \b..\b, only '*' is a wildcard
+    return _re.compile(r"\b" + _re.escape(pat).replace(r"\*", ".*") + r"\b")
+
+
+def _wildcard_rx(pat: str) -> "_re.Pattern":
+    return _re.compile("^" + _re.escape(pat).replace(r"\*", ".*") + "$")
+
+
+def _cmp(op: str, lhs, rhs) -> bool:
+    return {"<": lhs < rhs, "<=": lhs <= rhs,
+            ">": lhs > rhs, ">=": lhs >= rhs}[op]
+
+
+def _dd_compare(kind: str, field: str, actual, op: str, raw: str) -> bool:
+    """compare (match_datadog_query.rs:309-420): attributes compare
+    numerically only when BOTH sides are numeric (quoted bounds are
+    strings); tags compare the value part of every `k:v` element; all
+    other fields compare stringified."""
+    quoted = len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"'
+    text = _unquote(raw)
+    num = None if quoted else _num(text)
+    if kind == "attr" and num is not None and \
+            isinstance(actual, (int, float)) and not isinstance(actual, bool):
+        return _cmp(op, float(actual), num)
+    if kind == "tag":
+        if not isinstance(actual, list):
+            return False
+        for t in actual:
+            s = _string_value(t)
+            if ":" in s and _cmp(op, s.split(":", 1)[1], text):
+                return True
         return False
-    if isinstance(actual, bool):
-        actual = "true" if actual else "false"
-    if spec == "*":
-        return True
-    # range
-    if spec and spec[0] in "[{" and spec[-1] in "]}":
-        inner = spec[1:-1]
-        m = _re.match(r'\s*("?[^"\s]*"?)\s+TO\s+("?[^"\s]*"?)\s*$', inner)
-        if not m:
-            raise VrlError(f"invalid range: {spec}")
-        lo, hi = _unquote(m.group(1)), _unquote(m.group(2))
-        incl_lo, incl_hi = spec[0] == "[", spec[-1] == "]"
-        a_num, lo_num, hi_num = _num(actual), _num(lo), _num(hi)
-        if a_num is not None and lo_num is not None and hi_num is not None:
-            ok_lo = a_num >= lo_num if incl_lo else a_num > lo_num
-            ok_hi = a_num <= hi_num if incl_hi else a_num < hi_num
-            return ok_lo and ok_hi
-        s = str(actual)
-        ok_lo = (s >= lo) if incl_lo else (s > lo)
-        ok_hi = (s <= hi) if incl_hi else (s < hi)
-        return (lo == "*" or ok_lo) and (hi == "*" or ok_hi)
-    # comparison
-    m = _re.match(r"([<>]=?)\s*(.+)$", spec)
-    if m:
-        op, rhs = m.group(1), _unquote(m.group(2))
-        a_num, r_num = _num(actual), _num(rhs)
-        if a_num is None or r_num is None:
-            a_cmp, r_cmp = str(actual), rhs
-            res = {"<": a_cmp < r_cmp, "<=": a_cmp <= r_cmp,
-                   ">": a_cmp > r_cmp, ">=": a_cmp >= r_cmp}
+    return _cmp(op, _string_value(actual), text)
+
+
+def _dd_exists(kind: str, field: str, event: dict) -> bool:
+    if kind == "tag":
+        tags = _get_path(event, "tags")
+        if not isinstance(tags, list):
+            return False
+        return any(_string_value(t) == field
+                   or _string_value(t).startswith(field + ":")
+                   for t in tags)
+    if kind == "reserved" and field == "tags":
+        # match_datadog_query.rs:156-162 compares each element against
+        # the whole array — always false; reproduced bug-for-bug
+        return _has_path(event, "tags") and False
+    return _has_path(event, field)
+
+
+def _has_path(event: dict, path: str) -> bool:
+    cur: Any = event
+    for seg in path.split("."):
+        if isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
         else:
-            res = {"<": a_num < r_num, "<=": a_num <= r_num,
-                   ">": a_num > r_num, ">=": a_num >= r_num}
-        return res[op]
-    pat = _unquote(spec)
-    a_num, p_num = _num(actual), _num(pat)
-    if a_num is not None and p_num is not None and not _re.search(r"[*?]", pat):
-        return a_num == p_num
-    return bool(_wild_rx(pat).match(str(actual)))
+            return False
+    return True
 
 
-def _match_value(actual, spec: str) -> bool:
-    if isinstance(actual, list):
-        return any(_match_scalar(a, spec) for a in actual)
-    return _match_scalar(actual, spec)
+def _dd_term(kind: str, field: str, raw: str, event: dict) -> bool:
+    path = "tags" if kind == "tag" else field
+    # resolve_value: a missing path is false for every matcher
+    if not _has_path(event, path):
+        return False
+    actual = _get_path(event, path)
+
+    # ranges: [a TO b] / {a TO b}; * bounds degrade to one-sided
+    # compares, both-* to exists (filter.rs range())
+    if raw and raw[0] in "[{" and raw[-1] in "]}":
+        m = _re.match(r'\s*("(?:[^"\\]|\\.)*"|[^\s]+)\s+TO\s+'
+                      r'("(?:[^"\\]|\\.)*"|[^\s]+)\s*$', raw[1:-1])
+        if not m:
+            raise VrlError(f"invalid range: {raw}")
+        lo_raw, hi_raw = m.group(1), m.group(2)
+        lo_star = lo_raw == "*"
+        hi_star = hi_raw == "*"
+        if lo_star and hi_star:
+            return _dd_exists(kind, field, event)
+        ok = True
+        if not lo_star:
+            ok = ok and _dd_compare(kind, field, actual,
+                                    ">=" if raw[0] == "[" else ">", lo_raw)
+        if not hi_star:
+            ok = ok and _dd_compare(kind, field, actual,
+                                    "<=" if raw[-1] == "]" else "<", hi_raw)
+        return ok
+
+    # comparisons: >, >=, <, <=
+    m = _re.match(r"([<>]=?)\s*(.+)$", raw)
+    if m:
+        return _dd_compare(kind, field, actual, m.group(1), m.group(2))
+
+    if raw == "*":
+        return _dd_exists(kind, field, event)
+
+    pat = _unquote(raw)
+    if "*" in pat:
+        # wildcard / prefix matchers
+        if kind == "default":
+            return bool(_word_rx(pat).search(_string_value(actual)))
+        if kind == "tag":
+            rx = _wildcard_rx(f"{field}:{pat}")
+            return isinstance(actual, list) and \
+                any(rx.match(_string_value(t)) for t in actual)
+        return bool(_wildcard_rx(pat).match(_string_value(actual)))
+
+    # equality (match_datadog_query.rs equals())
+    if kind == "default":
+        # word-boundary match, STRING values only
+        return isinstance(actual, str) and \
+            bool(_word_rx(pat).search(actual))
+    if kind == "reserved" and field == "tags":
+        return isinstance(actual, list) and \
+            any(isinstance(t, str) and t == pat for t in actual)
+    if kind == "tag":
+        want = f"{field}:{pat}"
+        return isinstance(actual, list) and \
+            any(isinstance(t, str) and t == want for t in actual)
+    return _string_value(actual) == pat
 
 
 def _eval(node, event: dict) -> bool:
@@ -233,43 +354,17 @@ def _eval(node, event: dict) -> bool:
         return not _eval(node[1], event)
     _, attr, value = node
 
-    if attr is None:
-        if value == "*":
-            return True
-        # full-text whole-token search on message
-        msg = event.get("message")
-        if msg is None:
-            return False
-        pat = _unquote(value)
-        body = _wild_rx(pat, whole=False).pattern
-        return bool(_re.search(rf"(?<!\w){body}(?!\w)", str(msg)))
+    if attr is None and value == "*":
+        return True  # MatchAllDocs
 
     if attr == "_exists_":
-        field = _unquote(value)
-        if field.startswith("@"):
-            return _get_path(event, field[1:]) is not None
-        tags = event.get("tags") or []
-        return any(str(t).split(":", 1)[0] == field for t in tags) \
-            or _get_path(event, field) is not None
+        return any(_dd_exists(k, f, event)
+                   for k, f in _norm_fields(_unquote(value)))
     if attr == "_missing_":
         return not _eval(("term", "_exists_", value), event)
 
-    if attr.startswith("@"):
-        return _match_value(_get_path(event, attr[1:]), value)
-
-    # tag search: entries "key:value" in the tags array (bare key too)
-    tags = event.get("tags") or []
-    key = attr
-    vals = []
-    for t in tags:
-        s = str(t)
-        if s == key:
-            vals.append("")
-        elif s.startswith(key + ":"):
-            vals.append(s[len(key) + 1:])
-    if vals:
-        return any(_match_scalar(v, value) for v in vals)
-    return False
+    return any(_dd_term(k, f, value, event)
+               for k, f in _norm_fields(attr))
 
 
 # ---------------------------------------------------------------------------
@@ -296,14 +391,19 @@ def _vec_term(attr: Optional[str], value: str, batch) -> "Any":
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
 
+    numeric_col = pa.types.is_integer(col.type) or \
+        pa.types.is_floating(col.type)
     if value == "*":
         return pc.is_valid(col)
     m = _re.match(r"([<>]=?)\s*(.+)$", value)
     if m:
-        op, rhs = m.group(1), _unquote(m.group(2))
-        r = _num(rhs)
-        if r is None:
-            raise NotVectorizableQuery("non-numeric comparison")
+        op, rhs = m.group(1), m.group(2)
+        quoted = len(rhs) >= 2 and rhs[0] == '"' and rhs[-1] == '"'
+        r = None if quoted else _num(rhs)
+        # reference compare: numeric only when value AND bound numeric;
+        # string comparisons take the row path
+        if r is None or not numeric_col:
+            raise NotVectorizableQuery("string comparison")
         kernel = {"<": pc.less, "<=": pc.less_equal,
                   ">": pc.greater, ">=": pc.greater_equal}[op]
         return pc.fill_null(kernel(pc.cast(col, pa.float64()), r), False)
@@ -312,37 +412,38 @@ def _vec_term(attr: Optional[str], value: str, batch) -> "Any":
                        value[1:-1])
         if not mm:
             raise NotVectorizableQuery("range syntax")
-        lo, hi = _unquote(mm.group(1)), _unquote(mm.group(2))
-        lo_n, hi_n = _num(lo), _num(hi)
-        if lo_n is None or hi_n is None:
+        lo, hi = mm.group(1), mm.group(2)
+        if lo == "*" and hi == "*":
+            return pc.is_valid(col)
+        if (len(lo) >= 2 and lo[0] == '"') or (len(hi) >= 2 and hi[0] == '"') \
+                or not numeric_col:
+            raise NotVectorizableQuery("string-compared range")
+        lo_n = None if lo == "*" else _num(lo)
+        hi_n = None if hi == "*" else _num(hi)
+        if (lo != "*" and lo_n is None) or (hi != "*" and hi_n is None):
             raise NotVectorizableQuery("non-numeric range")
         c = pc.cast(col, pa.float64())
-        lo_ok = pc.greater_equal(c, lo_n) if value[0] == "[" else pc.greater(c, lo_n)
-        hi_ok = pc.less_equal(c, hi_n) if value[-1] == "]" else pc.less(c, hi_n)
-        return pc.fill_null(pc.and_(lo_ok, hi_ok), False)
+        ok = pc.is_valid(col)
+        if lo_n is not None:
+            lo_ok = pc.greater_equal(c, lo_n) if value[0] == "[" \
+                else pc.greater(c, lo_n)
+            ok = pc.and_(ok, pc.fill_null(lo_ok, False))
+        if hi_n is not None:
+            hi_ok = pc.less_equal(c, hi_n) if value[-1] == "]" \
+                else pc.less(c, hi_n)
+            ok = pc.and_(ok, pc.fill_null(hi_ok, False))
+        return ok
     pat = _unquote(value)
-    if _re.search(r"[*?]", pat):
-        rx = _wild_rx(pat).pattern
+    if "*" in pat:
+        rx = _wildcard_rx(pat).pattern
         return pc.fill_null(
             pc.match_substring_regex(pc.cast(col, pa.string()), rx), False)
-    p_num = _num(pat)
-    if p_num is not None and str(col.type) in ("int64", "int32", "double",
-                                               "float"):
-        return pc.fill_null(pc.equal(pc.cast(col, pa.float64()), p_num),
-                            False)
-    if p_num is not None and pa.types.is_string(col.type):
-        # row-matcher parity (_match_scalar): '@value:5' matches a
-        # string '5.0' numerically. Arrow has no null-on-error cast,
-        # so validate numeric strings with a regex, cast only those,
-        # and fall back to string equality for the rest.
-        is_num = pc.match_substring_regex(
-            col, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
-        is_num = pc.fill_null(is_num, False)
-        safe_strs = pc.if_else(is_num, col, pa.scalar("0", pa.string()))
-        as_num = pc.cast(safe_strs, pa.float64())
-        num_eq = pc.and_(is_num, pc.equal(as_num, p_num))
-        str_eq = pc.and_(pc.invert(is_num), pc.equal(col, pat))
-        return pc.fill_null(pc.or_(num_eq, str_eq), False)
+    # equality is string_value(actual) == text (equals(), attr arm);
+    # for integer columns an integer pattern is equivalent numerically
+    if numeric_col:
+        if pa.types.is_integer(col.type) and _re.match(r"^-?\d+$", pat):
+            return pc.fill_null(pc.equal(col, int(pat)), False)
+        raise NotVectorizableQuery("display-equality on float column")
     return pc.fill_null(pc.equal(pc.cast(col, pa.string()), pat), False)
 
 

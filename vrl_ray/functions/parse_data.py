@@ -208,17 +208,20 @@ def parse_xml(value: str, include_attr: bool = True,
     import xml.etree.ElementTree as ET
 
     # roxmltree tolerates an <?xml..?> PI inside the document (ET does
-    # not — "XML declaration not at start"); raw "<?xml" can only be a
-    # PI (literal '<' in text must be escaped), so strip non-leading
-    # ones (parse_xml.rs header_inside_element test).
+    # not — "XML declaration not at start"); rename non-leading ones
+    # and keep PIs/comments as tree nodes so they still count as
+    # element children for the lone-text-vs-object shape decision
+    # (parse_xml.rs header_inside_element test).
     body = value
     if body.lstrip().startswith("<?xml"):
         cut = body.find("<?xml") + 5  # keep the legal leading decl
-        body = body[:cut] + _re.sub(r"<\?xml[^>]*\?>", "", body[cut:])
-    elif "<?xml" in body:
-        body = _re.sub(r"<\?xml[^>]*\?>", "", body)
+        body = body[:cut] + body[cut:].replace("<?xml", "<?xml-pi")
+    else:
+        body = body.replace("<?xml", "<?xml-pi")
     try:
-        root = ET.fromstring(body)
+        parser = ET.XMLParser(target=ET.TreeBuilder(
+            insert_comments=True, insert_pis=True))
+        root = ET.fromstring(body, parser=parser)
     except ET.ParseError as e:
         raise VrlError(f"unable to parse xml: {e}") from e
 
@@ -227,7 +230,8 @@ def parse_xml(value: str, include_attr: bool = True,
         if include_attr:
             for k, v in el.attrib.items():
                 obj[attr_prefix + k] = v
-        children = list(el)
+        nodes = list(el)  # elements + PIs/comments (tails carry text)
+        children = [c for c in nodes if isinstance(c.tag, str)]
         for child in children:
             c = conv(child)
             tag = child.tag
@@ -241,7 +245,7 @@ def parse_xml(value: str, include_attr: bool = True,
         # multiple survivors become a LIST under text_key
         # (parse_xml.rs untrimmed test)
         texts = [] if el.text is None else [el.text]
-        texts += [c.tail for c in children if c.tail is not None]
+        texts += [c.tail for c in nodes if c.tail is not None]
         if trim:
             texts = [t.strip() for t in texts]
         texts = [t for t in texts if t != ""]
@@ -249,7 +253,9 @@ def parse_xml(value: str, include_attr: bool = True,
             scalars = [_xml_scalar(t, parse_null, parse_bool,
                                    parse_number) for t in texts]
             text_val = scalars[0] if len(scalars) == 1 else scalars
-            if not obj and not always_use_text_key \
+            # a lone text child collapses to a scalar — but any other
+            # NODE (element, PI, comment) forces object shape
+            if not obj and not nodes and not always_use_text_key \
                     and len(scalars) == 1:
                 return text_val
             obj[text_key] = text_val
