@@ -49,6 +49,17 @@ class _Return(Exception):
         self.value = value
 
 
+def _btree_view(v):
+    """Render-order view: objects observe BTreeMap (sorted) key order
+    when stringified into assert/assert_eq messages, matching the
+    reference's Value Display and our vector lane."""
+    if isinstance(v, dict):
+        return {k: _btree_view(v[k]) for k in sorted(v, key=str)}
+    if isinstance(v, list):
+        return [_btree_view(x) for x in v]
+    return v
+
+
 # named args whose VRL name collides with Python keywords / our impls
 _ARG_RENAME = {
     "from": "from_", "else": "else_", "timezone": "timezone_name",
@@ -414,13 +425,15 @@ class _Ctx:
             cond = self.eval(args[0][1])
             msg = self.eval(args[1][1]) if len(args) > 1 else "assertion failed"
             if cond is not True:
-                raise VrlError(str(msg))
+                raise VrlError(msg if isinstance(msg, str)
+                               else str(_btree_view(msg)))
             return True
         if name == "assert_eq":
             l = self.eval(args[0][1])
             r = self.eval(args[1][1])
             if not V.eq(l, r):
-                raise VrlError(f"assertion failed: {l!r} == {r!r}")
+                raise VrlError(f"assertion failed: "
+                               f"{_btree_view(l)!r} == {_btree_view(r)!r}")
             return True
 
         fn = REGISTRY.get(name)
