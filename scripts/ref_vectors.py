@@ -165,8 +165,54 @@ def rust_val(expr: str):
     if e.startswith("vec!["):
         inner = e[5: _balanced(e, 4, "[", "]") - 1]
         return [rust_val(x) for x in _split_top(inner)]
-    if e.startswith("btreemap!") or e.startswith("BTreeMap"):
-        raise Unparseable(e[:40])
+    if e.startswith("btreemap!"):
+        open_i = 9 + len(e[9:]) - len(e[9:].lstrip())
+        close = _balanced(e, open_i, e[open_i],
+                          {"{": "}", "(": ")", "[": "]"}[e[open_i]])
+        inner = e[open_i + 1: close - 1]
+        out = {}
+        for item in _split_top(inner):
+            if not item.strip():
+                continue
+            k, _, v = item.partition("=>")
+            out[rust_val(k)] = rust_val(v)
+        return out
+    m = re.match(r"(?:regex::)?Regex::new\(", e)
+    if m:
+        inner = e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1]
+        import regex as regex_mod
+        return regex_mod.compile(rust_val(inner))
+    m = re.match(r"Utc\s*\.\s*with_ymd_and_hms\(", e)
+    if m:
+        close = _balanced(e, m.end() - 1, "(", ")")
+        inner = e[m.end(): close - 1]
+        from datetime import datetime, timezone
+        parts = [int(x) for x in _split_top(inner)]
+        dt = datetime(*parts, tzinfo=timezone.utc)
+        # chained .with_nanosecond(N) fraction (test fixtures chain it
+        # after .unwrap())
+        nm = re.search(r"with_nanosecond\((\d[\d_]*)\)", e[close:])
+        if nm:
+            dt = dt.replace(
+                microsecond=int(nm.group(1).replace("_", "")) // 1000)
+        return dt
+    m = re.match(r"Utc\s*\.\s*timestamp_opt\(", e)
+    if m:
+        inner = e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1]
+        from datetime import datetime, timezone
+        secs, nanos = [int(x) for x in _split_top(inner)]
+        return datetime.fromtimestamp(secs, tz=timezone.utc).replace(
+            microsecond=nanos // 1000)
+    m = re.match(r'b"', e)
+    if m:
+        body = e[2:e.rindex('"')]
+        return body.encode("latin-1").decode("unicode_escape") \
+            .encode("latin-1")
+    m = re.match(r"indoc!\s*[({]\s*", e)
+    if m:
+        import textwrap
+        inner = rust_val(e[m.end(): -1].strip())
+        return textwrap.dedent(inner).strip("\n")
     if re.match(r"^-?\d+\.\d*e-?\d+$", e):
         return float(e)
     raise Unparseable(e[:60])
@@ -261,6 +307,16 @@ def _value_macro(s: str):
 
 def extract(path: str) -> list[dict]:
     src = open(path).read()
+    # drop test_function! blocks gated on the ABSENCE of a
+    # default-build feature (e.g. redact.rs sha2_rejected_without_crypto
+    # under #[cfg(not(feature = "enable_crypto_functions"))]) — those
+    # vectors describe the stripped-down build. float_roundtrip is NOT
+    # a default feature, so its not()-gated block stays active.
+    for gm in reversed(list(re.finditer(
+            r'#\[cfg\(not\(feature\s*=\s*"enable_\w+"\)\)\]\s*'
+            r'test_function!\[', src))):
+        end = _balanced(src, gm.end() - 1, "[", "]")
+        src = src[: gm.start()] + src[end:]
     m = re.search(r"test_function!\[\s*(\w+)\s*=>", src)
     if not m:
         return []
@@ -373,6 +429,7 @@ def main(argv):
                 diverged.append((case, "NOT IN REGISTRY"))
                 continue
             kind, want = case["want"]
+            want = _norm(want)
             kwargs = {_ARG_RENAME.get(k, k): v
                       for k, v in case["args"].items()}
             try:

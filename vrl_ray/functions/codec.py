@@ -520,10 +520,11 @@ def encode_json(value: Any, pretty: bool = False) -> str:
     """encode_json.rs: sorted object keys (BTreeMap order,
     value.rs:33-34)."""
     if pretty:
-        from ..value import _has_sci_float, _pretty_json_ryu
+        from ..value import _has_sci_float, _json_default, _pretty_json_ryu
 
         try:
             s = _json.dumps(value, sort_keys=True, indent=2,
+                            default=_json_default,
                             ensure_ascii=False, allow_nan=False)
         except ValueError:
             return _pretty_json_ryu(value)

@@ -170,6 +170,8 @@ def tag_types_externally(value: Any) -> Any:
         return {"timestamp": value}
     if isinstance(value, (str, bytes)):
         return {"string": value}
+    if hasattr(value, "pattern"):  # compiled regex (re or regex mod)
+        return {"regex": value}
     return {"string": str(value)}
 
 

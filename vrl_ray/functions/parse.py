@@ -958,10 +958,18 @@ def parse_glog(value: str) -> dict:
 _RFC5424 = _re.compile(
     r"^<(?P<pri>\d{1,3})>(?P<version>\d)\s+(?P<ts>\S+)\s+(?P<host>\S+)\s+"
     r"(?P<app>\S+)\s+(?P<procid>\S+)\s+(?P<msgid>\S+)\s+"
-    r"(?P<sd>-|(?:\[[^\]]*\])+)\s*(?P<msg>.*)$"
+    r"(?P<sd>-|(?:\[(?:[^\]\\]|\\.)*\])+)\s*(?P<msg>.*)$"
 )
-_SD_ELEMENT = _re.compile(r"\[(?P<id>\S+?)(?P<params>(?:\s+[^=\s\]]+\s*=\s*\"[^\"]*\")*)\]")
-_SD_PARAM = _re.compile(r"([^=\s\]]+)\s*=\s*\"([^\"]*)\"")
+# RFC 5424 §6.3.3: PARAM-VALUE escapes \" \\ \] — values may span
+# escaped quotes/brackets (syslog_loose crate behavior)
+_SD_ELEMENT = _re.compile(
+    r"\[(?P<id>[^=\s\]]+)(?P<params>(?:\s+[^=\s\]]+\s*=\s*"
+    r"\"(?:[^\"\\]|\\.)*\")*)\s*\]")
+_SD_PARAM = _re.compile(r"([^=\s\]]+)\s*=\s*\"((?:[^\"\\]|\\.)*)\"")
+
+
+def _sd_unescape(v: str) -> str:
+    return _re.sub(r'\\([\\"\]])', r"\1", v)
 _RFC3164 = _re.compile(
     r"^(?:<(?P<pri>\d{1,3})>)?(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+"
     r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)(?:\[(?P<procid>\d+)\])?:\s*(?P<msg>.*)$"
@@ -980,7 +988,7 @@ def parse_syslog(value: str) -> dict:
         out: dict = {"message": d["msg"]}
         if d["sd"] and d["sd"] != "-":
             for sde in _SD_ELEMENT.finditer(d["sd"]):
-                out[sde.group("id")] = dict(_SD_PARAM.findall(sde.group("params")))
+                out[sde.group("id")] = {k: _sd_unescape(v) for k, v in _SD_PARAM.findall(sde.group("params"))}
         pri = int(d["pri"])
         out["severity"] = _SYSLOG_SEVERITIES[pri % 8]
         fac = pri // 8

@@ -182,7 +182,8 @@ def parse_ruby_hash(value: str) -> Any:
 
 def _xml_scalar(text: str, parse_null: bool, parse_bool: bool,
                 parse_number: bool):
-    if parse_null and text == "":
+    if parse_null and text in ("", "null"):
+        # parsing/xml.rs:254 — "" | "null" if parse_null => Null
         return None
     if parse_bool and text in ("true", "false"):
         return text == "true"
@@ -260,8 +261,10 @@ def parse_xml(value: str, include_attr: bool = True,
                 return text_val
             obj[text_key] = text_val
         if not obj and not texts:
-            # empty element: null when parse_null, else {}
-            return None if parse_null else {}
+            # empty element is ALWAYS an empty object (parsing/xml.rs
+            # process_node: 0 children → Value::Object(recurse) = {});
+            # parse_null applies to TEXT nodes, not element shape
+            return {}
         return obj
 
     return {root.tag: conv(root)}

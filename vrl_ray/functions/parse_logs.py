@@ -671,12 +671,12 @@ def parse_influxdb(value: str) -> list:
                 v = float(raw)
             except ValueError as e:
                 raise VrlError(f"invalid influxdb field value: {raw}") from e
-        item: dict[str, Any] = {
-            "name": f"{measurement}_{k}",
-            "tags": tags,
-            "kind": "absolute",
-            "gauge": {"value": v},
-        }
+        item: dict[str, Any] = {"name": f"{measurement}_{k}"}
+        if tags:
+            # parse_influxdb.rs: the tags key is OMITTED when empty
+            item["tags"] = tags
+        item["kind"] = "absolute"
+        item["gauge"] = {"value": v}
         if ts is not None:
             item["timestamp"] = ts
         out.append(item)

@@ -421,20 +421,35 @@ def _redactor(redactor) -> "callable":
     if redactor is None or redactor == "full":
         return lambda m: "[REDACTED]"
     if isinstance(redactor, dict):
-        typ = redactor.get("type", "full")
+        # Redactor::from_object (redact.rs:410-417): type is REQUIRED
+        # and must be a string; unknown types error
+        typ = redactor.get("type")
+        if typ is None:
+            raise VrlError("redactor specified as objects must have "
+                           "type parameter")
+        if not isinstance(typ, str):
+            raise VrlError("type key in redactor must be a string")
+        if typ == "full":
+            return lambda m: "[REDACTED]"
+        if typ not in ("text", "sha2", "sha3"):
+            raise VrlError("unknown redactor name")
         if typ == "text":
-            return lambda m: redactor.get("replacement", "[REDACTED]")
+            rep = redactor.get("replacement")
+            if rep is None:
+                raise VrlError("text redactor must have `replacement` "
+                               "specified")
+            if not isinstance(rep, str):
+                raise VrlError("`replacement` must be a string")
+            return lambda m: rep
         if typ == "sha2":
             fn = _REDACT_SHA2.get(redactor.get("variant", "SHA-512/256"))
             if fn is None:
                 raise VrlError(f"invalid sha2 variant: {redactor.get('variant')}")
             return _hash(fn, redactor.get("encoding", "base64"))
-        if typ == "sha3":
-            fn = _REDACT_SHA3.get(redactor.get("variant", "SHA3-512"))
-            if fn is None:
-                raise VrlError(f"invalid sha3 variant: {redactor.get('variant')}")
-            return _hash(fn, redactor.get("encoding", "base64"))
-        return lambda m: "[REDACTED]"
+        fn = _REDACT_SHA3.get(redactor.get("variant", "SHA3-512"))
+        if fn is None:
+            raise VrlError(f"invalid sha3 variant: {redactor.get('variant')}")
+        return _hash(fn, redactor.get("encoding", "base64"))
     if redactor == "sha2":
         return _hash(_REDACT_SHA2["SHA-512/256"], "base64")
     if redactor == "sha3":

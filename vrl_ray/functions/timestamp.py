@@ -46,7 +46,9 @@ def _ts(value) -> datetime:
 def format_timestamp(value: datetime, format: str, timezone_name: str = "UTC") -> str:
     """format_timestamp.rs: strftime (chrono dialect ≈ C strftime)."""
     dt = _ts(value)
-    if timezone_name not in ("UTC", "utc", None):
+    if timezone_name == "local":
+        dt = dt.astimezone()  # chrono TimeZone::Local
+    elif timezone_name not in ("UTC", "utc", None):
         try:
             from zoneinfo import ZoneInfo
             dt = dt.astimezone(ZoneInfo(timezone_name))
@@ -155,9 +157,58 @@ def _translate_chrono(fmt: str, dt: datetime) -> str:
             out.append(iso)
             i += 2
         else:
-            out.append("%")
-            i += 1
+            j = i + 1
+            flag = ""
+            if j < n and fmt[j] in "-0_":
+                flag = fmt[j]
+                j += 1
+            sp = fmt[j] if j < n else ""
+            expanded = _chrono_expand(sp, flag, dt)
+            if expanded is None:
+                # chrono: writing an unknown specifier is an error
+                raise VrlError("invalid format")
+            out.append(expanded)
+            i = j + 1
     return "".join(out)
+
+
+def _chrono_expand(sp: str, flag: str, dt: datetime):
+    """Remaining chrono specifiers: numeric ones honor the -/0/_
+    padding flags; unknown specifiers return None (format error)."""
+    h12 = dt.hour % 12 or 12
+    num = {
+        "Y": (dt.year, 4, "0"), "C": (dt.year // 100, 2, "0"),
+        "y": (dt.year % 100, 2, "0"), "m": (dt.month, 2, "0"),
+        "d": (dt.day, 2, "0"), "e": (dt.day, 2, " "),
+        "H": (dt.hour, 2, "0"), "k": (dt.hour, 2, " "),
+        "I": (h12, 2, "0"), "l": (h12, 2, " "),
+        "M": (dt.minute, 2, "0"), "S": (dt.second, 2, "0"),
+        "j": (dt.timetuple().tm_yday, 3, "0"),
+        "q": ((dt.month - 1) // 3 + 1, 1, "0"),
+        "u": (dt.isoweekday(), 1, "0"),
+        "w": ((dt.weekday() + 1) % 7, 1, "0"),
+        "U": (int(dt.strftime("%U")), 2, "0"),
+        "W": (int(dt.strftime("%W")), 2, "0"),
+        "G": (dt.isocalendar()[0], 4, "0"),
+        "g": (dt.isocalendar()[0] % 100, 2, "0"),
+        "V": (dt.isocalendar()[1], 2, "0"),
+    }
+    if sp in num:
+        v, width, dflt = num[sp]
+        ch = {"-": None, "0": "0", "_": " "}.get(flag, dflt)
+        s = str(v)
+        return s if ch is None else s.rjust(width, ch)
+    if flag:
+        return None
+    text = {
+        "a": "%a", "A": "%A", "b": "%b", "B": "%B", "h": "%b",
+        "p": "%p", "Z": "%Z", "z": "%z", "n": "\n", "t": "\t",
+        "D": "%m/%d/%y", "x": "%m/%d/%y", "X": "%H:%M:%S",
+        "r": "%I:%M:%S %p",
+        "c": "%a %b " + str(dt.day).rjust(2) + " %H:%M:%S %Y",
+        "P": "am" if dt.hour < 12 else "pm",
+    }
+    return text.get(sp)
 
 
 _UNITS = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6, "nanoseconds": 10**9}

@@ -457,7 +457,9 @@ def _json_default(v: Any):
     if isinstance(v, datetime):
         # VRL timestamps serialize via timestamp_to_string (AutoSi)
         return timestamp_rfc3339(v)
-    if isinstance(v, re.Pattern):
+    if isinstance(v, re.Pattern) or type(v).__name__ == "Pattern":
+        # both stdlib re and the `regex` module compile VRL regex
+        # literals; Value::Regex serializes as its pattern text
         return v.pattern
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
