@@ -665,7 +665,8 @@ def xxhash(value: str, variant: str = "XXH32", seed: int = 0) -> int:
     if variant == "XXH3-128":
         lo, hi = xxh3_128(_b(value))
         return str((hi << 64) | lo)
-    raise VrlError(f"unsupported xxhash variant: {variant}")
+    raise VrlError(
+        "Variant must be either 'XXH32', 'XXH64', 'XXH3-64', or 'XXH3-128'")
 
 
 def _sea_diffuse(x: int) -> int:

@@ -235,7 +235,8 @@ def decode_gzip(value: bytes) -> str:
     try:
         return _gzip.decompress(_raw(value)).decode("utf-8", "replace")
     except Exception as e:
-        raise VrlError(f"unable to decode value with Gzip decoder: {e}") from e
+        # decode_gzip.rs:12 — fixed text, no detail
+        raise VrlError("unable to decode value with Gzip decoder") from e
 
 
 def encode_gzip(value: str, compression_level: int = 6) -> bytes:
@@ -257,7 +258,8 @@ def decode_zlib(value: bytes) -> str:
     try:
         return _zlib.decompress(_raw(value)).decode("utf-8", "replace")
     except Exception as e:
-        raise VrlError(f"unable to decode value with Zlib decoder: {e}") from e
+        # decode_zlib.rs:12 — fixed text, no detail
+        raise VrlError("unable to decode value with Zlib decoder") from e
 
 
 def _flate2_level(level: int) -> int:
@@ -415,10 +417,9 @@ def decode_zstd(value: bytes) -> str:
         else:
             out = _zstd_probe_size(codec, raw)
         return out.decode("utf-8", "replace")
-    except VrlError:
-        raise
     except Exception as e:
-        raise VrlError(f"unable to decode value with Zstd decoder: {e}") from e
+        # decode_zstd.rs:10 — fixed text, no detail
+        raise VrlError("unable to decode value with Zstd decoder") from e
 
 
 def encode_snappy(value: str) -> bytes:
@@ -442,7 +443,8 @@ def decode_snappy(value: bytes) -> str:
         out = codec.decompress(raw, decompressed_size=size, asbytes=True)
         return out.decode("utf-8", "replace")
     except Exception as e:
-        raise VrlError(f"unable to decode value with Snappy decoder: {e}") from e
+        # decode_snappy.rs:11 — fixed text, no detail
+        raise VrlError("unable to decode value with Snappy decoder") from e
 
 
 def encode_lz4(value: str, prepend_size: bool = True) -> bytes:
@@ -455,6 +457,66 @@ def encode_lz4(value: str, prepend_size: bool = True) -> bytes:
     if prepend_size:
         return struct.pack("<I", len(raw)) + body
     return body
+
+
+def _lz4_block_decompress(data: bytes, cap: int) -> bytes:
+    """Pure-Python LZ4 block decode with lz4_flex's exact semantics and
+    error TEXTS (lz4_flex block/decompress.rs: cap is a hard output
+    bound, never grown; decode_lz4.rs:147-160 interpolates the error).
+    Used when pyarrow's lz4_raw codec can't (no size prefix) or as the
+    error-reporting rerun when it fails."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise VrlError("expected another byte, found none")
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if len(out) + lit > cap:
+            raise VrlError(
+                "provided output is too small for the decompressed "
+                f"data, actual {cap}, expected {len(out) + lit}")
+        if i + lit > n:
+            raise VrlError("literal is out of bounds of the input")
+        out += data[i:i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence ends with literals
+        if i + 2 > n:
+            raise VrlError("expected another byte, found none")
+        off = data[i] | (data[i + 1] << 8)
+        i += 2
+        if off == 0 or off > len(out):
+            raise VrlError("the offset to copy is not contained in the "
+                           "decompressed buffer")
+        ml = (token & 0xF) + 4
+        if token & 0xF == 15:
+            while True:
+                if i >= n:
+                    raise VrlError("expected another byte, found none")
+                b = data[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        if len(out) + ml > cap:
+            raise VrlError(
+                "provided output is too small for the decompressed "
+                f"data, actual {cap}, expected {len(out) + ml}")
+        if off >= ml:
+            out += out[-off:len(out) - off + ml]
+        else:  # overlapping copy replicates byte-by-byte
+            for _ in range(ml):
+                out.append(out[-off])
+    return bytes(out)
 
 
 def decode_lz4(value: bytes, prepended_size: bool = True,
@@ -494,24 +556,33 @@ def decode_lz4(value: bytes, prepended_size: bool = True,
             if ok and out_parts:
                 return b"".join(out_parts).decode("utf-8", "replace")
             raise VrlError(
-                "unable to decode value with Lz4 decoder: frame carries "
-                "no content size")
+                "unable to decode value with lz4 frame decoder: frame "
+                "carries no content size")
         codec = _pa_codec("lz4")
         try:
             out = _decompress_sized(codec, raw, size)
             return out.decode("utf-8", "replace")
         except Exception as e:
-            raise VrlError(f"unable to decode value with Lz4 decoder: {e}") from e
-    codec = _pa_codec("lz4_raw")
+            raise VrlError(
+                f"unable to decode value with lz4 frame decoder: {e}") from e
+    # block format (lz4_flex decompress[_size_prepended] semantics)
     try:
-        if prepended_size and len(raw) >= 4:
+        if prepended_size:
+            if len(raw) < 4:
+                raise VrlError("expected another byte, found none")
             size = struct.unpack("<I", raw[:4])[0]
-            out = codec.decompress(raw[4:], decompressed_size=size, asbytes=True)
+            codec = _pa_codec("lz4_raw")
+            try:  # fast path: exact-size C decode
+                out = codec.decompress(raw[4:], decompressed_size=size,
+                                       asbytes=True)
+            except Exception:
+                out = _lz4_block_decompress(raw[4:], size)
         else:
-            out = codec.decompress(raw, decompressed_size=buf_size, asbytes=True)
-        return out.decode("utf-8", "replace")
-    except Exception as e:
-        raise VrlError(f"unable to decode value with Lz4 decoder: {e}") from e
+            out = _lz4_block_decompress(raw, buf_size)
+    except VrlError as e:
+        raise VrlError(
+            f"unable to decode value with lz4 block decoder: {e}") from e
+    return out.decode("utf-8", "replace")
 
 
 # --- structured encoders ---------------------------------------------------

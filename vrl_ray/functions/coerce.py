@@ -60,7 +60,8 @@ def to_bool(value: Any) -> bool:
             return True
         if s in ("false", "f", "no", "n"):
             return False
-        raise VrlError(f"unable to coerce {value!r} into boolean")
+        # conversion/mod.rs:40 — Invalid boolean value {:?}
+        raise VrlError(f'Invalid boolean value "{value}"')
     raise VrlError(f"unable to coerce {vrl_type(value)} into boolean")
 
 
@@ -171,11 +172,31 @@ def to_string(value: Any) -> str:
     raise VrlError(f"unable to coerce {vrl_type(value)} into string")
 
 
+# Python `regex` error text → the Rust regex crate's error phrase
+_RUST_RE_ERRS = (
+    ("nothing to repeat", "repetition operator missing expression"),
+    ("multiple repeat", "repetition operator missing expression"),
+    ("missing ), unterminated subpattern", "unclosed group"),
+    ("unbalanced parenthesis", "unopened group"),
+    ("unterminated character set", "unclosed character class"),
+    ("bad escape", "unrecognized escape sequence"),
+)
+
+
 def to_regex(value: str):
     try:
         return _regex.compile(value)
     except _regex.error as e:
-        raise VrlError(f"could not create regex: {e}") from e
+        # the Rust regex crate renders parse errors multi-line:
+        #   regex parse error:\n    <pat>\n    <caret>\nerror: <what>
+        msg = str(e)
+        what = next((rust for py, rust in _RUST_RE_ERRS if py in msg), msg)
+        pos = getattr(e, "pos", None)
+        caret = ""
+        if isinstance(pos, int) and "\n" not in value:
+            caret = "\n    " + " " * pos + "^"
+        raise VrlError("could not create regex: regex parse error:\n"
+                       f"    {value}{caret}\nerror: {what}") from e
 
 
 # --- type asserts (bool.rs etc.): error unless exactly that type -----------
@@ -259,7 +280,9 @@ def is_json(value, variant=None) -> bool:
         "null": lambda v: v is None,
     }
     if variant not in checks:
-        raise VrlError(f"invalid json variant: {variant}")
+        # compile-time enum check (compiler/function.rs:697) — the
+        # trailing quote is literal in the reference text
+        raise VrlError('invalid enum variant"')
     return checks[variant](parsed)
 
 

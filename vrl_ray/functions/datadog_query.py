@@ -485,6 +485,11 @@ def match_datadog_query(value: dict, query: str) -> bool:
         raise VrlError("match_datadog_query requires an object")
     ast = _QUERY_CACHE.get(query)
     if ast is None:
-        ast = _P(_tokenize(query)).parse()
+        try:
+            ast = _P(_tokenize(query)).parse()
+        except VrlError as e:
+            # the reference parses `query` at COMPILE time
+            # (match_datadog_query.rs:82 InvalidArgument Display)
+            raise VrlError("invalid argument") from e
         _QUERY_CACHE[query] = ast
     return _eval(ast, value)

@@ -221,7 +221,8 @@ class _CompiledGroks:
             out = rule.match(value)
             if out is not None:
                 return out
-        raise VrlError("unable to parse input with grok patterns")
+        # datadog/grok/parse_grok.rs:12 wrapped by parse_groks.rs
+        raise VrlError("unable to parse grok: value does not match any rule")
 
 
 class _DdPattern:
@@ -229,7 +230,13 @@ class _DdPattern:
         self.aliases = aliases
         self._fields: dict[str, tuple[str, list]] = {}  # group → (dest, filters)
         self._n = 0
-        expanded = self._expand(pattern, ())
+        try:
+            expanded = self._expand(pattern, ())
+        except VrlError as e:
+            # parse_grok_rules.rs:88 — the expression shown is the
+            # (?m)\A..\z-anchored wrapping the reference compiles
+            raise VrlError("failed to parse grok expression "
+                           f"'(?m)\\A{pattern}\\z': {e}") from e
         try:
             self.regex = _regex.compile(r"^\s*" + expanded + r"\s*$")
         except _regex.error as e:
@@ -268,7 +275,10 @@ class _DdPattern:
             elif name in BASE_PATTERNS:
                 inner = self._expand(BASE_PATTERNS[name], stack + (name,))
             else:
-                raise VrlError(f"unknown grok pattern %{{{name}}}")
+                # the grok crate's Error::DefinitionNotFound Display
+                raise VrlError(
+                    f'The given pattern definition name "{name}" could '
+                    "not be found in the definition map")
 
             if dest:
                 self._n += 1

@@ -21,23 +21,31 @@ __all__ = [
 
 
 def _ip(value: str):
+    # Rust AddrParseError Display is the fixed text "invalid IP
+    # address syntax" (ip_pton.rs / ip_to_ipv6.rs / ipv6_to_ipv4.rs
+    # interpolate it verbatim)
     try:
         return ipaddress.ip_address(value)
     except ValueError as e:
-        raise VrlError(f"unable to parse IP address: {e}") from e
+        raise VrlError(
+            "unable to parse IP address: invalid IP address syntax") from e
 
 
 def ip_aton(value: str) -> int:
-    """ip_aton.rs: dotted-quad IPv4 -> integer."""
-    ip = _ip(value)
-    if ip.version != 4:
-        raise VrlError("expected ipv4 address")
+    """ip_aton.rs: dotted-quad IPv4 -> integer (Ipv4Addr::from_str —
+    a v6 input fails the same way as garbage)."""
+    try:
+        ip = ipaddress.IPv4Address(value)
+    except ValueError as e:
+        raise VrlError(
+            "unable to parse IPv4 address: invalid IPv4 address syntax"
+        ) from e
     return int(ip)
 
 
 def ip_ntoa(value: int) -> str:
     if isinstance(value, bool) or not isinstance(value, int) or not (0 <= value <= 0xFFFFFFFF):
-        raise VrlError("cannot convert to ipv4 address")
+        raise VrlError("cannot convert to bytes: integer does not fit in u32")
     return str(ipaddress.IPv4Address(value))
 
 
@@ -88,7 +96,9 @@ def ipv6_to_ipv4(value: str) -> str:
         return str(ip)
     v4 = ip.ipv4_mapped
     if v4 is None:
-        raise VrlError(f"IPV6 address {value} is not compatible with IPV4")
+        # ipv6_to_ipv4.rs interpolates the PARSED Ipv6Addr (canonical
+        # Display form), not the input text
+        raise VrlError(f"IPV6 address {ip} is not compatible with IPV4")
     return str(v4)
 
 

@@ -182,7 +182,8 @@ def from_entries(value: list) -> dict:
     else null (present-but-null does NOT fall through)."""
     out = {}
     if not isinstance(value, list):
-        raise VrlError("expected array")
+        from ..value import vrl_type
+        raise VrlError(f"expected array, got {vrl_type(value)}")
     for e in value:
         if not isinstance(e, dict):
             from ..value import vrl_type
@@ -212,7 +213,8 @@ def to_entries(value) -> list:
         return [{"key": k, "value": v} for k, v in value.items()]
     if isinstance(value, list):
         return [{"key": i, "value": v} for i, v in enumerate(value)]
-    raise VrlError("expected object or array")
+    from ..value import vrl_type
+    raise VrlError(f"expected array or object, got {vrl_type(value)}")
 
 
 def object_from_array(values: list, keys: Optional[list] = None) -> dict:
@@ -224,17 +226,23 @@ def object_from_array(values: list, keys: Optional[list] = None) -> dict:
             if k is None:
                 continue
             if not isinstance(k, str):
-                raise VrlError("keys must be strings")
+                raise VrlError("object keys must be strings")
             out[k] = v
         return out
     out = {}
     for e in values:
-        if not isinstance(e, list) or not e:
-            raise VrlError("expected inner arrays [key, value]")
+        if not isinstance(e, list):
+            from ..value import vrl_type
+            raise VrlError(f"expected array, got {vrl_type(e)}")
+        if not e:
+            raise VrlError("array value too short")
         k = e[0]
         if k is None:
             continue
-        out[str(k)] = e[1] if len(e) > 1 else None
+        if not isinstance(k, str):
+            # make_key_string: Bytes or Null only
+            raise VrlError("object keys must be strings")
+        out[k] = e[1] if len(e) > 1 else None
     return out
 
 
@@ -242,12 +250,15 @@ def zip_(array_0: list, array_1: Optional[list] = None) -> list:
     """zip.rs: pairwise zip; single-arg form zips an array of arrays
     (every inner element must itself be an array — data error, not a
     crash, when it isn't)."""
+    from ..value import vrl_type
     if array_1 is not None:
-        if not isinstance(array_0, list) or not isinstance(array_1, list):
-            raise VrlError("expected array")
+        if not isinstance(array_0, list):
+            raise VrlError(f"expected array, got {vrl_type(array_0)}")
+        if not isinstance(array_1, list):
+            raise VrlError(f"expected array, got {vrl_type(array_1)}")
         return [list(t) for t in zip(array_0, array_1)]
     if not isinstance(array_0, list):
-        raise VrlError("expected array")
+        raise VrlError(f"expected array, got {vrl_type(array_0)}")
     for inner in array_0:
         if not isinstance(inner, list):
             from ..value import vrl_type
@@ -353,7 +364,8 @@ def push(value: list, item: Any) -> list:
 
 def pop(value: list) -> list:
     if not isinstance(value, list):
-        raise VrlError("expected array")
+        from ..value import vrl_type
+        raise VrlError(f"expected array, got {vrl_type(value)}")
     return value[:-1]
 
 
@@ -377,7 +389,9 @@ def tally(value: list) -> dict:
     out: dict = {}
     for v in value:
         if not isinstance(v, str):
-            raise VrlError("all values must be strings")
+            from ..value import rust_debug
+            raise VrlError(
+                f"all values must be strings, found: {rust_debug(v)}")
         out[v] = out.get(v, 0) + 1
     return out
 

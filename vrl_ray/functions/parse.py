@@ -343,7 +343,11 @@ _GROK_CACHE: dict[str, GrokPattern] = {}
 def parse_grok(value: str, pattern: str) -> dict:
     gp = _GROK_CACHE.get(pattern)
     if gp is None:
-        gp = _GROK_CACHE[pattern] = GrokPattern(pattern)
+        try:
+            gp = _GROK_CACHE[pattern] = GrokPattern(pattern)
+        except Exception as e:
+            # grok-crate compile errors surface with their bare text
+            raise VrlError(str(e)) from e
     out = gp.match(value)
     if out is None:
         raise VrlError("unable to parse input with grok pattern")
@@ -367,6 +371,11 @@ def parse_timestamp(value, format: str, timezone_name: Optional[str] = None) -> 
     context timezone of SURVEY §1.4)."""
     if isinstance(value, datetime):
         return value
+    if not isinstance(value, str):
+        # parse_timestamp.rs:30 — non-string/non-ts inputs name the kind
+        from ..value import vrl_type
+        raise VrlError(
+            f"unable to convert {vrl_type(value)} value to timestamp")
     if "%+" in format:
         try:
             dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
@@ -867,89 +876,85 @@ def parse_float(value: str) -> float:
     """parse_float.rs = Conversion::Float = Rust f64 FromStr: no
     surrounding whitespace, no underscores (Python's float() accepts
     both); NaN is unrepresentable."""
+    # conversion/mod.rs:44-47 error texts; Rust ParseFloatError
+    # Display is the fixed "invalid float literal"
     if value != value.strip() or "_" in value:
-        raise VrlError(f"could not parse float: {value!r}")
+        raise VrlError(
+            f'Invalid floating point number "{value}": invalid float literal')
     try:
         f = float(value)
     except ValueError as e:
-        raise VrlError(f"could not parse float: {e}") from e
+        raise VrlError(
+            f'Invalid floating point number "{value}": '
+            "invalid float literal") from e
     if math.isnan(f):
-        raise VrlError("could not parse float: NaN")
+        raise VrlError(f'NaN number not supported "{value}"')
     return f
 
 
 # ---------------------------------------------------------------------------
 # parse_common_log (parse_common_log.rs): Apache common log format
 
-_COMMON_LOG = _regex.compile(
-    r'^(?P<host>\S+)\s+(?P<identity>\S+)\s+(?P<user>\S+)\s+'
-    r'\[(?P<timestamp>[^\]]+)\]\s+'
-    r'"(?P<method>\w+)\s+(?P<path>\S+)\s+(?P<protocol>[^"]+)"\s+'
-    r'(?P<status>\d+)\s+(?P<size>\d+|-)\s*$'
-)
-
-
-def parse_common_log(value: str, timestamp_format: str = "%d/%b/%Y:%T %z") -> dict:
-    m = _COMMON_LOG.match(value)
-    if m is None:
-        raise VrlError("failed parsing common log line")
-    d = m.groupdict()
-    out: dict = {}
-    for k in ("host", "identity", "user"):
-        if d[k] != "-":
-            out[k] = d[k]
-    try:
-        out["timestamp"] = parse_timestamp(d["timestamp"], timestamp_format)
-    except VrlError as e:
-        raise VrlError(f"failed parsing timestamp {d['timestamp']}: {e}") from e
-    out["message"] = f'{d["method"]} {d["path"]} {d["protocol"]}'
-    out["method"] = d["method"]
-    out["path"] = d["path"]
-    out["protocol"] = d["protocol"]
-    out["status"] = int(d["status"])
-    if d["size"] != "-":
-        out["size"] = int(d["size"])
-    return out
+def parse_common_log(value: str,
+                     timestamp_format: Optional[str] = None) -> dict:
+    """parse_common_log.rs:19-20 delegates to the SAME apache common
+    regex + parse_message as parse_apache_log(format: "common")."""
+    from .parse_logs import parse_apache_log
+    return parse_apache_log(value, "common", timestamp_format)
 
 
 # ---------------------------------------------------------------------------
 # parse_glog (parse_glog.rs): google log format
 # e.g. I0813 16:10:35.231055 42324 main.cc:123] hello world
 
+# mirrors REGEX_GLOG (parse_glog.rs:56-68): single \w level (mapped
+# AFTER the match so unknown levels get their own error), mandatory
+# YYYYMMDD date, exactly-6-digit fraction, greedy file up to last ':'
 _GLOG = _re.compile(
-    r"^(?P<level>[IWEF])(?P<year>\d{4})?(?P<month>\d{2})(?P<day>\d{2})\s+"
-    r"(?P<time>\d{2}:\d{2}:\d{2})\.(?P<usec>\d{6})\s+"
-    r"(?P<thread>\d+)\s+(?P<file>[^:]+):(?P<line>\d+)\]\s*(?P<message>.*)$"
+    r"^\s*(?P<level>\w)"
+    r"(?P<timestamp>(?P<y>\d{4})(?P<mo>\d{2})(?P<d>\d{2})\s"
+    r"(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})\.(?P<usec>\d{6}))\s+"
+    r"(?P<id>\d+)\s(?P<file>.+):(?P<line>\d+)\]\s(?P<message>.*?)\s*$"
 )
 _GLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
 
 
-def parse_glog(value: str) -> dict:
-    m = _GLOG.match(value)
-    if m is None:
-        raise VrlError("failed parsing glog message")
-    d = m.groupdict()
-    # glog may omit the year; the reference falls back to the current
-    # year — frozen here for determinism
-    year = int(d["year"]) if d.get("year") else 2024
-    ts = datetime(
-        year, int(d["month"]), int(d["day"]),
-        *map(int, d["time"].split(":")), int(d["usec"]), tzinfo=timezone.utc,
-    )
+def _glog_fields(d: dict) -> dict:
+    """Shared glog/klog field assembly with the reference's error
+    taxonomy (parse_glog.rs:14-52 / parse_klog.rs:14-57)."""
+    level = _GLOG_LEVELS.get(d["level"])
+    if level is None:
+        raise VrlError(f'unrecognized log level "{d["level"]}"')
+    try:
+        ts = datetime(
+            int(d["y"]), int(d["mo"]), int(d["d"]), int(d["h"]),
+            int(d["mi"]), int(d["s"]), int(d["usec"]), tzinfo=timezone.utc)
+    except ValueError as e:
+        # chrono ParseError for a structurally-valid but out-of-range
+        # date is "input is out of range"
+        raise VrlError(f"failed parsing timestamp {d['timestamp']}: "
+                       "input is out of range") from e
     # id/line parse as i64 (parse_glog.rs:37,46) — overflow errors
-    tid, line = int(d["thread"]), int(d["line"])
+    tid, line = int(d["id"]), int(d["line"])
     if not -(2**63) <= tid < 2**63:
         raise VrlError("failed parsing id")
     if not -(2**63) <= line < 2**63:
         raise VrlError("failed parsing line")
     return {
-        "level": _GLOG_LEVELS[d["level"]],
+        "level": level,
         "timestamp": ts,
         "id": tid,
         "file": d["file"],
         "line": line,
         "message": d["message"],
     }
+
+
+def parse_glog(value: str) -> dict:
+    m = _GLOG.match(value)
+    if m is None:
+        raise VrlError("failed parsing glog message")
+    return _glog_fields(m.groupdict())
 
 
 # ---------------------------------------------------------------------------

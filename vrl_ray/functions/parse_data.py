@@ -224,6 +224,13 @@ def parse_xml(value: str, include_attr: bool = True,
             insert_comments=True, insert_pis=True))
         root = ET.fromstring(body, parser=parser)
     except ET.ParseError as e:
+        # roxmltree reports token-level failures as
+        # "unknown token at L:C" (1-based col; expat's is 0-based)
+        em = _re.match(r"(syntax error|not well-formed \(invalid token\))"
+                       r": line (\d+), column (\d+)", str(e))
+        if em:
+            raise VrlError("unable to parse xml: unknown token at "
+                           f"{em.group(2)}:{int(em.group(3)) + 1}") from e
         raise VrlError(f"unable to parse xml: {e}") from e
 
     def conv(el):
@@ -279,6 +286,17 @@ def parse_yaml(value: str) -> Any:
     try:
         return yaml.safe_load(value)
     except yaml.YAMLError as e:
+        # serde_yaml renders MarkedYAMLError as one line:
+        # "{problem} at line L column C, {context} at line L column C"
+        prob = getattr(e, "problem", None)
+        pm = getattr(e, "problem_mark", None)
+        if prob and pm is not None:
+            msg = f"{prob} at line {pm.line + 1} column {pm.column + 1}"
+            ctx, cm = getattr(e, "context", None), \
+                getattr(e, "context_mark", None)
+            if ctx and cm is not None:
+                msg += f", {ctx} at line {cm.line + 1} column {cm.column + 1}"
+            raise VrlError(f"unable to parse yaml: {msg}") from e
         raise VrlError(f"unable to parse yaml: {e}") from e
 
 
@@ -545,10 +563,16 @@ def parse_etld(value: str, plus_parts: int = 0,
                psl: Optional[str] = None) -> dict:
     host = value.strip().strip(".").lower()
     if not host:
-        raise VrlError("unable to determine eTLD")
+        # parse_etld.rs:185 interpolates the (emptied) input
+        raise VrlError(f"unable to determine eTLD for {host}")
     labels = host.split(".")
     if psl:
-        rules, wild, exc = _load_psl(psl)
+        try:
+            rules, wild, exc = _load_psl(psl)
+        except VrlError as e:
+            # the reference validates the psl argument at COMPILE time
+            # (function::Error::InvalidArgument Display)
+            raise VrlError("invalid argument") from e
     else:
         rules, wild, exc = _default_psl()
 

@@ -42,14 +42,35 @@ def _chrono_strptime(fmt: str) -> str:
     return fmt.replace("%T", "%H:%M:%S")
 
 
+def _chrono_parse_err(e: ValueError) -> str:
+    """Map Python's strptime ValueError onto chrono ParseErrorKind
+    Display text (log_util.rs:216 interpolates it verbatim)."""
+    msg = str(e)
+    if "unconverted data remains" in msg:
+        return "trailing input"
+    if "out of range" in msg or "must be in" in msg:
+        return "input is out of range"
+    return "input contains invalid characters"
+
+
 def _parse_ts(value: str, fmt: str) -> datetime:
-    fmt = _chrono_strptime(fmt)
+    if "%+" in fmt:  # chrono %+ = ISO 8601 / RFC 3339
+        try:
+            dt = datetime.fromisoformat(
+                value.strip().replace("Z", "+00:00"))
+        except ValueError as e:
+            raise VrlError(
+                f"failed parsing timestamp {value} using format {fmt}: "
+                f"{_chrono_parse_err(e)}") from e
+        return dt.astimezone(timezone.utc)
+    pyfmt = _chrono_strptime(fmt)
     try:
-        dt = datetime.strptime(value.strip(), fmt)
+        dt = datetime.strptime(value.strip(), pyfmt)
     except ValueError as e:
+        # the message shows the ORIGINAL chrono format string
         raise VrlError(
-            f"failed parsing timestamp {value} using format {fmt}: {e}"
-        ) from e
+            f"failed parsing timestamp {value} using format {fmt}: "
+            f"{_chrono_parse_err(e)}") from e
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return dt.astimezone(timezone.utc)
@@ -102,9 +123,11 @@ _APACHE_COMBINED = _re.compile(
     r'(?P<protocol>[^"]*?)\s*|[^"]*?))\s*))")\s+'
     r'(-|(?P<status>\d+))\s+'
     r'(-|(?P<size>\d+))\s+'
-    r'(-|"(-|(\s*(?P<referrer>[^"]*?)\s*)))"\s+'
-    r'(-|"(-|(\s*(?P<agent>[^"]*?)\s*)))"'
-    r'\s*$')
+    # log_util.rs:58-64: the closing quote sits INSIDE the alternation
+    # (a bare `-` needs no quote) and combined has NO end anchor (the
+    # reference's \s*$ is commented out)
+    r'(-|"(-|(\s*(?P<referrer>[^"]*?)")))\s+'
+    r'(-|"(-|(\s*(?P<agent>[^"]*?)")))')
 
 # simple error format, then threaded-MPM format (log_util.rs:73-108)
 _APACHE_ERROR = [
@@ -247,7 +270,8 @@ def parse_nginx_log(value: str, format: str = "combined",
         ts_fmt = timestamp_format
     m = rx.match(value)
     if m is None:
-        raise VrlError(f"failed parsing {format} log line")
+        # parse_nginx_log.rs:65 — no format interpolation here
+        raise VrlError("failed parsing log line")
     return _typed_fields(m, ts_fmt)
 
 
@@ -255,43 +279,28 @@ def parse_nginx_log(value: str, format: str = "combined",
 # parse_klog (parse_klog.rs): kubernetes klog header
 # Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg
 
+# mirrors REGEX_KLOG (parse_klog.rs:59-71): single \w level mapped
+# after the match, MMDD + exactly-6-digit fraction, greedy file
 _KLOG = _re.compile(
-    r'^(?P<level>[IWEF])(?P<month>\d{2})(?P<day>\d{2})\s+'
-    r'(?P<time>\d{2}:\d{2}:\d{2}(\.\d+)?)\s+'
-    r'(?P<id>\d+)\s+'
-    r'(?P<file>[^:]+):(?P<line>\d+)\]\s*'
-    r'(?P<message>.*)$')
-
-_KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+    r'^\s*(?P<level>\w)'
+    r'(?P<timestamp>(?P<mo>\d{2})(?P<d>\d{2})\s'
+    r'(?P<h>\d{2}):(?P<mi>\d{2}):(?P<s>\d{2})\.(?P<usec>\d{6}))\s+'
+    r'(?P<id>\d+)\s(?P<file>.+):(?P<line>\d+)\]\s(?P<message>.*?)\s*$')
 
 
 def parse_klog(value: str) -> dict:
-    """Kubernetes klog parser (parse_klog.rs; year = current year, as
-    klog omits it)."""
+    """Kubernetes klog parser (parse_klog.rs). klog omits the year:
+    resolve_year (parse_klog.rs:171-177) uses the current year, except
+    a December log seen in January belongs to LAST year."""
+    from .parse import _glog_fields
     m = _KLOG.match(value)
     if m is None:
         raise VrlError("failed parsing klog message")
-    year = datetime.now(timezone.utc).year
-    t = m.group("time")
-    fmt = "%H:%M:%S.%f" if "." in t else "%H:%M:%S"
-    tm = datetime.strptime(t, fmt)
-    ts = datetime(year, int(m.group("month")), int(m.group("day")),
-                  tm.hour, tm.minute, tm.second, tm.microsecond,
-                  tzinfo=timezone.utc)
-    # id/line parse as i64 (parse_klog.rs:40,49) — overflow errors
-    tid, line = int(m.group("id")), int(m.group("line"))
-    if not -(2**63) <= tid < 2**63:
-        raise VrlError("failed parsing id")
-    if not -(2**63) <= line < 2**63:
-        raise VrlError("failed parsing line")
-    return {
-        "level": _KLOG_LEVELS[m.group("level")],
-        "timestamp": ts,
-        "id": tid,
-        "file": m.group("file"),
-        "line": line,
-        "message": m.group("message"),
-    }
+    d = m.groupdict()
+    now = datetime.now(timezone.utc)
+    d["y"] = str(now.year - 1 if d["mo"] == "12" and now.month == 1
+                 else now.year)
+    return _glog_fields(d)
 
 
 # ---------------------------------------------------------------------------
@@ -560,11 +569,40 @@ def parse_aws_vpc_flow_log(value: str, format: Optional[str] = None) -> dict:
 # (parse_aws_cloudwatch_log_subscription_message.rs): typed JSON view
 # of a CloudWatch Logs subscription payload.
 
+def _serde_json_err(e: ValueError) -> str:
+    """Map Python json.JSONDecodeError onto serde_json's message +
+    'at line L column C' form (the texts the reference interpolates)."""
+    msg, line, col = getattr(e, "msg", str(e)), \
+        getattr(e, "lineno", 1), getattr(e, "colno", 1)
+    table = {
+        "Expecting property name enclosed in double quotes":
+            "key must be a string",
+        "Expecting value": "expected value",
+        "Expecting ',' delimiter": "expected `,` or `}`",
+        "Expecting ':' delimiter": "expected `:`",
+        "Unterminated string starting at": "EOF while parsing a string",
+    }
+    what = next((v for k, v in table.items() if msg.startswith(k)), msg)
+    return f"{what} at line {line} column {col}"
+
+
 def parse_aws_cloudwatch_log_subscription_message(value: str) -> dict:
     try:
         d = _json.loads(value)
     except ValueError as e:
-        raise VrlError(f"unable to parse: {e}") from e
+        raise VrlError(f"unable to parse: {_serde_json_err(e)}") from e
+    if not isinstance(d, dict):
+        # serde: invalid type: <kind> `<value>`, expected struct ...
+        # (positioned at the end of the offending top-level token)
+        kind = {bool: "boolean", int: "integer", float: "floating point",
+                str: "string", list: "sequence"}.get(
+            type(d), "null" if d is None else "value")
+        shown = _json.dumps(d) if isinstance(d, str) else \
+            _json.dumps(d) if isinstance(d, bool) else d
+        raise VrlError(
+            f"unable to parse: invalid type: {kind} `{shown}`, "
+            "expected struct AwsCloudWatchLogsSubscriptionMessage "
+            f"at line 1 column {len(value.strip())}")
     try:
         events = [
             {
@@ -622,7 +660,10 @@ def parse_influxdb(value: str) -> list:
     head_fields = _influx_split(value.strip(), " ")
     head_fields = [p for p in head_fields if p != ""]
     if len(head_fields) < 2:
-        raise VrlError("invalid influxdb line protocol")
+        # influxdb_line_protocol::Error::FieldSetMissing Display,
+        # wrapped by parse_influxdb.rs:118
+        raise VrlError(
+            "InfluxDB line protocol parsing error: No fields were provided")
     head = head_fields[0]
     fields_part = head_fields[1]
     ts = None
@@ -630,7 +671,8 @@ def parse_influxdb(value: str) -> list:
         try:
             ns = int(head_fields[2])
         except ValueError as e:
-            raise VrlError("invalid influxdb timestamp") from e
+            raise VrlError("InfluxDB line protocol parsing error: "
+                           f"invalid timestamp: {head_fields[2]}") from e
         ts = datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
         # preserve sub-microsecond truncation like the reference (ns→µs)
         ts = ts.replace(microsecond=(ns // 1000) % 1_000_000)
@@ -641,14 +683,16 @@ def parse_influxdb(value: str) -> list:
     for t in head_parts[1:]:
         kv = _influx_split(t, "=")
         if len(kv) != 2:
-            raise VrlError(f"invalid influxdb tag: {t}")
+            raise VrlError("InfluxDB line protocol parsing error: "
+                           f"invalid tag: {t}")
         tags[_influx_unescape(kv[0])] = _influx_unescape(kv[1])
 
     out = []
     for f in _influx_split(fields_part, ","):
         kv = _influx_split(f, "=")
         if len(kv) != 2:
-            raise VrlError(f"invalid influxdb field: {f}")
+            raise VrlError("InfluxDB line protocol parsing error: "
+                           f"invalid field: {f}")
         k = _influx_unescape(kv[0])
         raw = kv[1]
         if raw.startswith('"') and raw.endswith('"'):
@@ -665,12 +709,14 @@ def parse_influxdb(value: str) -> list:
             try:
                 v = float(int(raw[:-1]))
             except ValueError as e:
-                raise VrlError(f"invalid influxdb field value: {raw}") from e
+                raise VrlError("InfluxDB line protocol parsing error: "
+                               f"invalid field value: {raw}") from e
         else:
             try:
                 v = float(raw)
             except ValueError as e:
-                raise VrlError(f"invalid influxdb field value: {raw}") from e
+                raise VrlError("InfluxDB line protocol parsing error: "
+                               f"invalid field value: {raw}") from e
         item: dict[str, Any] = {"name": f"{measurement}_{k}"}
         if tags:
             # parse_influxdb.rs: the tags key is OMITTED when empty

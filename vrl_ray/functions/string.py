@@ -253,7 +253,7 @@ def join(value: list, separator: str = "") -> str:
     parts = []
     for item in value:
         if not isinstance(item, str):
-            raise VrlError("unable to join non-string array items")
+            raise VrlError("all array items must be strings")
         parts.append(item)
     return separator.join(parts)
 
@@ -465,7 +465,35 @@ def redact(value, filters: list, redactor=None):
     patterns: [regex|literal-string, ...]} — a literal string inside
     `patterns` is a PLAIN substring match, and arbitrary bare strings
     are "unknown filter name" errors, never implicit regexes."""
-    red = _redactor(redactor)
+    # the reference validates filters/redactor at COMPILE time
+    # (resolve_constant + function::Error::InvalidArgument, whose
+    # Display is the fixed "invalid argument"); the detailed reason
+    # rides the exception chain
+    try:
+        red = _redactor(redactor)
+        pats = _redact_filters(filters)
+    except VrlError as e:
+        raise VrlError("invalid argument") from e
+
+    def _apply(v):
+        if isinstance(v, str):
+            for kind, p in pats:
+                if kind == "rx":
+                    v = p.sub(lambda m: red(m.group(0)), v)
+                elif p:  # literal substring (str_replace)
+                    v = v.replace(p, red(p))
+            return v
+        if isinstance(v, list):
+            return [_apply(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _apply(x) for k, x in v.items()}
+        return v
+
+    return _apply(value)
+
+
+def _redact_filters(filters: list) -> list:
+    """TryFrom<Value> for Filter (redact.rs:288-334)."""
     pats: list = []  # ("rx", compiled) | ("str", literal)
     for f in filters:
         if isinstance(f, (_regex.Pattern, _re.Pattern)):
@@ -507,22 +535,7 @@ def redact(value, filters: list, redactor=None):
         else:
             raise VrlError("unknown literal for filter, must be a "
                            "regex, filter name, or object")
-
-    def _apply(v):
-        if isinstance(v, str):
-            for kind, p in pats:
-                if kind == "rx":
-                    v = p.sub(lambda m: red(m.group(0)), v)
-                elif p:  # literal substring (str_replace)
-                    v = v.replace(p, red(p))
-            return v
-        if isinstance(v, list):
-            return [_apply(x) for x in v]
-        if isinstance(v, dict):
-            return {k: _apply(x) for k, x in v.items()}
-        return v
-
-    return _apply(value)
+    return pats
 
 
 def sieve(value: str, permitted_characters, replace_single: str = "",

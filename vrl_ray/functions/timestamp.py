@@ -12,7 +12,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta, timezone
 from typing import Optional
 
-from ..value import VrlError
+from ..value import VrlError, vrl_type
 
 __all__ = [
     "set_frozen_now", "now", "format_timestamp", "from_unix_timestamp",
@@ -215,12 +215,30 @@ _UNITS = {"seconds": 1, "milliseconds": 10**3, "microseconds": 10**6, "nanosecon
 
 
 def from_unix_timestamp(value: int, unit: str = "seconds") -> datetime:
-    """from_unix_timestamp.rs: integer in `unit` -> timestamp."""
+    """from_unix_timestamp.rs: integer in `unit` -> timestamp.
+    Non-integers error with the KIND; out-of-range integers with the
+    NUMBER (from_unix_timestamp.rs:37-53)."""
     if unit not in _UNITS:
         raise VrlError(f"invalid unit: {unit}")
     if isinstance(value, bool) or not isinstance(value, int):
-        raise VrlError("expected integer")
-    return datetime.fromtimestamp(value / _UNITS[unit], tz=timezone.utc)
+        raise VrlError(
+            f"unable to coerce {vrl_type(value)} into timestamp")
+    # exact integer math (floor like chrono's div_euclid); the old
+    # float division lost precision past 2^53 ns
+    if unit == "seconds":
+        us = value * 10**6
+    elif unit == "milliseconds":
+        us = value * 10**3
+    elif unit == "microseconds":
+        us = value
+    else:
+        us = value // 1000  # ns → µs (floor, like chrono div_euclid)
+    try:
+        return (datetime(1970, 1, 1, tzinfo=timezone.utc)
+                + timedelta(microseconds=us))
+    except (OverflowError, OSError) as e:
+        raise VrlError(
+            f"unable to coerce {value} into timestamp") from e
 
 
 def to_unix_timestamp(value: datetime, unit: str = "seconds") -> int:
@@ -259,19 +277,26 @@ _FACILITIES = {
 
 
 def to_syslog_severity(value: str) -> int:
-    s = value.lower() if isinstance(value, str) else None
+    # to_syslog_severity.rs:6-15 — EXACT keyword match (no lowercase)
+    s = value if isinstance(value, str) else None
     if s not in _SEVERITIES:
-        raise VrlError(f"invalid severity level: {value!r}")
+        raise VrlError(f"syslog level {value} not valid")
     return _SEVERITIES[s]
 
 
 def to_syslog_level(value: int) -> str:
-    if isinstance(value, bool) or not isinstance(value, int) or not (0 <= value <= 7):
-        raise VrlError(f"severity level {value!r} not valid")
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise VrlError(f"expected integer, got {vrl_type(value)}")
+    if not 0 <= value <= 7:
+        raise VrlError(f"severity level {value} not valid")
     return _LEVELS[value]
 
 
 def to_syslog_facility(value: int) -> str:
-    if isinstance(value, bool) or not isinstance(value, int) or value not in _FACILITIES:
-        raise VrlError(f"facility code {value!r} not valid")
+    # to_syslog_facility.rs: try_integer error for non-ints, then the
+    # facility-code text with the bare number
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise VrlError(f"expected integer, got {vrl_type(value)}")
+    if value not in _FACILITIES:
+        raise VrlError(f"facility code {value} not valid")
     return _FACILITIES[value]

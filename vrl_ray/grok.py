@@ -137,7 +137,10 @@ class GrokPattern:
         def repl(m: "_regex.Match") -> str:
             name, field, typ = m.group("name"), m.group("field"), m.group("type")
             if name not in self._defs:
-                raise GrokError(f"unknown grok pattern %{{{name}}}")
+                # the grok crate's Error::DefinitionNotFound Display
+                raise GrokError(
+                    f'The given pattern definition name "{name}" could '
+                    "not be found in the definition map")
             inner = self._expand(self._defs[name], depth + 1, capture)
             if field and capture:
                 group = _sanitize_group(field, set(self._fields))

@@ -103,6 +103,33 @@ def is_truthy(v: Any) -> bool:
     return not (v is None or v is False)
 
 
+def rust_debug(v: Any) -> str:
+    """Rust `{:?}` of a Value (value.rs derive(Debug)) — some reference
+    error texts interpolate it (tally.rs:12)."""
+    if v is None:
+        return "Null"
+    if isinstance(v, bool):
+        return f"Boolean({str(v).lower()})"
+    if isinstance(v, int):
+        return f"Integer({v})"
+    if isinstance(v, float):
+        return f"Float(NotNan({ryu_f64(v)}))"
+    if isinstance(v, str):
+        return f'Bytes(b"{v}")'
+    if isinstance(v, bytes):
+        return f'Bytes(b"{v.decode("utf-8", "replace")}")'
+    if isinstance(v, list):
+        return "Array([" + ", ".join(rust_debug(x) for x in v) + "])"
+    if isinstance(v, dict):
+        return ("Object({" + ", ".join(
+            f'"{k}": {rust_debug(x)}'
+            for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "})")
+    if isinstance(v, datetime):
+        return f"Timestamp({timestamp_rfc3339(v)})"
+    return f"Regex({getattr(v, 'pattern', v)!r})"
+
+
 def check_float(f: float) -> float:
     """NaN is unrepresentable (value.rs:50-51); error out like
     arithmetic.rs:60-64."""
