@@ -130,14 +130,43 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 _NUM_RE = re.compile(r"^-?[\d_]+(\.[\d_]+)?(_f64|_i64|f64|i64)?$")
 
 
+# set per-file by extract() so data-dir helpers resolve relative paths
+CURRENT_FILE = ""
+_DATA_ROOT = "/root/reference/tests/data"
+
+
+def _rfc_dt(kind: str, s: str):
+    from datetime import datetime, timezone
+    if kind == "rfc3339":
+        s = re.sub(r"(\.\d{6})\d+", r"\1", s)  # ns → µs precision
+        return datetime.fromisoformat(s.replace("Z", "+00:00")) \
+            .astimezone(timezone.utc)
+    from email.utils import parsedate_to_datetime
+    return parsedate_to_datetime(s).astimezone(timezone.utc)
+
+
+def _find_data(rel: str) -> str:
+    import os
+    for sub in ("protobuf", "cbor", "jsonschema", "grok", "fixtures", ""):
+        cand = os.path.join(_DATA_ROOT, sub, rel)
+        if os.path.exists(cand):
+            return cand
+    raise Unparseable(f"data file {rel}")
+
+
 def rust_val(expr: str):
     """A Rust literal / value!() / vec![] expression → Python value."""
     e = expr.strip()
     if e.startswith("&"):
         e = e[1:].strip()
-    while e.endswith(".to_string()") or e.endswith(".to_owned()") \
-            or e.endswith(".into()"):
-        e = e[: e.rfind(".")]
+    while True:
+        for suf in (".to_string()", ".to_owned()", ".into()", ".unwrap()",
+                    ".as_bytes()", ".as_ref()", ".clone()"):
+            if e.endswith(suf):
+                e = e[: -len(suf)]
+                break
+        else:
+            break
     if e.startswith("value!"):
         inner = e[e.index("(") + 1: _balanced(e, e.index("("), "(", ")") - 1]
         return _value_macro(inner)
@@ -187,7 +216,9 @@ def rust_val(expr: str):
         close = _balanced(e, m.end() - 1, "(", ")")
         inner = e[m.end(): close - 1]
         from datetime import datetime, timezone
-        parts = [int(x) for x in _split_top(inner)]
+        now_year = str(datetime.now(timezone.utc).year)
+        parts = [int(x.strip().replace("Utc::now().year()", now_year))
+                 for x in _split_top(inner)]
         dt = datetime(*parts, tzinfo=timezone.utc)
         # chained .with_nanosecond(N) fraction (test fixtures chain it
         # after .unwrap())
@@ -213,20 +244,203 @@ def rust_val(expr: str):
         import textwrap
         inner = rust_val(e[m.end(): -1].strip())
         return textwrap.dedent(inner).strip("\n")
+    # wrappers that evaluate to their inner value
+    for wrap in ("Value::Timestamp(", "Value::Regex(", "Value::Array(",
+                 "Value::Bytes(", "Value::Integer(", "Value::Float("):
+        if e.startswith(wrap):
+            o = len(wrap) - 1
+            return rust_val(e[o + 1: _balanced(e, o, "(", ")") - 1])
+    m = re.match(r'(?:"?DateTime"?::)?parse_from_(rfc3339|rfc2822)\(', e)
+    if m and "parse_from_" in e[:m.end()]:
+        close = _balanced(e, m.end() - 1, "(", ")")
+        dt = _rfc_dt(m.group(1), rust_val(e[m.end(): close - 1]))
+        nm = re.search(r"with_nanosecond\((\d[\d_]*)\)", e[close:])
+        if nm:
+            dt = dt.replace(
+                microsecond=int(nm.group(1).replace("_", "")) // 1000)
+        return dt
+    if e in ("BTreeMap::new()", "ObjectMap::new()"):
+        return {}
+    if e == "u64::MAX":
+        return 18446744073709551615
+    if e in ("i64::MAX", "u64::MAX as i64"):
+        return 9223372036854775807
+    if e == "i64::MIN":
+        return -9223372036854775808
+    m = re.match(r"Bytes::from_static\(&\[", e)
+    if m:
+        inner = e[m.end(): _balanced(e, m.end() - 1, "[", "]") - 1]
+        return bytes(int(x.strip(), 0) for x in _split_top(inner)
+                     if x.strip())
+    m = re.match(r"decode_base64\(", e)
+    if m:
+        import base64
+        inner = rust_val(e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1])
+        return base64.b64decode(inner)
+    m = re.match(r"get_encoded_bytes\(", e)
+    if m and CURRENT_FILE.startswith("decode_"):
+        # decode-test INPUT helper: any valid stream of the codec
+        # under test exercises the real decode path (the `encode(`
+        # helper in encode_* tests stays skipped — using our own
+        # encoder as its oracle would be circular)
+        inner = _split_top(e[m.end(): _balanced(e, m.end() - 1,
+                                                "(", ")") - 1])
+        text = rust_val(inner[0])
+        raw = text.encode() if isinstance(text, str) else text
+        if "gzip" in CURRENT_FILE:
+            from vrl_ray.functions.codec import encode_gzip
+            return encode_gzip(text, 1)
+        if "zlib" in CURRENT_FILE:
+            import zlib
+            return zlib.compress(raw, 1)
+        if "zstd" in CURRENT_FILE:
+            import pyarrow as pa
+            return pa.Codec("zstd").compress(raw, asbytes=True)
+        if "snappy" in CURRENT_FILE:
+            import pyarrow as pa
+            return pa.Codec("snappy").compress(raw, asbytes=True)
+        raise Unparseable(e[:60])
+    m = re.match(r"read_pb_file\(", e)
+    if m:
+        rel = rust_val(e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1])
+        with open(_find_data(rel), "rb") as f:
+            return f.read().decode("utf-8")
+    m = re.match(r"read_cbor_file\(", e)
+    if m:
+        rel = rust_val(e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1])
+        with open(_find_data(rel), "rb") as f:
+            return f.read()
+    m = re.match(r"test_data_dir\(\)\s*\.\s*join\(", e)
+    if m:
+        rel = rust_val(e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1])
+        return _find_data(rel)
     if re.match(r"^-?\d+\.\d*e-?\d+$", e):
         return float(e)
     raise Unparseable(e[:60])
 
 
-def _unescape_rust_str(e: str) -> str:
-    # Rust string literal → JSON string literal (escapes mostly align;
-    # \' is not valid JSON)
-    return e.replace("\\'", "'")
+def _unescape_rust_str(tok: str) -> str:
+    """Rust string literal → JSON string literal: \\xNN, \\u{..},
+    \\', \\0 are Rust-only escapes (escape-aware scan so a literal
+    backslash-x survives)."""
+    out = []
+    i, n = 0, len(tok)
+    while i < n:
+        c = tok[i]
+        if c == "\\" and i + 1 < n:
+            nx = tok[i + 1]
+            if nx == "x" and i + 3 < n:
+                out.append("\\u00" + tok[i + 2: i + 4])
+                i += 4
+                continue
+            if nx == "u" and tok[i + 2: i + 3] == "{":
+                j = tok.index("}", i)
+                cp = int(tok[i + 3: j], 16)
+                if cp <= 0xFFFF:
+                    out.append("\\u%04x" % cp)
+                else:
+                    cp -= 0x10000
+                    out.append("\\u%04x\\u%04x"
+                               % (0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF)))
+                i = j + 1
+                continue
+            if nx == "'":
+                out.append("'")
+                i += 2
+                continue
+            if nx == "0":
+                out.append("\\u0000")
+                i += 2
+                continue
+            out.append(tok[i: i + 2])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_EMBED_RE = re.compile(
+    r'b"|(?:regex::)?Regex::new\(|(?:"?DateTime"?::)?parse_from_rfc\d+\(|'
+    r"Utc\s*\.\s*(?:with_ymd_and_hms|timestamp_opt)\(|Bytes::from_static\(")
+
+
+def _extract_embedded(s: str):
+    """Replace non-JSON Rust subexpressions inside a value!() body with
+    quoted placeholders; returns (new_body, values). String-literal
+    content is never touched."""
+    out = []
+    vals: list = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':  # skip string literals (incl. raw)
+            j = i - 1
+            hashes = 0
+            while j >= 0 and s[j] == "#":
+                hashes += 1
+                j -= 1
+            is_raw = j >= 0 and s[j] == "r" and hashes
+            end_tok = '"' + "#" * hashes if is_raw else '"'
+            k = i + 1
+            while k < n:
+                if not is_raw and s[k] == "\\":
+                    k += 2
+                    continue
+                if s.startswith(end_tok, k):
+                    k += len(end_tok)
+                    break
+                k += 1
+            out.append(s[i:k])
+            i = k
+            continue
+        m = _EMBED_RE.match(s, i)
+        if m:
+            tok = m.group(0)
+            if tok == 'b"':
+                k = i + 2
+                while k < n:
+                    if s[k] == "\\":
+                        k += 2
+                        continue
+                    if s[k] == '"':
+                        k += 1
+                        break
+                    k += 1
+            else:
+                k = _balanced(s, m.end() - 1, "(", ")")
+                # swallow trailing .ident(...) chains (.unwrap(),
+                # .with_nanosecond(n), .into(), ...)
+                while k < n and s[k] == ".":
+                    dm = re.match(r"\.\s*\w+\(", s[k:])
+                    if not dm:
+                        break
+                    k = _balanced(s, k + dm.end() - 1, "(", ")")
+            vals.append(rust_val(s[i:k]))
+            out.append(f'"\x02{len(vals) - 1}\x02"')
+            i = k
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), vals
+
+
+def _subst_embedded(v, vals):
+    if isinstance(v, str) and len(v) >= 3 and v[0] == "\x02" \
+            and v[-1] == "\x02":
+        return vals[int(v[1:-1])]
+    if isinstance(v, dict):
+        return {k: _subst_embedded(x, vals) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_subst_embedded(x, vals) for x in v]
+    return v
 
 
 def _value_macro(s: str):
-    """value!(...) body → Python via a JSON-ification pass."""
-    s = s.strip()
+    """value!(...) body → Python via a JSON-ification pass. Embedded
+    non-JSON Rust subexpressions (b"...", DateTime builders, regexes)
+    ride quoted placeholders and are substituted back after parse."""
+    s, embedded = _extract_embedded(s.strip())
     out = []
     i = 0
     in_str = None
@@ -298,14 +512,17 @@ def _value_macro(s: str):
     j = re.sub(r"^\s*([A-Za-z_][A-Za-z0-9_.-]*)(\s*:)", r'"\1"\2', j)
     j = re.sub(r",(\s*[}\]])", r"\1", j)
     j = re.sub(r"(-?\d+)\.([,}\]\s])", r"\1.0\2", j)
-    j = re.sub(r'"\x00(\d+)\x00"', lambda m: strs[int(m.group(1))], j)
+    j = re.sub(r'"\x00(\d+)\x00"',
+               lambda m: _unescape_rust_str(strs[int(m.group(1))]), j)
     try:
-        return json.loads(j)
+        return _subst_embedded(json.loads(j), embedded)
     except Exception as exc:
         raise Unparseable(f"value! {j[:60]}") from exc
 
 
 def extract(path: str) -> list[dict]:
+    global CURRENT_FILE
+    CURRENT_FILE = path.rsplit("/", 1)[-1]
     src = open(path).read()
     # drop test_function! blocks gated on the ABSENCE of a
     # default-build feature (e.g. redact.rs sha2_rejected_without_crypto
@@ -363,6 +580,13 @@ def extract(path: str) -> list[dict]:
                 want = ("ok", rust_val(want_inner))
             else:
                 want = ("err", rust_val(want_inner))
+            # per-test context timezone (TimeZone::Named) → the
+            # timezone_name extension our log parsers accept
+            tzm = re.search(
+                r"tz:\s*TimeZone::Named\(chrono_tz::(\w+)::(\w+)\)", body)
+            if tzm and tzm.group(2) != "UTC":
+                args["timezone_name"] = \
+                    f"{tzm.group(1)}/{tzm.group(2).replace('__', '-')}"
             cases.append({"fn": fn_name, "case": cm.group(1),
                           "args": args, "want": want,
                           "file": path.rsplit("/", 1)[-1]})

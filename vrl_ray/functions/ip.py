@@ -137,4 +137,4 @@ def ip_ntop(value: bytes) -> str:
         return socket.inet_ntop(socket.AF_INET, raw)
     if len(raw) == 16:
         return socket.inet_ntop(socket.AF_INET6, raw)
-    raise VrlError("ip_ntop requires 4 or 16 bytes")
+    raise VrlError('"value" must be of length 4 or 16 bytes')

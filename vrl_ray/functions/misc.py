@@ -83,6 +83,14 @@ def community_id(source_ip: str, destination_ip: str, protocol: int,
                  seed: int = 0) -> str:
     import ipaddress
 
+    # community_id.rs:138-187: protocol must fit u8, ports/seed u16 —
+    # compile-time InvalidArgument ("invalid argument" Display)
+    if not 0 <= int(protocol) <= 255 or not 0 <= int(seed) <= 65535 \
+            or (source_port is not None
+                and not 0 <= int(source_port) <= 65535) \
+            or (destination_port is not None
+                and not 0 <= int(destination_port) <= 65535):
+        raise VrlError("invalid argument")
     try:
         saddr = ipaddress.ip_address(source_ip).packed
         daddr = ipaddress.ip_address(destination_ip).packed

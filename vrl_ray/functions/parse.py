@@ -52,7 +52,24 @@ def _json_int(s: str):
 _BIG_INT_RE = _re.compile(r"\d{19}")
 
 
-def parse_json(value: str, max_depth: Optional[int] = None) -> Any:
+def parse_json(value: str, max_depth: Optional[int] = None,
+               lossy: bool = True) -> Any:
+    if isinstance(value, bytes):
+        # parse_json.rs:38-42: lossy (default) replaces invalid UTF-8;
+        # strict mode errors like serde's from_slice
+        if lossy:
+            value = value.decode("utf-8", "replace")
+        else:
+            try:
+                value = value.decode("utf-8")
+            except UnicodeDecodeError as e:
+                line = value.count(b"\n", 0, e.start) + 1
+                ls = value.rfind(b"\n", 0, e.start) + 1
+                raise VrlError(
+                    "unable to parse json: invalid unicode code point "
+                    f"at line {line} column {e.end - ls + 1}") from e
+    if isinstance(value, str) and value.startswith("\ufeff"):
+        value = value[1:]  # serde strip_bom (both modes)
     if max_depth is not None and not (1 <= max_depth <= 128):
         raise VrlError(f"max_depth value should be greater than 0 and less than 128, got {max_depth}")
     if max_depth is not None:
@@ -896,11 +913,13 @@ def parse_float(value: str) -> float:
 # parse_common_log (parse_common_log.rs): Apache common log format
 
 def parse_common_log(value: str,
-                     timestamp_format: Optional[str] = None) -> dict:
+                     timestamp_format: Optional[str] = None,
+                     timezone_name: Optional[str] = None) -> dict:
     """parse_common_log.rs:19-20 delegates to the SAME apache common
     regex + parse_message as parse_apache_log(format: "common")."""
     from .parse_logs import parse_apache_log
-    return parse_apache_log(value, "common", timestamp_format)
+    return parse_apache_log(value, "common", timestamp_format,
+                            timezone_name)
 
 
 # ---------------------------------------------------------------------------
@@ -975,10 +994,21 @@ _SD_PARAM = _re.compile(r"([^=\s\]]+)\s*=\s*\"((?:[^\"\\]|\\.)*)\"")
 
 def _sd_unescape(v: str) -> str:
     return _re.sub(r'\\([\\"\]])', r"\1", v)
-_RFC3164 = _re.compile(
-    r"^(?:<(?P<pri>\d{1,3})>)?(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+"
-    r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)(?:\[(?P<procid>\d+)\])?:\s*(?P<msg>.*)$"
-)
+# syslog_loose RFC 3164 shapes, most-specific first: host + tag:,
+# tag: WITHOUT host (the first word carries [pid] or ':' so it can't
+# be a hostname — "haproxy[73411]:"), host + tag WITHOUT ':'
+_RFC3164_HEAD = (r"^(?:<(?P<pri>\d{1,3})>)?"
+                 r"(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})\s+")
+_RFC3164_VARIANTS = [
+    _re.compile(_RFC3164_HEAD
+                + r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)"
+                  r"(?:\[(?P<procid>\d+)\])?:\s*(?P<msg>.*)$"),
+    _re.compile(_RFC3164_HEAD
+                + r"(?P<tag>[^:\[\s]+)(?:\[(?P<procid>\d+)\])?:"
+                  r"\s*(?P<msg>.*)$"),
+    _re.compile(_RFC3164_HEAD
+                + r"(?P<host>\S+)\s+(?P<tag>[^:\[\s]+)\s+(?P<msg>.+)$"),
+]
 _SYSLOG_SEVERITIES = ["emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"]
 _SYSLOG_FACILITIES = [
     "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news", "uucp",
@@ -1011,16 +1041,22 @@ def parse_syslog(value: str) -> dict:
         if isinstance(out.get("procid"), str) and out["procid"].isdigit():
             out["procid"] = int(out["procid"])
         return out
-    m = _RFC3164.match(value)
+    m = None
+    for rx in _RFC3164_VARIANTS:
+        m = rx.match(value)
+        if m:
+            break
     if m:
         d = m.groupdict()
-        out = {"message": d["msg"], "hostname": d["host"], "appname": d["tag"]}
+        out = {"message": d["msg"], "appname": d["tag"]}
+        if d.get("host"):
+            out["hostname"] = d["host"]
         if d["pri"] is not None:
             pri = int(d["pri"])
             out["severity"] = _SYSLOG_SEVERITIES[pri % 8]
             fac = pri // 8
             out["facility"] = _SYSLOG_FACILITIES[fac] if fac < len(_SYSLOG_FACILITIES) else str(fac)
-        if d["procid"]:
+        if d.get("procid"):
             out["procid"] = int(d["procid"])
         try:
             # RFC 3164 omits the year: the reference resolves it to the

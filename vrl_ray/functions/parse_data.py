@@ -425,11 +425,80 @@ def parse_proto(value: bytes, desc_file: str, message_type: str) -> dict:
     return MessageToDict(msg, preserving_proto_field_name=True)
 
 
-def encode_proto(value: dict, desc_file: str, message_type: str) -> bytes:
+def _rust_scalar_str(v) -> str:
+    """Rust Display of the scalar (protobuf/encode.rs:189-200
+    to_string calls): bool "true", f64 "123"/"1.5", chrono
+    "YYYY-MM-DD HH:MM:SS[.f] UTC"."""
+    import datetime as _dt
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        s = repr(v)
+        return s[:-2] if s.endswith(".0") else s
+    if isinstance(v, _dt.datetime):
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            base += (".%06d" % v.microsecond).rstrip("0")
+        return base + " UTC"
+    return str(v)
+
+
+def _coerce_strings(value, desc, allow: bool):
+    """protobuf/encode.rs:189-205: bool/int/float/timestamp values
+    headed into proto `string` fields stringify when
+    allow_lossy_string_coercion (default), else error."""
+    import datetime as _dt
+    from google.protobuf.descriptor import FieldDescriptor as FD
+    if not isinstance(value, dict):
+        return value
+    out = {}
+    for k, v in value.items():
+        f = desc.fields_by_name.get(k)
+        if f is None:
+            out[k] = v
+            continue
+
+        def scalar(x, fname=k, fd=f):
+            if fd.type == FD.TYPE_STRING and isinstance(
+                    x, (bool, int, float, _dt.datetime)):
+                if allow:
+                    return _rust_scalar_str(x)
+                from ..value import vrl_type
+                raise VrlError(
+                    f"Error converting {fname} field: Cannot encode "
+                    f"`{vrl_type(x)}` into protobuf `string`")
+            return x
+
+        if f.message_type is not None and \
+                f.message_type.GetOptions().map_entry:
+            vf = f.message_type.fields_by_name["value"]
+            if isinstance(v, dict):
+                out[k] = {mk: (_coerce_strings(mv, vf.message_type, allow)
+                               if vf.message_type else scalar(mv, k, vf))
+                          for mk, mv in v.items()}
+            else:
+                out[k] = v
+        elif f.message_type is not None:
+            if f.is_repeated and isinstance(v, list):
+                out[k] = [_coerce_strings(x, f.message_type, allow)
+                          for x in v]
+            else:
+                out[k] = _coerce_strings(v, f.message_type, allow)
+        elif f.is_repeated and isinstance(v, list):
+            out[k] = [scalar(x) for x in v]
+        else:
+            out[k] = scalar(v)
+    return out
+
+
+def encode_proto(value: dict, desc_file: str, message_type: str,
+                 allow_lossy_string_coercion: bool = True) -> bytes:
     from google.protobuf.json_format import ParseDict, ParseError
 
     cls = _message_class(desc_file, message_type)
     msg = cls()
+    value = _coerce_strings(value, msg.DESCRIPTOR,
+                            bool(allow_lossy_string_coercion))
     try:
         ParseDict(value, msg)
     except ParseError as e:
@@ -632,16 +701,34 @@ def validate_json_schema(value: str, schema_definition: str,
                 f"{sorted(unknown)!r}. Adjust configuration to ignore "
                 "unrecognized formats")
 
+    if value == "" or (isinstance(value, bytes) and not value):
+        # validate_json_schema.rs:237
+        raise VrlError("Empty JSON value")
     try:
         instance = _json.loads(value)
     except ValueError as e:
-        raise VrlError(f"unable to parse json: {e}") from e
+        raise VrlError(f"Invalid JSON: {e}") from e
+
+    def _rust_err(e) -> str:
+        # the Rust jsonschema crate renders instances/format names via
+        # serde_json Display (double quotes; Python's repr uses single)
+        msg = e.message
+        if e.validator == "format":
+            msg = (f"{_json.dumps(e.instance)} is not a "
+                   f"{_json.dumps(e.validator_value)}")
+        path = "/" + "/".join(str(p) for p in e.absolute_path)
+        return f"{msg} at {path or '/'}"
+
     try:
-        jsonschema.validate(instance, schema, format_checker=checker)
-    except jsonschema.ValidationError as e:
-        raise VrlError(f"JSON schema validation failed: {e.message}") from None
+        validator = jsonschema.validators.validator_for(schema)(
+            schema, format_checker=checker)
+        errors = list(validator.iter_errors(instance))
     except jsonschema.SchemaError as e:
         raise VrlError(f"Failed to compile schema: {e.message}") from None
+    if errors:
+        # validate_json_schema.rs:249-270 joins EVERY error
+        raise VrlError("JSON schema validation failed: "
+                       + ", ".join(_rust_err(e) for e in errors))
     return True
 
 

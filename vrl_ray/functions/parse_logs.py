@@ -53,7 +53,7 @@ def _chrono_parse_err(e: ValueError) -> str:
     return "input contains invalid characters"
 
 
-def _parse_ts(value: str, fmt: str) -> datetime:
+def _parse_ts(value: str, fmt: str, tz: Optional[str] = None) -> datetime:
     if "%+" in fmt:  # chrono %+ = ISO 8601 / RFC 3339
         try:
             dt = datetime.fromisoformat(
@@ -63,26 +63,46 @@ def _parse_ts(value: str, fmt: str) -> datetime:
                 f"failed parsing timestamp {value} using format {fmt}: "
                 f"{_chrono_parse_err(e)}") from e
         return dt.astimezone(timezone.utc)
-    pyfmt = _chrono_strptime(fmt)
+    val = value.strip()
+    ns = 0
+    if "%f" in fmt and "%.f" not in fmt:
+        # chrono %f = NANOSECONDS since the last whole second, NO
+        # implied dot (Python's %f is a µs fraction) — extract the
+        # digit run and parse the remainder without it
+        fm = _re.search(r"(\d{2}:\d{2}:\d{2})\.(\d+)", val)
+        if fm:
+            ns = int(fm.group(2))
+            val = val[: fm.start(2) - 1] + val[fm.end(2):]
+        pyfmt = _chrono_strptime(fmt.replace(".%f", "").replace("%f", ""))
+    else:
+        pyfmt = _chrono_strptime(fmt.replace("%.f", ".%f"))
     try:
-        dt = datetime.strptime(value.strip(), pyfmt)
+        dt = datetime.strptime(val, pyfmt)
     except ValueError as e:
         # the message shows the ORIGINAL chrono format string
         raise VrlError(
             f"failed parsing timestamp {value} using format {fmt}: "
             f"{_chrono_parse_err(e)}") from e
+    if ns:
+        dt = dt.replace(microsecond=ns // 1000)
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+        if tz and tz not in ("UTC", "utc"):
+            # ctx timezone (TimeZone::Named): naive stamps live there
+            from zoneinfo import ZoneInfo
+            dt = dt.replace(tzinfo=ZoneInfo(tz))
+        else:
+            dt = dt.replace(tzinfo=timezone.utc)
     return dt.astimezone(timezone.utc)
 
 
-def _typed_fields(m: "_re.Match", ts_fmt: str) -> dict:
+def _typed_fields(m: "_re.Match", ts_fmt: str,
+                  tz: Optional[str] = None) -> dict:
     out: dict[str, Any] = {}
     for name, value in m.groupdict().items():
         if value is None:
             continue
         if name == "timestamp":
-            out[name] = _parse_ts(value, ts_fmt)
+            out[name] = _parse_ts(value, ts_fmt, tz)
         elif name in _INT_FIELDS:
             try:
                 out[name] = int(value)
@@ -146,17 +166,22 @@ _APACHE_ERROR = [
         r'\[pid\s+(?P<pid>\d+)(:tid\s+(?P<thread>\d+))?\]\s+'
         r'(?P<message1>[^\[]*?:\s+([^\[]*?:\s+)?)?'
         r'(\[client\s+(?P<client>.+?):(?P<port>\d+)\]\s+)?'
-        r'(?P<message2>.*?)'
-        r'(,\s+referer\s+.*)?'
+        # greedy, like log_util.rs:104 — the optional referer group
+        # there never matches; message2 keeps any referer suffix, and
+        # message1/message2 are emitted AS-IS (capture_value default)
+        r'(?P<message2>.*)'
         r'\s*$'),
 ]
 
 
 def parse_apache_log(value: str, format: str = "common",
-                     timestamp_format: Optional[str] = None) -> dict:
+                     timestamp_format: Optional[str] = None,
+                     timezone_name: Optional[str] = None) -> dict:
     """Apache httpd access/error log parser
     (parse_apache_log.rs:24-120; default ts format
-    parse_apache_log.rs:8)."""
+    parse_apache_log.rs:8). timezone_name mirrors the reference's
+    ctx.timezone() for naive timestamps (our parse_timestamp has the
+    same extension)."""
     ts_fmt = timestamp_format or "%d/%b/%Y:%T %z"
     if format == "common":
         regexes = [_APACHE_COMMON]
@@ -169,15 +194,7 @@ def parse_apache_log(value: str, format: str = "common",
     for rx in regexes:
         m = rx.match(value)
         if m:
-            out = _typed_fields(m, ts_fmt)
-            # threaded-MPM error format splits the message (%E: prefix)
-            if "message1" in out or "message2" in out:
-                msg = (out.pop("message1", "") or "") + (out.pop("message2", "") or "")
-                if msg:
-                    out["message"] = msg
-            if "thread" in out:
-                out["thread"] = str(out["thread"])
-            return out
+            return _typed_fields(m, ts_fmt, timezone_name)
     raise VrlError(f"failed parsing {format} log line")
 
 
@@ -253,7 +270,8 @@ _NGINX_ERROR = _re.compile(
 
 
 def parse_nginx_log(value: str, format: str = "combined",
-                    timestamp_format: Optional[str] = None) -> dict:
+                    timestamp_format: Optional[str] = None,
+                    timezone_name: Optional[str] = None) -> dict:
     """Nginx access/error log parser (parse_nginx_log.rs:52-120;
     default ts formats parse_nginx_log.rs:279)."""
     if format == "combined":
@@ -272,7 +290,7 @@ def parse_nginx_log(value: str, format: str = "combined",
     if m is None:
         # parse_nginx_log.rs:65 — no format interpolation here
         raise VrlError("failed parsing log line")
-    return _typed_fields(m, ts_fmt)
+    return _typed_fields(m, ts_fmt, timezone_name)
 
 
 # ---------------------------------------------------------------------------

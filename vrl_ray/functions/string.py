@@ -302,7 +302,11 @@ def strip_whitespace(value: str) -> str:
     return _s(value).strip()
 
 
-_ANSI = _re.compile(r"\x1b\[[0-9;?]*[A-Za-z]|\x1b\].*?(?:\x07|\x1b\\)|\x1b[@-Z\\-_]")
+# CSI per ECMA-48 (vte, the strip_ansi_escapes crate's parser):
+# params 0x30-0x3F (digits ; : ? = < >), intermediates 0x20-0x2F,
+# final 0x40-0x7E — '=' private modes like \x1b[=3l strip too
+_ANSI = _re.compile(
+    r"\x1b\[[0-?]*[ -/]*[@-~]|\x1b\].*?(?:\x07|\x1b\\)|\x1b[@-Z\\-_]")
 
 
 def strip_ansi_escape_codes(value: str) -> str:
@@ -327,6 +331,10 @@ def find(value: str, pattern, from_: int = 0):
         if not m:
             return None
         return len(v[:m.start()].encode("utf-8"))
+    if not isinstance(pattern, (str, bytes)):
+        from ..value import vrl_type
+        raise VrlError(
+            f"expected string or regex, got {vrl_type(pattern)}")
     idx = b.find(_s(pattern).encode("utf-8"), from_)
     return idx if idx >= 0 else None
 
