@@ -515,7 +515,8 @@ def _value_macro(s: str):
     j = re.sub(r'"\x00(\d+)\x00"',
                lambda m: _unescape_rust_str(strs[int(m.group(1))]), j)
     try:
-        return _subst_embedded(json.loads(j), embedded)
+        # strict=False: the \x02 embed placeholders are control chars
+        return _subst_embedded(json.loads(j, strict=False), embedded)
     except Exception as exc:
         raise Unparseable(f"value! {j[:60]}") from exc
 
@@ -656,6 +657,10 @@ def main(argv):
             want = _norm(want)
             kwargs = {_ARG_RENAME.get(k, k): v
                       for k, v in case["args"].items()}
+            if fn == "chunks":
+                # chunks.rs has no utf8 parameter; the test harness
+                # silently drops the stray arg
+                kwargs.pop("utf8", None)
             try:
                 got = _norm(impl(**kwargs))
                 if kind == "err":

@@ -94,7 +94,10 @@ def _pad(data: bytes, scheme: str) -> bytes:
     if scheme == "ISO7816":
         return data + b"\x80" + bytes(n - 1)
     if scheme == "ISO10126":
-        return data + os.urandom(n - 1) + bytes([n])
+        # the RustCrypto block-padding crate pads Iso10126 with Pkcs7
+        # bytes "for simplicity" — reference output is byte-identical
+        # to PKCS7 (encrypt.rs test vectors 420 vs 474)
+        return data + bytes([n]) * n
     raise VrlError(f"unsupported padding {scheme}")
 
 
@@ -142,6 +145,110 @@ def _stream_mode(key: bytes, iv: bytes, data: bytes, mode: str,
     return op.update(data) + op.finalize()
 
 
+# --- pure-Python ChaCha/Salsa cores for the X-variants --------------------
+# (cryptography exposes neither HChaCha20 nor Salsa20; these run once
+# per call on payload-sized data — conformance-grade, not a hot path)
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(v: int, n: int) -> int:
+    return ((v << n) | (v >> (32 - n))) & _M32
+
+
+_SIGMA = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)  # "expand 32-byte k"
+
+
+def _chacha_rounds(s: list) -> list:
+    def qr(a, b, c, d):
+        s[a] = (s[a] + s[b]) & _M32
+        s[d] = _rotl(s[d] ^ s[a], 16)
+        s[c] = (s[c] + s[d]) & _M32
+        s[b] = _rotl(s[b] ^ s[c], 12)
+        s[a] = (s[a] + s[b]) & _M32
+        s[d] = _rotl(s[d] ^ s[a], 8)
+        s[c] = (s[c] + s[d]) & _M32
+        s[b] = _rotl(s[b] ^ s[c], 7)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12)
+        qr(1, 5, 9, 13)
+        qr(2, 6, 10, 14)
+        qr(3, 7, 11, 15)
+        qr(0, 5, 10, 15)
+        qr(1, 6, 11, 12)
+        qr(2, 7, 8, 13)
+        qr(3, 4, 9, 14)
+    return s
+
+
+def _hchacha20(key: bytes, nonce16: bytes) -> bytes:
+    import struct
+    s = list(_SIGMA) + list(struct.unpack("<8L", key)) \
+        + list(struct.unpack("<4L", nonce16))
+    s = _chacha_rounds(s)
+    return struct.pack("<8L", *(s[i] for i in (0, 1, 2, 3, 12, 13, 14, 15)))
+
+
+def _salsa_rounds(s: list) -> list:
+    def qr(a, b, c, d):
+        s[b] ^= _rotl((s[a] + s[d]) & _M32, 7)
+        s[c] ^= _rotl((s[b] + s[a]) & _M32, 9)
+        s[d] ^= _rotl((s[c] + s[b]) & _M32, 13)
+        s[a] ^= _rotl((s[d] + s[c]) & _M32, 18)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12)
+        qr(5, 9, 13, 1)
+        qr(10, 14, 2, 6)
+        qr(15, 3, 7, 11)
+        qr(0, 1, 2, 3)
+        qr(5, 6, 7, 4)
+        qr(10, 11, 8, 9)
+        qr(15, 12, 13, 14)
+    return s
+
+
+def _salsa_state(key: bytes, n16: bytes) -> list:
+    import struct
+    k = struct.unpack("<8L", key)
+    n = struct.unpack("<4L", n16)
+    return [_SIGMA[0], k[0], k[1], k[2], k[3], _SIGMA[1], n[0], n[1],
+            n[2], n[3], _SIGMA[2], k[4], k[5], k[6], k[7], _SIGMA[3]]
+
+
+def _hsalsa20(key: bytes, nonce16: bytes) -> bytes:
+    import struct
+    s = _salsa_rounds(_salsa_state(key, nonce16))
+    return struct.pack("<8L", *(s[i] for i in (0, 5, 10, 15, 6, 7, 8, 9)))
+
+
+def _salsa20_block(key: bytes, nonce8: bytes, counter: int) -> bytes:
+    import struct
+    init = _salsa_state(key, nonce8 + struct.pack("<Q", counter))
+    s = _salsa_rounds(list(init))
+    return struct.pack("<16L", *((a + b) & _M32 for a, b in zip(s, init)))
+
+
+def _salsa20_xor(key: bytes, nonce8: bytes, data: bytes,
+                 skip: int = 0) -> bytes:
+    """XOR data with the Salsa20 keystream starting at byte `skip`
+    (secretbox consumes block 0's first 32 bytes as the Poly1305
+    key)."""
+    out = bytearray()
+    pos = skip
+    i = 0
+    while i < len(data):
+        block = _salsa20_block(key, nonce8, pos // 64)
+        off = pos % 64
+        take = min(64 - off, len(data) - i)
+        out += bytes(d ^ k for d, k in
+                     zip(data[i:i + take], block[off:off + take]))
+        i += take
+        pos += take
+    return bytes(out)
+
+
 def _run_suite(algorithm: str, data: bytes, key: bytes, iv: bytes,
                encrypt_op: bool) -> bytes:
     alg = algorithm.upper()
@@ -156,9 +263,61 @@ def _run_suite(algorithm: str, data: bytes, key: bytes, iv: bytes,
                     else c.decrypt(iv, data, None))
         except Exception as e:
             raise VrlError(f"decryption failed: {e}") from e
-    if alg in ("XCHACHA20-POLY1305", "XSALSA20-POLY1305",
-               "AES-128-SIV", "AES-256-SIV"):
-        raise VrlError(f"algorithm {algorithm} is not supported by this build")
+    if alg in ("AES-128-SIV", "AES-256-SIV"):
+        from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+
+        # RustCrypto aes-siv names by the SUBKEY width: Aes128Siv
+        # takes a 32-byte key, Aes256Siv a 64-byte one; its Aead impl
+        # feeds S2V the headers [aad, nonce] — with no aad that is
+        # [b"", iv] (encrypt.rs:162-163, vector-verified). Output =
+        # SIV tag (16) || ciphertext.
+        _check_key(key, 256 if alg == "AES-128-SIV" else 512)
+        _check_iv(iv, 16)
+        c = AESSIV(key)
+        try:
+            return (c.encrypt(data, [b"", iv]) if encrypt_op
+                    else c.decrypt(data, [b"", iv]))
+        except Exception as e:
+            raise VrlError(f"decryption failed: {e}") from e
+    if alg == "XCHACHA20-POLY1305":
+        from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+        # draft-irtf-cfrg-xchacha: subkey = HChaCha20(key, nonce[:16]),
+        # then IETF ChaCha20-Poly1305 with nonce 0x00000000||nonce[16:]
+        _check_key(key, 256)
+        _check_iv(iv, 24)
+        sub = _hchacha20(key, iv[:16])
+        c = ChaCha20Poly1305(sub)
+        try:
+            return (c.encrypt(b"\x00" * 4 + iv[16:], data, None)
+                    if encrypt_op
+                    else c.decrypt(b"\x00" * 4 + iv[16:], data, None))
+        except Exception as e:
+            raise VrlError(f"decryption failed: {e}") from e
+    if alg == "XSALSA20-POLY1305":
+        # NaCl secretbox (crypto_secretbox crate, encrypt.rs:170):
+        # subkey = HSalsa20(key, nonce[:16]); keystream block 0's first
+        # 32 bytes key Poly1305; AEAD layout = ciphertext || tag
+        _check_key(key, 256)
+        _check_iv(iv, 24)
+        from cryptography.hazmat.primitives.poly1305 import Poly1305
+
+        sub = _hsalsa20(key, iv[:16])
+        block0 = _salsa20_block(sub, iv[16:], 0)
+        polykey = block0[:32]
+        # NaCl layout: tag (16) FIRST, then ciphertext
+        if encrypt_op:
+            ct = _salsa20_xor(sub, iv[16:], data, skip=32)
+            tag = Poly1305.generate_tag(polykey, ct)
+            return tag + ct
+        if len(data) < 16:
+            raise VrlError("decryption failed: ciphertext too short")
+        tag, ct = data[:16], data[16:]
+        try:
+            Poly1305.verify_tag(polykey, ct, tag)
+        except Exception as e:
+            raise VrlError("decryption failed: aead::Error") from e
+        return _salsa20_xor(sub, iv[16:], ct, skip=32)
 
     parsed = _parse_algorithm(alg)
     if parsed is None:
@@ -204,11 +363,18 @@ def decrypt(ciphertext, algorithm: str, key, iv=b"") -> bytes:
 # ---------------------------------------------------------------------------
 # encrypt_ip / decrypt_ip — ipcrypt (encrypt_ip.rs / decrypt_ip.rs)
 
-def _ip16(ip: str) -> bytes:
+def _parse_ip(ip: str):
+    # encrypt_ip.rs/decrypt_ip.rs parse the IP FIRST (std AddrParseError
+    # Display text), before mode/key validation
     try:
-        a = ipaddress.ip_address(ip)
+        return ipaddress.ip_address(ip)
     except ValueError as e:
-        raise VrlError(f"invalid ip address: {e}") from e
+        raise VrlError(
+            "unable to parse IP address: invalid IP address syntax") from e
+
+
+def _ip16(ip: str) -> bytes:
+    a = _parse_ip(ip) if isinstance(ip, str) else ip
     if a.version == 4:
         return b"\x00" * 10 + b"\xff\xff" + a.packed
     return a.packed
@@ -276,31 +442,38 @@ def _ipcrypt_pfx(key: bytes, ip: str, encrypt_op: bool) -> str:
     return str(ipaddress.IPv6Address(bytes(out)))
 
 
+def _key_sized(key: bytes, n: int, mode: str, ver: str) -> bytes:
+    if len(key) != n:
+        raise VrlError(f"{mode} mode requires a {n}-byte key for {ver}")
+    return key
+
+
 def encrypt_ip(ip: str, key, mode: str = "aes128") -> str:
     key = _b(key)
+    a = _parse_ip(ip)
+    ver = "IPv4" if a.version == 4 else "IPv6"
     if mode == "aes128":
-        if len(key) != 16:
-            raise VrlError("aes128 mode requires a 16-byte key")
-        enc = _ecb_encrypt_block(key, _ip16(ip))
+        _key_sized(key, 16, "aes128", ver)
+        enc = _ecb_encrypt_block(key, _ip16(a))
         return str(ipaddress.IPv6Address(enc))
     if mode == "pfx":
+        _key_sized(key, 32, "pfx", ver)
         return _ipcrypt_pfx(key, ip, True)
-    raise VrlError(f"invalid mode {mode}")
+    raise VrlError(f"Invalid mode '{mode}'. Must be 'aes128' or 'pfx'")
 
 
 def decrypt_ip(ip: str, key, mode: str = "aes128") -> str:
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
     key = _b(key)
+    a = _parse_ip(ip)
+    ver = "IPv4" if a.version == 4 else "IPv6"
     if mode == "aes128":
-        if len(key) != 16:
-            raise VrlError("aes128 mode requires a 16-byte key")
-        try:
-            blk = ipaddress.IPv6Address(ip).packed
-        except ValueError as e:
-            raise VrlError(f"invalid encrypted ip: {e}") from e
+        _key_sized(key, 16, "aes128", ver)
+        blk = a.packed if a.version == 6 else _ip16(a)
         dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
         return _from_ip16(dec.update(blk) + dec.finalize())
     if mode == "pfx":
+        _key_sized(key, 32, "pfx", ver)
         return _ipcrypt_pfx(key, ip, False)
-    raise VrlError(f"invalid mode {mode}")
+    raise VrlError(f"Invalid mode '{mode}'. Must be 'aes128' or 'pfx'")

@@ -463,6 +463,8 @@ _codecs.register_error("vrl_ncr", _ncr_handler)
 
 
 def _for_label(label: str) -> str:
+    if isinstance(label, bytes):  # VRL strings are bytes
+        label = label.decode("utf-8", "replace")
     name = _WHATWG_LABELS.get(str(label).strip(" \t\n\f\r").lower())
     if name is None:
         raise VrlError(f"Unknown charset: {label}")

@@ -374,9 +374,17 @@ def chunks(value, chunk_size: int) -> list:
     if chunk_size < 1:
         raise VrlError("chunk_size must be at least 1 byte")
     if isinstance(value, str):
+        # chunks.rs:12 — raw BYTE chunks; a chunk that splits a
+        # codepoint stays bytes (VRL strings are bytes)
         b = value.encode("utf-8")
-        return [b[i:i + chunk_size].decode("utf-8", "replace")
-                for i in range(0, len(b), chunk_size)]
+        out = []
+        for i in range(0, len(b), chunk_size):
+            c = b[i:i + chunk_size]
+            try:
+                out.append(c.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(c)
+        return out
     if isinstance(value, list):
         return [value[i:i + chunk_size] for i in range(0, len(value), chunk_size)]
     raise VrlError("expected string or array")
