@@ -168,7 +168,13 @@ def rust_val(expr: str):
         else:
             break
     if e.startswith("value!"):
-        inner = e[e.index("(") + 1: _balanced(e, e.index("("), "(", ")") - 1]
+        o = len(e) - len(e[6:].lstrip()) - 6 + 6  # first non-space
+        o = 6 + (len(e[6:]) - len(e[6:].lstrip()))
+        br = e[o]
+        close = {"(": ")", "[": "]", "{": "}"}[br]
+        inner = e[o + 1: _balanced(e, o, br, close) - 1]
+        if br == "{":  # value!{..} object body keeps its braces
+            inner = e[o: _balanced(e, o, br, close)]
         return _value_macro(inner)
     if e.startswith("Value::from(") or e.startswith("Bytes::from("):
         inner = e[e.index("(") + 1: _balanced(e, e.index("("), "(", ")") - 1]
@@ -179,13 +185,19 @@ def rust_val(expr: str):
         return True
     if e == "false":
         return False
+    m = re.match(r'"((?:[^"\\]|\\.)*)"\s*\.\s*repeat\((\d[\d_]*)\)$', e)
+    if m:
+        return (json.loads(f'"{m.group(1)}"', strict=False)
+                * int(m.group(2).replace("_", "")))
+    if e == "KB_256":  # decode_lz4.rs test const
+        return 262144
     if e.startswith("r#\"") or e.startswith("r\""):
         hashes = len(e) - len(e.lstrip("r")) if False else 0
         m = re.match(r'^r(#*)"', e)
         body = e[len(m.group(0)): -(1 + len(m.group(1)))]
         return body
     if e.startswith('"'):
-        return json.loads(_unescape_rust_str(e))
+        return json.loads(_unescape_rust_str(e), strict=False)
     if _NUM_RE.match(e):
         is_f = "f64" in e or "." in e
         t = e.replace("_f64", "").replace("_i64", "").replace("f64", "") \
@@ -211,6 +223,11 @@ def rust_val(expr: str):
         inner = e[m.end(): _balanced(e, m.end() - 1, "(", ")") - 1]
         import regex as regex_mod
         return regex_mod.compile(rust_val(inner))
+    fm = re.search(r'\.\s*format\("([^"]*)"\)$', e)
+    if fm and re.match(r"Utc\s*\.|\"?DateTime\"?::", e):
+        # chrono .format(..) chain; sandbox Local == UTC
+        from vrl_ray.functions.timestamp import format_timestamp
+        return format_timestamp(rust_val(e[: fm.start()]), fm.group(1))
     m = re.match(r"Utc\s*\.\s*with_ymd_and_hms\(", e)
     if m:
         close = _balanced(e, m.end() - 1, "(", ")")
@@ -250,6 +267,20 @@ def rust_val(expr: str):
         if e.startswith(wrap):
             o = len(wrap) - 1
             return rust_val(e[o + 1: _balanced(e, o, "(", ")") - 1])
+    m = re.match(r'(?:"?DateTime"?::)?parse_from_str\(', e)
+    if m:
+        close = _balanced(e, m.end() - 1, "(", ")")
+        text, fmt = [rust_val(x)
+                     for x in _split_top(e[m.end(): close - 1])]
+        from vrl_ray.functions.parse_logs import _parse_ts
+        return _parse_ts(text, fmt)
+    m = re.match(r'(?:"?DateTime"?::)?from_timestamp_nanos\(', e)
+    if m:
+        from datetime import datetime, timezone
+        close = _balanced(e, m.end() - 1, "(", ")")
+        ns = int(e[m.end(): close - 1].replace("_", ""))
+        return (datetime(1970, 1, 1, tzinfo=timezone.utc)
+                + __import__("datetime").timedelta(microseconds=ns // 1000))
     m = re.match(r'(?:"?DateTime"?::)?parse_from_(rfc3339|rfc2822)\(', e)
     if m and "parse_from_" in e[:m.end()]:
         close = _balanced(e, m.end() - 1, "(", ")")
@@ -261,6 +292,72 @@ def rust_val(expr: str):
         return dt
     if e in ("BTreeMap::new()", "ObjectMap::new()"):
         return {}
+    if e == "f64::INFINITY":
+        return float("inf")
+    if e == "f64::NEG_INFINITY":
+        return float("-inf")
+    if e == "f64::MAX":
+        return 1.7976931348623157e308
+    if e == "f64::MIN":
+        return -1.7976931348623157e308
+    if e == "i64::from(u32::MAX) + 1":
+        return 4294967296
+    if e == "i64::MAX - 1":
+        return 9223372036854775806
+    if e.startswith("get_name_for_timezone(") and "Tz::UTC" in e:
+        return "UTC"
+    m = re.match(r'"((?:[^"\\]|\\.)*)"\s*\.\s*repeat\((\d[\d_]*)\)', e)
+    if m:
+        return (json.loads(f'"{m.group(1)}"', strict=False)
+                * int(m.group(2).replace("_", "")))
+    m = re.match(r"format!\s*\(", e)
+    if m:
+        close = _balanced(e, m.end() - 1, "(", ")")
+        parts = _split_top(e[m.end(): close - 1])
+        tmpl = rust_val(parts[0])
+        vals_iter = iter(parts[1:])
+
+        def _slot(sm):  # left-to-right like Rust: {{, }}, {}
+            t = sm.group(0)
+            if t == "{{":
+                return "{"
+            if t == "}}":
+                return "}"
+            return str(rust_val(next(vals_iter)))
+
+        return re.sub(r"\{\{|\}\}|\{\}", _slot, tmpl)
+    if e.startswith("Value::Object("):
+        return rust_val(e[14: _balanced(e, 13, "(", ")") - 1])
+    for mapper in ("ObjectMap::from(", "Value::from_iter("):
+        if e.startswith(mapper):
+            o = len(mapper) - 1
+            inner = e[o + 1: _balanced(e, o, "(", ")") - 1].strip()
+            if inner.startswith("[") and inner.endswith("]"):
+                inner = inner[1:-1]
+            out = {}
+            for item in _split_top(inner):
+                item = item.strip()
+                if not item:
+                    continue
+                if not item.startswith("("):
+                    raise Unparseable(item[:40])
+                kv = _split_top(item[1: _balanced(item, 0, "(", ")") - 1])
+                k = kv[0].strip()
+                km = re.match(r'(?:KeyString|String)::from\(', k)
+                if km:
+                    k = k[km.end(): _balanced(k, km.end() - 1,
+                                              "(", ")") - 1]
+                out[rust_val(k)] = rust_val(kv[1])
+            return out
+    if e == "Utc::now().year()":
+        from datetime import datetime, timezone
+        return datetime.now(timezone.utc).year
+    if re.match(r"(?:std::)?char::REPLACEMENT_CHARACTER", e):
+        return "�"
+    m = re.match(r'Bytes::copy_from_slice\(&(b?"(?:[^"\\]|\\.)*")\[\.\.\]\)',
+                 e)
+    if m:
+        return rust_val(m.group(1))
     if e == "u64::MAX":
         return 18446744073709551615
     if e in ("i64::MAX", "u64::MAX as i64"):
@@ -361,8 +458,15 @@ def _unescape_rust_str(tok: str) -> str:
 
 
 _EMBED_RE = re.compile(
-    r'b"|(?:regex::)?Regex::new\(|(?:"?DateTime"?::)?parse_from_rfc\d+\(|'
-    r"Utc\s*\.\s*(?:with_ymd_and_hms|timestamp_opt)\(|Bytes::from_static\(")
+    r'b"|(?:regex::)?Regex::new\(|'
+    r'(?:"?DateTime"?::)?(?:parse_from_rfc\d+|parse_from_str|'
+    r"from_timestamp_nanos)\(|"
+    r"Utc\s*\.\s*(?:with_ymd_and_hms|timestamp_opt)\(|"
+    r"Bytes::from_static\(|decode_base64\(|get_encoded_bytes\(|"
+    r"read_pb_file\(|read_cbor_file\(|format!\s*\(|"
+    r'"(?:[^"\\]|\\.)*"\s*\.\s*repeat\(|'
+    r"Bytes::copy_from_slice\(|"
+    r"(?:std::)?char::REPLACEMENT_CHARACTER")
 
 
 def _extract_embedded(s: str):
@@ -374,6 +478,35 @@ def _extract_embedded(s: str):
     i, n = 0, len(s)
     while i < n:
         c = s[i]
+        m = _EMBED_RE.match(s, i)
+        if m:
+            tok = m.group(0)
+            if tok == 'b"':
+                k = i + 2
+                while k < n:
+                    if s[k] == "\\":
+                        k += 2
+                        continue
+                    if s[k] == '"':
+                        k += 1
+                        break
+                    k += 1
+            elif tok.endswith("REPLACEMENT_CHARACTER"):
+                k = m.end()
+            else:
+                k = _balanced(s, m.end() - 1, "(", ")")
+            # swallow trailing .ident(...) chains (.unwrap(),
+            # .with_nanosecond(n), .into(), ...), which test
+            # formatting may put on their own lines
+            while True:
+                dm = re.match(r"\s*\.\s*\w+\(", s[k:])
+                if not dm:
+                    break
+                k = _balanced(s, k + dm.end() - 1, "(", ")")
+            vals.append(rust_val(s[i:k]))
+            out.append(f'"\x02{len(vals) - 1}\x02"')
+            i = k
+            continue
         if c == '"':  # skip string literals (incl. raw)
             j = i - 1
             hashes = 0
@@ -392,32 +525,6 @@ def _extract_embedded(s: str):
                     break
                 k += 1
             out.append(s[i:k])
-            i = k
-            continue
-        m = _EMBED_RE.match(s, i)
-        if m:
-            tok = m.group(0)
-            if tok == 'b"':
-                k = i + 2
-                while k < n:
-                    if s[k] == "\\":
-                        k += 2
-                        continue
-                    if s[k] == '"':
-                        k += 1
-                        break
-                    k += 1
-            else:
-                k = _balanced(s, m.end() - 1, "(", ")")
-                # swallow trailing .ident(...) chains (.unwrap(),
-                # .with_nanosecond(n), .into(), ...)
-                while k < n and s[k] == ".":
-                    dm = re.match(r"\.\s*\w+\(", s[k:])
-                    if not dm:
-                        break
-                    k = _balanced(s, k + dm.end() - 1, "(", ")")
-            vals.append(rust_val(s[i:k]))
-            out.append(f'"\x02{len(vals) - 1}\x02"')
             i = k
             continue
         out.append(c)
@@ -440,7 +547,12 @@ def _value_macro(s: str):
     """value!(...) body → Python via a JSON-ification pass. Embedded
     non-JSON Rust subexpressions (b"...", DateTime builders, regexes)
     ride quoted placeholders and are substituted back after parse."""
-    s, embedded = _extract_embedded(s.strip())
+    s = s.strip()
+    # whole-body Rust expressions inside value!() delegate straight
+    # back to the expression parser
+    if re.match(r"vec!\[|get_name_for_timezone\(|Bytes::|KB_256$", s):
+        return rust_val(s)
+    s, embedded = _extract_embedded(s)
     out = []
     i = 0
     in_str = None
@@ -504,6 +616,8 @@ def _value_macro(s: str):
     # () → null, bare keys → quoted, trailing commas removed,
     # underscore-grouped numbers joined, f64/i64 suffixes dropped
     j = re.sub(r"\(\)", "null", j)
+    # parenthesized numeric literals: (-1.0)
+    j = re.sub(r"\((-?\d+(?:\.\d+)?)\)", r"\1", j)
     j = re.sub(r"(?<=[\d])_(?=[\d])", "", j)
     j = re.sub(r"(\d+\.\d+)_?f64", r"\1", j)
     j = re.sub(r"(\d+)_?f64", r"\1.0", j)
@@ -585,7 +699,8 @@ def extract(path: str) -> list[dict]:
             # timezone_name extension our log parsers accept
             tzm = re.search(
                 r"tz:\s*TimeZone::Named\(chrono_tz::(\w+)::(\w+)\)", body)
-            if tzm and tzm.group(2) != "UTC":
+            if tzm and tzm.group(2) != "UTC" and "timezone" not in args \
+                    and "timezone_name" not in args:
                 args["timezone_name"] = \
                     f"{tzm.group(1)}/{tzm.group(2).replace('__', '-')}"
             cases.append({"fn": fn_name, "case": cm.group(1),

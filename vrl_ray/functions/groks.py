@@ -97,11 +97,15 @@ def _date_regex(fmt: str) -> str:
 
 def _split_spec(spec: str) -> list[str]:
     """Split `matcher:dest:filter` on ':' outside parens/quotes."""
-    parts, cur, depth, q = [], [], 0, None
+    parts, cur, depth, q, esc = [], [], 0, None, False
     for c in spec:
         if q:
             cur.append(c)
-            if c == q:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == q:
                 q = None
             continue
         if c in "\"'":
@@ -121,6 +125,31 @@ def _split_spec(spec: str) -> list[str]:
     return parts
 
 
+def _unescape_grok_str(s: str) -> str:
+    """datadog/grok/lexer.rs:255-288 unescape_string_literal: the
+    three-byte forms \\\\n \\\\r \\\\t first, then \\' \\" \\\\;
+    anything else is an invalid escape."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        j = s.find("\\", i)
+        if j < 0:
+            out.append(s[i:])
+            break
+        out.append(s[i:j])
+        if s[j + 1: j + 3] in ("\\n", "\\r", "\\t"):
+            out.append({"n": "\n", "r": "\r", "t": "\t"}[s[j + 2]])
+            i = j + 3
+            continue
+        nxt = s[j + 1: j + 2]
+        if nxt in ("'", '"', "\\"):
+            out.append(nxt)
+            i = j + 2
+            continue
+        raise VrlError(f"invalid escape literal '{s[j:]}'")
+    return "".join(out)
+
+
 def _parse_call(s: str) -> tuple[str, list]:
     """`name("a", 2)` → (name, [args]); bare name → (name, [])."""
     m = _stdre.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\((.*)\))?\s*$", s,
@@ -136,7 +165,7 @@ def _parse_call(s: str) -> tuple[str, list]:
         for piece in _stdre.findall(
                 r'"((?:[^"\\]|\\.)*)"|\'((?:[^\'\\]|\\.)*)\'|([^,]+)', raw):
             if piece[0] or piece[1]:
-                args.append((piece[0] or piece[1]).replace('\\"', '"'))
+                args.append(_unescape_grok_str(piece[0] or piece[1]))
             else:
                 tok = piece[2].strip()
                 try:
@@ -207,6 +236,20 @@ def _apply_filter(value, name: str, args: list):
     raise VrlError(f"unsupported grok filter: {name}")
 
 
+def _drop_empty(v) -> None:
+    """parse_grok.rs:154-166 postprocess: recursively remove empty
+    objects and nulls from object values."""
+    if isinstance(v, list):
+        for x in v:
+            _drop_empty(x)
+    elif isinstance(v, dict):
+        for x in v.values():
+            _drop_empty(x)
+        for k in [k for k, x in v.items()
+                  if x is None or (isinstance(x, dict) and not x)]:
+            del v[k]
+
+
 class _CompiledGroks:
     """One rule set: patterns expanded to anchored regexes."""
 
@@ -242,7 +285,10 @@ class _DdPattern:
         except _regex.error as e:
             raise VrlError(f"invalid grok pattern {pattern!r}: {e}") from e
 
-    _REF = _regex.compile(r"%\{((?:[^{}\"']|\"[^\"]*\"|'[^']*')+)\}")
+    # quoted args may contain ESCAPED quotes (lexer.rs:19 onig:
+    # (?<!\\)"(?:\\"|[^"])*(?<!\\)")
+    _REF = _regex.compile(
+        r"%\{((?:[^{}\"']|\"(?:\\.|[^\"\\])*\"|'(?:\\.|[^'\\])*')+)\}")
 
     def _expand(self, pat: str, stack: tuple) -> str:
         if len(stack) > _MAX_DEPTH:
@@ -298,14 +344,23 @@ class _DdPattern:
             v: Any = m.group(group)
             if v is None:
                 continue
+            dropped = False
             for fname, fargs in filters:
                 v = _apply_filter(v, fname, fargs)
+                if v is None:
+                    # parse_grok.rs:80 — a filter yielding Null DROPS
+                    # the field (nullIf sentinel hits)
+                    dropped = True
+                    break
+            if dropped:
+                continue
             # dotted destinations create nested objects
             segs = dest.split(".")
             cur = out
             for s in segs[:-1]:
                 cur = cur.setdefault(s, {})
             cur[segs[-1]] = v
+        _drop_empty(out)
         return out
 
 

@@ -426,12 +426,26 @@ def parse_timestamp(value, format: str, timezone_name: Optional[str] = None) -> 
 def parse_csv(value: str, delimiter: str = ",") -> list:
     if len(delimiter) != 1:
         raise VrlError("delimiter must be a single character")
+    is_bytes = isinstance(value, bytes)
+    if is_bytes:
+        # parse_csv.rs:34 works on raw Bytes; fields that aren't valid
+        # UTF-8 come back as bytes (surrogateescape round-trips them)
+        value = value.decode("utf-8", "surrogateescape")
     try:
         rows = list(_csv.reader(io.StringIO(value), delimiter=delimiter))
     except _csv.Error as e:
         raise VrlError(f"unable to parse csv: {e}") from e
     if not rows:
         return []
+    if is_bytes:
+        out = []
+        for f in rows[0]:
+            b = f.encode("utf-8", "surrogateescape")
+            try:
+                out.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(b)
+        return out
     return rows[0]
 
 

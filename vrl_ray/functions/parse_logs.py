@@ -75,7 +75,9 @@ def _parse_ts(value: str, fmt: str, tz: Optional[str] = None) -> datetime:
             val = val[: fm.start(2) - 1] + val[fm.end(2):]
         pyfmt = _chrono_strptime(fmt.replace(".%f", "").replace("%f", ""))
     else:
-        pyfmt = _chrono_strptime(fmt.replace("%.f", ".%f"))
+        pyfmt = _chrono_strptime(
+            fmt.replace("%.f", ".%f").replace("%.3f", ".%f")
+            .replace("%.6f", ".%f").replace("%.9f", ".%f"))
     try:
         dt = datetime.strptime(val, pyfmt)
     except ValueError as e:
