@@ -309,8 +309,11 @@ class _Ctx:
         try:
             val = self.eval(expr)
             # the op application itself can fail too (`|=` on a
-            # non-object) — inside the try so `ok, err =` captures it
-            self._assign_target(targets[0], val, op)
+            # non-object) — inside the try so `ok, err =` captures it.
+            # `a |= b` compiles as `a = a | b` (compiler.rs:500-521
+            # rewrite_to_merge), so the assignment's VALUE is the
+            # MERGED result, not the RHS
+            val = self._assign_target(targets[0], val, op)
         except (VrlError,) as e:
             if infallible:
                 # ok target gets the expression's TYPE DEFAULT, not
@@ -325,25 +328,27 @@ class _Ctx:
         return val if err_val is None else err_val
 
     def _assign_target(self, tgt, val, op):
+        """Returns the value actually assigned (the merged value for
+        `|=` — it is also the assignment expression's value)."""
         kind = tgt[0]
         if kind == "discard":
-            return
+            return val
         if kind == "path":
             if op == "|=":
                 cur = self._read_path(tgt[1], tgt[2])
                 val = V.merge_shallow(cur if isinstance(cur, dict) else {}, val)
             self._write_path(tgt[1], tgt[2], copy.deepcopy(val))
-            return
+            return val
         if kind == "var":
             if op == "|=":
                 cur = self.vars.get(tgt[1])
                 val = V.merge_shallow(cur if isinstance(cur, dict) else {}, val)
             self.vars[tgt[1]] = val
-            return
+            return val
         if kind == "varpath":
             base = self.vars.get(tgt[1])
             self.vars[tgt[1]] = V.path_insert(base, tgt[2], val)
-            return
+            return val
         raise VrlRuntimeError(f"invalid assignment target {kind}")
 
     # --- function calls ---

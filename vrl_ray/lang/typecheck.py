@@ -723,6 +723,27 @@ class _Infer:
             return self._call_del(n)
         if name == "push":
             return self._call_push(n)
+        if name == "slice" and args and args[0][0] is None:
+            # slice.rs:154-161 exact type_def: bytes in → bytes out,
+            # array in → the SAME array collection, else bytes|array
+            new_args = []
+            kinds = []
+            fall = False
+            for an, ae in args:
+                ne, k, f = self.expr(ae)
+                new_args.append((an, ne))
+                kinds.append(k)
+                fall = fall or f
+            v = kinds[0]
+            if v.only(("bytes",)):
+                out = Kind.prim("bytes")
+            elif not v.is_any and not v.bits and v.obj is None \
+                    and v.arr is not None:
+                out = v
+            else:
+                out = Kind(("bytes",), arr=Coll(None, Kind.any()))
+            return ("call", name, bang, new_args, None) + tuple(n[5:]), \
+                out, not bang
         if name == "merge":
             if len(args) < 2:
                 raise Unsupported("merge args")
