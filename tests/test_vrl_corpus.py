@@ -144,7 +144,7 @@ def _parse_want(raw: str):
 
 
 def _collect():
-    cases = []
+    cases = [pytest.param(f"{ROOT}/example.vrl", id="example.vrl")]
     for cat in ("expressions", "functions", "examples", "issues",
                 "internal", "rfcs"):
         for f in sorted(glob.glob(f"{ROOT}/{cat}/**/*.vrl", recursive=True)):
