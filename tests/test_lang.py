@@ -758,6 +758,28 @@ class TestCli:
         assert main(["-o", '.x = "hi"', "-i", str(f)]) == 0
         assert capsys.readouterr().out == '{"x":"hi"}\n'
 
+    def test_context_timezone(self, tmp_path, capsys):
+        """-z (cmd.rs:51-53): naive timestamps resolve in the context
+        timezone — parse_timestamp and the log parsers both honor it."""
+        from vrl_ray.cli import main
+        from vrl_ray.functions.timestamp import set_context_timezone
+
+        f = tmp_path / "e.ndjson"
+        f.write_text("{}\n")
+        try:
+            assert main([
+                "-z", "Europe/Paris",
+                'parse_timestamp!("2019-12-31:12:00:00",'
+                ' "%Y-%m-%d:%H:%M:%S")',
+                "-i", str(f)]) == 0
+            # Paris is UTC+1 in winter
+            assert capsys.readouterr().out == '"2019-12-31T11:00:00Z"\n'
+            assert main(["-z", "Not/AZone", ".x", "-i", str(f)]) == 1
+            assert "unable to parse timezone: Not/AZone" in \
+                capsys.readouterr().err
+        finally:
+            set_context_timezone(None)
+
     def test_program_error_exit_code(self, tmp_path, capsys):
         from vrl_ray.cli import main
 

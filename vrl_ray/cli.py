@@ -100,7 +100,7 @@ def run_ray(source: str, input_path: str, output_path: str | None) -> int:
     return 0
 
 
-def run_repl(input_fn=None, out=None) -> int:
+def run_repl(input_fn=None, out=None, quiet=False) -> int:
     """Interactive REPL (the reference's src/cli/repl.rs: persistent
     event object, each line compiled + resolved against it; ``.``
     shows the event; ``exit`` quits)."""
@@ -111,7 +111,8 @@ def run_repl(input_fn=None, out=None) -> int:
     input_fn = input_fn or (lambda: input("$ "))
     out = out or sys.stdout
     event: dict = {}
-    print("VRL REPL — enter a program per line; `exit` quits", file=out)
+    if not quiet:
+        print("VRL REPL — enter a program per line; `exit` quits", file=out)
     while True:
         try:
             line = input_fn()
@@ -142,10 +143,23 @@ def main(argv=None) -> int:
                    help="NDJSON events file (default: stdin)")
     p.add_argument("-o", "--print-object", action="store_true",
                    help="print the mutated event instead of the result")
+    p.add_argument("-z", "--timezone",
+                   help="timezone used to parse naive dates (cmd.rs -z)")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="don't print the REPL banner")
     p.add_argument("--ray", action="store_true",
                    help="run through Ray Data (vectorized remap stage)")
     p.add_argument("--output", help="with --ray: write parquet here")
     args = p.parse_args(argv)
+
+    if args.timezone:
+        from .functions.timestamp import set_context_timezone
+        from .value import VrlError
+        try:
+            set_context_timezone(args.timezone)
+        except VrlError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
 
     if args.PROGRAM and args.program_file:
         p.error("PROGRAM and --program are mutually exclusive")
@@ -156,7 +170,7 @@ def main(argv=None) -> int:
             source = f.read()
     else:
         # no program → REPL (cmd.rs:121-130 should_open_repl)
-        return run_repl()
+        return run_repl(quiet=args.quiet)
 
     if args.ray:
         if not args.input_file:

@@ -409,6 +409,9 @@ def parse_timestamp(value, format: str, timezone_name: Optional[str] = None) -> 
             except (ValueError, TypeError):
                 raise VrlError(f"unable to parse timestamp: {e}") from e
     if dt.tzinfo is None:
+        if timezone_name is None:
+            from .timestamp import get_context_timezone
+            timezone_name = get_context_timezone()
         if timezone_name and timezone_name not in ("UTC", "utc"):
             try:
                 from zoneinfo import ZoneInfo

@@ -88,6 +88,9 @@ def _parse_ts(value: str, fmt: str, tz: Optional[str] = None) -> datetime:
     if ns:
         dt = dt.replace(microsecond=ns // 1000)
     if dt.tzinfo is None:
+        if tz is None:
+            from .timestamp import get_context_timezone
+            tz = get_context_timezone()
         if tz and tz not in ("UTC", "utc"):
             # ctx timezone (TimeZone::Named): naive stamps live there
             from zoneinfo import ZoneInfo

@@ -22,6 +22,28 @@ __all__ = [
 
 _FROZEN_NOW: Optional[datetime] = None
 
+#: the runtime-context timezone (SURVEY §1.4 / Context::timezone —
+#: cmd.rs -z): naive timestamps in parse_timestamp and the log
+#: parsers resolve here when no explicit timezone argument is given
+_CTX_TZ: Optional[str] = None
+
+
+def set_context_timezone(tz: Optional[str]) -> None:
+    """Set the job's context timezone (an IANA name, or None = UTC).
+    Validates eagerly like TimeZone::parse (cmd.rs:65-70)."""
+    global _CTX_TZ
+    if tz and tz not in ("UTC", "utc", "local"):
+        from zoneinfo import ZoneInfo
+        try:
+            ZoneInfo(tz)
+        except Exception as e:
+            raise VrlError(f"unable to parse timezone: {tz}") from e
+    _CTX_TZ = tz
+
+
+def get_context_timezone() -> Optional[str]:
+    return _CTX_TZ
+
 
 def set_frozen_now(ts: Optional[datetime]) -> None:
     global _FROZEN_NOW
