@@ -452,6 +452,11 @@ def remap(ds, source: str, *, concurrency=None, batch_size: int = 8192,
         except (NotVectorizable, ParseError):
             use_vector = False
 
+    # the driver's context timezone must reach the worker processes
+    # (it is a module global — cli.py -z sets it on the DRIVER only)
+    from ..functions.timestamp import get_context_timezone
+    ctx_tz = get_context_timezone()
+
     if concurrency is not None:
         # caller pinned a pool size → keep the actor-pool form
         cls = VectorRemapStage if use_vector else RemapStage
@@ -470,7 +475,7 @@ def remap(ds, source: str, *, concurrency=None, batch_size: int = 8192,
     return ds.map_batches(
         _remap_batch,
         fn_kwargs=dict(source=source, drop_aborted=drop_aborted,
-                       vector=use_vector),
+                       vector=use_vector, ctx_tz=ctx_tz),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -480,9 +485,14 @@ _STAGE_CACHE: dict = {}
 
 
 def _remap_batch(batch, *, source: str, drop_aborted: bool,
-                 vector: bool):
+                 vector: bool, ctx_tz=None):
     """Task-pool remap: compile once per worker process (keyed by
     program text), then run batches through the cached stage."""
+    if ctx_tz is not None:
+        from ..functions.timestamp import get_context_timezone, \
+            set_context_timezone
+        if get_context_timezone() != ctx_tz:
+            set_context_timezone(ctx_tz)
     key = (source, drop_aborted, vector)
     st = _STAGE_CACHE.get(key)
     if st is None:
