@@ -178,24 +178,56 @@ def _parse_call(s: str) -> tuple[str, list]:
     return name, args
 
 
+def _int_fold(f: float):
+    """grok_filter.rs:155-160/191-196: a float whose i64 round-trip is
+    exact becomes an Integer (Number/NumberExt/Scale results)."""
+    if -(2**63) <= f < 2**63 and float(int(f)) == f:
+        return int(f)
+    return f
+
+
+def _rust_f64(s: str) -> float:
+    """Rust f64 FromStr: no surrounding whitespace or underscores."""
+    s = str(s)
+    if s != s.strip() or "_" in s:
+        raise ValueError(s)
+    f = float(s)
+    return 0.0 if f != f else f  # from_f64_or_zero: NaN → 0.0
+
+
 def _apply_filter(value, name: str, args: list):
     if value is None:
         return None
     if name == "integer":
+        # grok_filter.rs:122-133 — strict i64 FromStr ("1.5" FAILS)
         try:
-            return int(float(value))
+            s = str(value)
+            if s != s.strip() or "_" in s:
+                return None
+            return int(s)
         except (TypeError, ValueError):
             return None
-    if name == "number":
+    if name == "integerExt":
+        # grok_filter.rs:136-145 — f64 parse, `as i64` cast
         try:
-            return float(value)
+            f = _rust_f64(value)
+        except (TypeError, ValueError):
+            return None
+        if f >= 2**63:
+            return 2**63 - 1
+        if f < -(2**63):
+            return -(2**63)
+        return int(f)
+    if name in ("number", "numberExt"):
+        try:
+            return _int_fold(_rust_f64(value))
         except (TypeError, ValueError):
             return None
     if name == "boolean":
         return str(value).lower() == "true"
     if name == "scale":
         try:
-            return float(value) * float(args[0])
+            return _int_fold(float(value) * float(args[0]))
         except (TypeError, ValueError, IndexError):
             return None
     if name == "lowercase":
@@ -228,6 +260,22 @@ def _apply_filter(value, name: str, args: list):
         kv_sep = str(args[0]) if args else "="
         try:
             return parse_key_value(str(value), key_value_delimiter=kv_sep)
+        except VrlError:
+            return None
+    if name == "rubyhash":
+        # grok_filter.rs:203-205
+        from .parse_data import parse_ruby_hash
+        try:
+            return parse_ruby_hash(str(value))
+        except VrlError:
+            return None
+    if name == "xml":
+        # grok_filter.rs:215-224: attr_prefix "", numbers/bools stay
+        # strings
+        from .parse_data import parse_xml
+        try:
+            return parse_xml(str(value), attr_prefix="",
+                             parse_number=False, parse_bool=False)
         except VrlError:
             return None
     if name == "date":
