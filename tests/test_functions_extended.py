@@ -206,6 +206,43 @@ class TestGroks:
         out = R["parse_groks"]("a=1", patterns=[r"a=%{integer:http.status}"])
         assert out == {"http": {"status": 1}}
 
+    def test_array_filter_reference_vectors(self):
+        """datadog/grok/parse_grok.rs supports_array_filter — arg
+        shapes, no trimming, inner filters with integer folding."""
+        cases = [
+            ("%{data:field:array}", "[1,2]", ["1", "2"]),
+            (r'%{data:field:array("\\t")}', "[1\t2]", ["1", "2"]),
+            (r'%{data:field:array("[]","\\n")}', "[1\n2]", ["1", "2"]),
+            (r'%{data:field:array("","-")}', "1-2", ["1", "2"]),
+            ("%{data:field:array(integer)}", "[1,2]", [1, 2]),
+            (r'%{data:field:array(";", integer)}', "[1;2]", [1, 2]),
+            (r'%{data:field:array("{}",";", integer)}', "{1;2}", [1, 2]),
+            ("%{data:field:array(scale(10))}", "[1,2.1]", [10, 21]),
+            ("%{data:field:array}", "[ 1 ,2]", [" 1 ", "2"]),
+        ]
+        for pat, inp, want in cases:
+            got = R["parse_groks"](inp, [pat])["field"]
+            assert got == want and \
+                [type(x) for x in got] == [type(x) for x in want], \
+                (pat, inp, got)
+        # filter failures DROP the field (internal error, not a raise)
+        assert R["parse_groks"]("abc", ["%{data:field:array}.*"]) == {}
+        assert R["parse_groks"](
+            "[a,b]", ["%{data:field:array(scale(10))}"]) == {}
+
+    def test_filters_rubyhash_xml_numberext(self):
+        assert R["parse_groks"]('h={"a" => 1}',
+                                [r'h=%{data:out:rubyhash}']) == \
+            {"out": {"a": 1}}
+        assert R["parse_groks"]("x=<a>1</a>",
+                                [r'x=%{data:out:xml}']) == \
+            {"out": {"a": "1"}}
+        out = R["parse_groks"]("n=1e3", [r'n=%{notSpace:out:numberExt}'])
+        assert out == {"out": 1000} and isinstance(out["out"], int)
+        # strict integer: "2.5" fails and the field drops
+        assert R["parse_groks"]("n=2.5",
+                                [r'n=%{notSpace:out:integer}']) == {}
+
     def test_cycle_detection(self):
         with pytest.raises(VrlError):
             R["parse_groks"]("x", patterns=["%{a}"],

@@ -150,6 +150,12 @@ def _unescape_grok_str(s: str) -> str:
     return "".join(out)
 
 
+class _RawTok(str):
+    """An UNQUOTED filter argument (an identifier or nested filter
+    call like `integer` / `scale(10)`) — the array filter needs to
+    tell these apart from quoted delimiter/bracket strings."""
+
+
 def _parse_call(s: str) -> tuple[str, list]:
     """`name("a", 2)` → (name, [args]); bare name → (name, [])."""
     m = _stdre.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\((.*)\))?\s*$", s,
@@ -162,19 +168,20 @@ def _parse_call(s: str) -> tuple[str, list]:
     raw = m.group(3).strip()
     args: list = []
     if raw:
-        for piece in _stdre.findall(
+        for am in _stdre.finditer(
                 r'"((?:[^"\\]|\\.)*)"|\'((?:[^\'\\]|\\.)*)\'|([^,]+)', raw):
-            if piece[0] or piece[1]:
-                args.append(_unescape_grok_str(piece[0] or piece[1]))
+            if am.group(1) is not None or am.group(2) is not None:
+                q = am.group(1) if am.group(1) is not None else am.group(2)
+                args.append(_unescape_grok_str(q))
             else:
-                tok = piece[2].strip()
+                tok = am.group(3).strip()
                 try:
                     args.append(int(tok))
                 except ValueError:
                     try:
                         args.append(float(tok))
                     except ValueError:
-                        args.append(tok)
+                        args.append(_RawTok(tok))
     return name, args
 
 
@@ -193,6 +200,73 @@ def _rust_f64(s: str) -> float:
         raise ValueError(s)
     f = float(s)
     return 0.0 if f != f else f  # from_f64_or_zero: NaN → 0.0
+
+
+def _array_filter(s: str, args: list):
+    """datadog/grok/filters/array.rs: argument shapes are
+    (delimiter) | (filter) | (brackets, delimiter) |
+    (delimiter, filter) | (brackets, delimiter, filter); default
+    brackets "[]", default delimiter ",". Elements split exactly like
+    nom's separated_list0(tag(d), alt((take_until(d),
+    take_until(close)))) — NO trimming, and a close-bracket char may
+    appear inside non-final elements. Any element failing the inner
+    filter drops the whole field (parse_grok.rs internal error)."""
+    quoted = [a for a in args if isinstance(a, str)
+              and not isinstance(a, _RawTok)]
+    inner = next((a for a in args if isinstance(a, _RawTok)), None)
+    brackets = delim = None
+    if len(quoted) == 2:
+        brackets, delim = quoted
+    elif len(quoted) == 1:
+        delim = quoted[0]
+    if brackets is None:
+        b0, b1 = "[", "]"
+    elif brackets == "":
+        b0 = b1 = ""
+    elif len(brackets) == 1:
+        b0 = b1 = brackets
+    elif len(brackets) == 2:
+        b0, b1 = brackets[0], brackets[1]
+    else:
+        return None
+    d = delim if delim else ","
+
+    if b0:
+        if not s.startswith(b0):
+            return None
+        body = s[len(b0):]
+    else:
+        body = s
+    items = []
+    i = 0
+    while True:
+        nd = body.find(d, i)
+        if nd != -1:  # take_until(delimiter) wins whenever d is ahead
+            items.append(body[i:nd])
+            i = nd + len(d)
+            continue
+        if b1:
+            nb = body.find(b1, i)
+            if nb == -1:
+                return None
+            items.append(body[i:nb])
+            rest = body[nb + len(b1):]
+            if rest.strip():
+                return None
+        else:
+            items.append(body[i:])
+        break
+
+    if inner is not None:
+        fname, fargs = _parse_call(inner)
+        out = []
+        for el in items:
+            v = _apply_filter(el, fname, fargs)
+            if v is None:
+                return None  # inner-filter failure drops the field
+            out.append(v)
+        return out
+    return items
 
 
 def _apply_filter(value, name: str, args: list):
@@ -249,11 +323,7 @@ def _apply_filter(value, name: str, args: list):
     if name == "decodeuricomponent":
         return unquote(str(value))
     if name == "array":
-        s = str(value).strip()
-        if s and s[0] in "[(" and s[-1] in "])":
-            s = s[1:-1]
-        sep = str(args[-1]) if args else ","
-        return [p.strip() for p in s.split(sep)] if s else []
+        return _array_filter(str(value), args)
     if name == "keyvalue":
         from .parse import parse_key_value
 
@@ -329,7 +399,11 @@ class _DdPattern:
             raise VrlError("failed to parse grok expression "
                            f"'(?m)\\A{pattern}\\z': {e}") from e
         try:
-            self.regex = _regex.compile(r"^\s*" + expanded + r"\s*$")
+            # parse_grok_rules wraps rules as onig `(?m)\A..\z` —
+            # onig's (?m) is DOTALL (Ruby semantics), and there is NO
+            # whitespace trimming around the rule
+            self.regex = _regex.compile(r"\A" + expanded + r"\Z",
+                                        _regex.DOTALL)
         except _regex.error as e:
             raise VrlError(f"invalid grok pattern {pattern!r}: {e}") from e
 
