@@ -230,6 +230,51 @@ class TestGroks:
         assert R["parse_groks"](
             "[a,b]", ["%{data:field:array(scale(10))}"]) == {}
 
+    def test_keyvalue_filter_reference_vectors(self):
+        """datadog/grok/parse_grok.rs parses_keyvalue — the oniguruma
+        scan, quote pairs, type inference, null/empty drops, dotted
+        keys nesting, repeated keys, octal rule."""
+        cases = [
+            ("%{data::keyvalue}", "key=valueStr", {"key": "valueStr"}),
+            ("%{data::keyvalue}", "key=<valueStr>", {"key": "valueStr"}),
+            ("%{data::keyvalue}", '"key"="valueStr"', {"key": "valueStr"}),
+            ("%{data::keyvalue}", "'key'='valueStr'", {"key": "valueStr"}),
+            (r'%{data::keyvalue(":")}', "key:valueStr",
+             {"key": "valueStr"}),
+            (r'%{data::keyvalue(":", "/")}', 'key:"/valueStr"',
+             {"key": "/valueStr"}),
+            (r'%{data::keyvalue(":=", "", "{}")}', "key:={valueStr}",
+             {"key": "valueStr"}),
+            (r'%{data::keyvalue("="," ")}', "key1=value1, key2 = value 2 ",
+             {"key1": "value1", "key2": "value 2"}),
+            (r'%{data::keyvalue("=", "", "", "|")}',
+             'key1="value1"|key2="value2"',
+             {"key1": "value1", "key2": "value2"}),
+            (r'%{data::keyvalue(":=","","<>")}',
+             'key1:=valueStr key2:=</valueStr2> key3:="valueStr3"',
+             {"key1": "valueStr", "key2": "/valueStr2"}),
+            ("%{data::keyvalue}", "key:=valueStr", {}),
+            ("%{data::keyvalue}", "key1= key2=null key3=value3",
+             {"key3": "value3"}),
+            ("%{data::keyvalue}", "=,=value", {}),
+            ("%{data::keyvalue}",
+             "float=1.2,boolean=true,null=null,string=abc,integer1=11",
+             {"float": 1.2, "boolean": True, "string": "abc",
+              "integer1": 11}),
+            ("%{data::keyvalue}", "key = valueStr", {}),
+            ("%{data::keyvalue}", "field=2.0e", {"field": "2.0e"}),
+            (r'%{data::keyvalue("=", "\\w.\\-_@:")}', "IN=eth0 OUT= MAC",
+             {"IN": "eth0"}),
+            ("%{data::keyvalue}", "db.name=my_db,db.operation=insert",
+             {"db": {"name": "my_db", "operation": "insert"}}),
+            ("%{data::keyvalue}", "a=1, a=1, a=2", {"a": [1, 1, 2]}),
+            (r'%{data::keyvalue("="," ")}', "a key=value", {}),
+            ("%{data::keyvalue}", "a=07", {"a": 7}),
+            ("%{data::keyvalue}", "a=08", {"a": "08"}),
+        ]
+        for pat, inp, want in cases:
+            assert R["parse_groks"](inp, [pat]) == want, (pat, inp)
+
     def test_filters_rubyhash_xml_numberext(self):
         assert R["parse_groks"]('h={"a" => 1}',
                                 [r'h=%{data:out:rubyhash}']) == \

@@ -169,7 +169,8 @@ def _parse_call(s: str) -> tuple[str, list]:
     args: list = []
     if raw:
         for am in _stdre.finditer(
-                r'"((?:[^"\\]|\\.)*)"|\'((?:[^\'\\]|\\.)*)\'|([^,]+)', raw):
+                r'\s*"((?:[^"\\]|\\.)*)"\s*|\s*\'((?:[^\'\\]|\\.)*)\'\s*'
+                r'|([^,]+)', raw):
             if am.group(1) is not None or am.group(2) is not None:
                 q = am.group(1) if am.group(1) is not None else am.group(2)
                 args.append(_unescape_grok_str(q))
@@ -269,6 +270,120 @@ def _array_filter(s: str, args: list):
     return items
 
 
+_KV_DEFAULT_QUOTES = [('"', '"'), ("'", "'"), ("<", ">")]
+_KV_NUM = _stdre.compile(
+    r"[+-]?(?:\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)")
+
+
+def _kv_value(raw: str, quotes):
+    """keyvalue.rs parse_value: null/boolean are PREFIX tags (nom tag
+    without eof), numbers need a full match (terminated(double, eof))
+    with the invalid-octal rule, quoted values stay strings."""
+    if raw.startswith("null"):
+        return None
+    if raw.startswith("true"):
+        return True
+    if raw.startswith("false"):
+        return False
+    if _KV_NUM.fullmatch(raw):
+        f = float(raw)
+        if -(2**63) <= f < 2**63 and float(int(f)) == f:
+            if not (raw.startswith("0")
+                    and ("8" in raw or "9" in raw)):
+                return int(f)
+            # valid-octal-shaped but with 8/9 digits → string
+        else:
+            return f
+    for left, right in quotes:
+        if raw.startswith(left):
+            end = raw.find(right, 1)
+            if end > 0:  # rest after the close quote is ignored
+                return raw[1:end].strip()
+    return raw.strip()
+
+
+def _kv_unquote(key: str, quotes) -> str:
+    for left, right in quotes:
+        if key.startswith(left):
+            end = key.find(right, 1)
+            if end > 0:
+                return key[1:end]
+    return key
+
+
+def _keyvalue_filter(value, args: list):
+    """datadog/grok/filters/keyvalue.rs: an oniguruma scan
+    `(?<=[fd0]|^)(quoted|[charset]+)<delim>(quoted|[charset]+)(?:[fd1]|$)`
+    over the whole input; args = (kv_delimiter, extra value chars,
+    quote pair, field delimiters). null/empty values and keys with
+    spaces drop; repeated keys accumulate into arrays."""
+    if not isinstance(value, str):
+        return None
+    kv_delim = str(args[0]) if len(args) >= 1 else "="
+    value_re = r"\w.\-_@" + (str(args[1]) if len(args) >= 2 else "")
+    quotes = _KV_DEFAULT_QUOTES
+    if len(args) >= 3:
+        q = str(args[2])
+        if len(q) == 2:
+            quotes = [(q[0], q[1])]
+        elif q != "":
+            return None
+    fd = (r"\s,;(\[{", r"\s,;)\]}")
+    if len(args) >= 4:
+        d = str(args[3])
+        if len(d) == 1:
+            fd = (d, d)
+        elif len(d) == 2:
+            fd = (d[0], d[1])
+        else:
+            return None
+    quoting = ("(" + "".join(f"{l}[^{l}]+{r}|" for l, r in quotes)
+               + "[" + value_re + "]+)")
+    try:
+        rx = _regex.compile(f"(?<=[{fd[0]}]|^)" + quoting + kv_delim
+                            + quoting + f"(?:[{fd[1]}]|$)")
+    except _regex.error:
+        return None
+    out: dict = {}
+    for m in rx.finditer(value):
+        key = _kv_unquote(m.group(1).strip(), quotes)
+        if " " in key or not key:
+            continue
+        v = _kv_value(m.group(2).strip().rstrip(","), quotes)
+        if v is None or v == "":
+            continue
+        if key in out:
+            if isinstance(out[key], list):
+                out[key].append(v)
+            else:
+                out[key] = [out[key], v]
+        else:
+            out[key] = v
+    return out
+
+
+def _parse_keys_as_path(v):
+    """parse_grok.rs:137-151: object keys parse as value paths
+    (dotted keys nest; a key that isn't a valid path stays one
+    segment), recursively through objects and arrays."""
+    if isinstance(v, list):
+        return [_parse_keys_as_path(x) for x in v]
+    if not isinstance(v, dict):
+        return v
+    out: dict = {}
+    for k, x in v.items():
+        segs = k.split(".") if "." in k and all(k.split(".")) \
+            and '"' not in k else [k]
+        cur = out
+        for s in segs[:-1]:
+            nxt = cur.get(s)
+            if not isinstance(nxt, dict):
+                nxt = cur[s] = {}
+            cur = nxt
+        cur[segs[-1]] = _parse_keys_as_path(x)
+    return out
+
+
 def _apply_filter(value, name: str, args: list):
     if value is None:
         return None
@@ -325,13 +440,7 @@ def _apply_filter(value, name: str, args: list):
     if name == "array":
         return _array_filter(str(value), args)
     if name == "keyvalue":
-        from .parse import parse_key_value
-
-        kv_sep = str(args[0]) if args else "="
-        try:
-            return parse_key_value(str(value), key_value_delimiter=kv_sep)
-        except VrlError:
-            return None
+        return _keyvalue_filter(value, args)
     if name == "rubyhash":
         # grok_filter.rs:203-205
         from .parse_data import parse_ruby_hash
@@ -448,7 +557,10 @@ class _DdPattern:
                     f'The given pattern definition name "{name}" could '
                     "not be found in the definition map")
 
-            if dest:
+            if dest or filters:
+                # dest None + filters = `%{data::keyvalue}` — the
+                # object result merges into the ROOT (parse_grok.rs
+                # field.is_root())
                 self._n += 1
                 group = f"g{self._n}"
                 self._fields[group] = (dest, filters)
@@ -475,6 +587,16 @@ class _DdPattern:
                     dropped = True
                     break
             if dropped:
+                continue
+            # object results nest their dotted keys
+            # (parse_grok.rs:81 parse_keys_as_path)
+            if isinstance(v, (dict, list)):
+                v = _parse_keys_as_path(v)
+            if dest is None:
+                # root destination: object results MERGE into the
+                # event (parse_grok.rs:93-96)
+                if isinstance(v, dict):
+                    out.update(v)
                 continue
             # dotted destinations create nested objects
             segs = dest.split(".")
