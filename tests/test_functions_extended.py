@@ -275,6 +275,71 @@ class TestGroks:
         for pat, inp, want in cases:
             assert R["parse_groks"](inp, [pat]) == want, (pat, inp)
 
+    def test_date_matcher_reference_vectors(self):
+        """matchers/date.rs via parse_grok.rs supports_date_matcher:
+        the date matcher yields epoch MILLISECONDS; offsets, literal
+        Z, named zones (DST-aware at the instant), target-timezone
+        arguments (fixed offset), fraction truncation to ms."""
+        cases = [
+            (r'%{date("dd/MMM/yyyy"):f}', "06/Mar/2013", 1362528000000),
+            (r'%{date("EEE MMM dd HH:mm:ss yyyy"):f}',
+             "Thu Jun 16 08:29:03 2016", 1466065743000),
+            (r'%{date("dd/MMM/yyyy:HH:mm:ss Z"):f}',
+             "06/Mar/2013:01:36:30 +0900", 1362501390000),
+            (r'%{date("yyyy-MM-dd\'T\'HH:mm:ss.SSSZ"):f}',
+             "2016-11-29T16:21:36.431+0000", 1480436496431),
+            (r'%{date("yyyy-MM-dd HH:mm:ss.SSS z"):f}',
+             "2007-08-31 19:22:22.427 CET", 1188580942427),
+            (r'%{date("yyyy-MM-dd HH:mm:ss.SSS zzzz"):f}',
+             "2007-08-31 19:22:22.427 America/Thule", 1188598942427),
+            (r'%{date("EEE MMM dd HH:mm:ss yyyy", "Europe/Moscow"):f}',
+             "Thu Jun 16 08:29:03 2016", 1466054943000),
+            (r'%{date("EEE MMM dd HH:mm:ss yyyy", "UTC+5"):f}',
+             "Thu Jun 16 08:29:03 2016", 1466047743000),
+            (r'%{date("EEE MMM dd HH:mm:ss yyyy", "-0300"):f}',
+             "Thu Jun 16 08:29:03 2016", 1466076543000),
+            (r'%{date("yyyy-MM-dd HH:mm:ss.SSSS"):f}',
+             "2019-11-25 11:21:32.6282", 1574680892628),
+            (r'%{date("yyyy-MM-dd\'T\'HH:mm:ss.SSSZ"):f}',
+             "2016-09-02T15:02:29.648Z", 1472828549648),
+            (r'%{date("yyMMdd HH:mm:ss"):f}', "171113 14:14:20",
+             1510582460000),
+            (r'%{date("M/d/yy HH:mm:ss z"):f}', "5/6/18 19:40:59 GMT",
+             1525635659000),
+            (r'%{date("M/d/yy HH:mm:ss,SSSSSSSSS z"):f}',
+             "11/16/18 19:40:59,123456789 GMT", 1542397259123),
+        ]
+        for pat, inp, want in cases:
+            assert R["parse_groks"](inp, [pat]) == {"f": want}, (pat, inp)
+        for badpat in (r'%{date("ABC:XYZ"):f}',
+                       r'%{date("yyyy", "unknown timezone"):f}'):
+            with pytest.raises(
+                    VrlError, match="invalid arguments for the function"):
+                R["parse_groks"]("x", [badpat])
+
+    def test_grok_raw_groups_and_dest_paths(self):
+        """parse_grok.rs extracts_field_with_regex_capture +
+        parses_grok_unsafe_field_names + appends_to_the_same_field."""
+        assert R["parse_groks"]("abc", [r"(?<field>\w+)"]) == \
+            {"field": "abc"}
+        # raw group names are LITERAL keys, not lookup paths
+        assert R["parse_groks"]("abc", [r"(?<nested.field.name>\w+)"]) == \
+            {"nested.field.name": "abc"}
+        assert R["parse_groks"]("abc", [r'%{data:field["quoted name"]}']) \
+            == {"field": {"quoted name": "abc"}}
+        assert R["parse_groks"](
+            "1 info message",
+            [r'%{integer:nested.field} %{notSpace:nested.field:uppercase}'
+             r' %{notSpace:nested.field:nullIf("-")}']) == \
+            {"nested": {"field": [1, "INFO", "message"]}}
+        # destination-less json merges at the root; non-map roots drop
+        assert R["parse_groks"](
+            '{ "json_field1": "value2" }', ["%{data::json}"]) == \
+            {"json_field1": "value2"}
+        assert R["parse_groks"](
+            "value1 1", ["%{notSpace:standalone_field} %{data::integer}"]
+        ) == {"standalone_field": "value1"}
+
     def test_filters_rubyhash_xml_numberext(self):
         assert R["parse_groks"]('h={"a" => 1}',
                                 [r'h=%{data:out:rubyhash}']) == \

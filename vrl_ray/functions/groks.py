@@ -63,36 +63,196 @@ _DD_MATCHERS: dict[str, tuple[str, Optional[str]]] = {
     "uuid": (BASE_PATTERNS["UUID"], None),
 }
 
-# java date-format token → regex fragment (matchers/date.rs)
-_DATE_TOKENS = [
-    ("yyyy", r"\d{4}"), ("yy", r"\d{2}"),
-    ("MMMM", r"[A-Za-z]+"), ("MMM", r"[A-Za-z]{3}"), ("MM", r"\d{2}"),
-    ("M", r"\d{1,2}"),
-    ("dd", r"\d{2}"), ("d", r"\d{1,2}"),
-    ("HH", r"\d{2}"), ("H", r"\d{1,2}"),
-    ("hh", r"\d{2}"), ("h", r"\d{1,2}"),
-    ("mm", r"\d{2}"), ("m", r"\d{1,2}"),
-    ("ss", r"\d{2}"), ("s", r"\d{1,2}"),
-    ("SSSSSS", r"\d{6}"), ("SSS", r"\d{3}"), ("S", r"\d{1,3}"),
-    ("EEEE", r"[A-Za-z]+"), ("EEE", r"[A-Za-z]{3}"),
-    ("ZZZZ", r"[+-]\d{2}:?\d{2}"), ("ZZ", r"[+-]\d{2}:?\d{2}"),
-    ("Z", r"[+-]\d{4}"), ("z", r"[A-Za-z/+_0-9:-]+"),
-    ("a", r"[APap][Mm]"), ("'T'", "T"), ("T", "T"),
-]
+class _GrokArgsError(VrlError):
+    """Invalid static function arguments — surfaces as
+    parse_grok_rules' "invalid arguments for the function '{name}'"
+    without the grok-expression wrapper."""
 
 
-def _date_regex(fmt: str) -> str:
-    out, i = [], 0
-    while i < len(fmt):
-        for tok, rx in _DATE_TOKENS:
-            if fmt.startswith(tok, i):
-                out.append(rx)
-                i += len(tok)
-                break
+def _date_format_tokens(fmt: str) -> list:
+    """Joda format → [('tok', 'yyyy') | ('lit', text)] — letter runs
+    like matchers/date.rs' peeking_take_while, 'quoted' literals."""
+    out, i, n = [], 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c.isalpha():
+            j = i
+            while j < n and fmt[j] == c:
+                j += 1
+            out.append(("tok", fmt[i:j]))
+            i = j
+        elif c == "'":
+            j = fmt.find("'", i + 1)
+            j = n if j < 0 else j
+            out.append(("lit", fmt[i + 1: j]))
+            i = j + 1
         else:
-            out.append(_stdre.escape(fmt[i]))
+            out.append(("lit", c))
             i += 1
+    return out
+
+
+def _date_regex(fmt: str, captures: bool = False) -> str:
+    """matchers/date.rs time_format_to_regex — the exact fragment per
+    token; with captures=True, named groups for value extraction."""
+    out: list = []
+
+    def grp(name: str, rx: str) -> str:
+        return f"(?P<{name}>{rx})" if captures else f"(?:{rx})"
+
+    for kind, tok in _date_format_tokens(fmt):
+        if kind == "lit":
+            out.append(_stdre.escape(tok))
+            continue
+        c, ln = tok[0], len(tok)
+        if c == "h":
+            out.append(grp("h12", rf"\d{{{ln}}}"))
+        elif c == "H":
+            out.append(grp("h24", rf"\d{{{ln}}}"))
+        elif c == "m":
+            out.append(grp("mi", rf"\d{{{ln}}}"))
+        elif c == "s":
+            out.append(grp("se", rf"\d{{{ln}}}"))
+        elif c in "YxcCeDw":
+            out.append(rf"\d{{{ln}}}")
+        elif c == "d":
+            out.append(grp("dy", r"\d{1,2}" if ln == 1 else rf"\d{{{ln}}}"))
+        elif c == "y":
+            out.append(grp("yr", r"\d{4}" if ln == 1 else rf"\d{{{ln}}}"))
+        elif c == "S":
+            # the PRECEDING literal is the fraction separator
+            if out:
+                out.pop()
+            out.append(r"[.,]" + grp("fr", rf"\d{{{ln}}}"))
+        elif c == "M":
+            if ln == 1:
+                out.append(grp("mo", r"\d{1,2}"))
+            elif ln == 2:
+                out.append(grp("mo", r"\d{2}"))
+            elif ln == 3:
+                out.append(grp("moa", r"\w{3}"))
+            else:
+                out.append(grp("moa", r"\w+"))
+        elif c == "a":
+            out.append(grp("ap", r"[aA][mM]|[pP][mM]"))
+        elif c == "E":
+            out.append(r"\w{3}" if ln == 3 else r"\w+")
+        elif c == "z":
+            out.append(grp("tz", r"\w+(?:/\w+)?"))
+        elif c == "Z":
+            if ln <= 2:
+                out.append(grp("off", r"Z|[+-]\d\d:?\d\d"))
+            else:
+                out.append(grp("tz", r"\w+(?:/\w+)?"))
+        else:
+            raise _GrokArgsError(
+                "invalid arguments for the function 'date'")
     return "".join(out)
+
+
+def _parse_dd_timezone(tz: str) -> int:
+    """parse_timezone (matchers/date.rs:106-137) → offset SECONDS.
+    Named zones use their offset AT NOW (the reference calls
+    Utc::now().with_timezone(tz).offset().fix())."""
+    if tz in ("GMT", "UTC", "UT", "Z"):
+        return 0
+    s = tz
+    if not s.startswith(("+", "-")):
+        if "+" in s:
+            s = s[s.index("+"):]
+        elif "-" in s:
+            s = s[s.index("-"):]
+        else:
+            from datetime import datetime, timezone
+            from zoneinfo import ZoneInfo
+            try:
+                z = ZoneInfo(tz)
+            except Exception as e:
+                raise _GrokArgsError(
+                    "invalid arguments for the function 'date'") from e
+            return int(datetime.now(timezone.utc).astimezone(z)
+                       .utcoffset().total_seconds())
+    try:
+        if len(s) <= 3:  # +5, -12
+            return int(s) * 3600
+        body = s[1:].replace(":", "")
+        hh, mm = int(body[:2]), int(body[2:4])
+        return (1 if s[0] == "+" else -1) * (hh * 3600 + mm * 60)
+    except ValueError as e:
+        raise _GrokArgsError(
+            "invalid arguments for the function 'date'") from e
+
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["jan", "feb", "mar", "apr", "may", "jun",
+     "jul", "aug", "sep", "oct", "nov", "dec"])}
+
+
+def _apply_date(text: str, fmt: str, target_tz) -> Optional[int]:
+    """apply_date_filter (matchers/date.rs:257-366): joda-parse the
+    matched text and return epoch MILLISECONDS. Missing day → current
+    month+day; missing year → current year (adjust_strp_format_and_
+    value); a 'Z' suffix means +0000; z-captured zones localize
+    DST-aware at the parsed instant; the target-tz argument applies a
+    FIXED offset to naive stamps."""
+    from datetime import datetime, timedelta, timezone
+
+    rx = _regex.compile(r"\A" + _date_regex(fmt, captures=True) + r"\Z")
+    m = rx.match(text.strip())
+    if m is None:
+        return None
+    g = m.groupdict()
+    now = datetime.now(timezone.utc)
+    if g.get("yr") is not None:
+        yr = int(g["yr"])
+        if len(g["yr"]) == 2:  # chrono %y pivot
+            yr += 2000 if yr <= 68 else 1900
+    else:
+        yr = now.year
+    if g.get("dy") is not None:
+        day = int(g["dy"])
+        mo = int(g["mo"]) if g.get("mo") is not None else \
+            _MONTHS.get(g["moa"][:3].lower(), now.month) \
+            if g.get("moa") is not None else now.month
+    else:
+        mo, day = now.month, now.day
+    if g.get("h24") is not None:
+        hour = int(g["h24"])
+    elif g.get("h12") is not None:
+        hour = int(g["h12"]) % 12
+        if g.get("ap") and g["ap"].lower() == "pm":
+            hour += 12
+    else:
+        hour = 0
+    mi = int(g["mi"]) if g.get("mi") is not None else 0
+    se = int(g["se"]) if g.get("se") is not None else 0
+    ms = int(g["fr"][:3].ljust(3, "0")) if g.get("fr") else 0
+    try:
+        naive = datetime(yr, mo, day, hour, mi, se, ms * 1000)
+    except ValueError:
+        return None
+    if g.get("off") is not None:
+        off = g["off"]
+        if off == "Z":
+            osec = 0
+        else:
+            body = off[1:].replace(":", "")
+            osec = (1 if off[0] == "+" else -1) * \
+                (int(body[:2]) * 3600 + int(body[2:4]) * 60)
+        dt = naive.replace(tzinfo=timezone(timedelta(seconds=osec)))
+    elif g.get("tz") is not None:
+        from zoneinfo import ZoneInfo
+        try:
+            dt = naive.replace(tzinfo=ZoneInfo(g["tz"]))
+        except Exception:
+            return None
+    elif target_tz:
+        osec = _parse_dd_timezone(str(target_tz))
+        dt = naive.replace(tzinfo=timezone(timedelta(seconds=osec)))
+    else:
+        dt = naive.replace(tzinfo=timezone.utc)
+    return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) \
+        // timedelta(milliseconds=1)
 
 
 def _split_spec(spec: str) -> list[str]:
@@ -458,9 +618,38 @@ def _apply_filter(value, name: str, args: list):
         except VrlError:
             return None
     if name == "date":
-        # parsed at match time by the matcher; pass through
-        return value
+        # matchers/date.rs apply_date_filter → epoch milliseconds
+        return _apply_date(str(value), str(args[0]) if args else "",
+                           args[1] if len(args) > 1 else None)
     raise VrlError(f"unsupported grok filter: {name}")
+
+
+def _dest_segs(dest: str) -> list:
+    """Destination path segments: dots split, `["quoted name"]`
+    brackets hold one literal segment (lookup path grammar)."""
+    segs, cur, i, n = [], [], 0, len(dest)
+    while i < n:
+        c = dest[i]
+        if c == ".":
+            if cur:
+                segs.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        if c == "[":
+            bm = _stdre.match(r'\["((?:[^"\\]|\\.)*)"\]', dest[i:])
+            if bm:
+                if cur:
+                    segs.append("".join(cur))
+                    cur = []
+                segs.append(bm.group(1).replace('\\"', '"'))
+                i += bm.end()
+                continue
+        cur.append(c)
+        i += 1
+    if cur:
+        segs.append("".join(cur))
+    return segs or [dest]
 
 
 def _drop_empty(v) -> None:
@@ -502,6 +691,8 @@ class _DdPattern:
         self._n = 0
         try:
             expanded = self._expand(pattern, ())
+        except _GrokArgsError:
+            raise  # "invalid arguments for the function .." unwrapped
         except VrlError as e:
             # parse_grok_rules.rs:88 — the expression shown is the
             # (?m)\A..\z-anchored wrapping the reference compiles
@@ -525,6 +716,19 @@ class _DdPattern:
         if len(stack) > _MAX_DEPTH:
             raise VrlError("Cyclic dependency found in the alias")
 
+        # raw onig named groups `(?<name>..)` written directly in the
+        # template are fields whose names are LITERAL keys, never
+        # lookup paths (parse_grok.rs extracts_field_with_regex_
+        # capture); rename to safe generated group names BEFORE %{}
+        # expansion so they can't collide with ours
+        def raw_group(gm):
+            self._n += 1
+            group = f"g{self._n}"
+            self._fields[group] = ((gm.group(1),), [])
+            return f"(?P<{group}>"
+
+        pat = _regex.sub(r"\(\?P?<([^>=!][^>]*)>", raw_group, pat)
+
         def repl(m):
             spec = m.group(1)
             parts = _split_spec(spec)
@@ -543,6 +747,8 @@ class _DdPattern:
                 inner = str(args[0])
             elif name == "date" and args:
                 inner = _date_regex(str(args[0]))
+                if len(args) > 1:  # compile-time timezone validation
+                    _parse_dd_timezone(str(args[1]))
                 filters = [("date", args)] + filters
             elif name in _DD_MATCHERS:
                 rx, implicit = _DD_MATCHERS[name]
@@ -598,12 +804,23 @@ class _DdPattern:
                 if isinstance(v, dict):
                     out.update(v)
                 continue
-            # dotted destinations create nested objects
-            segs = dest.split(".")
+            # dotted destinations create nested objects; raw-group
+            # fields carry pre-split literal segments
+            segs = list(dest) if isinstance(dest, tuple) \
+                else _dest_segs(dest)
             cur = out
             for s in segs[:-1]:
                 cur = cur.setdefault(s, {})
-            cur[segs[-1]] = v
+            # a dest written more than once accumulates into an array
+            # (parse_grok.rs:102-109, appends_to_the_same_field)
+            last = segs[-1]
+            if last in cur:
+                if isinstance(cur[last], list):
+                    cur[last].append(v)
+                else:
+                    cur[last] = [cur[last], v]
+            else:
+                cur[last] = v
         _drop_empty(out)
         return out
 
