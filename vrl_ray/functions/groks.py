@@ -544,6 +544,27 @@ def _parse_keys_as_path(v):
     return out
 
 
+_KNOWN_FILTERS = frozenset({
+    "integer", "integerExt", "number", "numberExt", "boolean", "scale",
+    "lowercase", "uppercase", "nullIf", "json", "rubyhash",
+    "querystring", "decodeuricomponent", "xml", "array", "keyvalue",
+    "date",
+})
+
+
+def _validate_filter(name: str, args: list) -> None:
+    """Static filter checks at rule-compile time (grok_filter.rs
+    TryFrom + parse_grok_rules error taxonomy)."""
+    if name not in _KNOWN_FILTERS:
+        raise _GrokArgsError(f"unknown filter '{name}'")
+    if name == "scale" and (len(args) != 1
+                            or isinstance(args[0], (str, bool))):
+        raise _GrokArgsError("invalid arguments for the function 'scale'")
+    if name == "nullIf" and (len(args) != 1
+                             or not isinstance(args[0], str)):
+        raise _GrokArgsError("invalid arguments for the function 'nullIf'")
+
+
 def _apply_filter(value, name: str, args: list):
     if value is None:
         return None
@@ -735,6 +756,8 @@ class _DdPattern:
             head = parts[0].strip()
             dest = parts[1].strip() if len(parts) > 1 and parts[1].strip() else None
             filters = [_parse_call(p) for p in parts[2:]]
+            for fname, fargs in filters:
+                _validate_filter(fname, fargs)
 
             name, args = _parse_call(head)
             if name in stack:
@@ -744,6 +767,10 @@ class _DdPattern:
             if name in self.aliases and not args:
                 inner = self._expand(self.aliases[name], stack + (name,))
             elif name == "regex" and args:
+                if not isinstance(args[0], str) \
+                        or isinstance(args[0], _RawTok):
+                    raise _GrokArgsError(
+                        "invalid arguments for the function 'regex'")
                 inner = str(args[0])
             elif name == "date" and args:
                 inner = _date_regex(str(args[0]))
