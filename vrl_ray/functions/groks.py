@@ -9,7 +9,11 @@ Supported surface (documented subset):
 - patterns: list tried in order, first full match wins
 - aliases + alias_sources (JSON files of name→pattern; `aliases`
   entries take precedence), recursive expansion w/ cycle detection
-- classic grok patterns (uppercase, from the shared base set)
+- the FULL baked pattern library (350 definitions generated from
+  src/datadog/grok/patterns/*.pattern by scripts/gen_dd_patterns.py
+  into _dd_patterns.py — aws/httpd/haproxy/syslog/... ; bodies expand
+  with legacy grok-crate alias semantics, 349/350 compile under
+  Python `regex`; SHOREWALL uses onig stacked quantifiers)
 - Datadog matchers: data, notSpace, word, integer, number, boolean,
   ipv4, ipv6, ip, ipOrHost, hostname, port, doubleQuotedString,
   singleQuotedString, quotedString, uuid, date("fmt"), regex("...")
@@ -33,6 +37,7 @@ import regex as _regex
 
 from ..value import VrlError
 from ..grok import BASE_PATTERNS
+from ._dd_patterns import DD_PATTERNS
 from .parse_data import resolve_data_path
 
 __all__ = ["parse_groks", "compile_groks"]
@@ -733,7 +738,8 @@ class _DdPattern:
     _REF = _regex.compile(
         r"%\{((?:[^{}\"']|\"(?:\\.|[^\"\\])*\"|'(?:\\.|[^'\\])*')+)\}")
 
-    def _expand(self, pat: str, stack: tuple) -> str:
+    def _expand(self, pat: str, stack: tuple,
+                legacy: bool = False) -> str:
         if len(stack) > _MAX_DEPTH:
             raise VrlError("Cyclic dependency found in the alias")
 
@@ -752,6 +758,29 @@ class _DdPattern:
 
         def repl(m):
             spec = m.group(1)
+            if legacy:
+                # legacy grok-crate semantics inside the baked pattern
+                # library (grok.rs GROK_PATTERN): the ALIAS is
+                # everything after the first ':' — a LITERAL field
+                # name (types like `:int` ride along) — and there are
+                # no datadog filters
+                head, _, alias = spec.partition(":")
+                name = head.strip()
+                if name in stack:
+                    raise VrlError(
+                        f"Cyclic dependency found in the alias {name!r}")
+                body = DD_PATTERNS.get(name)
+                if body is None:
+                    raise VrlError(
+                        f'The given pattern definition name "{name}" '
+                        "could not be found in the definition map")
+                inner = self._expand(body, stack + (name,), legacy=True)
+                if alias.strip():
+                    self._n += 1
+                    group = f"g{self._n}"
+                    self._fields[group] = ((alias.strip(),), [])
+                    return f"(?P<{group}>{inner})"
+                return f"(?:{inner})"
             parts = _split_spec(spec)
             head = parts[0].strip()
             dest = parts[1].strip() if len(parts) > 1 and parts[1].strip() else None
@@ -782,6 +811,12 @@ class _DdPattern:
                 inner = self._expand(rx, stack + (name,)) if "%{" in rx else rx
                 if implicit:
                     filters = [(implicit, [])] + filters
+            elif name in DD_PATTERNS and not args:
+                # the baked pattern library (src/datadog/grok/
+                # patterns/*.pattern via Grok::with_patterns) — its
+                # bodies expand with legacy grok-crate semantics
+                inner = self._expand(DD_PATTERNS[name], stack + (name,),
+                                     legacy=True)
             elif name in BASE_PATTERNS:
                 inner = self._expand(BASE_PATTERNS[name], stack + (name,))
             else:
