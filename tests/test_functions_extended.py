@@ -340,6 +340,23 @@ class TestGroks:
             "value1 1", ["%{notSpace:standalone_field} %{data::integer}"]
         ) == {"standalone_field": "value1"}
 
+    def test_pattern_library(self):
+        """The baked 350-definition library (gen_dd_patterns.py) —
+        library bodies expand with legacy grok-crate alias semantics
+        and embedded destinations extract fields."""
+        from vrl_ray.functions._dd_patterns import DD_PATTERNS
+        assert len(DD_PATTERNS) >= 350
+        out = R["parse_groks"]("GET /x.gif HTTP/1.0",
+                               ["%{S3_REQUEST_LINE}"])
+        assert out == {"verb": "GET", "request": "/x.gif",
+                       "httpversion": "1.0"}
+        assert R["parse_groks"]("example.com:8080",
+                                ["%{hostPort:hp}"]) == \
+            {"hp": "example.com:8080"}
+        # MAC family rides the extended legacy base set too
+        assert R["parse_grok"]("00:1A:2B:3C:4D:5E", "%{MAC:mac}") == \
+            {"mac": "00:1A:2B:3C:4D:5E"}
+
     def test_filters_rubyhash_xml_numberext(self):
         assert R["parse_groks"]('h={"a" => 1}',
                                 [r'h=%{data:out:rubyhash}']) == \
