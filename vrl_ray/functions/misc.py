@@ -277,6 +277,12 @@ def get_hostname() -> str:
 
 
 def get_timezone_name() -> str:
+    """get_timezone_name.rs:16-17 — the CONTEXT timezone's name
+    (TimeZone::Named → its id; Local → the system zone)."""
+    from .timestamp import get_context_timezone
+    ctx = get_context_timezone()
+    if ctx and ctx != "local":
+        return ctx
     tz = os.environ.get("TZ")
     if tz:
         return tz

@@ -1077,10 +1077,20 @@ def parse_syslog(value: str) -> dict:
             out["procid"] = int(d["procid"])
         try:
             # RFC 3164 omits the year: the reference resolves it to the
-            # current year (parse_syslog.rs via the syslog_loose crate)
+            # current year and interprets the naive stamp in the
+            # CONTEXT timezone (parse_syslog.rs ctx.timezone() via
+            # syslog_loose)
             year = datetime.now(timezone.utc).year
             ts = datetime.strptime(f"{year} {d['ts']}", "%Y %b %d %H:%M:%S")
-            out["timestamp"] = ts.replace(tzinfo=timezone.utc)
+            from .timestamp import get_context_timezone
+            ctz = get_context_timezone()
+            if ctz and ctz not in ("UTC", "utc", "local"):
+                from zoneinfo import ZoneInfo
+                ts = ts.replace(tzinfo=ZoneInfo(ctz)) \
+                    .astimezone(timezone.utc)
+            else:
+                ts = ts.replace(tzinfo=timezone.utc)
+            out["timestamp"] = ts
         except ValueError:
             pass
         return out
