@@ -805,25 +805,31 @@ def docs_minhash_pairs(sf_dir: str):
 
 
 def docs_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs (hamming <= 3 over 16-bit bands) —
-    rows-only check (the crc32-based fingerprint is not expressible in
-    SQL); docs_simhash_recall gates this output against the exact
-    Jaccard pair set."""
+    """SimHash near-dup pairs: hamming <= 3 candidates over 16-bit
+    bands, then the exact-Jaccard verify tail over the CANDIDATES only
+    (the standard sketch→candidates→verify construction; the sketch
+    alone cannot guarantee precision once pair density grows with
+    scale — an sf0.1 run surfaced a hamming-close false positive).
+    Rows-only check (the crc32 fingerprint is not expressible in SQL);
+    docs_simhash_recall gates this output against the exact Jaccard
+    pair set."""
     from vrl_ray.stages.dedup import simhash_near_dups
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_near_dups(docs, max_hamming=3)
+    return simhash_near_dups(docs, max_hamming=3, verify_threshold=0.5)
 
 
 def docs_simhash_recall(sf_dir: str):
-    """Quality gate for the SimHash sketch against ground truth
+    """Quality gate for the SimHash pipeline against ground truth
     (VERDICT r2 item 2): E = exact 3-shingle-Jaccard >= 0.5 pairs
     (all-pairs — this is a TEST oracle, O(n²) by definition, capped),
-    S = simhash pairs at hamming <= 3.  The 16-bit × 4 banding makes S
-    COMPLETE for the hamming metric (pigeonhole), so the gate pins the
-    hamming↔jaccard alignment: every S pair must be a true near-dup
-    (precision 1.0) and S must cover >= 50% of E.  DuckDB recomputes
-    |E| exactly and asserts the two booleans."""
+    S = simhash candidates at hamming <= 3 AFTER the exact-Jaccard
+    verify tail.  The 16-bit × 4 banding makes the candidate set
+    COMPLETE for the hamming metric (pigeonhole); the verify tail
+    makes precision exact by construction (the un-verified sketch
+    emitted a false positive at sf0.1), so the LIVE quality dimension
+    is recall: S must cover >= 50% of E.  DuckDB recomputes |E|
+    exactly and asserts both booleans."""
     import ray.data as rd
     from vrl_ray.stages.dedup import simhash_near_dups, verify_pairs_jaccard
 
@@ -839,7 +845,8 @@ def docs_simhash_recall(sf_dir: str):
     allp = rd.from_arrow(pa.table({"id_a": pa.array(ia, pa.int64()),
                                    "id_b": pa.array(ib, pa.int64())}))
     E = verify_pairs_jaccard(allp, docs, threshold=0.5, k=3).to_pandas()
-    S = simhash_near_dups(docs, max_hamming=3).to_pandas()
+    S = simhash_near_dups(docs, max_hamming=3,
+                          verify_threshold=0.5).to_pandas()
     e_set = set(zip(E["id_a"], E["id_b"]))
     s_set = set(zip(S["id_a"], S["id_b"]))
     recall = (len(e_set & s_set) / len(e_set)) if e_set else 1.0

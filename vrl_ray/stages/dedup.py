@@ -524,11 +524,21 @@ class SimHash:
 
 
 def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
-                      text_column: str = "text", band_bits: int = 16):
+                      text_column: str = "text", band_bits: int = 16,
+                      verify_threshold: float | None = None,
+                      verify_k: int = 3):
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     64/band_bits chunks (any pair within hamming<=k shares at least
     one identical band when k < #bands) → groupby band bucket →
-    verify hamming distance within bucket."""
+    verify hamming distance within bucket.
+
+    ``verify_threshold`` adds the standard sketch→candidates→verify
+    tail: exact k-shingle Jaccard over the CANDIDATE pairs only
+    (O(candidates), never the corpus — verify_pairs_jaccard), keeping
+    only pairs at or above the threshold. At small corpora hamming≤3
+    pairs happen to all be true near-dups, but density grows with
+    scale and the sketch alone cannot guarantee precision — the
+    verify tail makes precision exact BY CONSTRUCTION at any scale."""
     import pandas as pd
 
     nbands = 64 // band_bits
@@ -586,8 +596,15 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_column: str = "doc_id",
     pairs = joined.map_batches(verify, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+    if verify_threshold is not None:
+        verified = verify_pairs_jaccard(
+            out.select_columns(["id_a", "id_b"]), ds,
+            threshold=verify_threshold, k=verify_k,
+            id_column=id_column, text_column=text_column)
+        return verified
+    return out
 
 
 # ---------------------------------------------------------------------------
